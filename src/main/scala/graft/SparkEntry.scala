@@ -1,13 +1,250 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+
+/** Driver contract — the operator registry of the engine.
+  *
+  * Oracle-checked queries (SQL-expressible, DuckDB-replayable) carry an
+  * `oracleSql` twin with identical column names; extraction/LSH/ANN
+  * operators register without one (driver falls back to a rows>0 check)
+  * and are instead gated by the fixture suites in `sbt test`.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: full extraction over the synthetic page corpus. */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val pages = SyntheticPages.pages(spark, copies = 2, numPartitions = 8)
+    Extract.run(pages).flatMap(_.triple).toDF()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------- relational core (oracle-checked) ----------------
+    "q1_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+    "q2_revenue_by_nation" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val customer = t(s, d, "customer")
+      val nation = t(s, d, "nation")
+      orders.join(customer, orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n_orders"))
+    }),
+    "q3_priority_counts" -> ((s, d) => {
+      t(s, d, "orders")
+        .where(col("o_totalprice") > 100.0)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "q4_anti_join" -> ((s, d) => {
+      val customer = t(s, d, "customer")
+      val bigOrders = t(s, d, "orders").where(col("o_totalprice") > 300000.0)
+      customer.join(bigOrders, customer("c_custkey") === bigOrders("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    "q5_brand_volume" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val part = t(s, d, "part")
+      li.join(part, li("l_partkey") === part("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_quantity")), 2).as("total_qty"), count(lit(1)).as("n_items"))
+    }),
+    "q6_events_latest" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id").as("latest_event"))
+    }),
+    "q7_events_by_type" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 4).as("min_value"),
+          round(max(col("value")), 4).as("max_value"))
+    }),
+    // ---------------- training-data text ops (oracle-checked) ---------
+    "q8_dedup_exact" -> ((s, d) => {
+      Dedup.exact(t(s, d, "documents"))
+    }),
+    "q9_token_stats" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      docs.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("tokens"),
+        TextOps.subwordCount(col("text")).as("subwords"))
+    }),
+    "q10_quality" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+    }),
+    "q11_langid" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_id"))
+    }),
+    "q12_fingerprint" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+    }),
+    "q13_ngram_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccard(t(s, d, "documents"), threshold = 0.5)
+    }),
+    "q14_embedding_label_stats" -> ((s, d) => {
+      t(s, d, "embeddings")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(max(element_at(col("embedding"), 1)).cast("double"), 4).as("max_first"))
+    }),
+    // ---------------- scale-path operators (rows-only check) ----------
+    "x_extract_triples" -> ((s, _) => {
+      import s.implicits._
+      Extract.run(SyntheticPages.pages(s, copies = 2, numPartitions = 8)).flatMap(_.triple).toDF()
+    }),
+    "x_extract_lineage" -> ((s, _) => {
+      import s.implicits._
+      Extract.run(SyntheticPages.pages(s, copies = 2, numPartitions = 8)).flatMap(_.lineage).toDF()
+    }),
+    "x_kg_pipeline" -> ((s, _) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_kg").toString
+      val pages = SyntheticPages.pages(s, copies = 2, numPartitions = 8)
+      KgPipeline.run(s, pages, out)("edges")
+    }),
+    "x_minhash_lsh_dedup" -> ((s, d) => Dedup.minhashLsh(t(s, d, "documents"), threshold = 0.5)),
+    "x_simhash_dedup" -> ((s, d) => Dedup.simhash(t(s, d, "documents"), maxHamming = 3)),
+    "x_embedding_neardup" -> ((s, d) =>
+      Similarity.embeddingNearDup(t(s, d, "embeddings"), threshold = 0.3, planes = 4, tables = 6)),
+    "x_ann_brute" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteCosine(emb, emb.where(col("vec_id") < 8), k = 5)
+    }),
+    "x_ann_lsh" -> ((s, d) => Similarity.lshCosine(t(s, d, "embeddings"), k = 5)),
+    "x_multimodal_features" -> ((s, _) => Multimodal.featureSummary(Multimodal.syntheticAssets(s, 3000)).toDF()),
+    "x_entity_link" -> ((s, _) => {
+      import s.implicits._
+      val pages = SyntheticPages.pages(s, copies = 2, numPartitions = 8)
+      val triples = Extract.run(pages).flatMap(_.triple).toDF()
+      KgPipeline.linkMentions(pages.toDF(), KgPipeline.entityAliases(triples))
+    }),
+    "x_text_identity" -> ((s, _) => {
+      // byte-identical text-extraction invariant as a counting query:
+      // rows where extractText(html) != text must be zero
+      import s.implicits._
+      val pages = SyntheticPages.pages(s, copies = 2, numPartitions = 8)
+      val n = pages.map(p => if (Extract.extractText(new String(p.html, "UTF-8")) == p.text) 0 else 1)
+        .toDF("mismatch").agg(sum(col("mismatch")).as("mismatches"), count(lit(1)).as("pages"))
+      n.where(col("mismatches") === 0)
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_revenue_by_nation" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q3_priority_counts" ->
+      "SELECT o_orderpriority, count(*) AS n FROM orders WHERE o_totalprice > 100.0 GROUP BY o_orderpriority",
+    "q4_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""".stripMargin,
+    "q5_brand_volume" ->
+      """SELECT p_brand, round(sum(l_quantity), 2) AS total_qty, count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand""".stripMargin,
+    "q6_events_latest" ->
+      """SELECT user_id, event_type, event_id AS latest_event FROM (
+        |  SELECT user_id, event_type, event_id,
+        |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "q7_events_by_type" ->
+      """SELECT event_type, count(*) AS n, round(min(value), 4) AS min_value, round(max(value), 4) AS max_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q8_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        |       min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q9_token_stats" ->
+      """SELECT doc_id,
+        |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tokens,
+        |  CAST(coalesce(list_sum(list_transform(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+        |           w -> 1 + CAST(floor(length(w) / 4) AS BIGINT))), 0) AS BIGINT) AS subwords
+        |FROM documents""".stripMargin,
+    "q10_quality" ->
+      """SELECT doc_id, CAST(
+        |  (CASE WHEN length(text) > 0 THEN floor(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 4000.0 / length(text)) ELSE 0 END)
+        |  + (2000 - (CASE WHEN length(text) > 0 THEN least(floor(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 20000.0 / length(text)), 2000.0) ELSE 0 END))
+        |  + (CASE WHEN length(text) BETWEEN 200 AND 4000 THEN 2000 WHEN length(text) >= 50 THEN 1000 ELSE 0 END)
+        |  + (CASE WHEN ((CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %' THEN 1 ELSE 0 END)
+        |            + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% and %' THEN 1 ELSE 0 END)
+        |            + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% of %' THEN 1 ELSE 0 END)
+        |            + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% to %' THEN 1 ELSE 0 END)
+        |            + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% a %' THEN 1 ELSE 0 END)) >= 3 THEN 2000
+        |       WHEN ((CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %' THEN 1 ELSE 0 END)
+        |            + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% and %' THEN 1 ELSE 0 END)
+        |            + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% of %' THEN 1 ELSE 0 END)
+        |            + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% to %' THEN 1 ELSE 0 END)
+        |            + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% a %' THEN 1 ELSE 0 END)) >= 1 THEN 1000
+        |       ELSE 0 END) AS BIGINT) AS quality
+        |FROM documents""".stripMargin,
+    "q11_langid" ->
+      """SELECT doc_id,
+        |  CASE WHEN ((CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %' THEN 1 ELSE 0 END)
+        |           + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% and %' THEN 1 ELSE 0 END)
+        |           + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% with %' THEN 1 ELSE 0 END)
+        |           + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% this %' THEN 1 ELSE 0 END)) >= 2 THEN 'en'
+        |       WHEN ((CASE WHEN ' ' || lower(text) || ' ' LIKE '% der %' THEN 1 ELSE 0 END)
+        |           + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% und %' THEN 1 ELSE 0 END)
+        |           + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% nicht %' THEN 1 ELSE 0 END)
+        |           + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% das %' THEN 1 ELSE 0 END)) >= 2 THEN 'de'
+        |       WHEN ((CASE WHEN ' ' || lower(text) || ' ' LIKE '% le %' THEN 1 ELSE 0 END)
+        |           + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% et %' THEN 1 ELSE 0 END)
+        |           + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% les %' THEN 1 ELSE 0 END)
+        |           + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% des %' THEN 1 ELSE 0 END)) >= 2 THEN 'fr'
+        |       WHEN ((CASE WHEN ' ' || lower(text) || ' ' LIKE '% el %' THEN 1 ELSE 0 END)
+        |           + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% que %' THEN 1 ELSE 0 END)
+        |           + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% los %' THEN 1 ELSE 0 END)
+        |           + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% una %' THEN 1 ELSE 0 END)) >= 2 THEN 'es'
+        |       ELSE 'und' END AS lang_id
+        |FROM documents""".stripMargin,
+    "q12_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM documents""",
+    "q13_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, source,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+        |  FROM documents
+        |), sizes AS (
+        |  SELECT doc_id AS sid, count(*) AS sz FROM toks GROUP BY doc_id
+        |), inter AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS ic
+        |  FROM toks l JOIN toks r ON l.source = r.source AND l.token = r.token AND l.doc_id < r.doc_id
+        |  GROUP BY l.doc_id, r.doc_id
+        |)
+        |SELECT a, b, round(ic::DOUBLE / (sa.sz + sb.sz - ic), 4) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.sid = a JOIN sizes sb ON sb.sid = b
+        |WHERE ic::DOUBLE / (sa.sz + sb.sz - ic) >= 0.5""".stripMargin,
+    "q14_embedding_label_stats" ->
+      """SELECT label, count(*) AS n, round(CAST(max(embedding[1]) AS DOUBLE), 4) AS max_first
+        |FROM embeddings GROUP BY label""".stripMargin
+  )
 }

@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+
+/** Deduplication family for the documents table. Strategy per variant:
+  *
+  *   - exact: fingerprint groupBy (map-side combinable, one shuffle).
+  *   - MinHash+LSH: shingle → seeded-xxhash64 minhash signature →
+  *     banding → bucket self-join. Candidates only; verified by exact
+  *     Jaccard on the (tiny) candidate set. Pure built-in expressions:
+  *     whole-stage codegen end to end, no UDF, no crossJoin.
+  *   - SimHash: 32-bit sign-aggregated token hashes, near-dup =
+  *     hamming distance ≤ k via bit_count(xor).
+  *   - n-gram Jaccard: fully relational (explode → self-join →
+  *     count-distinct) so DuckDB can replay it as the oracle.
+  *   - embedding cosine: see Similarity (shares the kernel).
+  */
+object Dedup {
+
+  /** Exact dedup: keep min doc_id per normalized-text fingerprint. */
+  def exact(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  def wordSet(text: Column): Column =
+    array_distinct(filter(split(lower(text), "[^a-z0-9]+"), t => t =!= ""))
+
+  /** Word w-shingles (default 3) as a distinct array. */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val words = filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+    array_distinct(
+      filter(
+        transform(sequence(lit(1), greatest(size(words) - (w - 1), lit(1))),
+          i => concat_ws(" ", slice(words, i, lit(w)))),
+        s => s =!= ""
+      )
+    )
+  }
+
+  /** MinHash signature over a shingle array: nHashes seeded xxhash64
+    * minima — one array column, fully codegen.
+    */
+  def minhashSig(shingleCol: Column, nHashes: Int): Column =
+    array((0 until nHashes).map(i => array_min(transform(shingleCol, s => xxhash64(s, lit(i))))): _*)
+
+  /** MinHash-LSH near-dup candidate pairs with exact-Jaccard verify.
+    * bands*rows must equal nHashes.
+    */
+  def minhashLsh(documents: DataFrame, nHashes: Int = 16, bands: Int = 4, threshold: Double = 0.7): DataFrame = {
+    val rows = nHashes / bands
+    val sig = documents
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig", minhashSig(col("sh"), nHashes))
+    val banded = sig.select(
+      col("doc_id"), col("sh"),
+      posexplode(array((0 until bands).map(b => hash(slice(col("sig"), b * rows + 1, rows))): _*))
+        .as(Seq("band", "bucket"))
+    )
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("a"), col("sh").as("sa"))
+    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("b"), col("sh").as("sb"))
+    l.join(r, Seq("band", "bucket"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))), 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .distinct()
+  }
+
+  /** 32-bit SimHash from word hashes; same-bucket pairs within hamming
+    * distance ≤ maxHamming. Buckets = 4 x 8-bit chunks (any pair with
+    * hamming ≤ 3 shares at least one chunk — pigeonhole), so the join
+    * is bucketed, never all-pairs.
+    */
+  def simhash(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val words = wordSet(col("text"))
+    val bitCols = (0 until 32).map { b =>
+      aggregate(words, lit(0),
+        (acc, w) => acc + when(shiftright(hash(w), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+    }
+    val sim = bitCols.zipWithIndex.map { case (c, b) =>
+      when(c > 0, lit(1L << b)).otherwise(0L)
+    }.reduce((a, b) => a + b)
+    val withSim = documents.select(col("doc_id"), sim.as("simhash"))
+    val chunked = withSim.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c => shiftright(col("simhash"), c * 8).bitwiseAND(255)): _*))
+        .as(Seq("chunk", "value"))
+    )
+    val l = chunked.select(col("chunk"), col("value"), col("doc_id").as("a"), col("simhash").as("ha"))
+    val r = chunked.select(col("chunk"), col("value"), col("doc_id").as("b"), col("simhash").as("hb"))
+    l.join(r, Seq("chunk", "value"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), bit_count(expr("ha ^ hb")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Fully-relational n-gram (word) Jaccard near-dup, blocked by the
+    * `source` column: explode tokens → distinct → self-join → counts.
+    * Expressible 1:1 in ANSI SQL → DuckDB oracle-checkable.
+    */
+  def ngramJaccard(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), col("source"), explode(wordSet(col("text"))).as("token"))
+    val sizes = toks.groupBy(col("doc_id").as("sid")).agg(count(lit(1)).as("sz"))
+    val l = toks.select(col("source"), col("doc_id").as("a"), col("token"))
+    val r = toks.select(col("source"), col("doc_id").as("b"), col("token"))
+    l.join(r, Seq("source", "token"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("sid", "a").withColumnRenamed("sz", "sza"), Seq("a"))
+      .join(sizes.withColumnRenamed("sid", "b").withColumnRenamed("sz", "szb"), Seq("b"))
+      .select(col("a"), col("b"),
+        round(col("inter").cast("double") / (col("sza") + col("szb") - col("inter")), 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,172 @@
+package graft.pipeline
+
+import graft.rdf.{BNode, Iri, Lit, RdfGraph, Triple, Vocab}
+import graft.xml.RdfXmlParser
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Stage 1 — triple extraction: Dataset[Page] → Dataset[TripleRow] (+
+  * per-partition lineage). The full RDF/XML state machine (graft.xml)
+  * runs INSIDE the row — one document never spans executors; control
+  * crosses executor boundaries only at stage shuffles (SURVEY.md §3).
+  *
+  * Scale notes:
+  *   - callers must `select(url, html)` before the typed map — Catalyst
+  *     cannot prune columns through DeserializeToObject, so we prune
+  *     manually (SURVEY.md §4).
+  *   - a failed page contributes 0 triples and a parse-error count; the
+  *     job never dies on one bad page (reference aborts the *document*,
+  *     event_handler.ex:11-16 — we abort the *row*).
+  *   - blank-node labels are scoped per url (`b0@<urlhash>`) so the
+  *     cross-document union is safe, mirroring the reference's
+  *     per-decode-call counter scope (grammar.ex:19).
+  */
+object Extract {
+
+  /** RDF/XML island detection: whole-document RDF/XML, or the first
+    * <script type="application/rdf+xml"> island inside HTML.
+    */
+  def detectIsland(html: String): Option[String] =
+    detectIslandBytes(html.getBytes("UTF-8")).map { case (b, off, len) => new String(b, off, len, "UTF-8") }
+
+  private val islandMarker = "<script type=\"application/rdf+xml\">".getBytes("US-ASCII")
+  private val islandClose = "</script>".getBytes("US-ASCII")
+  private val bareStarts = Seq("<?xml", "<rdf:RDF", "<!--").map(_.getBytes("US-ASCII"))
+
+  private def startsWithAt(h: Array[Byte], off: Int, pat: Array[Byte]): Boolean = {
+    if (off + pat.length > h.length) return false
+    var i = 0
+    while (i < pat.length) { if (h(off + i) != pat(i)) return false; i += 1 }
+    true
+  }
+
+  private def byteIndexOf(h: Array[Byte], pat: Array[Byte], from: Int): Int = {
+    var i = from
+    val max = h.length - pat.length
+    while (i <= max) {
+      if (h(i) == pat(0) && startsWithAt(h, i, pat)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Byte-level island detection — the hot path never materializes the
+    * full document as a String (per-page allocation matters at 100 TB).
+    * Returns (buffer, offset, length) of the RDF/XML island.
+    */
+  def detectIslandBytes(html: Array[Byte]): Option[(Array[Byte], Int, Int)] = {
+    var off = 0
+    while (off < html.length && Character.isWhitespace(html(off).toChar)) off += 1
+    if (bareStarts.exists(p => startsWithAt(html, off, p))) Some((html, 0, html.length))
+    else {
+      val start = byteIndexOf(html, islandMarker, 0)
+      if (start < 0) None
+      else {
+        val body = start + islandMarker.length
+        val end = byteIndexOf(html, islandClose, body)
+        if (end < 0) None else Some((html, body, end - body))
+      }
+    }
+  }
+
+  /** Canonical text extraction — must be byte-identical to Page.text:
+    * bare RDF documents extract to ""; HTML pages extract the
+    * concatenated <p> contents.
+    */
+  def extractText(html: String): String = {
+    val trimmed = html.dropWhile(Character.isWhitespace)
+    if (!trimmed.startsWith("<!DOCTYPE html>") && !trimmed.startsWith("<html")) ""
+    else {
+      val sb = new StringBuilder
+      var from = 0
+      var first = true
+      while ({ val i = html.indexOf("<p>", from); i >= 0 && { from = i; true } }) {
+        val end = html.indexOf("</p>", from)
+        if (end < 0) from = html.length
+        else {
+          if (!first) sb.append('\n')
+          sb.append(html.substring(from + 3, end))
+          first = false
+          from = end + 4
+        }
+      }
+      sb.toString
+    }
+  }
+
+  /** Scope bnode labels by url so triples from different documents never
+    * collide after union (graph-merge safety at 100 TB).
+    */
+  private def urlScope(url: String): String = {
+    val h = scala.util.hashing.MurmurHash3.stringHash(url)
+    java.lang.Integer.toHexString(h)
+  }
+
+  private def termToColumns(t: graft.rdf.Term, scope: String): (String, String, String, String) = t match {
+    case Iri(v) => (v, "iri", null, null)
+    case BNode(l) => (s"_:$l@$scope", "bnode", null, null)
+    case Lit(lex, dt, lang) =>
+      (lex, "literal", if (lang.isEmpty) null else lang, if (dt == Vocab.xsdString && lang.isEmpty) null else dt)
+  }
+
+  def triplesOf(url: String, html: Array[Byte]): Either[String, Vector[TripleRow]] = {
+    detectIslandBytes(html) match {
+      case None => Right(Vector.empty)
+      case Some((buf, off, len)) =>
+        RdfXmlParser.parseBytes(buf, off, len, Some(url)) match {
+          case Left(e) => Left(e.message)
+          case Right(g) =>
+            val scope = urlScope(url)
+            Right(g.triples.iterator.map { case Triple(s, p, o) =>
+              val (sv, _, _, _) = termToColumns(s, scope)
+              val (pv, _, _, _) = termToColumns(p, scope)
+              val (ov, ok, lang, dt) = termToColumns(o, scope)
+              TripleRow(url, sv, pv, ov, ok, lang, dt)
+            }.toVector)
+        }
+    }
+  }
+
+  /** Single-pass extraction emitting triples AND a per-partition lineage
+    * tail row. Persist the result once, then split by kind (KgPipeline);
+    * at 100 TB this is one scan of the page table, not two.
+    */
+  def run(pages: Dataset[Page]): Dataset[ExtractOut] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    // manual column pruning before leaving Catalyst land
+    val slim = pages.select($"url", $"html").as[(String, Array[Byte])]
+    slim.mapPartitions { it =>
+      val t0 = System.nanoTime()
+      val pid = TaskContext.getPartitionId()
+      var pageCount = 0L
+      var tripleCount = 0L
+      var errCount = 0L
+      var firstUrl: String = null
+      var lastUrl: String = null
+      val body = it.flatMap { case (url, html) =>
+        pageCount += 1
+        if (firstUrl == null) firstUrl = url
+        lastUrl = url
+        triplesOf(url, html) match {
+          case Right(ts) =>
+            tripleCount += ts.size
+            ts.iterator.map(t => ExtractOut(Some(t), None))
+          case Left(_) =>
+            errCount += 1
+            Iterator.empty
+        }
+      }
+      body ++ new Iterator[ExtractOut] {
+        private var done = false
+        def hasNext: Boolean = !done
+        def next(): ExtractOut = {
+          done = true
+          val wallMs = (System.nanoTime() - t0) / 1000000
+          ExtractOut(None, Some(LineageRow(
+            "extract", pid, s"$firstUrl..$lastUrl", pageCount, tripleCount, errCount, wallMs)))
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,232 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import java.nio.file.{Files, Paths}
+
+/** The end-to-end KG-construction DAG (north_rule):
+  *
+  *   pages ─extract→ triples ─link→ links
+  *                      │
+  *                      ├─canonicalize→ canonical_map
+  *                      └─materialize→ nodes / edges / adjacency
+  *
+  * Every stage writes its output to Parquet under `outRoot/<stage>` and
+  * is **checkpoint-resumable**: a stage whose `_SUCCESS` marker exists
+  * is read back instead of recomputed, so a restarted job skips all
+  * completed stages. Lineage/metrics rows accumulate in
+  * `outRoot/metrics` (append mode).
+  *
+  * Scale design:
+  *   - extraction is a single pass over (url, html) with per-partition
+  *     lineage; no second scan, no driver collect.
+  *   - the alias dictionary is small by construction → broadcast join
+  *     for entity linking; the mention side stays shuffle-free.
+  *   - canonicalization blocks candidate pairs with MinHash-LSH built
+  *     from codegen'd built-in expressions (xxhash64/transform/
+  *     aggregate) — no UDFs in the hot path; verification and
+  *     connected components only touch the (tiny) candidate set.
+  *   - node degree counts use a salted two-phase aggregation so hub
+  *     entities cannot skew a single reducer.
+  *   - adjacency is materialized via repartitionByRange(subj) +
+  *     sortWithinPartitions — range-partitioned, clusterable layout
+  *     instead of giant collect_list arrays.
+  */
+object KgPipeline {
+
+  final case class StageResult(name: String, df: DataFrame, resumed: Boolean)
+
+  private def done(path: String): Boolean = Files.exists(Paths.get(path, "_SUCCESS"))
+
+  /** Run (or resume) one stage: compute and write unless output exists. */
+  def stage(spark: SparkSession, outRoot: String, name: String)(compute: => DataFrame): StageResult = {
+    val path = s"$outRoot/$name"
+    if (done(path)) StageResult(name, spark.read.parquet(path), resumed = true)
+    else {
+      compute.write.mode(SaveMode.Overwrite).parquet(path)
+      StageResult(name, spark.read.parquet(path), resumed = false)
+    }
+  }
+
+  def run(spark: SparkSession, pages: Dataset[Page], outRoot: String): Map[String, DataFrame] = {
+    import spark.implicits._
+
+    // ---- stage: extract (triples + lineage from ONE pass) --------------
+    val triples =
+      if (done(s"$outRoot/triples")) spark.read.parquet(s"$outRoot/triples")
+      else {
+        val env = Extract.run(pages).persist(StorageLevel.MEMORY_AND_DISK)
+        env.flatMap(_.triple).write.mode(SaveMode.Overwrite).parquet(s"$outRoot/triples")
+        env.flatMap(_.lineage).write.mode(SaveMode.Append).parquet(s"$outRoot/metrics")
+        env.unpersist()
+        spark.read.parquet(s"$outRoot/triples")
+      }
+
+    // ---- stage: alias dictionary (small, broadcastable) -----------------
+    val aliasDict = stage(spark, outRoot, "alias_dict") {
+      entityAliases(triples)
+    }.df
+
+    // ---- stage: entity linking (broadcast join, no big-side shuffle) ----
+    val links = stage(spark, outRoot, "links") {
+      linkMentions(pages.toDF(), aliasDict)
+    }.df
+
+    // ---- stage: canonicalization (MinHash-LSH blocking + CC) ------------
+    val canonicalMap = stage(spark, outRoot, "canonical_map") {
+      canonicalize(aliasDict)
+    }.df
+
+    // ---- stage: materialize graph tables --------------------------------
+    val edges = stage(spark, outRoot, "edges") {
+      materializeEdges(triples, canonicalMap)
+    }.df
+    val nodes = stage(spark, outRoot, "nodes") {
+      materializeNodes(edges)
+    }.df
+    val adjacency = stage(spark, outRoot, "adjacency") {
+      edges.repartitionByRange(col("subj")).sortWithinPartitions("subj", "pred", "obj")
+    }.df
+
+    Map(
+      "triples" -> triples, "alias_dict" -> aliasDict, "links" -> links,
+      "canonical_map" -> canonicalMap, "edges" -> edges, "nodes" -> nodes,
+      "adjacency" -> adjacency,
+      "metrics" -> spark.read.parquet(s"$outRoot/metrics")
+    )
+  }
+
+  /** Alias dictionary: every IRI entity mentioned as a subject, keyed by
+    * its lower-cased local name. Distinct + small → broadcast side of
+    * the linking join.
+    */
+  def entityAliases(triples: DataFrame): DataFrame =
+    triples
+      .where(col("objKind") === "iri" || !col("subj").startsWith("_:"))
+      .select(col("subj").as("entity"))
+      .where(!col("entity").startsWith("_:"))
+      .distinct()
+      .withColumn("alias", lower(element_at(split(regexp_replace(col("entity"), "#", "/"), "/"), -1)))
+      .where(length(col("alias")) > 2)
+
+  /** Mention detection + entity-link scoring: tokenize page text with
+    * built-in functions (posexplode over split — codegen, no UDF), join
+    * the broadcast alias dictionary, keep the best-scoring entity per
+    * mention (deterministic tiebreak on entity).
+    */
+  def linkMentions(pages: DataFrame, aliasDict: DataFrame): DataFrame = {
+    val mentions = pages
+      .select(col("url"), posexplode(split(lower(col("text")), "[^a-z0-9]+")).as(Seq("pos", "token")))
+      .where(length(col("token")) > 2)
+    val scored = mentions
+      .join(broadcast(aliasDict), mentions("token") === aliasDict("alias"))
+      .withColumn("score", length(col("alias")).cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("url", "pos")
+      .orderBy(col("score").desc, col("entity"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") === 1)
+      .select("url", "pos", "token", "entity", "score")
+  }
+
+  /** MinHash-LSH blocking over entity local names + exact-Jaccard
+    * verification + iterative min-id connected components → canonical
+    * entity map. All candidate generation is built-in expressions.
+    */
+  def canonicalize(aliasDict: DataFrame): DataFrame = {
+    val spark = aliasDict.sparkSession
+    val entities = aliasDict.select("entity", "alias").distinct()
+
+    // char-3-gram shingles of the alias (array_distinct keeps it a set)
+    val shingled = entities.withColumn(
+      "shingles",
+      array_distinct(
+        filter(
+          transform(
+            sequence(lit(1), greatest(length(col("alias")) - 2, lit(1))),
+            i => col("alias").substr(i, lit(3))
+          ),
+          s => length(s) === 3
+        )
+      )
+    ).where(size(col("shingles")) > 0)
+
+    // MinHash signature: 12 permutations via seeded xxhash64; banded 4x3
+    val nHashes = 12
+    val sig = shingled.withColumn(
+      "sig",
+      array((0 until nHashes).map(i => array_min(transform(col("shingles"), s => xxhash64(s, lit(i))))): _*)
+    )
+    val banded = sig.select(
+      col("entity"), col("shingles"),
+      posexplode(array((0 until 4).map(b => hash(slice(col("sig"), b * 3 + 1, 3))): _*)).as(Seq("band", "bucket"))
+    )
+
+    // candidate pairs from shared (band, bucket); verified by exact Jaccard
+    val left = banded.select(col("band"), col("bucket"), col("entity").as("e1"), col("shingles").as("s1"))
+    val right = banded.select(col("band"), col("bucket"), col("entity").as("e2"), col("shingles").as("s2"))
+    val pairs = left.join(right, Seq("band", "bucket"))
+      .where(col("e1") < col("e2"))
+      .select(col("e1"), col("e2"),
+        (size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2")))).as("jaccard"))
+      .where(col("jaccard") >= 0.9)
+      .select("e1", "e2").distinct()
+
+    // connected components: iterative min-label propagation (bounded)
+    var labels = entities.select(col("entity"), col("entity").as("canon"))
+    val edgesBoth = pairs.union(pairs.select(col("e2").as("e1"), col("e1").as("e2")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var i = 0
+    var converged = false
+    while (i < 5 && !converged) {
+      val neighborMin = edgesBoth.join(labels, edgesBoth("e2") === labels("entity"))
+        .groupBy(col("e1").as("entity2")).agg(min(col("canon")).as("ncanon"))
+      val next = labels.join(neighborMin, labels("entity") === neighborMin("entity2"), "left")
+        .select(col("entity"), least(col("canon"), coalesce(col("ncanon"), col("canon"))).as("canon"))
+      val changed = next.join(labels.withColumnRenamed("canon", "old"), "entity")
+        .where(col("canon") =!= col("old")).limit(1).count()
+      labels = next.persist(StorageLevel.MEMORY_AND_DISK)
+      converged = changed == 0
+      i += 1
+    }
+    edgesBoth.unpersist()
+    labels
+  }
+
+  /** Rewrite edges onto canonical entities and dedup. Both rewrite joins
+    * key on the canonical map; Spark/AQE picks broadcast automatically
+    * when the map is small, sort-merge otherwise.
+    */
+  def materializeEdges(triples: DataFrame, canonicalMap: DataFrame): DataFrame = {
+    val cm = canonicalMap.select(col("entity"), col("canon"))
+    triples
+      .join(cm.withColumnRenamed("entity", "subj").withColumnRenamed("canon", "subjCanon"), Seq("subj"), "left")
+      .join(
+        cm.withColumnRenamed("entity", "obj").withColumnRenamed("canon", "objCanon"),
+        Seq("obj"), "left")
+      .select(
+        col("url"),
+        coalesce(col("subjCanon"), col("subj")).as("subj"),
+        col("pred"),
+        when(col("objKind") === "iri", coalesce(col("objCanon"), col("obj"))).otherwise(col("obj")).as("obj"),
+        col("objKind"), col("lang"), col("datatype"))
+      .dropDuplicates("url", "subj", "pred", "obj", "objKind", "lang", "datatype")
+  }
+
+  /** Node table with degree counts — salted two-phase aggregation so hub
+    * subjects (rdf:type objects, popular entities) cannot skew one
+    * reducer at 100 TB.
+    */
+  def materializeNodes(edges: DataFrame): DataFrame = {
+    val salted = edges
+      .withColumn("salt", pmod(xxhash64(col("pred"), col("obj")), lit(16)))
+      .groupBy(col("subj"), col("salt"))
+      .agg(count(lit(1)).as("partialDeg"))
+    salted.groupBy(col("subj"))
+      .agg(sum(col("partialDeg")).as("outDegree"))
+      .withColumn("isBlank", col("subj").startsWith("_:"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (Array[Float]).
+  *
+  *   - bruteCosine: exact top-k for a bounded query set — the query side
+  *     is broadcast, the corpus side streams (one pass, no shuffle of the
+  *     big table). The cosine kernel is zip_with + aggregate: codegen'd.
+  *   - lshCosine: the scale path — random-hyperplane LSH (sign sketches
+  *     from seeded per-dimension weights) bucket candidates, exact
+  *     cosine re-rank inside buckets only.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector. `queries` must be small
+    * (broadcast side); corpus scales arbitrarily.
+    */
+  def bruteCosine(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    val c = corpus.select(col("vec_id").as("corpus_id"), col("embedding").as("cvec"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(cosine(col("cvec"), col("qvec")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (dim, plane):
+    * hash-derived in [-1, 1] — no RNG state, stable across retries.
+    */
+  private def weight(dimIdx: Column, plane: Int): Column =
+    (pmod(xxhash64(dimIdx, lit(plane)), lit(2000001L)) - 1000000L).cast("double") / 1000000.0d
+
+  /** Sign-sketch bucket id from `planes` hyperplanes. */
+  def lshBucket(vec: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) => v * weight(i, p)),
+        lit(0.0d), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(0L)
+    }
+    bits.reduce((a, b) => a + b)
+  }
+
+  /** ANN via random-hyperplane LSH: same-bucket candidates (over
+    * `tables` independent sketch tables) re-ranked by exact cosine.
+    * Bucket join replaces the all-pairs product — the 100 TB path.
+    */
+  def lshCosine(corpus: DataFrame, k: Int = 5, planes: Int = 8, tables: Int = 3): DataFrame = {
+    val sketched = corpus.select(
+      col("vec_id"), col("embedding"),
+      posexplode(array((0 until tables).map(t => lshBucket(col("embedding"), planes) + lit(t.toLong << 40)): _*))
+        .as(Seq("table", "bucket"))
+    )
+    val l = sketched.select(col("table"), col("bucket"), col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val r = sketched.select(col("table"), col("bucket"), col("vec_id").as("corpus_id"), col("embedding").as("cvec"))
+    val cands = l.join(r, Seq("table", "bucket"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), col("qvec"), col("cvec"))
+      .distinct()
+    val scored = cands.select(col("query_id"), col("corpus_id"),
+      round(cosine(col("qvec"), col("cvec")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (dedup by vector space):
+    * LSH-bucketed, exact-cosine verified.
+    */
+  def embeddingNearDup(corpus: DataFrame, threshold: Double = 0.95, planes: Int = 8, tables: Int = 3): DataFrame = {
+    val sketched = corpus.select(
+      col("vec_id"), col("embedding"),
+      posexplode(array((0 until tables).map(t => lshBucket(col("embedding"), planes) + lit(t.toLong << 40)): _*))
+        .as(Seq("table", "bucket"))
+    )
+    val l = sketched.select(col("table"), col("bucket"), col("vec_id").as("a"), col("embedding").as("va"))
+    val r = sketched.select(col("table"), col("bucket"), col("vec_id").as("b"), col("embedding").as("vb"))
+    l.join(r, Seq("table", "bucket"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+      .distinct()
+  }
+}

@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines, all built from
+  * codegen'd built-in expressions (no UDFs — these run over every
+  * document at 100 TB). Each has an ANSI-SQL twin in SparkEntry.oracleSql
+  * so the driver can cross-check against DuckDB.
+  */
+object TextOps {
+
+  /** Whitespace token count, robust to empty strings. */
+  def tokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => t =!= ""))
+
+  /** BPE-ish subword count: word-boundary pieces plus length/4 overflow
+    * pieces for long words — a deterministic proxy for tokenizer cost.
+    */
+  def subwordCount(text: Column): Column = {
+    val words = filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+    aggregate(words, lit(0L), (acc, w) => acc + lit(1L) + floor(length(w) / 4).cast("bigint"))
+  }
+
+  /** Quality score as an integer in [0, 10000]: length band, alpha
+    * ratio, punctuation ratio and stopword hit rate (heuristics in the
+    * spirit of C4/Gopher quality filters). Integer arithmetic throughout
+    * so the result is bit-identical across engines — no FP rounding
+    * boundaries in the oracle compare.
+    */
+  def qualityScore(text: Column): Column = {
+    val len = length(text)
+    val alpha = length(regexp_replace(text, "[^a-zA-Z]", ""))
+    val punct = length(regexp_replace(text, "[^.,;:!?]", ""))
+    val alphaPart = when(len > 0, floor(alpha * lit(4000.0) / len)).otherwise(0.0)
+    val punctPart = lit(2000) - when(len > 0, least(floor(punct * lit(20000.0) / len), lit(2000.0))).otherwise(0.0)
+    val lenScore = when(len >= 200 && len <= 4000, 2000).when(len >= 50, 1000).otherwise(0)
+    val stop = stopwordHits(text, Seq("the", "and", "of", "to", "a"))
+    val stopScore = when(stop >= 3, lit(2000)).when(stop >= 1, lit(1000)).otherwise(lit(0))
+    (alphaPart + punctPart + lenScore + stopScore).cast("bigint")
+  }
+
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    words.map(w => when(concat(lit(" "), lower(text), lit(" ")).contains(s" $w "), 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** n-gram-heuristic language ID over a tiny marker-word table;
+    * deterministic argmax with fixed precedence order.
+    */
+  def langId(text: Column): Column = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "with", "this"),
+      "de" -> Seq("der", "und", "nicht", "das"),
+      "fr" -> Seq("le", "et", "les", "des"),
+      "es" -> Seq("el", "que", "los", "una")
+    )
+    val scored = markers.map { case (l, ws) => (l, stopwordHits(text, ws)) }
+    scored.foldRight(lit("und"): Column) { case ((l, score), acc) =>
+      when(score >= 2, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprint: md5 of case/whitespace-normalized text —
+    * stable under formatting-only edits; used for exact dedup.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+
+  def enrich(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("tokens", tokenCount(col("text")))
+      .withColumn("subwords", subwordCount(col("text")))
+      .withColumn("quality", qualityScore(col("text")))
+      .withColumn("lang_id", langId(col("text")))
+      .withColumn("fp", fingerprint(col("text")))
+}
