@@ -102,6 +102,11 @@ object SparkEntry {
     "q13_ngram_jaccard" -> ((s, d) => {
       Dedup.ngramJaccard(t(s, d, "documents"), threshold = 0.5)
     }),
+    "q15_events_window" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(max(col("value")), 4).as("max_value"))
+    }),
     "q14_embedding_label_stats" -> ((s, d) => {
       t(s, d, "embeddings")
         .groupBy(col("label"))
@@ -245,6 +250,9 @@ object SparkEntry {
         |WHERE ic::DOUBLE / (sa.sz + sb.sz - ic) >= 0.5""".stripMargin,
     "q14_embedding_label_stats" ->
       """SELECT label, count(*) AS n, round(CAST(max(embedding[1]) AS DOUBLE), 4) AS max_first
-        |FROM embeddings GROUP BY label""".stripMargin
+        |FROM embeddings GROUP BY label""".stripMargin,
+    "q15_events_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, round(max(value), 4) AS max_value
+        |FROM events GROUP BY 1, 2""".stripMargin
   )
 }

@@ -1,0 +1,181 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Operator-level Spark tests: planted-duplicate recovery for every
+  * dedup variant, ANN neighbor recovery, entity linking, streaming
+  * extraction equivalence with batch, and plan-shape assertions
+  * (broadcast where intended, parquet column pruning).
+  */
+class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs(rows: (Long, String, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("doc_id", "text", "source")
+  }
+
+  test("exact dedup groups identical normalized texts") {
+    val d = docs(
+      (1L, "Hello   World", "a"),
+      (2L, "hello world", "a"),
+      (3L, "something else entirely", "b")
+    )
+    val out = Dedup.exact(d).collect()
+    val dup = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+    assert(out.length == 2)
+  }
+
+  test("minhash LSH finds a planted near-duplicate pair") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " other words"
+    val noise = (100 to 140).map(i => s"zzz$i").mkString(" ")
+    val d = docs((1L, base, "s"), (2L, nearDup, "s"), (3L, noise, "s"))
+    val pairs = Dedup.minhashLsh(d, threshold = 0.5).collect()
+    assert(pairs.exists(r => r.getAs[Long]("a") == 1L && r.getAs[Long]("b") == 2L), pairs.mkString(","))
+    assert(!pairs.exists(r => r.getAs[Long]("b") == 3L || r.getAs[Long]("a") == 3L))
+  }
+
+  test("simhash finds a planted near-duplicate and separates noise") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"tok$i").mkString(" ") + " xq yq"
+    val noise = (200 to 260).map(i => s"qqq$i").mkString(" ")
+    val d = docs((1L, base, "s"), (2L, nearDup, "s"), (3L, noise, "s"))
+    val pairs = Dedup.simhash(d, maxHamming = 6).collect()
+    assert(pairs.exists(r => r.getAs[Long]("a") == 1L && r.getAs[Long]("b") == 2L), pairs.mkString(","))
+    assert(!pairs.exists(r => r.getAs[Long]("b") == 3L || r.getAs[Long]("a") == 3L))
+  }
+
+  test("ngram jaccard is symmetric-free (a<b) and respects the threshold") {
+    val d = docs(
+      (1L, "alpha beta gamma delta", "s"),
+      (2L, "alpha beta gamma epsilon", "s"),
+      (3L, "totally different words here", "s")
+    )
+    val pairs = Dedup.ngramJaccard(d, threshold = 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Long]("a") == 1L && pairs(0).getAs[Long]("b") == 2L)
+    assert(pairs(0).getAs[Double]("jaccard") == 0.6)
+  }
+
+  test("brute-force cosine ANN recovers the planted nearest neighbor") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f, 0.0f), 0), // near 1
+      (3L, Array(0.0f, 1.0f, 0.0f), 1),
+      (4L, Array(0.0f, 0.0f, 1.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.bruteCosine(vecs, vecs.where($"vec_id" === 1), k = 1).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("corpus_id") == 2L)
+  }
+
+  test("LSH cosine ANN finds high-similarity neighbors") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0 until 50).map { i =>
+      val base = Array.tabulate(16)(j => math.sin(i * 17 + j).toFloat)
+      (i.toLong, base, i % 5)
+    }.toDF("vec_id", "embedding", "label")
+    // every vector should at least find itself bucketed with SOMETHING
+    val out = Similarity.lshCosine(vecs, k = 3, planes = 4, tables = 4)
+    assert(out.count() > 0)
+  }
+
+  test("entity linking links page tokens to alias-dictionary entities via broadcast join") {
+    val s = spark
+    import s.implicits._
+    val pages = Seq(
+      ("http://p1", "the widget connects to the grommet", "en")
+    ).toDF("url", "text", "lang")
+    val triples = Seq(
+      ("http://p1", "http://ex.org/vocab/Widget", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "x", "iri", null, null),
+      ("http://p1", "http://ex.org/vocab/Grommet", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "x", "iri", null, null)
+    ).toDF("url", "subj", "pred", "obj", "objKind", "lang", "datatype")
+    val aliases = KgPipeline.entityAliases(triples)
+    val links = KgPipeline.linkMentions(pages, aliases).collect()
+    assert(links.map(_.getAs[String]("entity")).toSet ==
+      Set("http://ex.org/vocab/Widget", "http://ex.org/vocab/Grommet"))
+    // plan shape: the alias side must be broadcast
+    val plan = KgPipeline.linkMentions(pages, aliases).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("canonicalize merges near-identical entity aliases") {
+    val s = spark
+    import s.implicits._
+    val aliases = Seq(
+      ("http://a.org/AcmeCorporation", "acmecorporation"),
+      ("http://b.org/AcmeCorporationX", "acmecorporationx"),
+      ("http://c.org/Unrelated", "unrelated")
+    ).toDF("entity", "alias")
+    val cm = KgPipeline.canonicalize(aliases).collect()
+    val canonOf = cm.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(canonOf("http://a.org/AcmeCorporation") == canonOf("http://b.org/AcmeCorporationX"))
+    assert(canonOf("http://c.org/Unrelated") == "http://c.org/Unrelated")
+  }
+
+  test("multimodal feature extraction is deterministic and flags corrupt assets") {
+    val assets = Multimodal.syntheticAssets(spark, 64, 4)
+    val f1 = Multimodal.extractFeatures(assets).collect().sortBy(_.asset_id)
+    val f2 = Multimodal.extractFeatures(assets).collect().sortBy(_.asset_id)
+    assert(f1.map(_.features.toSeq) sameElements f2.map(_.features.toSeq))
+    assert(f1.exists(!_.ok)) // the planted corrupt (empty-payload) assets
+    assert(f1.filter(_.ok).forall(_.features.length == 8))
+    val video = f1.find(a => a.ok && a.kind == "video").get
+    assert(video.frames >= 1)
+  }
+
+  test("streaming extraction equals batch extraction on the same pages") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+
+    val pages = SyntheticPages.fixtureFiles().take(30).zipWithIndex.map { case ((rel, b), i) =>
+      SyntheticPages.page(rel, b, copy = 1, rowIdx = i.toLong)
+    }
+    val mem = MemoryStream[Page]
+    mem.addData(pages)
+    val q = StreamingExtract.triples(mem.toDF())
+      .writeStream.format("memory").queryName("stream_triples").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("SELECT url, subj, pred, obj FROM stream_triples").collect().toSet
+
+    val batch = Extract.run(s.createDataset(pages)).flatMap(_.triple)
+      .select("url", "subj", "pred", "obj").collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("extraction plan prunes the parquet scan to url+html") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    SyntheticPages.pages(s, 1, 2).write.parquet(s"$dir/pages")
+    val plan = Extract.run(s.read.parquet(s"$dir/pages").as[Page])
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<url:string,html:binary>"), plan)
+  }
+}
