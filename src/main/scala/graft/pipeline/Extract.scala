@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.rdf.{BNode, Iri, Lit, RdfGraph, Triple, Vocab}
-import graft.xml.RdfXmlParser
+import graft.xml.{RdfXmlParser, RdfaLite}
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Dataset, SparkSession}
 
@@ -109,21 +109,54 @@ object Extract {
       (lex, "literal", if (lang.isEmpty) null else lang, if (dt == Vocab.xsdString && lang.isEmpty) null else dt)
   }
 
+  private val rdfaMarker = "<div vocab=".getBytes("US-ASCII")
+  private val divOpen = "<div".getBytes("US-ASCII")
+  private val divClose = "</div>".getBytes("US-ASCII")
+
+  /** RDFa island: from `<div vocab=` to its matching `</div>` (nesting-
+    * aware byte scan). Returns (offset, endExclusive).
+    */
+  def detectRdfaBytes(html: Array[Byte]): Option[(Int, Int)] = {
+    val start = byteIndexOf(html, rdfaMarker, 0)
+    if (start < 0) return None
+    var depth = 1
+    var i = start + divOpen.length
+    while (i < html.length && depth > 0) {
+      if (startsWithAt(html, i, divClose)) { depth -= 1; i += divClose.length }
+      else if (startsWithAt(html, i, divOpen)) { depth += 1; i += divOpen.length }
+      else i += 1
+    }
+    if (depth == 0) Some((start, i)) else None
+  }
+
+  private def toRows(triples: Iterable[Triple], url: String, scope: String): Iterator[TripleRow] =
+    triples.iterator.map { case Triple(s, p, o) =>
+      val (sv, _, _, _) = termToColumns(s, scope)
+      val (pv, _, _, _) = termToColumns(p, scope)
+      val (ov, ok, lang, dt) = termToColumns(o, scope)
+      TripleRow(url, sv, pv, ov, ok, lang, dt)
+    }
+
   def triplesOf(url: String, html: Array[Byte]): Either[String, Vector[TripleRow]] = {
-    detectIslandBytes(html) match {
-      case None => Right(Vector.empty)
+    val scope = urlScope(url)
+    val xmlPart: Either[String, Iterator[TripleRow]] = detectIslandBytes(html) match {
+      case None => Right(Iterator.empty)
       case Some((buf, off, len)) =>
         RdfXmlParser.parseBytes(buf, off, len, Some(url)) match {
           case Left(e) => Left(e.message)
-          case Right(g) =>
-            val scope = urlScope(url)
-            Right(g.triples.iterator.map { case Triple(s, p, o) =>
-              val (sv, _, _, _) = termToColumns(s, scope)
-              val (pv, _, _, _) = termToColumns(p, scope)
-              val (ov, ok, lang, dt) = termToColumns(o, scope)
-              TripleRow(url, sv, pv, ov, ok, lang, dt)
-            }.toVector)
+          case Right(g) => Right(toRows(g.triples, url, scope))
         }
+    }
+    xmlPart.map { xmlRows =>
+      val rdfaRows = detectRdfaBytes(html) match {
+        case Some((off, end)) =>
+          RdfaLite.parseBytes(html, off, end - off, Some(url)) match {
+            case Right(ts) => toRows(ts, url, scope)
+            case Left(_) => Iterator.empty // malformed island: skip, not fatal
+          }
+        case None => Iterator.empty
+      }
+      (xmlRows ++ rdfaRows).toVector
     }
   }
 

@@ -52,9 +52,21 @@ object SyntheticPages {
     sb.append('.').toString
   }
 
+  /** Deterministic RDFa-Lite island for a page (every 4th copy): three
+    * known triples about `url#thing`.
+    */
+  def rdfaIsland(url: String): String =
+    s"""<div vocab="http://schema.org/" prefix="ex: http://test.example/vocab#">
+       |<section about="$url#thing" typeof="Article">
+       |<span property="name">Article ${math.abs(url.hashCode) % 1000}</span>
+       |<a property="ex:link" href="http://test.example/other">link</a>
+       |</section>
+       |</div>""".stripMargin
+
   /** Build one page. Even copies embed the fixture verbatim (bare
     * application/rdf+xml body, empty text); odd copies wrap it as an HTML
-    * island with the canonical text in <p> elements.
+    * island with the canonical text in <p> elements; copy%4==3 pages
+    * additionally carry an RDFa-Lite island.
     */
   def page(relPath: String, rdfBytes: Array[Byte], copy: Int, rowIdx: Long): Page = {
     val url = s"http://test.example/$relPath?copy=$copy"
@@ -66,10 +78,11 @@ object SyntheticPages {
       val rdf = new String(rdfBytes, "UTF-8")
       // strip an XML declaration: illegal mid-document once embedded
       val body = rdf.replaceFirst("^\\s*<\\?xml[^>]*\\?>", "")
+      val rdfa = if (copy % 4 == 3) rdfaIsland(url) + "\n" else ""
       val html =
         s"""<!DOCTYPE html><html><head><title>$relPath</title></head><body>
            |<p>$text</p>
-           |<script type="application/rdf+xml">$body</script>
+           |$rdfa<script type="application/rdf+xml">$body</script>
            |</body></html>""".stripMargin
       Page(url, new Timestamp(epochMs + rowIdx), html.getBytes("UTF-8"), text, lang)
     }

@@ -18,9 +18,24 @@ object Iris {
 
   final case class ParseError(message: String) extends Exception(message)
 
-  private val SchemeRe = "^[A-Za-z][A-Za-z0-9+.-]*:".r
-
-  def isAbsolute(ref: String): Boolean = SchemeRe.findFirstIn(ref).isDefined
+  /** Scheme-prefix check, allocation-free (hot: every rdf:about/resource/
+    * datatype and property-attribute value goes through here).
+    */
+  def isAbsolute(ref: String): Boolean = {
+    if (ref.isEmpty) return false
+    val c0 = ref.charAt(0)
+    if (!((c0 >= 'a' && c0 <= 'z') || (c0 >= 'A' && c0 <= 'Z'))) return false
+    var i = 1
+    while (i < ref.length) {
+      val c = ref.charAt(i)
+      if (c == ':') return true
+      val ok = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') ||
+        c == '+' || c == '.' || c == '-'
+      if (!ok) return false
+      i += 1
+    }
+    false
+  }
 
   /** element_node.ex:63-74 — only bases starting with "http" get the
     * fragment stripped; a base with more than one '#' is an error.
@@ -50,9 +65,9 @@ object Iris {
     val qIdx = rest.indexOf('?')
     if (qIdx >= 0) { query = rest.substring(qIdx + 1); rest = rest.substring(0, qIdx) }
     var scheme: String = null
-    SchemeRe.findFirstIn(rest) match {
-      case Some(m) => scheme = m.dropRight(1); rest = rest.substring(m.length)
-      case None =>
+    if (isAbsolute(rest)) {
+      val i = rest.indexOf(':')
+      scheme = rest.substring(0, i); rest = rest.substring(i + 1)
     }
     var authority: String = null
     if (rest.startsWith("//")) {

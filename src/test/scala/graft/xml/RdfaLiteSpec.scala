@@ -1,0 +1,74 @@
+package graft.xml
+
+import graft.rdf._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RdfaLiteSpec extends AnyFunSuite {
+
+  private val schema = "http://schema.org/"
+
+  test("vocab terms, about, typeof, literal and IRI objects") {
+    val island =
+      """<div vocab="http://schema.org/" prefix="ex: http://test.example/vocab#">
+        |<section about="http://p/x#thing" typeof="Article">
+        |<span property="name">Hello</span>
+        |<a property="ex:link" href="http://test.example/other">link</a>
+        |</section>
+        |</div>""".stripMargin
+    val ts = RdfaLite.parse(island, Some("http://p/x")).toOption.get.toSet
+    val s = Iri("http://p/x#thing")
+    assert(ts == Set(
+      Triple(s, Iri(Vocab.rdfType), Iri(schema + "Article")),
+      Triple(s, Iri(schema + "name"), Lit.plain("Hello")),
+      Triple(s, Iri("http://test.example/vocab#link"), Iri("http://test.example/other"))
+    ))
+  }
+
+  test("lang attribute yields language-tagged literals, inherited downward") {
+    val island =
+      """<div vocab="http://schema.org/" lang="de">
+        |<p about="http://p/y" property="description">Hallo Welt</p>
+        |</div>""".stripMargin
+    val ts = RdfaLite.parse(island, Some("http://p/y")).toOption.get
+    assert(ts == Vector(Triple(Iri("http://p/y"), Iri(schema + "description"), Lit.lang("Hallo Welt", "de"))))
+  }
+
+  test("inline typed object via property+typeof gets a deterministic bnode") {
+    val island =
+      """<div vocab="http://schema.org/" about="http://p/z">
+        |<div property="author" typeof="Person"><span property="name">Ada</span></div>
+        |</div>""".stripMargin
+    val ts = RdfaLite.parse(island, Some("http://p/z")).toOption.get.toSet
+    val b = BNode("ra0")
+    assert(ts == Set(
+      Triple(b, Iri(Vocab.rdfType), Iri(schema + "Person")),
+      Triple(Iri("http://p/z"), Iri(schema + "author"), b),
+      Triple(b, Iri(schema + "name"), Lit.plain("Ada"))
+    ))
+  }
+
+  test("relative about/resource resolve against the base") {
+    val island =
+      """<div vocab="http://schema.org/">
+        |<span about="#me" property="name">Bob</span>
+        |<a about="#me" property="url" href="/home">home</a>
+        |</div>""".stripMargin
+    val ts = RdfaLite.parse(island, Some("http://p.example/dir/page")).toOption.get.toSet
+    val s = Iri("http://p.example/dir/page#me")
+    assert(ts == Set(
+      Triple(s, Iri(schema + "name"), Lit.plain("Bob")),
+      Triple(s, Iri(schema + "url"), Iri("http://p.example/home"))
+    ))
+  }
+
+  test("extraction picks up both the RDF/XML and RDFa islands of a page") {
+    import graft.pipeline.{Extract, SyntheticPages}
+    val (rel, bytes) = SyntheticPages.fixtureFiles().find(_._1 == "xmlbase/test001.rdf").get
+    val p = SyntheticPages.page(rel, bytes, copy = 3, rowIdx = 0) // copy%4==3 → RDFa island present
+    val rows = Extract.triplesOf(p.url, p.html).toOption.get
+    assert(rows.exists(_.pred == Vocab.rdfType), rows.mkString("\n")) // RDFa typeof triple
+    assert(rows.exists(_.pred == "http://schema.org/name"))
+    assert(rows.exists(_.subj == p.url + "#thing"))
+    assert(rows.exists(_.pred == "http://example.org/value")) // from the RDF/XML island
+  }
+}
