@@ -45,7 +45,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val copies = sys.env.getOrElse("SPARK_GRAFT_BENCH_COPIES", "192").toInt
+    val copies = sys.env.getOrElse("SPARK_GRAFT_BENCH_COPIES", "6144").toInt
 
     // -------- relational/query bench at the driver-selected parallelism
     var spark = mkSpark(cpus)

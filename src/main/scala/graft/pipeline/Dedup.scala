@@ -48,19 +48,28 @@ object Dedup {
     array((0 until nHashes).map(i => array_min(transform(shingleCol, s => xxhash64(s, lit(i))))): _*)
 
   /** MinHash-LSH near-dup candidate pairs with exact-Jaccard verify.
-    * bands*rows must equal nHashes.
+    * bands*rows must equal nHashes. Hot buckets (more than `maxBucket`
+    * members) are suppressed — the standard skew guard: a degenerate
+    * bucket would otherwise cost |bucket|^2 join rows at 100 TB, and
+    * any pair it would have found recurs in the other bands with
+    * near-certainty for genuinely similar documents.
     */
-  def minhashLsh(documents: DataFrame, nHashes: Int = 16, bands: Int = 4, threshold: Double = 0.7): DataFrame = {
+  def minhashLsh(documents: DataFrame, nHashes: Int = 16, bands: Int = 4, threshold: Double = 0.7,
+                 maxBucket: Int = 200): DataFrame = {
     val rows = nHashes / bands
     val sig = documents
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .where(size(col("sh")) > 0)
       .withColumn("sig", minhashSig(col("sh"), nHashes))
-    val banded = sig.select(
+    val banded0 = sig.select(
       col("doc_id"), col("sh"),
       posexplode(array((0 until bands).map(b => hash(slice(col("sig"), b * rows + 1, rows))): _*))
         .as(Seq("band", "bucket"))
     )
+    val hot = banded0.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
+      .select(col("band"), col("bucket"))
+    val banded = banded0.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("a"), col("sh").as("sa"))
     val r = banded.select(col("band"), col("bucket"), col("doc_id").as("b"), col("sh").as("sb"))
     l.join(r, Seq("band", "bucket"))
@@ -77,7 +86,7 @@ object Dedup {
     * hamming ≤ 3 shares at least one chunk — pigeonhole), so the join
     * is bucketed, never all-pairs.
     */
-  def simhash(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhash(documents: DataFrame, maxHamming: Int = 3, maxBucket: Int = 500): DataFrame = {
     val words = wordSet(col("text"))
     val bitCols = (0 until 32).map { b =>
       aggregate(words, lit(0),
@@ -87,11 +96,16 @@ object Dedup {
       when(c > 0, lit(1L << b)).otherwise(0L)
     }.reduce((a, b) => a + b)
     val withSim = documents.select(col("doc_id"), sim.as("simhash"))
-    val chunked = withSim.select(
+    val chunked0 = withSim.select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c => shiftright(col("simhash"), c * 8).bitwiseAND(255)): _*))
         .as(Seq("chunk", "value"))
     )
+    // hot-chunk suppression: same skew guard as minhashLsh
+    val hot = chunked0.groupBy(col("chunk"), col("value"))
+      .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
+      .select(col("chunk"), col("value"))
+    val chunked = chunked0.join(broadcast(hot), Seq("chunk", "value"), "left_anti")
     val l = chunked.select(col("chunk"), col("value"), col("doc_id").as("a"), col("simhash").as("ha"))
     val r = chunked.select(col("chunk"), col("value"), col("doc_id").as("b"), col("simhash").as("hb"))
     l.join(r, Seq("chunk", "value"))

@@ -55,16 +55,30 @@ object Similarity {
     bits.reduce((a, b) => a + b)
   }
 
-  /** ANN via random-hyperplane LSH: same-bucket candidates (over
-    * `tables` independent sketch tables) re-ranked by exact cosine.
-    * Bucket join replaces the all-pairs product — the 100 TB path.
-    */
-  def lshCosine(corpus: DataFrame, k: Int = 5, planes: Int = 8, tables: Int = 3): DataFrame = {
-    val sketched = corpus.select(
+  private def sketch(corpus: DataFrame, planes: Int, tables: Int): DataFrame =
+    corpus.select(
       col("vec_id"), col("embedding"),
       posexplode(array((0 until tables).map(t => lshBucket(col("embedding"), planes) + lit(t.toLong << 40)): _*))
         .as(Seq("table", "bucket"))
     )
+
+  /** Hot-bucket suppression — a degenerate bucket costs |bucket|^2 join
+    * rows; similar vectors recur in other tables' buckets anyway.
+    */
+  private def suppressHot(sketched: DataFrame, maxBucket: Int): DataFrame = {
+    val hot = sketched.groupBy(col("table"), col("bucket"))
+      .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
+      .select(col("table"), col("bucket"))
+    sketched.join(broadcast(hot), Seq("table", "bucket"), "left_anti")
+  }
+
+  /** ANN via random-hyperplane LSH: same-bucket candidates (over
+    * `tables` independent sketch tables) re-ranked by exact cosine.
+    * Bucket join replaces the all-pairs product — the 100 TB path.
+    */
+  def lshCosine(corpus: DataFrame, k: Int = 5, planes: Int = 8, tables: Int = 3,
+                maxBucket: Int = 1000): DataFrame = {
+    val sketched = suppressHot(sketch(corpus, planes, tables), maxBucket)
     val l = sketched.select(col("table"), col("bucket"), col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val r = sketched.select(col("table"), col("bucket"), col("vec_id").as("corpus_id"), col("embedding").as("cvec"))
     val cands = l.join(r, Seq("table", "bucket"))
@@ -81,12 +95,9 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs (dedup by vector space):
     * LSH-bucketed, exact-cosine verified.
     */
-  def embeddingNearDup(corpus: DataFrame, threshold: Double = 0.95, planes: Int = 8, tables: Int = 3): DataFrame = {
-    val sketched = corpus.select(
-      col("vec_id"), col("embedding"),
-      posexplode(array((0 until tables).map(t => lshBucket(col("embedding"), planes) + lit(t.toLong << 40)): _*))
-        .as(Seq("table", "bucket"))
-    )
+  def embeddingNearDup(corpus: DataFrame, threshold: Double = 0.95, planes: Int = 8, tables: Int = 3,
+                       maxBucket: Int = 1000): DataFrame = {
+    val sketched = suppressHot(sketch(corpus, planes, tables), maxBucket)
     val l = sketched.select(col("table"), col("bucket"), col("vec_id").as("a"), col("embedding").as("va"))
     val r = sketched.select(col("table"), col("bucket"), col("vec_id").as("b"), col("embedding").as("vb"))
     l.join(r, Seq("table", "bucket"))

@@ -30,31 +30,9 @@ object ExtractRunner {
         .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
       (out._1, out._2, (System.nanoTime() - t0) / 1e9)
     }
-    /** envelope-free kernel: pages -> TripleRow, for overhead comparison */
-    def passRaw(): (Long, Long, Double) = {
-      val pages = spark.read.parquet(pagesPath).as[Page]
-      val t0 = System.nanoTime()
-      val slim = pages.select(org.apache.spark.sql.functions.col("url"), org.apache.spark.sql.functions.col("html"))
-        .as[(String, Array[Byte])]
-      val n = slim.mapPartitions { it =>
-        var triples = 0L
-        it.foreach { case (url, html) =>
-          Extract.triplesOf(url, html) match {
-            case Right(ts) => triples += ts.size
-            case Left(_) =>
-          }
-        }
-        Iterator.single(triples)
-      }.reduce(_ + _)
-      (0L, n, (System.nanoTime() - t0) / 1e9)
-    }
     pass() // warm: JIT, parquet footers, page cache
-    val a = pass()
-    val b = pass()
-    val best = if (a._3 <= b._3) a else b
+    val best = pass() // one timed pass; cross-JVM min happens in Bench
     println(f"EXTRACT_RESULT $cpus ${best._1} ${best._2} ${best._3}%.3f")
-    val r1 = passRaw(); val r2 = passRaw()
-    println(f"EXTRACT_RAW $cpus ${r1._2} ${math.min(r1._3, r2._3)}%.3f")
     spark.stop()
   }
 }

@@ -58,49 +58,25 @@ object RdfXmlParser {
   def parseBytes(xml: Array[Byte], offset: Int, length: Int, base: Option[String]): Either[ParseError, RdfGraph] =
     run(new InputSource(new ByteArrayInputStream(xml, offset, length)), base, "b")
 
-  /** SAXParserFactory.newInstance does a synchronized service-loader
-    * lookup per call (a 5x scaling killer at 32 cores when done per
-    * document). One factory AND one parser per thread: parser creation
-    * after an aborted parse must not contend on a shared factory either
-    * (error-dense corpora would serialize all workers on that lock).
-    */
-  private val localFactory = new ThreadLocal[SAXParserFactory] {
-    override def initialValue(): SAXParserFactory = {
-      val factory = SAXParserFactory.newInstance()
-      factory.setNamespaceAware(false)
-      factory.setValidating(false)
-      factory.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-      factory.setFeature("http://xml.org/sax/features/external-general-entities", false)
-      factory.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
-      factory
-    }
-  }
-
-  private val localParser = new ThreadLocal[javax.xml.parsers.SAXParser] {
-    override def initialValue(): javax.xml.parsers.SAXParser =
-      localFactory.get().newSAXParser()
-  }
-
   private def run(src: InputSource, base: Option[String], bnodePrefix: String): Either[ParseError, RdfGraph] =
     try {
-      // no reset() between documents: Xerces reset re-allocates its full
-      // feature/property state per call (visible in allocation profiles);
-      // a completed parse leaves the parser reusable as-is, and any parse
-      // that threw gets its thread-local instance replaced below
-      val parser = localParser.get()
+      // thread-local reused parser (SaxPool): no factory lookup and no
+      // Xerces reset() per document — both measured multi-x scaling
+      // killers; a parse that threw invalidates the thread's instance
+      val parser = SaxPool.parser()
       val handler = new Handler(base.map(Iris.normalizeBase).orNull, bnodePrefix)
       parser.parse(src, handler)
       Right(RdfGraph(handler.triples.toSet, Option(handler.graphBase), handler.graphPrefixes))
     } catch {
-      case e: ParseError => localParser.remove(); Left(e)
+      case e: ParseError => SaxPool.invalidate(); Left(e)
       case e: SAXException =>
-        localParser.remove() // aborted parse: discard the thread's parser
+        SaxPool.invalidate() // aborted parse: discard the thread's parser
         e.getCause match {
           case pe: ParseError => Left(pe) // our errors thrown inside SAX callbacks
           case _ => Left(ParseError(s"XML parse error: ${e.getMessage}"))
         }
       case e: Exception =>
-        localParser.remove()
+        SaxPool.invalidate()
         Left(ParseError(s"parse failure: ${e.getClass.getSimpleName}: ${e.getMessage}"))
     }
 

@@ -31,14 +31,11 @@ object RdfaLite {
   def parseBytes(xml: Array[Byte], offset: Int, length: Int, base: Option[String]): Either[ParseError, Vector[Triple]] =
     try {
       val handler = new RdfaHandler(base.map(Iris.normalizeBase).orNull)
-      val factory = javax.xml.parsers.SAXParserFactory.newInstance()
-      factory.setNamespaceAware(false)
-      factory.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-      factory.newSAXParser().parse(new InputSource(new ByteArrayInputStream(xml, offset, length)), handler)
+      SaxPool.parser().parse(new InputSource(new ByteArrayInputStream(xml, offset, length)), handler)
       Right(handler.triples.toVector)
     } catch {
-      case e: ParseError => Left(e)
-      case e: Exception => Left(ParseError(s"RDFa parse error: ${e.getMessage}"))
+      case e: ParseError => SaxPool.invalidate(); Left(e)
+      case e: Exception => SaxPool.invalidate(); Left(ParseError(s"RDFa parse error: ${e.getMessage}"))
     }
 
   def parse(xml: String, base: Option[String]): Either[ParseError, Vector[Triple]] = {
