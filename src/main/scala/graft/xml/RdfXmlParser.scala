@@ -58,6 +58,29 @@ object RdfXmlParser {
   def parseBytes(xml: Array[Byte], offset: Int, length: Int, base: Option[String]): Either[ParseError, RdfGraph] =
     run(new InputSource(new ByteArrayInputStream(xml, offset, length)), base, "b")
 
+  /** Extraction fast path: triples as the parser's internal (deduped,
+    * insertion-ordered) collection, skipping the RdfGraph Set copy —
+    * one less full-materialization per document on the 100 TB path.
+    */
+  def parseBytesRaw(xml: Array[Byte], offset: Int, length: Int, base: Option[String]): Either[ParseError, Iterable[Triple]] =
+    try {
+      val parser = SaxPool.parser()
+      val handler = new Handler(base.map(Iris.normalizeBase).orNull, "b")
+      parser.parse(new InputSource(new ByteArrayInputStream(xml, offset, length)), handler)
+      Right(handler.triples)
+    } catch {
+      case e: ParseError => SaxPool.invalidate(); Left(e)
+      case e: SAXException =>
+        SaxPool.invalidate()
+        e.getCause match {
+          case pe: ParseError => Left(pe)
+          case _ => Left(ParseError(s"XML parse error: ${e.getMessage}"))
+        }
+      case e: Exception =>
+        SaxPool.invalidate()
+        Left(ParseError(s"parse failure: ${e.getClass.getSimpleName}: ${e.getMessage}"))
+    }
+
   private def run(src: InputSource, base: Option[String], bnodePrefix: String): Either[ParseError, RdfGraph] =
     try {
       // thread-local reused parser (SaxPool): no factory lookup and no
