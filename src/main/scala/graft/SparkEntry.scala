@@ -143,6 +143,14 @@ object SparkEntry {
       val triples = Extract.run(pages).flatMap(_.triple).toDF()
       KgPipeline.linkMentions(pages.toDF(), KgPipeline.entityAliases(triples))
     }),
+    "x_rdfxml_file_source" -> ((s, _) =>
+      graft.sources.RdfSources.rdfXmlFiles(
+        s, "/root/reference/test/data/w3c-rdf-1.1-xml-test-suite/xmlbase/*.rdf").toDF()),
+    "x_ntriples_sink" -> ((s, _) => {
+      import s.implicits._
+      val triples = Extract.run(SyntheticPages.pages(s, copies = 1, numPartitions = 4)).flatMap(_.triple).toDF()
+      graft.sources.RdfSources.toNTriplesLines(triples)
+    }),
     "x_export_rdfxml" -> ((s, _) => {
       import s.implicits._
       val triples = Extract.run(SyntheticPages.pages(s, copies = 2, numPartitions = 8)).flatMap(_.triple).toDF()

@@ -1,0 +1,92 @@
+package graft.sources
+
+import graft.pipeline.TripleRow
+import graft.rdf.{BNode, Iri, Lit, NTriples, Term, Vocab}
+import graft.xml.RdfXmlParser
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed RDF sources and sinks — the Spark equivalents of the
+  * reference's `RDF.XML.read_file!` / `write_file!` and its NTriples
+  * test oracle (/root/reference/lib/rdf/xml.ex, serialization format
+  * entry points).
+  *
+  *   - rdfXmlFiles: a directory/glob of .rdf documents → triple rows,
+  *     parsed in parallel via Spark's binaryFile source (one document
+  *     per row; file path becomes the base IRI and graph scope).
+  *   - nTriplesFile: line-oriented N-Triples → triple rows (text
+  *     source splits by line, so a single huge .nt file parallelizes).
+  *   - writeNTriples: triple rows → N-Triples text, serialized columnar
+  *     (concat of escaped term columns — whole-stage codegen, no UDF).
+  */
+object RdfSources {
+
+  /** Parse every RDF/XML file under `pathGlob` into triple rows. */
+  def rdfXmlFiles(spark: SparkSession, pathGlob: String, bnodePrefix: String = "b"): Dataset[TripleRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        RdfXmlParser.parseBytes(bytes, Some(fileBase(path)), bnodePrefix) match {
+          case Right(g) =>
+            val scope = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(path))
+            g.triples.iterator.map { t =>
+              val (s, _, _, _) = termCols(t.s, scope)
+              val (p, _, _, _) = termCols(t.p, scope)
+              val (o, kind, lang, dt) = termCols(t.o, scope)
+              TripleRow(path, s, p, o, kind, lang, dt)
+            }
+          case Left(_) => Iterator.empty // malformed file: contributes nothing
+        }
+      }
+  }
+
+  private def fileBase(path: String): String =
+    if (graft.rdf.Iris.isAbsolute(path)) path else "file://" + path
+
+  private def termCols(t: Term, scope: String): (String, String, String, String) = t match {
+    case Iri(v) => (v, "iri", null, null)
+    case BNode(l) => (s"_:$l@$scope", "bnode", null, null)
+    case Lit(lex, dt, lang) =>
+      (lex, "literal", if (lang.isEmpty) null else lang, if (dt == Vocab.xsdString && lang.isEmpty) null else dt)
+  }
+
+  /** Parse an N-Triples file (or glob) into triple rows. */
+  def nTriplesFile(spark: SparkSession, path: String): Dataset[TripleRow] = {
+    import spark.implicits._
+    spark.read.textFile(path)
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { line =>
+        val t = NTriples.parse(line).head
+        val (s, _, _, _) = termCols(t.s, "nt")
+        val (p, _, _, _) = termCols(t.p, "nt")
+        val (o, kind, lang, dt) = termCols(t.o, "nt")
+        TripleRow(path, s, p, o, kind, lang, dt)
+      }
+  }
+
+  /** Serialize triple rows to N-Triples lines with built-in expressions
+    * only (escaping via chained translations of \\ " and newlines).
+    */
+  def toNTriplesLines(triples: DataFrame): DataFrame = {
+    def esc(c: org.apache.spark.sql.Column) =
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r")
+    val subj = when(col("subj").startsWith("_:"), col("subj"))
+      .otherwise(concat(lit("<"), col("subj"), lit(">")))
+    val obj = when(col("objKind") === "iri", concat(lit("<"), col("obj"), lit(">")))
+      .when(col("objKind") === "bnode", col("obj"))
+      .when(col("lang").isNotNull,
+        concat(lit("\""), esc(col("obj")), lit("\"@"), col("lang")))
+      .when(col("datatype").isNotNull,
+        concat(lit("\""), esc(col("obj")), lit("\"^^<"), col("datatype"), lit(">")))
+      .otherwise(concat(lit("\""), esc(col("obj")), lit("\"")))
+    triples.select(concat(subj, lit(" <"), col("pred"), lit("> "), obj, lit(" .")).as("line"))
+  }
+
+  /** Write triple rows as N-Triples text files. */
+  def writeNTriples(triples: DataFrame, outPath: String): Unit =
+    toNTriplesLines(triples).write.mode("overwrite").text(outPath)
+}

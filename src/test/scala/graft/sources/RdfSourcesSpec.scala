@@ -1,0 +1,60 @@
+package graft.sources
+
+import graft.rdf.NTriples
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class RdfSourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("rdfXmlFiles reads a directory of .rdf documents in parallel") {
+    val rows = RdfSources.rdfXmlFiles(
+      spark, "/root/reference/test/data/w3c-rdf-1.1-xml-test-suite/xmlbase/*.rdf")
+    val byFile = rows.collect().groupBy(_.url)
+    assert(byFile.keySet.size == 12) // the 12 xmlbase fixtures
+    assert(byFile.values.forall(_.nonEmpty))
+    // xml:base resolution happened (absolute subjects, not file paths)
+    assert(byFile.values.flatten.exists(_.subj.startsWith("http://example.org/")))
+  }
+
+  test("nTriples round trip: parse golden, write lines, re-parse identical") {
+    val golden = "/root/reference/test/data/w3c-rdf-1.1-xml-test-suite/xmlbase/test001.nt"
+    val rows = RdfSources.nTriplesFile(spark, golden)
+    val lines = RdfSources.toNTriplesLines(rows.toDF()).collect().map(_.getString(0))
+    assert(lines.nonEmpty)
+    val reparsed = lines.flatMap(l => NTriples.parse(l)).toSet
+    val original = NTriples.parse(
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(golden)), "UTF-8"))
+    def stripScope(ts: Set[graft.rdf.Triple]) = ts.map { t =>
+      def f(x: graft.rdf.Term) = x match {
+        case graft.rdf.BNode(l) => graft.rdf.BNode(l.replaceAll("@.*", ""))
+        case o => o
+      }
+      graft.rdf.Triple(f(t.s), f(t.p), f(t.o))
+    }
+    assert(stripScope(reparsed) == original)
+  }
+
+  test("toNTriplesLines escapes quotes, backslashes and newlines") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("u", "http://s", "http://p", "a\"b\\c\nd", "literal", null: String, null: String))
+      .toDF("url", "subj", "pred", "obj", "objKind", "lang", "datatype")
+    val line = RdfSources.toNTriplesLines(df).collect()(0).getString(0)
+    assert(line == "<http://s> <http://p> \"a\\\"b\\\\c\\nd\" .")
+    // and it reparses to the original lexical form
+    val t = NTriples.parse(line).head
+    assert(t.o == graft.rdf.Lit.plain("a\"b\\c\nd"))
+  }
+}
