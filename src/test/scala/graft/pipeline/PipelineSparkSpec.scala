@@ -169,6 +169,12 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.nonEmpty)
   }
 
+  test("SparkEntry.entry (driver smoke contract) returns triples") {
+    val df = graft.SparkEntry.entry(spark)
+    assert(df.limit(5).count() > 0)
+    assert(df.columns.toSet == Set("url", "subj", "pred", "obj", "objKind", "lang", "datatype"))
+  }
+
   test("extraction plan prunes the parquet scan to url+html") {
     val s = spark
     import s.implicits._
