@@ -26,13 +26,19 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------- relational core (oracle-checked) ----------------
     "q1_pricing_summary" -> ((s, d) => {
+      // exact integer arithmetic: quantize the float64 money/quantity
+      // columns to integer cents per row, THEN sum — double summation is
+      // order-dependent across partitions, so an FP aggregate can flip
+      // the value-exact DuckDB compare at a rounding boundary
+      val qtyC = round(col("l_quantity") * 100).cast("bigint")
+      val priceC = round(col("l_extendedprice") * 100).cast("bigint")
+      val discC = round(col("l_discount") * 100).cast("bigint")
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          sum(qtyC).as("sum_qty_c"),
+          sum(priceC).as("sum_base_price_c"),
+          sum(priceC * (lit(100) - discC)).as("sum_disc_price_cc"),
           count(lit(1)).as("count_order"))
     }),
     "q2_revenue_by_nation" -> ((s, d) => {
@@ -42,7 +48,8 @@ object SparkEntry {
       orders.join(customer, orders("o_custkey") === customer("c_custkey"))
         .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n_orders"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("revenue_c"),
+          count(lit(1)).as("n_orders"))
     }),
     "q3_priority_counts" -> ((s, d) => {
       t(s, d, "orders")
@@ -61,7 +68,8 @@ object SparkEntry {
       val part = t(s, d, "part")
       li.join(part, li("l_partkey") === part("p_partkey"))
         .groupBy(col("p_brand"))
-        .agg(round(sum(col("l_quantity")), 2).as("total_qty"), count(lit(1)).as("n_items"))
+        .agg(sum(round(col("l_quantity") * 100).cast("bigint")).as("total_qty_c"),
+          count(lit(1)).as("n_items"))
     }),
     "q6_events_latest" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -175,14 +183,13 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price_cc,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q2_revenue_by_nation" ->
-      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      """SELECT n_name, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c, count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
@@ -192,7 +199,7 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""".stripMargin,
     "q5_brand_volume" ->
-      """SELECT p_brand, round(sum(l_quantity), 2) AS total_qty, count(*) AS n_items
+      """SELECT p_brand, CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS total_qty_c, count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand""".stripMargin,
     "q6_events_latest" ->
       """SELECT user_id, event_type, event_id AS latest_event FROM (

@@ -53,6 +53,12 @@ object Dedup {
     * bucket would otherwise cost |bucket|^2 join rows at 100 TB, and
     * any pair it would have found recurs in the other bands with
     * near-certainty for genuinely similar documents.
+    *
+    * Transport discipline (the 100 TB shape): the band self-join carries
+    * doc_ids ONLY — never the shingle arrays — and candidate pairs are
+    * deduped BEFORE verification, so a pair sharing k bands is verified
+    * once, not k times, and the heavy arrays are joined back exactly
+    * once per side of each unique pair.
     */
   def minhashLsh(documents: DataFrame, nHashes: Int = 16, bands: Int = 4, threshold: Double = 0.7,
                  maxBucket: Int = 200): DataFrame = {
@@ -60,13 +66,13 @@ object Dedup {
     // shingles are 64-bit-hashed once up front: every downstream set op
     // (minhash, intersect/union verify) runs on longs, not strings —
     // measured ~2x on the verify join; collision odds at 64 bits are nil
-    val sig = documents
+    val hashedShingles = documents
       .select(col("doc_id"),
         array_distinct(transform(shingles(col("text")), s => xxhash64(s))).as("sh"))
       .where(size(col("sh")) > 0)
-      .withColumn("sig", minhashSig(col("sh"), nHashes))
+    val sig = hashedShingles.withColumn("sig", minhashSig(col("sh"), nHashes))
     val banded0 = sig.select(
-      col("doc_id"), col("sh"),
+      col("doc_id"),
       posexplode(array((0 until bands).map(b => hash(slice(col("sig"), b * rows + 1, rows))): _*))
         .as(Seq("band", "bucket"))
     )
@@ -74,15 +80,19 @@ object Dedup {
       .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
       .select(col("band"), col("bucket"))
     val banded = banded0.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
-    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("a"), col("sh").as("sa"))
-    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("b"), col("sh").as("sb"))
-    l.join(r, Seq("band", "bucket"))
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("a"))
+    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("b"))
+    val candIds = l.join(r, Seq("band", "bucket"))
       .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+    candIds
+      .join(hashedShingles.select(col("doc_id").as("a"), col("sh").as("sa")), Seq("a"))
+      .join(hashedShingles.select(col("doc_id").as("b"), col("sh").as("sb")), Seq("b"))
       .select(col("a"), col("b"),
         round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
           size(array_union(col("sa"), col("sb"))), 4).as("jaccard"))
       .where(col("jaccard") >= threshold)
-      .distinct()
   }
 
   /** 32-bit SimHash from word hashes; same-bucket pairs within hamming
@@ -91,15 +101,19 @@ object Dedup {
     * is bucketed, never all-pairs.
     */
   def simhash(documents: DataFrame, maxHamming: Int = 3, maxBucket: Int = 500): DataFrame = {
-    val words = wordSet(col("text"))
+    // hash every word ONCE into a long array, then fold the 32 sign
+    // counters over the longs — the naive form recomputes hash(w)
+    // 32 times per word (once per bit), a pure CPU tax at 100 TB
+    val hashed = documents.select(
+      col("doc_id"), transform(wordSet(col("text")), w => hash(w)).as("hs"))
     val bitCols = (0 until 32).map { b =>
-      aggregate(words, lit(0),
-        (acc, w) => acc + when(shiftright(hash(w), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      aggregate(col("hs"), lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
     }
     val sim = bitCols.zipWithIndex.map { case (c, b) =>
       when(c > 0, lit(1L << b)).otherwise(0L)
     }.reduce((a, b) => a + b)
-    val withSim = documents.select(col("doc_id"), sim.as("simhash"))
+    val withSim = hashed.select(col("doc_id"), sim.as("simhash"))
     val chunked0 = withSim.select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c => shiftright(col("simhash"), c * 8).bitwiseAND(255)): _*))

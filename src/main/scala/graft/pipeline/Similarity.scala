@@ -44,11 +44,15 @@ object Similarity {
   private def weight(dimIdx: Column, plane: Int): Column =
     (pmod(xxhash64(dimIdx, lit(plane)), lit(2000001L)) - 1000000L).cast("double") / 1000000.0d
 
-  /** Sign-sketch bucket id from `planes` hyperplanes. */
-  def lshBucket(vec: Column, planes: Int): Column = {
+  /** Sign-sketch bucket id from `planes` hyperplanes starting at global
+    * plane index `planeOffset` — distinct offsets give INDEPENDENT
+    * hyperplane sets (each sketch table must draw its own planes, or the
+    * extra tables add cost with zero recall).
+    */
+  def lshBucket(vec: Column, planes: Int, planeOffset: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) => v * weight(i, p)),
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) => v * weight(i, planeOffset + p)),
         lit(0.0d), (acc, v) => acc + v)
       when(proj >= 0, lit(1L << p)).otherwise(0L)
     }
@@ -58,7 +62,8 @@ object Similarity {
   private def sketch(corpus: DataFrame, planes: Int, tables: Int): DataFrame =
     corpus.select(
       col("vec_id"), col("embedding"),
-      posexplode(array((0 until tables).map(t => lshBucket(col("embedding"), planes) + lit(t.toLong << 40)): _*))
+      posexplode(array((0 until tables).map(t =>
+        lshBucket(col("embedding"), planes, planeOffset = t * planes) + lit(t.toLong << 40)): _*))
         .as(Seq("table", "bucket"))
     )
 
@@ -78,15 +83,24 @@ object Similarity {
     */
   def lshCosine(corpus: DataFrame, k: Int = 5, planes: Int = 8, tables: Int = 3,
                 maxBucket: Int = 1000): DataFrame = {
+    // id-only bucket join + pair dedup BEFORE the exact re-rank: the
+    // embedding arrays never ride the |tables|-way self-join, and a pair
+    // sharing t buckets is scored once, not t times — they are joined
+    // back exactly once per side of each unique candidate pair
     val sketched = suppressHot(sketch(corpus, planes, tables), maxBucket)
-    val l = sketched.select(col("table"), col("bucket"), col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    val r = sketched.select(col("table"), col("bucket"), col("vec_id").as("corpus_id"), col("embedding").as("cvec"))
-    val cands = l.join(r, Seq("table", "bucket"))
+    val ids = sketched.select(col("table"), col("bucket"), col("vec_id"))
+    val l = ids.select(col("table"), col("bucket"), col("vec_id").as("query_id"))
+    val r = ids.select(col("table"), col("bucket"), col("vec_id").as("corpus_id"))
+    val candIds = l.join(r, Seq("table", "bucket"))
       .where(col("query_id") =!= col("corpus_id"))
-      .select(col("query_id"), col("corpus_id"), col("qvec"), col("cvec"))
+      .select(col("query_id"), col("corpus_id"))
       .distinct()
-    val scored = cands.select(col("query_id"), col("corpus_id"),
-      round(cosine(col("qvec"), col("cvec")), 6).as("cos"))
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    val scored = candIds
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qvec")), Seq("query_id"))
+      .join(emb.select(col("vec_id").as("corpus_id"), col("embedding").as("cvec")), Seq("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(cosine(col("qvec"), col("cvec")), 6).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
@@ -97,13 +111,21 @@ object Similarity {
     */
   def embeddingNearDup(corpus: DataFrame, threshold: Double = 0.95, planes: Int = 8, tables: Int = 3,
                        maxBucket: Int = 1000): DataFrame = {
+    // same transport discipline as lshCosine: ids through the bucket
+    // join, distinct pairs, then one embedding re-join per side
     val sketched = suppressHot(sketch(corpus, planes, tables), maxBucket)
-    val l = sketched.select(col("table"), col("bucket"), col("vec_id").as("a"), col("embedding").as("va"))
-    val r = sketched.select(col("table"), col("bucket"), col("vec_id").as("b"), col("embedding").as("vb"))
-    l.join(r, Seq("table", "bucket"))
+    val ids = sketched.select(col("table"), col("bucket"), col("vec_id"))
+    val l = ids.select(col("table"), col("bucket"), col("vec_id").as("a"))
+    val r = ids.select(col("table"), col("bucket"), col("vec_id").as("b"))
+    val candIds = l.join(r, Seq("table", "bucket"))
       .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    candIds
+      .join(emb.select(col("vec_id").as("a"), col("embedding").as("va")), Seq("a"))
+      .join(emb.select(col("vec_id").as("b"), col("embedding").as("vb")), Seq("b"))
       .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 6).as("cos"))
       .where(col("cos") >= threshold)
-      .distinct()
   }
 }

@@ -40,6 +40,7 @@ object NTriples {
 
     def term(): Term = {
       ws()
+      if (i >= s.length) fail("unexpected end of line")
       s.charAt(i) match {
         case '<' =>
           val end = s.indexOf('>', i)
@@ -54,10 +55,17 @@ object NTriples {
         case '"' =>
           i += 1
           val sb = new StringBuilder
-          while (s.charAt(i) != '"') {
-            if (s.charAt(i) == '\\') { sb.append(s.charAt(i)); i += 1 }
+          // bounds-checked: an unterminated quote or trailing backslash is
+          // a malformed line (IllegalArgumentException), never an
+          // StringIndexOutOfBounds that callers can't distinguish
+          while (i < s.length && s.charAt(i) != '"') {
+            if (s.charAt(i) == '\\') {
+              sb.append(s.charAt(i)); i += 1
+              if (i >= s.length) fail("trailing backslash in literal")
+            }
             sb.append(s.charAt(i)); i += 1
           }
+          if (i >= s.length) fail("unterminated literal")
           i += 1
           val lex = unescape(sb.toString)
           if (i < s.length && s.charAt(i) == '@') {
@@ -71,6 +79,7 @@ object NTriples {
             i += 2
             expect('<')
             val end = s.indexOf('>', i)
+            if (end < 0) fail("unterminated datatype IRI")
             val dt = s.substring(i, end); i = end + 1
             Lit.typed(lex, unescape(dt))
           } else Lit.plain(lex)

@@ -30,7 +30,7 @@ object RdfSources {
       .flatMap { case (path, bytes) =>
         RdfXmlParser.parseBytes(bytes, Some(fileBase(path)), bnodePrefix) match {
           case Right(g) =>
-            val scope = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(path))
+            val scope = graft.pipeline.Extract.urlScope(path)
             g.triples.iterator.map { t =>
               val (s, _, _, _) = termCols(t.s, scope)
               val (p, _, _, _) = termCols(t.p, scope)
@@ -52,18 +52,37 @@ object RdfSources {
       (lex, "literal", if (lang.isEmpty) null else lang, if (dt == Vocab.xsdString && lang.isEmpty) null else dt)
   }
 
-  /** Parse an N-Triples file (or glob) into triple rows. */
+  /** Parse an N-Triples file (or glob) into triple rows. The per-row
+    * `url` is the actual source file (input_file_name), and blank nodes
+    * are scoped per file — equal labels from different .nt files under
+    * one glob must NOT be conflated after union (same per-document
+    * bnode-scope contract as rdfXmlFiles). Malformed lines are dropped,
+    * not fatal: one bad line must never fail a 100 TB job.
+    */
   def nTriplesFile(spark: SparkSession, path: String): Dataset[TripleRow] = {
     import spark.implicits._
-    spark.read.textFile(path)
-      .map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map { line =>
-        val t = NTriples.parse(line).head
-        val (s, _, _, _) = termCols(t.s, "nt")
-        val (p, _, _, _) = termCols(t.p, "nt")
-        val (o, kind, lang, dt) = termCols(t.o, "nt")
-        TripleRow(path, s, p, o, kind, lang, dt)
+    spark.read.text(path)
+      .select(input_file_name().as("file"), col("value"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        // scope memo: a partition reads long runs of one file
+        var lastFile: String = null
+        var lastScope: String = null
+        it.flatMap { case (file, raw) =>
+          val line = raw.trim
+          if (line.isEmpty || line.startsWith("#")) Iterator.empty
+          else scala.util.Try {
+            if (file != lastFile) {
+              lastFile = file
+              lastScope = graft.pipeline.Extract.urlScope(file)
+            }
+            val t = NTriples.parse(line).head
+            val (s, _, _, _) = termCols(t.s, lastScope)
+            val (p, _, _, _) = termCols(t.p, lastScope)
+            val (o, kind, lang, dt) = termCols(t.o, lastScope)
+            TripleRow(file, s, p, o, kind, lang, dt)
+          }.toOption.iterator
+        }
       }
   }
 
