@@ -23,8 +23,8 @@ object Bench {
     "q4_anti_join", "q5_brand_volume", "q6_events_latest", "q7_events_by_type",
     "q8_dedup_exact", "q9_token_stats", "q10_quality", "q11_langid",
     "q12_fingerprint", "q14_embedding_label_stats",
-    "x_minhash_lsh_dedup", "x_simhash_dedup", "x_embedding_neardup",
-    "x_ann_brute", "x_ann_lsh", "x_multimodal_features"
+    "x_minhash_lsh_dedup", "x_ngram_jaccard_lsh", "x_simhash_dedup",
+    "x_embedding_neardup", "x_ann_brute", "x_ann_lsh", "x_multimodal_features"
   )
 
   private def mkSpark(cpus: Int): SparkSession = {
@@ -51,12 +51,17 @@ object Bench {
     // -------- relational/query bench at the driver-selected parallelism
     var spark = mkSpark(cpus)
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     benchQueries.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      results(name) = (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      // a failed query must NOT publish a normal-looking duration — that
+      // silently understates cost and hides breakage
+      if (ok) results(name) = (System.nanoTime() - t0) / 1e9
+      else failed += name
     }
 
     // -------- extraction scaling: the executor model done faithfully.
@@ -66,17 +71,17 @@ object Bench {
     // the physical memory bus is shared, as it would be on a multi-core
     // worker host. The table is written as 4 disjoint shards so the 4N
     // children read non-overlapping inputs.
-    // housekeeping: stale bench/pipeline temp dirs from earlier rounds
-    // measurably poison later runs (14GB of dead parquet on this box once
-    // pushed kernel writeback to 60+ CPU-minutes per bench) — sweep them
+    // housekeeping: stale bench/pipeline/verify temp dirs from earlier
+    // rounds measurably poison later runs (14GB of dead parquet on this
+    // box once pushed kernel writeback to 60+ CPU-minutes per bench) —
+    // sweep EVERYTHING of ours except the cached page shards
     val tmpDir = sys.props.getOrElse("java.io.tmpdir", "/tmp")
     locally {
       val keepSuffix = s"graft_bench_pages_$copies"
       val stale = new java.io.File(tmpDir).listFiles()
       if (stale != null) stale.foreach { f =>
         val n = f.getName
-        val sweep = (n.startsWith("graft_barrier") || n.startsWith("graft_kg") ||
-          n.startsWith("graft_probe") || (n.startsWith("graft_bench_pages") && n != keepSuffix))
+        val sweep = (n.startsWith("graft_") || n.startsWith("verify_out")) && n != keepSuffix
         if (sweep)
           try Files.walk(f.toPath).sorted(java.util.Comparator.reverseOrder())
             .forEach(p => { Files.deleteIfExists(p); () })
@@ -98,6 +103,29 @@ object Bench {
     }
     val b8 = Files.walk(Paths.get(pagesRoot)).mapToLong(p => p.toFile.length).sum
     spark.stop()
+
+    // Flush dirty pages and wait for writeback to drain BEFORE any timed
+    // pass: the shard write above (and any preceding Verify run) leaves
+    // GBs of dirty parquet whose background writeback steals CPU from
+    // the measured children — the exact failure mode that produced the
+    // non-reproducible 0.112-vs-0.706 scaling numbers in round 1.
+    def syncSettle(maxWaitSec: Int = 120): Unit = {
+      try { new ProcessBuilder("sync").inheritIO().start().waitFor(); () }
+      catch { case _: Exception => }
+      def dirtyKb: Long =
+        try {
+          val lines = Files.readAllLines(Paths.get("/proc/meminfo"))
+          var d = 0L
+          lines.forEach { l =>
+            if (l.startsWith("Dirty:") || l.startsWith("Writeback:"))
+              d += l.split("\\s+")(1).toLong
+          }
+          d
+        } catch { case _: Exception => 0L }
+      val deadline = System.nanoTime() + maxWaitSec * 1000000000L
+      while (dirtyKb > 64 * 1024 && System.nanoTime() < deadline) Thread.sleep(500)
+    }
+    syncSettle()
 
     def childCmd(childCpus: Int, paths: String, barrierArgs: Seq[String] = Nil): ProcessBuilder = {
       val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
@@ -146,12 +174,23 @@ object Bench {
       (rs.map(_._1).sum, rs.map(_._2).sum, rs.map(_._3).max)
     }
 
-    // interleaved trials, min per config — robust to host-level noise
-    val n1 = runN(); val q1 = run4N()
-    val n2 = runN(); val q2 = run4N()
-    val n3 = runN(); val q3 = run4N()
-    val (pN, tN, sN) = Seq(n1, n2, n3).minBy(_._3)
-    val (p4N, t4N, s4N) = Seq(q1, q2, q3).minBy(_._3)
+    // interleaved trials, median per config — robust to host-level noise
+    // in both directions (min hides slow-host rounds; mean is dragged by
+    // a single outlier). Spread is reported alongside.
+    val trials = sys.env.getOrElse("SPARK_GRAFT_SCALING_TRIALS", "5").toInt
+    val nRuns = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val qRuns = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    (1 to trials).foreach { i =>
+      nRuns += runN()
+      qRuns += run4N()
+      System.err.println(f"[bench] scaling trial $i/$trials: secN=${nRuns.last._3}%.2f sec4N=${qRuns.last._3}%.2f")
+    }
+    def median(xs: Seq[(Long, Long, Double)]): (Long, Long, Double) =
+      xs.sortBy(_._3).apply(xs.size / 2)
+    val (pN, tN, sN) = median(nRuns.toSeq)
+    val (p4N, t4N, s4N) = median(qRuns.toSeq)
+    val spreadN = (nRuns.map(_._3).min, nRuns.map(_._3).max)
+    val spread4N = (qRuns.map(_._3).min, qRuns.map(_._3).max)
     val tableBytes = b8
 
     val thN = tN / sN
@@ -160,7 +199,8 @@ object Bench {
     results("extract_throughput") = s4N
 
     val total = results.values.sum
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val qs = (results.map { case (k, v) => f""""$k":$v%.3f""" } ++
+      failed.map(k => s""""$k":"FAILED"""")).mkString("{", ",", "}")
 
     // -------- reportable scaling table
     val benchDir = Paths.get("BENCH")
@@ -172,13 +212,15 @@ object Bench {
          |stand-in models executors as PROCESSES: config N = one 4-core JVM
          |over the whole sharded page table; config 4N = four concurrent
          |4-core JVMs over disjoint shards (own heap+GC each, like cluster
-         |executors). Same total input, interleaved trials, min per config;
-         |4N wall time = slowest child. See graft.Bench / ExtractRunner.
+         |executors). Same total input; $trials interleaved trials, MEDIAN per
+         |config (spread reported); 4N wall time = slowest child. Dirty page
+         |cache is synced and settled before the first timed pass. See
+         |graft.Bench / ExtractRunner.
          |
-         || config | pages | triples | table MB | sec | pages/sec | triples/sec |
-         ||---|---|---|---|---|---|---|
-         || N  = 1 JVM x local[4]  | $pN | $tN | ${tableBytes / 1000000} | $sN%.2f | ${pN / sN}%.0f | $thN%.0f |
-         || 4N = 4 JVMs x local[4] | $p4N | $t4N | ${tableBytes / 1000000} | $s4N%.2f | ${p4N / s4N}%.0f | $th4N%.0f |
+         || config | pages | triples | table MB | sec (median) | spread | pages/sec | triples/sec |
+         ||---|---|---|---|---|---|---|---|
+         || N  = 1 JVM x local[4]  | $pN | $tN | ${tableBytes / 1000000} | $sN%.2f | ${spreadN._1}%.2f-${spreadN._2}%.2f | ${pN / sN}%.0f | $thN%.0f |
+         || 4N = 4 JVMs x local[4] | $p4N | $t4N | ${tableBytes / 1000000} | $s4N%.2f | ${spread4N._1}%.2f-${spread4N._2}%.2f | ${p4N / s4N}%.0f | $th4N%.0f |
          |
          |Scaling efficiency = throughput(4N) / (4 x throughput(N))
          |= $eff%.3f (target >= 0.8)
@@ -199,12 +241,16 @@ object Bench {
          |
          || query | sec |
          ||---|---|
-         |${results.map { case (k, v) => f"| $k | $v%.3f |" }.mkString("\n")}
+         |${(results.map { case (k, v) => f"| $k | $v%.3f |" } ++
+             failed.map(k => s"| $k | FAILED |")).mkString("\n")}
          |""".stripMargin
     Files.writeString(benchDir.resolve("BASELINE.md"), md)
 
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract":{"pagesN":$pN,"triplesN":$tN,"secN":$sN%.3f,"pages4N":$p4N,"triples4N":$t4N,"sec4N":$s4N%.3f,"cores_N":4,"cores_4N":16,"triples_per_sec_N":$thN%.0f,"triples_per_sec_4N":$th4N%.0f,"scaling_efficiency":$eff%.3f}}"""
-    )
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract":{"pagesN":$pN,"triplesN":$tN,"secN":$sN%.3f,"pages4N":$p4N,"triples4N":$t4N,"sec4N":$s4N%.3f,"cores_N":4,"cores_4N":16,"triples_per_sec_N":$thN%.0f,"triples_per_sec_4N":$th4N%.0f,"scaling_efficiency":$eff%.3f,"trials":$trials,"secN_spread":[${spreadN._1}%.3f,${spreadN._2}%.3f],"sec4N_spread":[${spread4N._1}%.3f,${spread4N._2}%.3f]}}"""
+    // machine-readable copy — the driver failed to parse round 1's
+    // sbt-wrapped stdout, so the same JSON also lands in a file
+    Files.writeString(benchDir.resolve("result.json"), json + "\n")
+    println(json)
   }
 }

@@ -136,6 +136,11 @@ object SparkEntry {
       KgPipeline.run(s, pages, out)("edges")
     }),
     "x_minhash_lsh_dedup" -> ((s, d) => Dedup.minhashLsh(t(s, d, "documents"), threshold = 0.5)),
+    // scale-safe twin of q13_ngram_jaccard: word-set (w=1) Jaccard via
+    // minhash banding — runs at sf0.1 in the bench where the quadratic
+    // oracle form is fenced to sf0.01
+    "x_ngram_jaccard_lsh" -> ((s, d) =>
+      Dedup.minhashLsh(t(s, d, "documents"), threshold = 0.5, shingleWidth = 1)),
     "x_simhash_dedup" -> ((s, d) => Dedup.simhash(t(s, d, "documents"), maxHamming = 3)),
     "x_embedding_neardup" -> ((s, d) =>
       Similarity.embeddingNearDup(t(s, d, "embeddings"), threshold = 0.3, planes = 4, tables = 6)),
@@ -162,12 +167,7 @@ object SparkEntry {
     "x_export_rdfxml" -> ((s, _) => {
       import s.implicits._
       val triples = Extract.run(SyntheticPages.pages(s, copies = 2, numPartitions = 8)).flatMap(_.triple).toDF()
-      // prefix map from the distinct predicate namespaces (small set)
-      val nss = triples.select(col("pred")).distinct().collect().map(_.getString(0))
-        .map(p => { val c = math.max(p.lastIndexOf('#'), p.lastIndexOf('/')); p.substring(0, c + 1) })
-        .distinct.sorted
-      val prefixes = nss.zipWithIndex.map { case (ns, i) => s"n$i" -> ns }.toMap
-      KgPipeline.exportRdfXml(triples, prefixes).toDF("xml").where(length(col("xml")) > 0)
+      KgPipeline.exportRdfXml(triples).toDF("xml").where(length(col("xml")) > 0)
     }),
     "x_text_identity" -> ((s, _) => {
       // byte-identical text-extraction invariant as a counting query:

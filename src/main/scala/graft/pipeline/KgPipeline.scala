@@ -216,14 +216,49 @@ object KgPipeline {
       .dropDuplicates("url", "subj", "pred", "obj", "objKind", "lang", "datatype")
   }
 
+  /** Namespace split of an IRI: everything up to and including the last
+    * '#' or '/'.
+    */
+  def iriNamespace(iri: String): String = {
+    val c = math.max(iri.lastIndexOf('#'), iri.lastIndexOf('/'))
+    iri.substring(0, c + 1)
+  }
+
+  private val wellKnownPrefixes = Map(
+    graft.rdf.Vocab.rdfNs -> "rdf",
+    "http://www.w3.org/2000/01/rdf-schema#" -> "rdfs",
+    graft.rdf.Vocab.xsdNs -> "xsd",
+    "http://www.w3.org/2002/07/owl#" -> "owl",
+    "http://xmlns.com/foaf/0.1/" -> "foaf",
+    "http://purl.org/dc/elements/1.1/" -> "dc",
+    "http://purl.org/dc/terms/" -> "dcterms",
+    "http://schema.org/" -> "schema"
+  )
+
+  /** Deterministic prefix for a namespace: well-known name, else
+    * "n" + 8 hex chars of md5(ns) — a PURE FUNCTION of the namespace,
+    * so independently-serialized chunks across all executors agree on
+    * prefixes with zero driver-side coordination (no collect anywhere).
+    */
+  def nsPrefix(ns: String): String =
+    wellKnownPrefixes.getOrElse(ns, "n" + Extract.urlScope(ns).substring(0, 8))
+
   /** Export the edge table as RDF/XML description lines — the
     * distributed face of the reference encoder's lazy per-description
-    * stream (encoder.ex:94-123): group by subject, serialize one
-    * element per subject with the shared encoder, one line per row.
-    * Wrap with `<rdf:RDF ...>` header/footer at write time to get a
-    * full document per output partition.
+    * stream (encoder.ex:94-123). Wrap with `<rdf:RDF ...>` header/footer
+    * at write time to get a full document per output partition.
+    *
+    * Scale contract:
+    *   - NO driver collect: each chunk derives its prefix map from its
+    *     own predicate namespaces via [[nsPrefix]] (pure function →
+    *     globally consistent).
+    *   - bounded memory per task: rows arrive sorted by subject and a
+    *     hub subject is serialized as MULTIPLE `rdf:Description`
+    *     elements of ≤ `maxChunk` triples each — graph-equivalent under
+    *     RDF set semantics (repeated descriptions of one subject merge),
+    *     so no truncation and no per-subject materialization.
     */
-  def exportRdfXml(edges: DataFrame, prefixes: Map[String, String]): Dataset[String] = {
+  def exportRdfXml(edges: DataFrame, maxChunk: Int = 1000): Dataset[String] = {
     val spark = edges.sparkSession
     import spark.implicits._
     import graft.rdf.{BNode, Iri, Lit, RdfGraph, Triple, Vocab}
@@ -235,19 +270,43 @@ object KgPipeline {
         if (lang != null && lang.nonEmpty) Lit.lang(v, lang)
         else if (dt != null && dt.nonEmpty) Lit.typed(v, dt) else Lit.plain(v)
     }
+    def encodeChunk(rows: Seq[(String, String, String, String, String, String)]): String = {
+      val triples = rows.iterator.map { case (s, p, o, k, l, d) =>
+        Triple(term(s, if (s.startsWith("_:")) "bnode" else "iri", null, null), Iri(p), term(o, k, l, d))
+      }.toSet
+      val prefixes = Map("rdf" -> Vocab.rdfNs) ++
+        triples.iterator.flatMap { t =>
+          val pNs = iriNamespace(t.p.asInstanceOf[Iri].value)
+          // type-object namespaces too, so the encoder's short form works
+          val tyNs = t.o match {
+            case Iri(v) if t.p == Iri(Vocab.rdfType) => Some(iriNamespace(v))
+            case _ => None
+          }
+          (Iterator(pNs) ++ tyNs.iterator).filter(_.nonEmpty)
+        }.map(ns => nsPrefix(ns) -> ns).toMap
+      try RdfXmlEncoder.stream(RdfGraph(triples, prefixes = prefixes))
+        .drop(2) // per-chunk: skip prolog + open tag, keep description lines
+        .takeWhile(_ != "</rdf:RDF>")
+        .mkString
+      catch { case _: RdfXmlEncoder.EncodeError => "" } // unprefixable predicate: skip chunk
+    }
     edges
       .select("subj", "pred", "obj", "objKind", "lang", "datatype")
+      .repartition(col("subj"))
+      .sortWithinPartitions("subj", "pred", "obj", "objKind", "lang", "datatype")
       .as[(String, String, String, String, String, String)]
-      .groupByKey(_._1)
-      .mapGroups { (subj, rows) =>
-        val triples = rows.map { case (s, p, o, k, l, d) =>
-          Triple(term(s, if (s.startsWith("_:")) "bnode" else "iri", null, null), Iri(p), term(o, k, l, d))
-        }.toSet
-        try RdfXmlEncoder.stream(RdfGraph(triples, prefixes = prefixes))
-          .drop(2) // per-group: skip prolog + open tag, keep description lines
-          .takeWhile(_ != "</rdf:RDF>")
-          .mkString
-        catch { case _: RdfXmlEncoder.EncodeError => "" } // unprefixable predicate: skip subject
+      .mapPartitions { (it: Iterator[(String, String, String, String, String, String)]) =>
+        val rows = it.buffered
+        new Iterator[String] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): String = {
+            val subj = rows.head._1
+            val chunk = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, String, String, String)]
+            while (rows.hasNext && rows.head._1 == subj && chunk.size < maxChunk)
+              chunk += rows.next()
+            encodeChunk(chunk.toSeq)
+          }
+        }
       }
   }
 

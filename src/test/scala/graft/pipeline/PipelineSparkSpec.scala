@@ -146,6 +146,32 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(video.frames >= 1)
   }
 
+  test("exportRdfXml chunks hub subjects with bounded memory and round-trips") {
+    val s = spark
+    import s.implicits._
+    val hub = (1 to 25).map(i =>
+      ("u", "http://ex.org/hub", s"http://ex.org/vocab/p$i", s"val$i", "literal", null: String, null: String))
+    val solo = Seq(
+      ("u", "http://ex.org/solo", "http://ex.org/vocab/p1", "http://ex.org/obj", "iri", null: String, null: String))
+    val edges = (hub ++ solo).toDF("url", "subj", "pred", "obj", "objKind", "lang", "datatype")
+    val lines = KgPipeline.exportRdfXml(edges, maxChunk = 10).collect().filter(_.nonEmpty)
+    // hub (25 triples / chunk 10) → 3 description elements, solo → 1;
+    // a hub subject is never materialized whole in one task
+    assert(lines.length == 4, lines.mkString("\n"))
+    // globally-consistent prefixes with no driver coordination: wrap the
+    // independently-encoded lines in one root and re-parse
+    val ns = "http://ex.org/vocab/"
+    val doc =
+      s"""<rdf:RDF xmlns:rdf="${graft.rdf.Vocab.rdfNs}" xmlns:${KgPipeline.nsPrefix(ns)}="$ns">""" +
+        lines.mkString + "</rdf:RDF>"
+    val g = graft.xml.RdfXmlParser.parse(doc).toOption.get
+    assert(g.triples.size == 26)
+    assert(g.triples.count(_.s == graft.rdf.Iri("http://ex.org/hub")) == 25)
+    assert(g.triples.contains(graft.rdf.Triple(
+      graft.rdf.Iri("http://ex.org/solo"), graft.rdf.Iri("http://ex.org/vocab/p1"),
+      graft.rdf.Iri("http://ex.org/obj"))))
+  }
+
   test("streaming extraction equals batch extraction on the same pages") {
     val s = spark
     import s.implicits._
