@@ -121,6 +121,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           round(max(element_at(col("embedding"), 1)).cast("double"), 4).as("max_first"))
     }),
+    // ------- cross-engine-exact twins of the LSH/ANN/link/sink paths --
+    // (md5/integer arithmetic → DuckDB-oracle-checked value-for-value)
+    "q16_simhash_md5" -> ((s, d) => Dedup.simhashMd5(t(s, d, "documents"))),
+    "q17_minhash_pairs_md5" -> ((s, d) => Dedup.minhashLshMd5(t(s, d, "documents"), threshold = 0.5)),
+    "q18_ann_brute_int" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteDotInt(emb, emb.where(col("vec_id") < 8), k = 5)
+    }),
+    "q19_entity_link_docs" -> ((s, d) => KgPipeline.linkDocumentTokens(t(s, d, "documents"))),
+    "q20_ntriples_escape" -> ((s, d) => {
+      t(s, d, "documents").select(
+        col("doc_id"),
+        concat(lit("http://ex/doc/"), col("doc_id")).as("subj"),
+        lit("http://ex/text").as("pred"),
+        concat(col("text"), lit("\n\"\\")).as("obj"),
+        lit("literal").as("objKind"),
+        lit(null).cast("string").as("lang"),
+        lit(null).cast("string").as("datatype"))
+        .select(col("doc_id"), graft.sources.RdfSources.nTriplesLineCol.as("line"))
+    }),
     // ---------------- scale-path operators (rows-only check) ----------
     "x_extract_triples" -> ((s, _) => {
       import s.implicits._
@@ -180,7 +200,98 @@ object SparkEntry {
     })
   )
 
+  /** DuckDB twin of q16: bit b of the simhash = (hex nibble b of
+    * md5(word) >= 8), sign-summed over the distinct word set.
+    */
+  private def q16Sql: String = {
+    val sums = (0 until 32).map(b =>
+      s"sum(CASE WHEN substring(h, ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$b").mkString(", ")
+    val sim = (0 until 32).map(b =>
+      s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS w
+       |  FROM documents
+       |), h AS (SELECT doc_id, md5(w) AS h FROM toks),
+       |bits AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+       |SELECT doc_id, $sim AS simhash FROM bits""".stripMargin
+  }
+
+  /** DuckDB twin of q17: md5-string minhash (12 sigs, 4 bands x 3),
+    * hot-bucket suppression, distinct candidate pairs, exact shingle-set
+    * Jaccard verify — replays the full LSH pipeline in ANSI SQL.
+    */
+  private def q17Sql: String = {
+    val sigs = (0 until 12).map(j =>
+      s"list_min(list_transform(sh, s -> md5('$j|' || s))) AS m$j").mkString(", ")
+    val buckets = (0 until 4).map(b =>
+      s"md5(m${3 * b} || m${3 * b + 1} || m${3 * b + 2}) AS k$b").mkString(", ")
+    s"""WITH w0 AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+       |  FROM documents
+       |), sh0 AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_filter(
+       |      list_transform(range(1, greatest(len(words)-2, 1)+1), i -> array_to_string(words[i:i+2], ' ')),
+       |      s -> s <> '')) AS sh
+       |  FROM w0 WHERE len(words) > 0
+       |), sig AS (SELECT doc_id, sh, $sigs FROM sh0 WHERE len(sh) > 0),
+       |bk AS (SELECT doc_id, $buckets FROM sig),
+       |banded AS (
+       |  SELECT doc_id, band,
+       |    CASE band WHEN 0 THEN k0 WHEN 1 THEN k1 WHEN 2 THEN k2 ELSE k3 END AS bucket
+       |  FROM bk, unnest([0,1,2,3]) t(band)
+       |), cold AS (
+       |  SELECT band, bucket FROM banded GROUP BY band, bucket HAVING count(*) <= 200
+       |), b2 AS (SELECT banded.* FROM banded JOIN cold USING (band, bucket)),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM b2 l JOIN b2 r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+       |)
+       |SELECT a, b, round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+       |FROM cand JOIN sig sa ON sa.doc_id = a JOIN sig sb ON sb.doc_id = b
+       |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q16_simhash_md5" -> q16Sql,
+    "q17_minhash_pairs_md5" -> q17Sql,
+    "q18_ann_brute_int" ->
+      """WITH qv AS (
+        |  SELECT vec_id AS query_id,
+        |         list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id < 8
+        |), cv AS (
+        |  SELECT vec_id AS corpus_id,
+        |         list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS cv
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT query_id, corpus_id,
+        |         CAST(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i] * cv[i])) AS BIGINT) AS dot
+        |  FROM cv, qv WHERE corpus_id <> query_id
+        |)
+        |SELECT query_id, corpus_id, dot, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, corpus_id) AS rank FROM s
+        |) WHERE rank <= 5""".stripMargin,
+    "q19_entity_link_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+        |  FROM documents
+        |), aliases AS (SELECT DISTINCT token FROM toks WHERE length(token) >= 8),
+        |links AS (
+        |  SELECT doc_id, token, count(*) AS n
+        |  FROM toks JOIN aliases USING (token) GROUP BY doc_id, token
+        |)
+        |SELECT doc_id, 'http://ex/' || token AS entity, n, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, token) AS rank FROM links
+        |) WHERE rank <= 3""".stripMargin,
+    "q20_ntriples_escape" ->
+      """SELECT doc_id,
+        |  '<http://ex/doc/' || doc_id || '> <http://ex/text> "' ||
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    text || chr(10) || chr(34) || chr(92),
+        |    '\\', '\\\\', 'g'), '"', '\\"', 'g'), chr(10), '\\n', 'g'), chr(13), '\\r', 'g')
+        |  || '" .' AS line
+        |FROM documents""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
@@ -214,10 +325,10 @@ object SparkEntry {
         |       min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
     "q9_token_stats" ->
-      """SELECT doc_id,
-        |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tokens,
+      s"""SELECT doc_id,
+        |  len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tokens,
         |  CAST(coalesce(list_sum(list_transform(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''),
-        |           w -> 1 + CAST(floor(length(w) / 4) AS BIGINT))), 0) AS BIGINT) AS subwords
+        |           w -> len(regexp_extract_all(w, '${pipeline.TextOps.subwordPattern}')))), 0) AS BIGINT) AS subwords
         |FROM documents""".stripMargin,
     "q10_quality" ->
       """SELECT doc_id, CAST(

@@ -133,6 +133,66 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-engine-exact SimHash: bit b of the 32-bit signature comes
+    * from hex nibble b of md5(word) (set iff nibble >= 8), sign-summed
+    * over the distinct word set. md5 is identical across engines, so
+    * this variant is DuckDB-oracle-checkable value-for-value; the
+    * production path [[simhash]] uses the cheaper codegen'd murmur
+    * hash and is gated by planted-pair tests instead.
+    */
+  def simhashMd5(documents: DataFrame): DataFrame = {
+    val hs = documents
+      .select(col("doc_id"), transform(wordSet(col("text")), w => md5(w)).as("hs"))
+      .where(size(col("hs")) > 0)
+    val bitCols = (0 until 32).map { b =>
+      aggregate(col("hs"), lit(0),
+        (acc, h) => acc + when(substring(h, b + 1, 1) >= "8", 1).otherwise(-1))
+    }
+    val sim = bitCols.zipWithIndex.map { case (c, b) =>
+      when(c > 0, lit(1L << b)).otherwise(0L)
+    }.reduce((a, b) => a + b)
+    hs.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** Cross-engine-exact MinHash-LSH pair recovery: signatures are
+    * lexicographic minima of md5("<seed>|" + shingle) strings (a valid
+    * random permutation of shingle space), bands are md5 of 3
+    * concatenated signature minima — every step replayable in ANSI SQL,
+    * so the full candidate-generation + verify pipeline is DuckDB
+    * oracle-checked. Same id-only/dedup-first transport discipline as
+    * the production [[minhashLsh]].
+    */
+  def minhashLshMd5(documents: DataFrame, threshold: Double = 0.5, maxBucket: Int = 200): DataFrame = {
+    val sh0 = documents
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .where(size(col("sh")) > 0)
+    val sigCols = (0 until 12).map(j =>
+      array_min(transform(col("sh"), s => md5(concat(lit(s"$j|"), s)))).as(s"m$j"))
+    val sig = sh0.select((col("doc_id") +: sigCols): _*)
+    val bucketCols = (0 until 4).map(b =>
+      md5(concat(col(s"m${3 * b}"), col(s"m${3 * b + 1}"), col(s"m${3 * b + 2}"))))
+    val banded0 = sig.select(
+      col("doc_id"),
+      posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
+    val hot = banded0.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
+      .select(col("band"), col("bucket"))
+    val banded = banded0.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    val cand = banded.select(col("band"), col("bucket"), col("doc_id").as("a"))
+      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("b")), Seq("band", "bucket"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    val union = (size(col("sa")) + size(col("sb"))).cast("double") -
+      size(array_intersect(col("sa"), col("sb")))
+    cand
+      .join(sh0.select(col("doc_id").as("a"), col("sh").as("sa")), Seq("a"))
+      .join(sh0.select(col("doc_id").as("b"), col("sh").as("sb")), Seq("b"))
+      .where(inter / union >= threshold)
+      .select(col("a"), col("b"), round(inter / union, 4).as("jaccard"))
+  }
+
   /** Fully-relational n-gram (word) Jaccard near-dup, blocked by the
     * `source` column: explode tokens → distinct → self-join → counts.
     * Expressible 1:1 in ANSI SQL → DuckDB oracle-checkable.

@@ -131,6 +131,29 @@ object KgPipeline {
       .select("url", "pos", "token", "entity", "score")
   }
 
+  /** Self-contained entity-linking twin over the documents table, fully
+    * ANSI-SQL-expressible for the DuckDB oracle: the alias dictionary is
+    * the distinct long tokens (length >= minLen) of the corpus itself,
+    * mentions are all token occurrences, and each document keeps its
+    * top-k linked entities by mention count (deterministic tiebreak on
+    * token). Same plan shape as [[linkMentions]]: explode → broadcast
+    * alias join → count → window top-k.
+    */
+  def linkDocumentTokens(documents: DataFrame, minLen: Int = 8, k: Int = 3): DataFrame = {
+    val toks = documents.select(
+      col("doc_id"),
+      explode(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")).as("token"))
+    val aliases = toks.select(col("token")).where(length(col("token")) >= minLen).distinct()
+    val links = toks.join(broadcast(aliases), Seq("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("n").desc, col("token"))
+    links.withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), concat(lit("http://ex/"), col("token")).as("entity"), col("n"), col("rank"))
+  }
+
   /** MinHash-LSH blocking over entity local names + exact-Jaccard
     * verification + iterative min-id connected components → canonical
     * entity map. All candidate generation is built-in expressions.

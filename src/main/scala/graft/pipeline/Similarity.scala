@@ -38,6 +38,26 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Cross-engine-exact brute-force top-k: embeddings quantized to
+    * integer milli-units per dimension, ranked by exact integer dot
+    * product (ties broken by corpus_id) — bit-identical across engines,
+    * so the whole broadcast-join + window top-k plan is DuckDB
+    * oracle-checkable, unlike FP cosine whose summation order varies.
+    * Same plan shape as [[bruteCosine]] (query side broadcast, corpus
+    * streams).
+    */
+  def bruteDotInt(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    def quantize(c: Column) = transform(c, e => round(e.cast("double") * 1000).cast("bigint"))
+    val q = queries.select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))
+    val c = corpus.select(col("vec_id").as("corpus_id"), quantize(col("embedding")).as("cv"))
+    val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        aggregate(zip_with(col("qv"), col("cv"), (x, y) => x * y), lit(0L), (acc, v) => acc + v).as("dot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dot").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint")).where(col("rank") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplane weight for (dim, plane):
     * hash-derived in [-1, 1] — no RNG state, stable across retries.
     */

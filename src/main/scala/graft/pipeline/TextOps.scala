@@ -14,12 +14,36 @@ object TextOps {
   def tokenCount(text: Column): Column =
     size(filter(split(text, "\\s+"), t => t =!= ""))
 
-  /** BPE-ish subword count: word-boundary pieces plus length/4 overflow
-    * pieces for long words — a deterministic proxy for tokenizer cost.
+  /** Subword vocabulary (common English affixes/merges). The segmenter
+    * is greedy longest-match: the regex alternation is ordered longest-
+    * first, and both java.util.regex (Spark) and RE2 (DuckDB) use
+    * leftmost-FIRST ordered alternation, so segmentation — hence the
+    * count — is bit-identical across engines.
+    */
+  val subwordVocab: Seq[String] = Seq(
+    "ation", "ition", "ement", "ously", "inter", "under",
+    "able", "ible", "ance", "ence", "ment", "ness", "tion", "sion",
+    "ship", "hood", "ward", "wise", "less", "over", "anti",
+    "ing", "ize", "ise", "ous", "ive", "ful", "est", "ers", "ion",
+    "ate", "ent", "ant", "pre", "pro", "con", "com", "per", "sub",
+    "out", "the", "and",
+    "ed", "er", "ly", "un", "re", "in", "on", "at", "or", "an", "en",
+    "es", "de", "al", "ic", "ar", "st", "th", "le", "nd", "nt", "te",
+    "ra", "ro", "li", "ne"
+  ).distinct.sortBy(p => (-p.length, p))
+
+  /** Greedy longest-match alternation + single-char fallback. */
+  val subwordPattern: String = "(" + (subwordVocab :+ "[a-z0-9]").mkString("|") + ")"
+
+  /** Real subword count: greedy longest-match (WordPiece-style)
+    * segmentation of each word against [[subwordVocab]], summed over the
+    * document. Codegen'd built-ins only (regexp_extract_all inside an
+    * array fold) — no UDF on the 100 TB path.
     */
   def subwordCount(text: Column): Column = {
     val words = filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
-    aggregate(words, lit(0L), (acc, w) => acc + lit(1L) + floor(length(w) / 4).cast("bigint"))
+    aggregate(words, lit(0L),
+      (acc, w) => acc + size(regexp_extract_all(w, lit(subwordPattern))).cast("bigint"))
   }
 
   /** Quality score as an integer in [0, 10000]: length band, alpha

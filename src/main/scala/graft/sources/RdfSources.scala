@@ -86,10 +86,10 @@ object RdfSources {
       }
   }
 
-  /** Serialize triple rows to N-Triples lines with built-in expressions
-    * only (escaping via chained translations of \\ " and newlines).
+  /** One N-Triples line as a codegen'd Column over the standard triple
+    * columns (escaping via chained translations of \\ " and newlines).
     */
-  def toNTriplesLines(triples: DataFrame): DataFrame = {
+  def nTriplesLineCol: org.apache.spark.sql.Column = {
     def esc(c: org.apache.spark.sql.Column) =
       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r")
@@ -102,8 +102,14 @@ object RdfSources {
       .when(col("datatype").isNotNull,
         concat(lit("\""), esc(col("obj")), lit("\"^^<"), col("datatype"), lit(">")))
       .otherwise(concat(lit("\""), esc(col("obj")), lit("\"")))
-    triples.select(concat(subj, lit(" <"), col("pred"), lit("> "), obj, lit(" .")).as("line"))
+    concat(subj, lit(" <"), col("pred"), lit("> "), obj, lit(" ."))
   }
+
+  /** Serialize triple rows to N-Triples lines with built-in expressions
+    * only — whole-stage codegen, no UDF.
+    */
+  def toNTriplesLines(triples: DataFrame): DataFrame =
+    triples.select(nTriplesLineCol.as("line"))
 
   /** Write triple rows as N-Triples text files. */
   def writeNTriples(triples: DataFrame, outPath: String): Unit =

@@ -58,6 +58,41 @@ object RdfXmlParser {
   def parseBytes(xml: Array[Byte], offset: Int, length: Int, base: Option[String]): Either[ParseError, RdfGraph] =
     run(new InputSource(new ByteArrayInputStream(xml, offset, length)), base, "b")
 
+  /** Streaming decode from an InputStream — the document is consumed
+    * incrementally by the SAX parser, never pre-buffered, so a
+    * larger-than-heap document (or a socket feed) decodes in bounded
+    * memory. Mirrors the reference's `decode_from_stream/2`
+    * (/root/reference/lib/rdf/xml/decoder.ex:50-53).
+    */
+  def parseStream(in: java.io.InputStream, base: Option[String] = None,
+                  bnodePrefix: String = "b"): Either[ParseError, RdfGraph] =
+    run(new InputSource(in), base, bnodePrefix)
+
+  /** Chunk-enumerable decode — the exact shape of the reference's
+    * `decode_from_stream/2` over a lazy chunk enumerable (tested at
+    * decoder_test.exs:417-442): chunks are pulled ON DEMAND as the
+    * parser consumes input; nothing is concatenated up front.
+    */
+  def parseChunks(chunks: Iterator[Array[Byte]], base: Option[String] = None,
+                  bnodePrefix: String = "b"): Either[ParseError, RdfGraph] =
+    parseStream(new java.io.InputStream {
+      private var cur: Array[Byte] = Array.emptyByteArray
+      private var pos = 0
+      private def advance(): Boolean = {
+        while (pos >= cur.length && chunks.hasNext) { cur = chunks.next(); pos = 0 }
+        pos < cur.length
+      }
+      def read(): Int = if (advance()) { val b = cur(pos) & 0xff; pos += 1; b } else -1
+      override def read(b: Array[Byte], off: Int, len: Int): Int =
+        if (!advance()) -1
+        else {
+          val n = math.min(len, cur.length - pos)
+          System.arraycopy(cur, pos, b, off, n)
+          pos += n
+          n
+        }
+    }, base, bnodePrefix)
+
   /** Extraction fast path: triples as the parser's internal (deduped,
     * insertion-ordered) collection, skipping the RdfGraph Set copy —
     * one less full-materialization per document on the 100 TB path.

@@ -168,6 +168,79 @@ class RdfXmlEncoderSpec extends AnyFunSuite {
     assert(joined.replace(">\n", ">") == enc(exampleGraph).replace(">\n", ">"))
   }
 
+  test("custom producer function reorders descriptions (encoder_test.exs:81-137)") {
+    val producer: RdfGraph => Seq[Term] =
+      _ => Seq(Iri(eric + "me"), Iri(ex + "Foo")) // eric:me popped to the front
+    val opts = RdfXmlEncoder.Options(producer = Some(producer))
+    val result = enc(exampleGraph, opts)
+    assert(result ==
+      """<?xml version="1.0" encoding="utf-8"?>""" +
+        """<rdf:RDF """ +
+        """xmlns:contact="http://www.w3.org/2000/10/swap/pim/contact#" """ +
+        """xmlns:eric="http://www.w3.org/People/EM/contact#" """ +
+        """xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" """ +
+        """xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">""" +
+        """<contact:Person rdf:about="http://www.w3.org/People/EM/contact#me">""" +
+        """<contact:fullName>Eric Miller</contact:fullName>""" +
+        """<contact:mailbox rdf:resource="mailto:e.miller123(at)example"/>""" +
+        """<contact:personalTitle>Dr.</contact:personalTitle>""" +
+        """</contact:Person>""" +
+        """<rdf:Description rdf:about="http://example.com/Foo">""" +
+        """<rdf:type rdf:resource="http://example.com/Bar"/>""" +
+        """<rdf:type rdf:resource="http://example.com/Baz"/>""" +
+        """<rdfs:comment xml:lang="de">Kommentar</rdfs:comment>""" +
+        """<rdfs:comment>Comment</rdfs:comment>""" +
+        """</rdf:Description>""" +
+        """</rdf:RDF>""")
+    // round trip preserves the graph
+    assert(RdfXmlParser.parse(result).toOption.get.triples == exampleGraph.triples)
+    // stream variant honors the producer too, with the line separators
+    val streamed = RdfXmlEncoder.stream(exampleGraph, opts).mkString
+    assert(streamed ==
+      "<?xml version=\"1.0\" encoding=\"utf-8\"?>\n" +
+        """<rdf:RDF """ +
+        """xmlns:contact="http://www.w3.org/2000/10/swap/pim/contact#" """ +
+        """xmlns:eric="http://www.w3.org/People/EM/contact#" """ +
+        """xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" """ +
+        "xmlns:rdfs=\"http://www.w3.org/2000/01/rdf-schema#\">\n" +
+        """<contact:Person rdf:about="http://www.w3.org/People/EM/contact#me">""" +
+        """<contact:fullName>Eric Miller</contact:fullName>""" +
+        """<contact:mailbox rdf:resource="mailto:e.miller123(at)example"/>""" +
+        """<contact:personalTitle>Dr.</contact:personalTitle>""" +
+        "</contact:Person>\n" +
+        """<rdf:Description rdf:about="http://example.com/Foo">""" +
+        """<rdf:type rdf:resource="http://example.com/Bar"/>""" +
+        """<rdf:type rdf:resource="http://example.com/Baz"/>""" +
+        """<rdfs:comment xml:lang="de">Kommentar</rdfs:comment>""" +
+        """<rdfs:comment>Comment</rdfs:comment>""" +
+        "</rdf:Description>\n" +
+        """</rdf:RDF>""")
+  }
+
+  test("use_rdf_id as a per-description function (encoder_test.exs:166-194)") {
+    val g = RdfGraph(
+      Set(
+        Triple(Iri(ex + "#S1"), Iri(ex + "p"), Iri(ex + "#O1")),
+        Triple(Iri(ex + "#S2"), Iri(Vocab.rdfType), Iri(ex + "UseRdfId")),
+        Triple(Iri(ex + "#S2"), Iri(ex + "p"), Iri(ex + "#O2"))
+      ),
+      base = Some(ex),
+      prefixes = exPrefixes
+    )
+    val useRdfId: (Term, Map[String, Seq[Term]]) => Boolean =
+      (_, preds) => preds.getOrElse(Vocab.rdfType, Nil).contains(Iri(ex + "UseRdfId"))
+    assert(enc(g, RdfXmlEncoder.Options(useRdfId = useRdfId)) ==
+      """<?xml version="1.0" encoding="utf-8"?>""" +
+        s"""<rdf:RDF xml:base="$ex" xmlns:ex="http://example.com/">""" +
+        """<rdf:Description rdf:about="#S1">""" +
+        """<ex:p rdf:resource="#O1"/>""" +
+        """</rdf:Description>""" +
+        """<ex:UseRdfId rdf:ID="S2">""" +
+        """<ex:p rdf:resource="#O2"/>""" +
+        """</ex:UseRdfId>""" +
+        """</rdf:RDF>""")
+  }
+
   test("unknown property namespace is an encode error") {
     val g = RdfGraph(Set(Triple(Iri(ex + "S"), Iri("http://other.org/p"), Lit.plain("x"))), prefixes = exPrefixes)
     assert(RdfXmlEncoder.encode(g).isLeft)

@@ -385,6 +385,40 @@ class RdfXmlParserSpec extends AnyFunSuite {
     ))
   }
 
+  test("decode_from_stream: chunked decode equals whole-string decode (decoder_test.exs:417-442)") {
+    val xml = s"""<?xml version="1.0" encoding="utf-8"?>
+      |<rdf:RDF xmlns:contact="$contact" xmlns:eric="$eric" xmlns:rdf="$rdf">
+      |  <rdf:Description rdf:about="${eric}me">
+      |    <contact:fullName>Eric Miller</contact:fullName>
+      |    <contact:personalTitle>Dr.</contact:personalTitle>
+      |  </rdf:Description>
+      |</rdf:RDF>
+      |""".stripMargin
+    // awkward 17-byte chunk boundaries (stricter than the reference's
+    // per-line chunks) — pulled lazily, never concatenated up front
+    val g = RdfXmlParser.parseChunks(xml.getBytes("UTF-8").grouped(17))
+      .fold(e => fail(e.message), identity)
+    assert(g.triples == Set(
+      Triple(Iri(eric + "me"), Iri(contact + "fullName"), Lit.plain("Eric Miller")),
+      Triple(Iri(eric + "me"), Iri(contact + "personalTitle"), Lit.plain("Dr."))))
+    assert(g.triples == decode(xml).triples)
+    assert(g.prefixes == decode(xml).prefixes)
+  }
+
+  test("duplicate attribute in one element is a parse error (decoder_test.exs:390-399)") {
+    // The reference SKIPS its version of this test because Saxy silently
+    // keeps the first occurrence; Xerces enforces XML well-formedness
+    // (the behavior the reference authors wanted per their TODO note) —
+    // we pin the strict side.
+    val xml = s"""<?xml version="1.0" encoding="utf-8"?>
+      |<rdf:RDF xmlns:contact="$contact" xmlns:eric="$eric" xmlns:rdf="$rdf">
+      |  <rdf:Description rdf:about="${eric}me" contact:fullName="Eric Miller" contact:fullName="Foo">
+      |  </rdf:Description>
+      |</rdf:RDF>
+      |""".stripMargin
+    assert(RdfXmlParser.parse(xml).isLeft)
+  }
+
   test("duplicate rdf:ID is an error") {
     val r = RdfXmlParser.parse(
       s"""<?xml version="1.0"?>
