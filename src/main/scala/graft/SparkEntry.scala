@@ -162,8 +162,12 @@ object SparkEntry {
     "x_ngram_jaccard_lsh" -> ((s, d) =>
       Dedup.minhashLsh(t(s, d, "documents"), threshold = 0.5, shingleWidth = 1)),
     "x_simhash_dedup" -> ((s, d) => Dedup.simhash(t(s, d, "documents"), maxHamming = 3)),
+    // the synthetic embedding corpus tops out around cos 0.6, so
+    // "near-dup" here is cos>=0.4 — a low-threshold regime that needs
+    // few planes (fat buckets) amplified across independent tables;
+    // the relational integer verify keeps the candidate volume cheap
     "x_embedding_neardup" -> ((s, d) =>
-      Similarity.embeddingNearDup(t(s, d, "embeddings"), threshold = 0.3, planes = 4, tables = 6)),
+      Similarity.embeddingNearDup(t(s, d, "embeddings"), threshold = 0.4, planes = 6, tables = 8)),
     "x_ann_brute" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.bruteCosine(emb, emb.where(col("vec_id") < 8), k = 5)

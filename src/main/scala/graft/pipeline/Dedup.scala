@@ -63,17 +63,22 @@ object Dedup {
   def minhashLsh(documents: DataFrame, nHashes: Int = 16, bands: Int = 4, threshold: Double = 0.7,
                  maxBucket: Int = 200, shingleWidth: Int = 3): DataFrame = {
     val rows = nHashes / bands
-    // shingles are 64-bit-hashed once up front: every downstream set op
-    // (minhash, intersect/union verify) runs on longs, not strings —
-    // measured ~2x on the verify join; collision odds at 64 bits are nil
-    val hashedShingles = documents
-      .select(col("doc_id"),
-        array_distinct(transform(shingles(col("text"), shingleWidth), s => xxhash64(s))).as("sh"))
-      .where(size(col("sh")) > 0)
-    val sig = hashedShingles.withColumn("sig", minhashSig(col("sh"), nHashes))
+    // Shingle ROWS, not arrays: higher-order array lambdas (transform/
+    // aggregate) run INTERPRETED in Spark — the array formulation spent
+    // ~2ms/doc in signature computation alone (measured, LshProbe), and
+    // the subtree recomputed once per consumer. One explode + codegen'd
+    // xxhash64 + a map-side-combinable 16-way min groupBy is ~10x
+    // cheaper, and no array ever enters a shuffle.
+    val expl = documents
+      .select(col("doc_id"), explode(shingles(col("text"), shingleWidth)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .distinct() // shingle SET semantics
+    val sigCols = (0 until nHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    val sig = expl.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     val banded0 = sig.select(
       col("doc_id"),
-      posexplode(array((0 until bands).map(b => hash(slice(col("sig"), b * rows + 1, rows))): _*))
+      posexplode(array((0 until bands).map(b =>
+        hash((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*)): _*))
         .as(Seq("band", "bucket"))
     )
     val hot = banded0.groupBy(col("band"), col("bucket"))
@@ -86,13 +91,21 @@ object Dedup {
       .where(col("a") < col("b"))
       .select(col("a"), col("b"))
       .distinct()
-    candIds
-      .join(hashedShingles.select(col("doc_id").as("a"), col("sh").as("sa")), Seq("a"))
-      .join(hashedShingles.select(col("doc_id").as("b"), col("sh").as("sb")), Seq("b"))
-      .select(col("a"), col("b"),
-        round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb"))), 4).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+    // relational exact-Jaccard verify over the candidate pairs only:
+    // intersection via hash-equality join, sizes via groupBy — work
+    // proportional to |candidates|, zero array transport
+    val sizes = expl.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = candIds
+      .join(expl.select(col("doc_id").as("a"), col("h")), Seq("a"))
+      .join(expl.select(col("doc_id").as("b"), col("h")), Seq("b", "h"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("ic"))
+    val jaccard = col("ic").cast("double") / (col("sza") + col("szb") - col("ic"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+      .where(jaccard >= threshold)
+      .select(col("a"), col("b"), round(jaccard, 4).as("jaccard"))
   }
 
   /** 32-bit SimHash from word hashes; same-bucket pairs within hamming
@@ -163,12 +176,14 @@ object Dedup {
     * the production [[minhashLsh]].
     */
   def minhashLshMd5(documents: DataFrame, threshold: Double = 0.5, maxBucket: Int = 200): DataFrame = {
-    val sh0 = documents
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .where(size(col("sh")) > 0)
-    val sigCols = (0 until 12).map(j =>
-      array_min(transform(col("sh"), s => md5(concat(lit(s"$j|"), s)))).as(s"m$j"))
-    val sig = sh0.select((col("doc_id") +: sigCols): _*)
+    // same relational shape as minhashLsh (explode + codegen + groupBy
+    // minima — array lambdas are interpreted); md5-string minima and
+    // md5 band buckets keep every value replayable in ANSI SQL
+    val expl = documents
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .distinct() // shingle SET semantics
+    val sigCols = (0 until 12).map(j => min(md5(concat(lit(s"$j|"), col("s")))).as(s"m$j"))
+    val sig = expl.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     val bucketCols = (0 until 4).map(b =>
       md5(concat(col(s"m${3 * b}"), col(s"m${3 * b + 1}"), col(s"m${3 * b + 2}"))))
     val banded0 = sig.select(
@@ -178,19 +193,23 @@ object Dedup {
       .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
       .select(col("band"), col("bucket"))
     val banded = banded0.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
-    val cand = banded.select(col("band"), col("bucket"), col("doc_id").as("a"))
+    val candIds = banded.select(col("band"), col("bucket"), col("doc_id").as("a"))
       .join(banded.select(col("band"), col("bucket"), col("doc_id").as("b")), Seq("band", "bucket"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b"))
       .distinct()
-    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
-    val union = (size(col("sa")) + size(col("sb"))).cast("double") -
-      size(array_intersect(col("sa"), col("sb")))
-    cand
-      .join(sh0.select(col("doc_id").as("a"), col("sh").as("sa")), Seq("a"))
-      .join(sh0.select(col("doc_id").as("b"), col("sh").as("sb")), Seq("b"))
-      .where(inter / union >= threshold)
-      .select(col("a"), col("b"), round(inter / union, 4).as("jaccard"))
+    val sizes = expl.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = candIds
+      .join(expl.select(col("doc_id").as("a"), col("s")), Seq("a"))
+      .join(expl.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("ic"))
+    val jaccard = col("ic").cast("double") / (col("sza") + col("szb") - col("ic"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+      .where(jaccard >= threshold)
+      .select(col("a"), col("b"), round(jaccard, 4).as("jaccard"))
   }
 
   /** Fully-relational n-gram (word) Jaccard near-dup, blocked by the

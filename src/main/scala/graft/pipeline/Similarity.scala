@@ -67,7 +67,8 @@ object Similarity {
   /** Sign-sketch bucket id from `planes` hyperplanes starting at global
     * plane index `planeOffset` — distinct offsets give INDEPENDENT
     * hyperplane sets (each sketch table must draw its own planes, or the
-    * extra tables add cost with zero recall).
+    * extra tables add cost with zero recall). Array-lambda formulation,
+    * kept for unit use; the scale path is the relational [[sketch]].
     */
   def lshBucket(vec: Column, planes: Int, planeOffset: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
@@ -79,13 +80,30 @@ object Similarity {
     bits.reduce((a, b) => a + b)
   }
 
-  private def sketch(corpus: DataFrame, planes: Int, tables: Int): DataFrame =
-    corpus.select(
-      col("vec_id"), col("embedding"),
-      posexplode(array((0 until tables).map(t =>
-        lshBucket(col("embedding"), planes, planeOffset = t * planes) + lit(t.toLong << 40)): _*))
-        .as(Seq("table", "bucket"))
-    )
+  /** All `tables` sketch buckets per vector, computed RELATIONALLY:
+    * posexplode the embedding once, project every (table, plane) in one
+    * map-side-combinable groupBy of codegen'd expressions. The array-
+    * lambda formulation (zip_with/aggregate per plane) is interpreted,
+    * not codegen'd — measured ~1.3ms/vector for 24 planes. Projections
+    * are quantized to integer micro-units before summing so the
+    * aggregation is order-independent → bucket assignment stays
+    * deterministic under retries/repartitioning (FP sums are not).
+    */
+  private def sketch(corpus: DataFrame, planes: Int, tables: Int): DataFrame = {
+    val expl = corpus.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+    val projCols = (0 until tables * planes).map { p =>
+      sum(round(col("v").cast("double") * weight(col("dim"), p) * 1000000L).cast("bigint")).as(s"p$p")
+    }
+    val proj = expl.groupBy(col("vec_id")).agg(projCols.head, projCols.tail: _*)
+    val bucketCols = (0 until tables).map { t =>
+      (0 until planes).map { pp =>
+        when(col(s"p${t * planes + pp}") >= 0, lit(1L << pp)).otherwise(0L)
+      }.reduce((a, b) => a + b) + lit(t.toLong << 40)
+    }
+    proj.select(
+      col("vec_id"),
+      posexplode(array(bucketCols: _*)).as(Seq("table", "bucket")))
+  }
 
   /** Hot-bucket suppression — a degenerate bucket costs |bucket|^2 join
     * rows; similar vectors recur in other tables' buckets anyway.
@@ -131,8 +149,12 @@ object Similarity {
     */
   def embeddingNearDup(corpus: DataFrame, threshold: Double = 0.95, planes: Int = 8, tables: Int = 3,
                        maxBucket: Int = 1000): DataFrame = {
-    // same transport discipline as lshCosine: ids through the bucket
-    // join, distinct pairs, then one embedding re-join per side
+    // ids through the bucket join, distinct pairs, then a RELATIONAL
+    // cosine verify: per-dimension rows quantized to integer micro-
+    // units, dot products and squared norms as codegen'd integer
+    // aggregations (array-lambda cosine is interpreted, ~50us/pair).
+    // Work stays proportional to |candidates| x dims, deterministic
+    // (integer sums are order-independent), and no array is shuffled.
     val sketched = suppressHot(sketch(corpus, planes, tables), maxBucket)
     val ids = sketched.select(col("table"), col("bucket"), col("vec_id"))
     val l = ids.select(col("table"), col("bucket"), col("vec_id").as("a"))
@@ -141,11 +163,19 @@ object Similarity {
       .where(col("a") < col("b"))
       .select(col("a"), col("b"))
       .distinct()
-    val emb = corpus.select(col("vec_id"), col("embedding"))
-    candIds
-      .join(emb.select(col("vec_id").as("a"), col("embedding").as("va")), Seq("a"))
-      .join(emb.select(col("vec_id").as("b"), col("embedding").as("vb")), Seq("b"))
-      .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 6).as("cos"))
+    val expl = corpus.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"), round(col("v").cast("double") * 1000000L).cast("bigint").as("q"))
+    val norms = expl.groupBy(col("vec_id")).agg(sum(col("q") * col("q")).as("n2"))
+    val dots = candIds
+      .join(expl.select(col("vec_id").as("a"), col("dim"), col("q").as("qa")), Seq("a"))
+      .join(expl.select(col("vec_id").as("b"), col("dim"), col("q").as("qb")), Seq("b", "dim"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("qa") * col("qb")).as("dot"))
+    dots
+      .join(norms.select(col("vec_id").as("a"), col("n2").as("n2a")), Seq("a"))
+      .join(norms.select(col("vec_id").as("b"), col("n2").as("n2b")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(col("dot").cast("double") / (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))), 6).as("cos"))
       .where(col("cos") >= threshold)
   }
 }
