@@ -2,33 +2,189 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import java.nio.{ByteBuffer, ByteOrder}
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed per-partition in bounded
   * batches.
   *
-  * The actual codec work (JPEG decode, audio resample, video frame
-  * sampling) is STUBBED behind [[AssetDecoder]] — the media libraries
-  * are not in this container — with a deterministic fake implementation
-  * so the Spark-side plumbing (schema, partitioning, batch shape,
-  * feature extraction contract) is real and testable. Swap
-  * [[FakeDecoder]] for a JNI/FFI-backed decoder in production.
+  * [[PureJvmDecoder]] (the default) does REAL codec work with zero
+  * external dependencies:
+  *   - image: 24-bit uncompressed BMP (BITMAPINFOHEADER) — full pixel
+  *     decode, per-channel means + luma spread.
+  *   - audio: RIFF/WAVE PCM-16 — chunk walk, sample decode, RMS / peak /
+  *     zero-crossing-rate.
+  *   - video: a raw BMP-frame sequence (concatenated BMP files, each
+  *     self-delimiting via its fileSize header) — frame scan + sampled
+  *     frame decode (first/middle/last), averaged features.
+  * Compressed formats (JPEG/H.264/Opus...) need native libraries that
+  * are not in this container; [[FakeDecoder]] documents that seam with
+  * a deterministic stand-in honoring the same contract.
+  *
+  * Every decoder must be a pure function of the payload bytes —
+  * deterministic across retries/partitionings.
   */
 object Multimodal {
 
+  final case class Decoded(features: Array[Float], frames: Int)
+
   trait AssetDecoder extends Serializable {
-    /** Decode payload → fixed-width feature vector; None = corrupt. */
-    def decode(kind: String, payload: Array[Byte], width: Int, height: Int): Option[Array[Float]]
-    /** Frame sampling for video: how many frames would be extracted. */
-    def frameCount(kind: String, durationMs: Int): Int
+    /** Decode payload → fixed-width feature vector + frame count;
+      * None = corrupt/undecodable.
+      */
+    def decode(kind: String, payload: Array[Byte], width: Int, height: Int, durationMs: Int): Option[Decoded]
   }
 
-  /** Deterministic fake: features derived from payload bytes only —
-    * stable across retries/partitionings, which is exactly the contract
-    * a real decoder must also satisfy.
+  // ------------------------------------------------------------ real codecs
+
+  object PureJvmDecoder extends AssetDecoder {
+
+    def decode(kind: String, payload: Array[Byte], width: Int, height: Int, durationMs: Int): Option[Decoded] =
+      kind match {
+        case "image" => decodeBmp(payload, 0).map { case (f, _) => Decoded(f, 1) }
+        case "audio" => decodeWav(payload).map(Decoded(_, 1))
+        case "video" => decodeBmpSequence(payload)
+        case _ => None
+      }
+
+    /** 24-bit uncompressed BMP at `off`. Returns (features, byteLength).
+      * Features: meanR, meanG, meanB, luma stddev, w/1024, h/1024,
+      * aspect, fill.
+      */
+    private[pipeline] def decodeBmp(p: Array[Byte], off: Int): Option[(Array[Float], Int)] = {
+      if (off + 54 > p.length || p(off) != 'B' || p(off + 1) != 'M') return None
+      val bb = ByteBuffer.wrap(p, off, p.length - off).order(ByteOrder.LITTLE_ENDIAN)
+      val fileSize = bb.getInt(off + 2)
+      if (fileSize < 54 || off + fileSize > p.length) return None
+      val dataOff = bb.getInt(off + 10)
+      val hdrSize = bb.getInt(off + 14)
+      val w = bb.getInt(off + 18)
+      val h = bb.getInt(off + 22)
+      val bpp = bb.getShort(off + 28) & 0xffff
+      val compression = bb.getInt(off + 30)
+      if (hdrSize < 40 || bpp != 24 || compression != 0 || w <= 0 || h <= 0) return None
+      val rowSize = ((3 * w + 3) / 4) * 4
+      if (off + dataOff + rowSize.toLong * h > p.length) return None
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var sl = 0.0; var sl2 = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        val base = off + dataOff + y * rowSize
+        while (x < w) {
+          val b = p(base + 3 * x) & 0xff
+          val g = p(base + 3 * x + 1) & 0xff
+          val r = p(base + 3 * x + 2) & 0xff
+          sr += r; sg += g; sb += b
+          val luma = 0.299 * r + 0.587 * g + 0.114 * b
+          sl += luma; sl2 += luma * luma
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val meanL = sl / n
+      val varL = math.max(0.0, sl2 / n - meanL * meanL)
+      val f = Array(
+        (sr.toDouble / n / 255.0).toFloat,
+        (sg.toDouble / n / 255.0).toFloat,
+        (sb.toDouble / n / 255.0).toFloat,
+        (math.sqrt(varL) / 255.0).toFloat,
+        w / 1024.0f,
+        h / 1024.0f,
+        w.toFloat / h,
+        0f
+      )
+      Some((f, fileSize))
+    }
+
+    /** RIFF/WAVE, PCM 16-bit. Features: rms, peak, zero-crossing rate,
+      * mean |sample|, sampleRate/48k, channels, samples/1e5, fill.
+      */
+    private[pipeline] def decodeWav(p: Array[Byte]): Option[Array[Float]] = {
+      if (p.length < 44 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F' ||
+        p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E') return None
+      val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+      var pos = 12
+      var sampleRate = 0; var channels = 0; var bps = 0
+      var dataOff = -1; var dataLen = 0
+      while (pos + 8 <= p.length) {
+        val id = new String(p, pos, 4, "US-ASCII")
+        val len = bb.getInt(pos + 4)
+        if (len < 0 || pos + 8 + len > p.length) return None
+        id match {
+          case "fmt " =>
+            if (len < 16) return None
+            val fmt = bb.getShort(pos + 8) & 0xffff
+            if (fmt != 1) return None // PCM only
+            channels = bb.getShort(pos + 10) & 0xffff
+            sampleRate = bb.getInt(pos + 12)
+            bps = bb.getShort(pos + 22) & 0xffff
+          case "data" =>
+            dataOff = pos + 8; dataLen = len
+          case _ => // skip unknown chunk
+        }
+        pos += 8 + len + (len & 1)
+      }
+      if (dataOff < 0 || bps != 16 || channels < 1 || sampleRate <= 0) return None
+      val n = dataLen / 2
+      if (n == 0) return None
+      var i = 0
+      var sum2 = 0.0; var sumAbs = 0.0; var peak = 0; var zc = 0; var prev = 0
+      while (i < n) {
+        val s = bb.getShort(dataOff + 2 * i).toInt
+        sum2 += s.toDouble * s; sumAbs += math.abs(s)
+        if (math.abs(s) > peak) peak = math.abs(s)
+        if (i > 0 && ((s >= 0) != (prev >= 0))) zc += 1
+        prev = s
+        i += 1
+      }
+      Some(Array(
+        (math.sqrt(sum2 / n) / 32768.0).toFloat,
+        (peak / 32768.0).toFloat,
+        (zc.toDouble / n).toFloat,
+        (sumAbs / n / 32768.0).toFloat,
+        sampleRate / 48000.0f,
+        channels.toFloat,
+        n / 100000.0f,
+        0f
+      ))
+    }
+
+    /** Concatenated BMP frames; sample first/middle/last, average. */
+    private[pipeline] def decodeBmpSequence(p: Array[Byte]): Option[Decoded] = {
+      // scan pass: frame offsets via each BMP's self-declared fileSize
+      var offs = List.newBuilder[Int]
+      var off = 0
+      var count = 0
+      while (off + 54 <= p.length && p(off) == 'B' && p(off + 1) == 'M') {
+        val size = ByteBuffer.wrap(p, off + 2, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+        if (size < 54 || off + size > p.length) return None // truncated frame
+        offs += off
+        count += 1
+        off += size
+      }
+      if (count == 0 || off != p.length) return None
+      val frameOffs = offs.result()
+      val sample = Seq(0, count / 2, count - 1).distinct.map(frameOffs(_))
+      val feats = sample.map(o => decodeBmp(p, o) match {
+        case Some((f, _)) => f
+        case None => return None
+      })
+      val avg = new Array[Float](8)
+      feats.foreach(f => (0 until 8).foreach(j => avg(j) += f(j) / feats.size))
+      Some(Decoded(avg, count))
+    }
+  }
+
+  /** Deterministic fake for codecs that DO need native libraries
+    * (JPEG/H.264/...): features derived from payload bytes only —
+    * stable across retries/partitionings, the same contract a real
+    * decoder must satisfy. Swap for a JNI/FFI-backed decoder in
+    * production.
     */
   object FakeDecoder extends AssetDecoder {
-    def decode(kind: String, payload: Array[Byte], width: Int, height: Int): Option[Array[Float]] = {
+    def decode(kind: String, payload: Array[Byte], width: Int, height: Int, durationMs: Int): Option[Decoded] = {
       if (payload.isEmpty) return None // corrupt asset path
       val out = new Array[Float](8)
       var h = 1125899906842597L
@@ -40,28 +196,95 @@ object Multimodal {
         out(j) = ((h >>> 40).toInt % 1000) / 1000.0f
         j += 1
       }
-      Some(out)
+      Some(Decoded(out, if (kind == "video") math.max(1, durationMs / 1000) else 1))
     }
-    def frameCount(kind: String, durationMs: Int): Int =
-      if (kind == "video") math.max(1, durationMs / 1000) else 1
   }
 
-  /** Deterministic synthetic asset table (payload bytes are a pure
-    * function of asset_id; ~1/16 assets are corrupt/empty).
+  // ------------------------------------------------- synthetic asset table
+
+  /** Little-endian writer helpers. */
+  private def putInt(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >> 8).toByte; b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+  }
+  private def putShort(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+  }
+
+  /** A real 24-bit BMP whose pixels are a pure function of `seed`. */
+  private[pipeline] def syntheticBmp(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val size = 54 + rowSize * h
+    val b = new Array[Byte](size)
+    b(0) = 'B'; b(1) = 'M'
+    putInt(b, 2, size); putInt(b, 10, 54); putInt(b, 14, 40)
+    putInt(b, 18, w); putInt(b, 22, h)
+    putShort(b, 26, 1); putShort(b, 28, 24)
+    putInt(b, 34, rowSize * h)
+    var s = seed
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        b(54 + y * rowSize + 3 * x) = (s >>> 40).toByte
+        b(54 + y * rowSize + 3 * x + 1) = (s >>> 48).toByte
+        b(54 + y * rowSize + 3 * x + 2) = (s >>> 56).toByte
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  /** A real PCM-16 mono WAV whose samples are a pure function of `seed`. */
+  private[pipeline] def syntheticWav(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val b = new Array[Byte](44 + dataLen)
+    "RIFF".getBytes.copyToArray(b, 0)
+    putInt(b, 4, 36 + dataLen)
+    "WAVE".getBytes.copyToArray(b, 8)
+    "fmt ".getBytes.copyToArray(b, 12)
+    putInt(b, 16, 16); putShort(b, 20, 1); putShort(b, 22, 1)
+    putInt(b, 24, sampleRate); putInt(b, 28, sampleRate * 2)
+    putShort(b, 32, 2); putShort(b, 34, 16)
+    "data".getBytes.copyToArray(b, 36)
+    putInt(b, 40, dataLen)
+    var s = seed
+    var i = 0
+    while (i < nSamples) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      // sine carrier + hash dither, all integer-deterministic
+      val v = (math.sin(i * 2.0 * math.Pi / 64.0) * 12000).toInt + ((s >>> 56).toByte / 4)
+      putShort(b, 44 + 2 * i, v)
+      i += 1
+    }
+    b
+  }
+
+  /** Deterministic synthetic asset table with REAL payloads (BMP / WAV /
+    * BMP-sequence; pure function of asset_id). ~1/16 assets are corrupt:
+    * empty or truncated payloads the decoders must flag, not crash on.
     */
   def syntheticAssets(spark: SparkSession, n: Long, partitions: Int = 32): Dataset[AssetRow] = {
     import spark.implicits._
     val kinds = Array("image", "audio", "video")
     spark.range(0, n, 1, partitions).map { id =>
       val kind = kinds((id % 3).toInt)
-      val len = if (id % 16 == 15) 0 else 64 + (id % 192).toInt
-      val payload = new Array[Byte](len)
-      var h = id
-      var i = 0
-      while (i < len) { h = h * 6364136223846793005L + 1442695040888963407L; payload(i) = (h >>> 56).toByte; i += 1 }
+      val w = 8 + (id % 9).toInt
+      val h = 8 + (id % 5).toInt
+      val frames = 1 + (id % 4).toInt
+      val full: Array[Byte] = kind match {
+        case "image" => syntheticBmp(w, h, id)
+        case "audio" => syntheticWav(256 + (id % 1024).toInt, 16000, id)
+        case _ => (0 until frames).map(f => syntheticBmp(w, h, id * 31 + f)).reduce(_ ++ _)
+      }
+      val payload =
+        if (id % 16 == 15) Array.emptyByteArray // corrupt: empty
+        else if (id % 16 == 7) full.take(full.length / 2) // corrupt: truncated
+        else full
       AssetRow(id, s"http://test.example/asset/$id", kind, payload,
-        width = 64 + (id % 512).toInt, height = 64 + (id % 256).toInt,
-        durationMs = if (kind == "video") (1000 + id % 30000).toInt else 0)
+        width = w, height = h,
+        durationMs = if (kind == "video") frames * 1000 else 0)
     }
   }
 
@@ -69,13 +292,13 @@ object Multimodal {
     * column (the Scala-engine equivalent of a mapInPandas batch UDF) —
     * bounded memory per task, corrupt assets flagged not fatal.
     */
-  def extractFeatures(assets: Dataset[AssetRow], decoder: AssetDecoder = FakeDecoder): Dataset[AssetFeatures] = {
+  def extractFeatures(assets: Dataset[AssetRow], decoder: AssetDecoder = PureJvmDecoder): Dataset[AssetFeatures] = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.mapPartitions { it =>
       it.map { a =>
-        decoder.decode(a.kind, a.payload, a.width, a.height) match {
-          case Some(f) => AssetFeatures(a.asset_id, a.kind, ok = true, f, decoder.frameCount(a.kind, a.durationMs))
+        decoder.decode(a.kind, a.payload, a.width, a.height, a.durationMs) match {
+          case Some(d) => AssetFeatures(a.asset_id, a.kind, ok = true, d.features, d.frames)
           case None => AssetFeatures(a.asset_id, a.kind, ok = false, Array.empty, 0)
         }
       }
@@ -85,7 +308,7 @@ object Multimodal {
   /** Relational summary over extracted features (joins the asset and
     * feature tables; demonstrates the downstream-consumption shape).
     */
-  def featureSummary(assets: Dataset[AssetRow], decoder: AssetDecoder = FakeDecoder) = {
+  def featureSummary(assets: Dataset[AssetRow], decoder: AssetDecoder = PureJvmDecoder) = {
     val feats = extractFeatures(assets, decoder)
     feats.groupBy(col("kind"))
       .agg(

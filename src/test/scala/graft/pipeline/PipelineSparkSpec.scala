@@ -195,6 +195,33 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming exact dedup emits each fingerprint once across batches (custom state)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingExtract.streamingExactDedup(
+      mem.toDF().toDF("doc_id", "text", "event_ts"))
+      .toDF("fp", "keep_id")
+      .writeStream.format("memory").queryName("stream_dedup").outputMode("append").start()
+    // batch 1: two copies of A (normalized-equal), one B
+    mem.addData(Seq((5L, "Hello   World", ts), (9L, "hello world", ts), (2L, "other text", ts)))
+    q.processAllAvailable()
+    // batch 2: another copy of A (must be suppressed by state), new C
+    mem.addData(Seq((1L, "HELLO WORLD", ts), (7L, "third thing", ts)))
+    q.processAllAvailable()
+    q.stop()
+    val out = s.sql("SELECT fp, keep_id FROM stream_dedup").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.length == 3, out.mkString(","))
+    val byFp = out.toMap
+    // A's keeper is the min doc_id of the FIRST batch it appeared in (5),
+    // not the later duplicate (1)
+    assert(byFp.values.toSet == Set(5L, 2L, 7L), out.mkString(","))
+  }
+
   test("SparkEntry.entry (driver smoke contract) returns triples") {
     val df = graft.SparkEntry.entry(spark)
     assert(df.limit(5).count() > 0)
