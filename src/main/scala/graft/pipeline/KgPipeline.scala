@@ -198,24 +198,35 @@ object KgPipeline {
       .where(col("jaccard") >= 0.9)
       .select("e1", "e2").distinct()
 
-    // connected components: iterative min-label propagation (bounded)
+    // connected components: iterative min-label propagation. Label
+    // propagation needs O(diameter) rounds; alias-similarity clusters
+    // are near-cliques (tiny diameter), so the cap is generous — but a
+    // silent early exit would mis-canonicalize long chains, so
+    // non-convergence is LOUD, not swallowed.
     var labels = entities.select(col("entity"), col("entity").as("canon"))
     val edgesBoth = pairs.union(pairs.select(col("e2").as("e1"), col("e1").as("e2")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val maxIters = 25
     var i = 0
     var converged = false
-    while (i < 5 && !converged) {
+    while (i < maxIters && !converged) {
       val neighborMin = edgesBoth.join(labels, edgesBoth("e2") === labels("entity"))
         .groupBy(col("e1").as("entity2")).agg(min(col("canon")).as("ncanon"))
       val next = labels.join(neighborMin, labels("entity") === neighborMin("entity2"), "left")
         .select(col("entity"), least(col("canon"), coalesce(col("ncanon"), col("canon"))).as("canon"))
       val changed = next.join(labels.withColumnRenamed("canon", "old"), "entity")
         .where(col("canon") =!= col("old")).limit(1).count()
+      val prev = labels
       labels = next.persist(StorageLevel.MEMORY_AND_DISK)
+      prev.unpersist()
       converged = changed == 0
       i += 1
     }
     edgesBoth.unpersist()
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"canonicalize: connected components did NOT converge in $maxIters rounds — " +
+          "alias chains longer than the cap exist; canonical ids for those chains are unstable")
     labels
   }
 
@@ -281,7 +292,7 @@ object KgPipeline {
     *     RDF set semantics (repeated descriptions of one subject merge),
     *     so no truncation and no per-subject materialization.
     */
-  def exportRdfXml(edges: DataFrame, maxChunk: Int = 1000): Dataset[String] = {
+  def exportRdfXml(edges: DataFrame, maxChunk: Int = 1000, selfContained: Boolean = false): Dataset[String] = {
     val spark = edges.sparkSession
     import spark.implicits._
     import graft.rdf.{BNode, Iri, Lit, RdfGraph, Triple, Vocab}
@@ -307,11 +318,26 @@ object KgPipeline {
           }
           (Iterator(pNs) ++ tyNs.iterator).filter(_.nonEmpty)
         }.map(ns => nsPrefix(ns) -> ns).toMap
-      try RdfXmlEncoder.stream(RdfGraph(triples, prefixes = prefixes))
-        .drop(2) // per-chunk: skip prolog + open tag, keep description lines
-        .takeWhile(_ != "</rdf:RDF>")
-        .mkString
-      catch { case _: RdfXmlEncoder.EncodeError => "" } // unprefixable predicate: skip chunk
+      try {
+        val line = RdfXmlEncoder.stream(RdfGraph(triples, prefixes = prefixes))
+          .drop(2) // per-chunk: skip prolog + open tag, keep description lines
+          .takeWhile(_ != "</rdf:RDF>")
+          .mkString
+        // selfContained: declare the chunk's namespaces ON the element
+        // itself (legal on any XML element), so lines can be wrapped by
+        // a bare <rdf:RDF xmlns:rdf=...> root with no coordination
+        if (!selfContained || line.isEmpty) line
+        else {
+          val decls = (prefixes - "rdf").toSeq.sorted
+            .map { case (p, ns) => s"""xmlns:$p="${graft.xml.XmlOut.escape(ns)}"""" }
+            .mkString(" ")
+          if (decls.isEmpty) line
+          else {
+            val i = line.indexOf(' ') // right after the element name
+            line.substring(0, i) + " " + decls + line.substring(i)
+          }
+        }
+      } catch { case _: RdfXmlEncoder.EncodeError => "" } // unprefixable predicate: skip chunk
     }
     edges
       .select("subj", "pred", "obj", "objKind", "lang", "datatype")
@@ -331,6 +357,28 @@ object KgPipeline {
           }
         }
       }
+  }
+
+  /** Write the edge table as VALID standalone RDF/XML documents, one
+    * per output partition: self-contained description elements (each
+    * declares its own namespaces) streamed between a bare
+    * `<rdf:RDF xmlns:rdf=...>` root and its close tag. No coordination,
+    * no driver collect, memory bounded by [[exportRdfXml]]'s chunking;
+    * every output file re-parses with [[graft.xml.RdfXmlParser]].
+    */
+  def writeRdfXml(edges: DataFrame, outDir: String, maxChunk: Int = 1000): Unit = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    exportRdfXml(edges, maxChunk, selfContained = true)
+      .mapPartitions { lines =>
+        val nonEmpty = lines.filter(_.nonEmpty)
+        if (!nonEmpty.hasNext) Iterator.empty
+        else
+          Iterator.single(
+            s"""<?xml version="1.0" encoding="utf-8"?>\n<rdf:RDF xmlns:rdf="${graft.rdf.Vocab.rdfNs}">""") ++
+            nonEmpty ++ Iterator.single("</rdf:RDF>")
+      }
+      .write.mode(SaveMode.Overwrite).text(outDir)
   }
 
   /** Node table with degree counts — salted two-phase aggregation so hub

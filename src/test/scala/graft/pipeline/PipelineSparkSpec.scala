@@ -172,6 +172,28 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.rdf.Iri("http://ex.org/obj"))))
   }
 
+  test("writeRdfXml emits valid standalone documents that re-parse to the input graph") {
+    val s = spark
+    import s.implicits._
+    val edges = (1 to 30).map(i =>
+      ("u", s"http://ex.org/s${i % 7}", s"http://ex.org/vocab/p${i % 5}", s"val$i", "literal",
+        null: String, null: String))
+      .toDF("url", "subj", "pred", "obj", "objKind", "lang", "datatype")
+    val dir = java.nio.file.Files.createTempDirectory("graft_writerdf").toString + "/out"
+    KgPipeline.writeRdfXml(edges, dir, maxChunk = 4)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".txt"))
+    assert(files.nonEmpty)
+    val reparsed = files.flatMap { f =>
+      val content = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      if (content.isEmpty) Set.empty[graft.rdf.Triple]
+      else graft.xml.RdfXmlParser.parse(content).fold(e => fail(e.message + "\n" + content), _.triples)
+    }.toSet
+    assert(reparsed.size == 30)
+    assert(reparsed.contains(graft.rdf.Triple(
+      graft.rdf.Iri("http://ex.org/s1"), graft.rdf.Iri("http://ex.org/vocab/p1"),
+      graft.rdf.Lit.plain("val1"))))
+  }
+
   test("streaming extraction equals batch extraction on the same pages") {
     val s = spark
     import s.implicits._
