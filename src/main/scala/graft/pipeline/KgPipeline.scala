@@ -381,6 +381,22 @@ object KgPipeline {
       .write.mode(SaveMode.Overwrite).text(outDir)
   }
 
+  /** Bucket-materialize a graph table for co-located joins: hash-
+    * bucketed AND sorted by subject, so subject-keyed joins between two
+    * such tables (edges ⋈ nodes, edges ⋈ edges for 2-hop) read
+    * bucket-aligned files and skip the shuffle entirely — at 100 TB the
+    * shuffle IS the cost of iterative graph queries, and bucketing
+    * amortizes it into the single materialize write. (The Iceberg-style
+    * layout from SURVEY §1.2, realized as a bucketed parquet catalog
+    * table.)
+    */
+  def materializeBucketed(df: DataFrame, table: String, buckets: Int = 16): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "subj")
+      .sortBy("subj")
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Node table with degree counts — salted two-phase aggregation so hub
     * subjects (rdf:type objects, popular entities) cannot skew one
     * reducer at 100 TB.

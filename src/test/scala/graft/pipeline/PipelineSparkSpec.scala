@@ -250,6 +250,29 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.columns.toSet == Set("url", "subj", "pred", "obj", "objKind", "lang", "datatype"))
   }
 
+  test("bucketed graph tables join co-located — no shuffle in the plan") {
+    val s = spark
+    import s.implicits._
+    val edges = (1 to 200).map(i => (s"http://ex/s${i % 40}", s"http://ex/p${i % 5}", s"o$i"))
+      .toDF("subj", "pred", "obj")
+    val nodes = (0 until 40).map(i => (s"http://ex/s$i", i.toLong)).toDF("subj", "outDegree")
+    KgPipeline.materializeBucketed(edges, "graft_edges_t")
+    KgPipeline.materializeBucketed(nodes, "graft_nodes_t")
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ to expose the shuffle question
+      val joined = s.table("graft_edges_t").join(s.table("graft_nodes_t"), "subj")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), plan) // bucket-aligned: shuffle-free
+      assert(joined.count() == 200)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      s.sql("DROP TABLE IF EXISTS graft_edges_t")
+      s.sql("DROP TABLE IF EXISTS graft_nodes_t")
+    }
+  }
+
   test("extraction plan prunes the parquet scan to url+html") {
     val s = spark
     import s.implicits._
