@@ -349,13 +349,15 @@ object Bench {
          |${(results.map { case (k, v) => f"| $k | $v%.3f |" } ++
              failed.map(k => s"| $k | FAILED |")).mkString("\n")}
          |""".stripMargin
-    Files.writeString(benchDir.resolve("BASELINE.md"), md)
+    // a SCALING_ONLY probe run must not clobber the published full-bench
+    // numbers — it lands in a sibling probe file instead
+    Files.writeString(benchDir.resolve(if (scalingOnly) "SCALING_PROBE.md" else "BASELINE.md"), md)
 
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract":{"pagesN":$pN,"triplesN":$tN,"secN":$sN%.3f,"pages4N":$p4N,"triples4N":$t4N,"sec4N":$s4N%.3f,"cores_N":4,"cores_4N":16,"triples_per_sec_N":$thN%.0f,"triples_per_sec_4N":$th4N%.0f,"scaling_efficiency":$eff%.3f,"trials":$trials,"steal_rejected":$rejected,"attempts":$attempts,"estimator":"min_of_steal_clean_trials","secN_median":$sNmed%.3f,"sec4N_median":$s4Nmed%.3f,"scaling_efficiency_steal_corrected":$effCorr%.3f,"secN_spread":[${spreadN._1}%.3f,${spreadN._2}%.3f],"sec4N_spread":[${spread4N._1}%.3f,${spread4N._2}%.3f]}}"""
     // machine-readable copy — the driver failed to parse round 1's
     // sbt-wrapped stdout, so the same JSON also lands in a file
-    Files.writeString(benchDir.resolve("result.json"), json + "\n")
+    Files.writeString(benchDir.resolve(if (scalingOnly) "scaling_probe.json" else "result.json"), json + "\n")
     println(json)
   }
 }

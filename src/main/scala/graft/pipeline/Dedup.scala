@@ -41,12 +41,6 @@ object Dedup {
     )
   }
 
-  /** MinHash signature over a shingle array: nHashes seeded xxhash64
-    * minima — one array column, fully codegen.
-    */
-  def minhashSig(shingleCol: Column, nHashes: Int): Column =
-    array((0 until nHashes).map(i => array_min(transform(shingleCol, s => xxhash64(s, lit(i))))): _*)
-
   /** MinHash-LSH near-dup candidate pairs with exact-Jaccard verify.
     * bands*rows must equal nHashes. Hot buckets (more than `maxBucket`
     * members) are suppressed — the standard skew guard: a degenerate
@@ -114,19 +108,19 @@ object Dedup {
     * is bucketed, never all-pairs.
     */
   def simhash(documents: DataFrame, maxHamming: Int = 3, maxBucket: Int = 500): DataFrame = {
-    // hash every word ONCE into a long array, then fold the 32 sign
-    // counters over the longs — the naive form recomputes hash(w)
-    // 32 times per word (once per bit), a pure CPU tax at 100 TB
-    val hashed = documents.select(
-      col("doc_id"), transform(wordSet(col("text")), w => hash(w)).as("hs"))
-    val bitCols = (0 until 32).map { b =>
-      aggregate(col("hs"), lit(0),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
-    }
-    val sim = bitCols.zipWithIndex.map { case (c, b) =>
-      when(c > 0, lit(1L << b)).otherwise(0L)
-    }.reduce((a, b) => a + b)
-    val withSim = hashed.select(col("doc_id"), sim.as("simhash"))
+    // relational sign counters: explode the (distinct) word set, hash
+    // each word ONCE with a codegen'd expression, fold all 32 sign sums
+    // in one map-side-combinable groupBy — array-lambda folds are
+    // interpreted and would cost 32 x |words| lambda evals per doc
+    val hw = documents
+      .select(col("doc_id"), explode(wordSet(col("text"))).as("w"))
+      .select(col("doc_id"), hash(col("w")).as("h"))
+    val bitSums = (0 until 32).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b"))
+    val agg = hw.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 32).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)).reduce((a, b) => a + b)
+    val withSim = agg.select(col("doc_id"), sim.as("simhash"))
     val chunked0 = withSim.select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c => shiftright(col("simhash"), c * 8).bitwiseAND(255)): _*))
@@ -154,17 +148,17 @@ object Dedup {
     * hash and is gated by planted-pair tests instead.
     */
   def simhashMd5(documents: DataFrame): DataFrame = {
-    val hs = documents
-      .select(col("doc_id"), transform(wordSet(col("text")), w => md5(w)).as("hs"))
-      .where(size(col("hs")) > 0)
-    val bitCols = (0 until 32).map { b =>
-      aggregate(col("hs"), lit(0),
-        (acc, h) => acc + when(substring(h, b + 1, 1) >= "8", 1).otherwise(-1))
-    }
-    val sim = bitCols.zipWithIndex.map { case (c, b) =>
-      when(c > 0, lit(1L << b)).otherwise(0L)
-    }.reduce((a, b) => a + b)
-    hs.select(col("doc_id"), sim.as("simhash"))
+    // same relational shape as simhash (the oracle SQL is itself
+    // relational, so this mirrors it stage for stage)
+    val hw = documents
+      .select(col("doc_id"), explode(wordSet(col("text"))).as("w"))
+      .select(col("doc_id"), md5(col("w")).as("h"))
+    val bitSums = (0 until 32).map(b =>
+      sum(when(substring(col("h"), b + 1, 1) >= "8", 1).otherwise(-1)).as(s"s$b"))
+    val agg = hw.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 32).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)).reduce((a, b) => a + b)
+    agg.select(col("doc_id"), sim.as("simhash"))
   }
 
   /** Cross-engine-exact MinHash-LSH pair recovery: signatures are

@@ -40,12 +40,15 @@ object Multimodal {
   object PureJvmDecoder extends AssetDecoder {
 
     def decode(kind: String, payload: Array[Byte], width: Int, height: Int, durationMs: Int): Option[Decoded] =
-      kind match {
+      // belt-and-braces: header fields are range-validated below, but a
+      // crafted payload that slips past a check must still flag as
+      // corrupt, never kill the task ("corrupt flagged, not fatal")
+      try kind match {
         case "image" => decodeBmp(payload, 0).map { case (f, _) => Decoded(f, 1) }
         case "audio" => decodeWav(payload).map(Decoded(_, 1))
         case "video" => decodeBmpSequence(payload)
         case _ => None
-      }
+      } catch { case _: IndexOutOfBoundsException | _: ArithmeticException | _: NegativeArraySizeException => None }
 
     /** 24-bit uncompressed BMP at `off`. Returns (features, byteLength).
       * Features: meanR, meanG, meanB, luma stddev, w/1024, h/1024,
@@ -62,9 +65,13 @@ object Multimodal {
       val h = bb.getInt(off + 22)
       val bpp = bb.getShort(off + 28) & 0xffff
       val compression = bb.getInt(off + 30)
-      if (hdrSize < 40 || bpp != 24 || compression != 0 || w <= 0 || h <= 0) return None
+      // sign/overflow sanitization: negative dataOff or huge w/h would
+      // wrap the bounds arithmetic and crash instead of returning None
+      if (hdrSize < 40 || bpp != 24 || compression != 0 ||
+        w <= 0 || h <= 0 || w > (1 << 15) || h > (1 << 15) ||
+        dataOff < 54 || dataOff > p.length) return None
       val rowSize = ((3 * w + 3) / 4) * 4
-      if (off + dataOff + rowSize.toLong * h > p.length) return None
+      if (off.toLong + dataOff + rowSize.toLong * h > p.length) return None
       var sr = 0L; var sg = 0L; var sb = 0L
       var sl = 0.0; var sl2 = 0.0
       var y = 0
@@ -111,7 +118,7 @@ object Multimodal {
       while (pos + 8 <= p.length) {
         val id = new String(p, pos, 4, "US-ASCII")
         val len = bb.getInt(pos + 4)
-        if (len < 0 || pos + 8 + len > p.length) return None
+        if (len < 0 || pos.toLong + 8 + len > p.length) return None // long math: no wrap
         id match {
           case "fmt " =>
             if (len < 16) return None
@@ -159,7 +166,7 @@ object Multimodal {
       var count = 0
       while (off + 54 <= p.length && p(off) == 'B' && p(off + 1) == 'M') {
         val size = ByteBuffer.wrap(p, off + 2, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
-        if (size < 54 || off + size > p.length) return None // truncated frame
+        if (size < 54 || off.toLong + size > p.length) return None // truncated frame (long math: no wrap)
         offs += off
         count += 1
         off += size

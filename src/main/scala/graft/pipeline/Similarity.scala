@@ -64,22 +64,6 @@ object Similarity {
   private def weight(dimIdx: Column, plane: Int): Column =
     (pmod(xxhash64(dimIdx, lit(plane)), lit(2000001L)) - 1000000L).cast("double") / 1000000.0d
 
-  /** Sign-sketch bucket id from `planes` hyperplanes starting at global
-    * plane index `planeOffset` — distinct offsets give INDEPENDENT
-    * hyperplane sets (each sketch table must draw its own planes, or the
-    * extra tables add cost with zero recall). Array-lambda formulation,
-    * kept for unit use; the scale path is the relational [[sketch]].
-    */
-  def lshBucket(vec: Column, planes: Int, planeOffset: Int = 0): Column = {
-    val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) => v * weight(i, planeOffset + p)),
-        lit(0.0d), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << p)).otherwise(0L)
-    }
-    bits.reduce((a, b) => a + b)
-  }
-
   /** All `tables` sketch buckets per vector, computed RELATIONALLY:
     * posexplode the embedding once, project every (table, plane) in one
     * map-side-combinable groupBy of codegen'd expressions. The array-
@@ -115,16 +99,38 @@ object Similarity {
     sketched.join(broadcast(hot), Seq("table", "bucket"), "left_anti")
   }
 
+  /** Relational quantized-cosine scoring of id pairs against a vector
+    * corpus: per-dimension rows quantized to integer micro-units, dot
+    * products and squared norms as codegen'd integer aggregations —
+    * work proportional to |pairs| x dims, order-independent
+    * (deterministic), no array ever shuffled. Shared verify kernel of
+    * [[lshCosine]] and [[embeddingNearDup]].
+    */
+  private def relationalCosine(pairs: DataFrame, corpus: DataFrame, l: String, r: String): DataFrame = {
+    val expl = corpus.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"), round(col("v").cast("double") * 1000000L).cast("bigint").as("q"))
+    val norms = expl.groupBy(col("vec_id")).agg(sum(col("q") * col("q")).as("n2"))
+    val dots = pairs
+      .join(expl.select(col("vec_id").as(l), col("dim"), col("q").as("ql")), Seq(l))
+      .join(expl.select(col("vec_id").as(r), col("dim"), col("q").as("qr")), Seq(r, "dim"))
+      .groupBy(col(l), col(r))
+      .agg(sum(col("ql") * col("qr")).as("dot"))
+    dots
+      .join(norms.select(col("vec_id").as(l), col("n2").as("n2l")), Seq(l))
+      .join(norms.select(col("vec_id").as(r), col("n2").as("n2r")), Seq(r))
+      .select(col(l), col(r),
+        round(col("dot").cast("double") /
+          (sqrt(col("n2l").cast("double")) * sqrt(col("n2r").cast("double"))), 6).as("cos"))
+  }
+
   /** ANN via random-hyperplane LSH: same-bucket candidates (over
-    * `tables` independent sketch tables) re-ranked by exact cosine.
+    * `tables` independent sketch tables) re-ranked by quantized cosine.
     * Bucket join replaces the all-pairs product — the 100 TB path.
     */
   def lshCosine(corpus: DataFrame, k: Int = 5, planes: Int = 8, tables: Int = 3,
                 maxBucket: Int = 1000): DataFrame = {
-    // id-only bucket join + pair dedup BEFORE the exact re-rank: the
-    // embedding arrays never ride the |tables|-way self-join, and a pair
-    // sharing t buckets is scored once, not t times — they are joined
-    // back exactly once per side of each unique candidate pair
+    // id-only bucket join + pair dedup BEFORE the exact re-rank; the
+    // re-rank is the relational quantized-cosine kernel
     val sketched = suppressHot(sketch(corpus, planes, tables), maxBucket)
     val ids = sketched.select(col("table"), col("bucket"), col("vec_id"))
     val l = ids.select(col("table"), col("bucket"), col("vec_id").as("query_id"))
@@ -133,12 +139,7 @@ object Similarity {
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"))
       .distinct()
-    val emb = corpus.select(col("vec_id"), col("embedding"))
-    val scored = candIds
-      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qvec")), Seq("query_id"))
-      .join(emb.select(col("vec_id").as("corpus_id"), col("embedding").as("cvec")), Seq("corpus_id"))
-      .select(col("query_id"), col("corpus_id"),
-        round(cosine(col("qvec"), col("cvec")), 6).as("cos"))
+    val scored = relationalCosine(candIds, corpus, "query_id", "corpus_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
@@ -149,12 +150,9 @@ object Similarity {
     */
   def embeddingNearDup(corpus: DataFrame, threshold: Double = 0.95, planes: Int = 8, tables: Int = 3,
                        maxBucket: Int = 1000): DataFrame = {
-    // ids through the bucket join, distinct pairs, then a RELATIONAL
-    // cosine verify: per-dimension rows quantized to integer micro-
-    // units, dot products and squared norms as codegen'd integer
-    // aggregations (array-lambda cosine is interpreted, ~50us/pair).
-    // Work stays proportional to |candidates| x dims, deterministic
-    // (integer sums are order-independent), and no array is shuffled.
+    // ids through the bucket join, distinct pairs, then the relational
+    // quantized-cosine verify (array-lambda cosine is interpreted,
+    // ~50us/pair — see relationalCosine)
     val sketched = suppressHot(sketch(corpus, planes, tables), maxBucket)
     val ids = sketched.select(col("table"), col("bucket"), col("vec_id"))
     val l = ids.select(col("table"), col("bucket"), col("vec_id").as("a"))
@@ -163,19 +161,7 @@ object Similarity {
       .where(col("a") < col("b"))
       .select(col("a"), col("b"))
       .distinct()
-    val expl = corpus.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
-      .select(col("vec_id"), col("dim"), round(col("v").cast("double") * 1000000L).cast("bigint").as("q"))
-    val norms = expl.groupBy(col("vec_id")).agg(sum(col("q") * col("q")).as("n2"))
-    val dots = candIds
-      .join(expl.select(col("vec_id").as("a"), col("dim"), col("q").as("qa")), Seq("a"))
-      .join(expl.select(col("vec_id").as("b"), col("dim"), col("q").as("qb")), Seq("b", "dim"))
-      .groupBy(col("a"), col("b"))
-      .agg(sum(col("qa") * col("qb")).as("dot"))
-    dots
-      .join(norms.select(col("vec_id").as("a"), col("n2").as("n2a")), Seq("a"))
-      .join(norms.select(col("vec_id").as("b"), col("n2").as("n2b")), Seq("b"))
-      .select(col("a"), col("b"),
-        round(col("dot").cast("double") / (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))), 6).as("cos"))
+    relationalCosine(candIds, corpus, "a", "b")
       .where(col("cos") >= threshold)
   }
 }

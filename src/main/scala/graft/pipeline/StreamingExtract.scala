@@ -56,14 +56,19 @@ object StreamingExtract {
     * Input columns: (doc_id bigint, text string, event_ts timestamp).
     * Output: (fp, keep_id, first emission only).
     */
-  def streamingExactDedup(docs: DataFrame, stateTtl: String = "1 hour",
-                          ttlMs: Long = 3600000L): Dataset[(String, Long)] = {
+  def streamingExactDedup(docs: DataFrame,
+                          stateTtl: scala.concurrent.duration.FiniteDuration =
+                            scala.concurrent.duration.Duration(1, "hour")): Dataset[(String, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // ONE ttl drives both the watermark and the state timeout — two
+    // independent knobs could silently disagree (state living 12x the
+    // requested window, or early re-emission)
+    val ttlMs = stateTtl.toMillis
     docs
       .select(col("doc_id"), col("text"), col("event_ts"))
       .withColumn("fp", TextOps.fingerprint(col("text")))
-      .withWatermark("event_ts", stateTtl)
+      .withWatermark("event_ts", s"${stateTtl.toSeconds} seconds")
       .as[(Long, String, java.sql.Timestamp, String)]
       .groupByKey(_._4)
       .flatMapGroupsWithState[Long, (String, Long)](
