@@ -220,43 +220,81 @@ object Bench {
       val (s1, t1) = stealTotal()
       (r, if (t1 > t0) 100.0 * (s1 - s0) / (t1 - t0) * 32.0 / activeCores else 0.0)
     }
-    val nVal = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-    val qVal = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-    val nAll = scala.collection.mutable.ArrayBuffer.empty[((Long, Long, Double), Double)]
-    val qAll = scala.collection.mutable.ArrayBuffer.empty[((Long, Long, Double), Double)]
+    // CANARY: a fixed single-thread parse workload timed immediately
+    // before and after every trial. Co-tenant memory-bandwidth load is
+    // INVISIBLE to /proc/stat steal (the vCPU runs, just slower) but
+    // shows directly in this number — trials whose canary is >10% above
+    // the session-best canary ran on a loud host and are excluded.
+    val canaryPages: Vector[(String, Array[Byte])] = {
+      val fx = SyntheticPages.fixtureFiles().toVector
+      (0 until 4000).map { i =>
+        val (rel, b) = fx(i % fx.size)
+        val p = SyntheticPages.page(rel, b, copy = i, rowIdx = i.toLong)
+        (p.url, p.html)
+      }.toVector
+    }
+    // ~1s of single-thread parse: long enough that scheduling jitter
+    // averages out and the reading reflects effective memory bandwidth
+    def canarySec(): Double = {
+      val t0 = System.nanoTime()
+      var rep = 0
+      while (rep < 3) {
+        canaryPages.foreach { case (u, h) => Extract.triplesOf(u, h) }
+        rep += 1
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    (1 to 3).foreach(_ => canarySec()) // JIT warm
+
+    final case class Trial(res: (Long, Long, Double), steal: Double, canary: Double)
+    val nAll = scala.collection.mutable.ArrayBuffer.empty[Trial]
+    val qAll = scala.collection.mutable.ArrayBuffer.empty[Trial]
+    def minCanary: Double =
+      ((nAll.iterator ++ qAll.iterator).map(_.canary) ++ Iterator(Double.MaxValue)).min
+    def isClean(t: Trial): Boolean =
+      t.steal <= maxStealPct && t.canary <= minCanary * 1.15
     var attempts = 0
-    var rejected = 0
-    // steal bursts on shared hosts are co-tenant jobs lasting tens of
+    // noise bursts on shared hosts are co-tenant jobs lasting tens of
     // seconds — back off after a polluted trial instead of immediately
     // re-measuring into the same burst; bounded by attempt count AND an
     // overall retry-time budget so the driver never hangs here
     val retryDeadline = System.nanoTime() +
-      sys.env.getOrElse("SPARK_GRAFT_STEAL_RETRY_BUDGET_SEC", "420").toLong * 1000000000L
+      sys.env.getOrElse("SPARK_GRAFT_STEAL_RETRY_BUDGET_SEC", "600").toLong * 1000000000L
     def budgetLeft: Boolean = System.nanoTime() < retryDeadline
-    while ((nVal.size < trials || qVal.size < trials) && attempts < trials * 4 &&
-      (budgetLeft || (nVal.isEmpty || qVal.isEmpty))) {
+    def cleanCount(ts: scala.collection.mutable.ArrayBuffer[Trial]): Int = ts.count(isClean)
+    while ((cleanCount(nAll) < trials || cleanCount(qAll) < trials) && attempts < trials * 4 &&
+      (budgetLeft || nAll.isEmpty || qAll.isEmpty)) {
       attempts += 1
       var dirty = false
-      if (nVal.size < trials) {
+      if (cleanCount(nAll) < trials) {
+        val c0 = canarySec()
         val (r, st) = measured(runN _, activeCores = 4)
-        nAll += ((r, st))
-        if (st <= maxStealPct) nVal += r else { rejected += 1; dirty = true }
-        System.err.println(f"[bench] trial $attempts N: sec=${r._3}%.2f steal(busy)=$st%.2f%% ${if (st <= maxStealPct) "ok" else "REJECTED"}")
+        val c1 = canarySec()
+        val t = Trial(r, st, math.max(c0, c1))
+        nAll += t
+        if (!isClean(t)) dirty = true
+        System.err.println(f"[bench] trial $attempts N: sec=${r._3}%.2f steal(busy)=$st%.2f%% canary=${t.canary}%.2f ${if (isClean(t)) "ok" else "REJECTED"}")
       }
-      if (qVal.size < trials) {
+      if (cleanCount(qAll) < trials) {
+        val c0 = canarySec()
         val (r, st) = measured(run4N _, activeCores = 16)
-        qAll += ((r, st))
-        if (st <= maxStealPct) qVal += r else { rejected += 1; dirty = true }
-        System.err.println(f"[bench] trial $attempts 4N: sec=${r._3}%.2f steal(busy)=$st%.2f%% ${if (st <= maxStealPct) "ok" else "REJECTED"}")
+        val c1 = canarySec()
+        val t = Trial(r, st, math.max(c0, c1))
+        qAll += t
+        if (!isClean(t)) dirty = true
+        System.err.println(f"[bench] trial $attempts 4N: sec=${r._3}%.2f steal(busy)=$st%.2f%% canary=${t.canary}%.2f ${if (isClean(t)) "ok" else "REJECTED"}")
       }
       if (dirty && budgetLeft) Thread.sleep(20000)
     }
-    // fallback if the host never quiets down: least-stolen trials
-    def valid(vs: scala.collection.mutable.ArrayBuffer[(Long, Long, Double)],
-              all: scala.collection.mutable.ArrayBuffer[((Long, Long, Double), Double)]): Seq[(Long, Long, Double)] =
-      if (vs.nonEmpty) vs.toSeq else all.sortBy(_._2).take(math.max(1, trials / 2)).map(_._1).toSeq
-    val nRuns = valid(nVal, nAll)
-    val qRuns = valid(qVal, qAll)
+    val rejected = nAll.count(!isClean(_)) + qAll.count(!isClean(_))
+    // fallback if the host never quiets down: least-noisy trials
+    def valid(all: scala.collection.mutable.ArrayBuffer[Trial]): Seq[(Long, Long, Double)] = {
+      val clean = all.filter(isClean)
+      if (clean.nonEmpty) clean.map(_.res).toSeq
+      else all.sortBy(t => t.canary).take(math.max(1, trials / 2)).map(_.res).toSeq
+    }
+    val nRuns = valid(nAll)
+    val qRuns = valid(qAll)
     // Estimator: MINIMUM over steal-clean trials. Contention noise on a
     // shared host is strictly additive (it only ever slows a run), so
     // the min is the least-biased estimate of the machine's capability
@@ -281,10 +319,10 @@ object Bench {
     // during a window is hypervisor-deprived CPU on the (only) busy
     // cores, so corrected wall = wall * (1 - steal% * 32/activeCores).
     // Reported alongside, never in place of, the clean-trial median.
-    // st is already busy-core-relative, so corrected wall is simply
-    // wall * (1 - st) — the time the hypervisor did not deprive us of
-    def corrMedian(all: scala.collection.mutable.ArrayBuffer[((Long, Long, Double), Double)]): Double = {
-      val xs = all.map { case ((_, _, s), st) => s * (1.0 - st / 100.0) }.sorted
+    // steal is busy-core-relative, so corrected wall is simply
+    // wall * (1 - steal) — the time the hypervisor did not deprive us of
+    def corrMedian(all: scala.collection.mutable.ArrayBuffer[Trial]): Double = {
+      val xs = all.map(t => t.res._3 * (1.0 - t.steal / 100.0)).sorted
       xs(xs.size / 2)
     }
     val effCorr =
