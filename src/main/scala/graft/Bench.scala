@@ -351,13 +351,18 @@ object Bench {
          |time = slowest child. Children
          |are pinned to dedicated 4-core sets (taskset — the cgroup-cpuset
          |model cluster managers apply to executors). Dirty page cache is
-         |synced and settled before the first timed pass. Trials whose
-         |window shows > $maxStealPct%.1f%% hypervisor steal relative to the
-         |config's busy cores (/proc/stat) are discarded and retried
-         |($rejected rejected of $attempts attempts here) —
-         |this box is a shared VM with intermittent 7-10%% steal, the root
-         |cause of round-1's irreproducible scaling numbers. See
-         |graft.Bench / ExtractRunner.
+         |synced and settled before the first timed pass.
+         |
+         |Noise gating (this box is a shared VM — the root cause of
+         |round-1's irreproducible scaling numbers): a trial is discarded
+         |and retried if (a) its window shows > $maxStealPct%.1f%% hypervisor
+         |steal relative to the config's busy cores (/proc/stat), or (b) a
+         |~1s single-thread parse CANARY timed immediately before/after the
+         |trial runs >15%% slower than the session best — co-tenant
+         |memory-bandwidth pressure is invisible to steal accounting but
+         |shows directly in the canary. Here: $rejected trial-measurements
+         |rejected across $attempts interleaved rounds. See graft.Bench /
+         |ExtractRunner.
          |
          || config | pages | triples | table MB | sec (min) | median | spread | pages/sec | triples/sec |
          ||---|---|---|---|---|---|---|---|---|
