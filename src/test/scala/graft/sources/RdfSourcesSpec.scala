@@ -46,6 +46,24 @@ class RdfSourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stripScope(reparsed) == original)
   }
 
+  test("nTriplesFile scopes bnodes per FILE and drops malformed lines") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ntsrc")
+    java.nio.file.Files.writeString(dir.resolve("a.nt"),
+      "_:b0 <http://ex/p> \"from-a\" .\nnot a triple at all\n_:b0 <http://ex/q> \"unterminated .\n")
+    java.nio.file.Files.writeString(dir.resolve("b.nt"),
+      "_:b0 <http://ex/p> \"from-b\" .\n")
+    val rows = RdfSources.nTriplesFile(spark, dir.toString + "/*.nt").collect()
+    // 1 good line per file; the malformed/unterminated lines are dropped
+    assert(rows.length == 2, rows.mkString(","))
+    // equal labels from different files must NOT be conflated after union
+    val subjects = rows.map(_.subj).toSet
+    assert(subjects.size == 2, subjects)
+    assert(subjects.forall(_.startsWith("_:b0@")))
+    // and the per-row url is the actual source file, not the glob
+    assert(rows.map(_.url).toSet.size == 2)
+    assert(rows.forall(r => r.url.endsWith("a.nt") || r.url.endsWith("b.nt")))
+  }
+
   test("toNTriplesLines escapes quotes, backslashes and newlines") {
     val s = spark
     import s.implicits._
