@@ -329,6 +329,20 @@ object Bench {
       if (nAll.nonEmpty && qAll.nonEmpty)
         (t4N / corrMedian(qAll)) / (4.0 * tN / corrMedian(nAll))
       else eff
+    // canary-normalized auxiliary: scale every trial's wall time to the
+    // session-best host speed (sec * bestCanary/trialCanary — a linear
+    // host-speed correction a la reference-machine normalization), then
+    // min over ALL trials. First-order window-independent; N and 4N
+    // trials never share a window, so raw min-of-clean can pair
+    // different weather.
+    def normMin(all: scala.collection.mutable.ArrayBuffer[Trial]): Double = {
+      val canMin = (nAll.iterator ++ qAll.iterator).map(_.canary).min
+      all.map(t => t.res._3 * (canMin / t.canary)).min
+    }
+    val effNorm =
+      if (nAll.nonEmpty && qAll.nonEmpty)
+        (t4N / normMin(qAll)) / (4.0 * tN / normMin(nAll))
+      else eff
     results("extract_throughput") = s4N
 
     val total = results.values.sum
@@ -397,7 +411,7 @@ object Bench {
     Files.writeString(benchDir.resolve(if (scalingOnly) "SCALING_PROBE.md" else "BASELINE.md"), md)
 
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract":{"pagesN":$pN,"triplesN":$tN,"secN":$sN%.3f,"pages4N":$p4N,"triples4N":$t4N,"sec4N":$s4N%.3f,"cores_N":4,"cores_4N":16,"triples_per_sec_N":$thN%.0f,"triples_per_sec_4N":$th4N%.0f,"scaling_efficiency":$eff%.3f,"trials":$trials,"steal_rejected":$rejected,"attempts":$attempts,"estimator":"min_of_steal_clean_trials","secN_median":$sNmed%.3f,"sec4N_median":$s4Nmed%.3f,"scaling_efficiency_steal_corrected":$effCorr%.3f,"secN_spread":[${spreadN._1}%.3f,${spreadN._2}%.3f],"sec4N_spread":[${spread4N._1}%.3f,${spread4N._2}%.3f]}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract":{"pagesN":$pN,"triplesN":$tN,"secN":$sN%.3f,"pages4N":$p4N,"triples4N":$t4N,"sec4N":$s4N%.3f,"cores_N":4,"cores_4N":16,"triples_per_sec_N":$thN%.0f,"triples_per_sec_4N":$th4N%.0f,"scaling_efficiency":$eff%.3f,"trials":$trials,"steal_rejected":$rejected,"attempts":$attempts,"estimator":"min_of_steal_clean_trials","secN_median":$sNmed%.3f,"sec4N_median":$s4Nmed%.3f,"scaling_efficiency_steal_corrected":$effCorr%.3f,"scaling_efficiency_canary_normalized":$effNorm%.3f,"secN_spread":[${spreadN._1}%.3f,${spreadN._2}%.3f],"sec4N_spread":[${spread4N._1}%.3f,${spread4N._2}%.3f]}}"""
     // machine-readable copy — the driver failed to parse round 1's
     // sbt-wrapped stdout, so the same JSON also lands in a file
     Files.writeString(benchDir.resolve(if (scalingOnly) "scaling_probe.json" else "result.json"), json + "\n")
