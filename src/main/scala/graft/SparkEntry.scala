@@ -173,6 +173,10 @@ object SparkEntry {
       Similarity.bruteCosine(emb, emb.where(col("vec_id") < 8), k = 5)
     }),
     "x_ann_lsh" -> ((s, d) => Similarity.lshCosine(t(s, d, "embeddings"), k = 5)),
+    "x_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfCosine(emb, emb.where(col("vec_id") < 8), k = 5)
+    }),
     "x_multimodal_features" -> ((s, _) => Multimodal.featureSummary(Multimodal.syntheticAssets(s, 3000)).toDF()),
     "x_entity_link" -> ((s, _) => {
       import s.implicits._

@@ -145,6 +145,54 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN — the other classic scale path besides
+    * LSH: a KMeans coarse quantizer (nLists centroids, fixed seed)
+    * partitions the corpus into lists; each query probes its `nProbe`
+    * nearest centroids and exact-cosine re-ranks ONLY those lists'
+    * vectors. Corpus-side work is one assignment pass + a list-key
+    * join; the centroid table is tiny and broadcast. At 100 TB the
+    * assigned corpus would be written bucketed by `list` so probes read
+    * only matching buckets. Training uses MLlib KMeans (Euclidean, the
+    * standard IVF quantizer; with roughly-normalized embeddings the
+    * list structure matches cosine neighborhoods).
+    */
+  def ivfCosine(corpus: DataFrame, queries: DataFrame, k: Int = 5, nLists: Int = 32,
+                nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val train = corpus.select(
+      col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("list").fit(train)
+    val assigned = model.transform(train)
+      .select(col("vec_id").as("corpus_id"), col("list"), col("embedding").as("cvec"))
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("list", "centroid")
+    // probe: rank centroids per query (queries are a bounded set, the
+    // centroid side is tiny — broadcast both ways is fine)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cdist").desc, col("list"))
+    val probed = q.join(broadcast(centroids), lit(true))
+      .select(col("query_id"), col("qvec"), col("list"),
+        cosine(col("qvec"), col("centroid")).as("cdist"))
+      .withColumn("pr", row_number().over(probeW))
+      .where(col("pr") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("list"))
+    // exact re-rank inside the probed lists only
+    val scored = probed.join(assigned, Seq("list"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(cosine(col("qvec"), col("cvec")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint")).where(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup by vector space):
     * LSH-bucketed, exact-cosine verified.
     */

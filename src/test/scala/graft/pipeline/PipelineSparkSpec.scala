@@ -102,6 +102,24 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count() > 0)
   }
 
+  test("IVF ANN recovers the same top neighbor as brute force for in-list queries") {
+    val s = spark
+    import s.implicits._
+    // 3 well-separated clusters of 20 vectors each
+    val vecs = (0 until 60).map { i =>
+      val c = i % 3
+      val base = Array.tabulate(8)(j => (if (j == c) 10.0 else 0.0).toFloat)
+      val jitter = Array.tabulate(8)(j => (math.sin(i * 13 + j) * 0.5).toFloat)
+      (i.toLong, base.zip(jitter).map { case (a, b) => a + b }, c)
+    }.toDF("vec_id", "embedding", "label")
+    val queries = vecs.where($"vec_id" < 3)
+    val ivf = Similarity.ivfCosine(vecs, queries, k = 1, nLists = 6, nProbe = 2)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("corpus_id")).toMap
+    val brute = Similarity.bruteCosine(vecs, queries, k = 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("corpus_id")).toMap
+    assert(ivf == brute, s"ivf=$ivf brute=$brute")
+  }
+
   test("entity linking links page tokens to alias-dictionary entities via broadcast join") {
     val s = spark
     import s.implicits._
