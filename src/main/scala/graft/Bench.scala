@@ -404,7 +404,7 @@ object Bench {
          || query | sec |
          ||---|---|
          |${(results.map { case (k, v) => f"| $k | $v%.3f |" } ++
-             failed.map(k => s"| $k | FAILED |")).mkString("\n")}
+             failed.map(k => s"| $k | FAILED |")).mkString("\n|")}
          |""".stripMargin
     // a SCALING_ONLY probe run must not clobber the published full-bench
     // numbers — it lands in a sibling probe file instead
