@@ -9,8 +9,9 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanAudit {
   // non-equi joins that are INTENTIONALLY nested-loop with a broadcast
-  // side (bounded query sets): brute-force ANN
-  private val allowNestedLoop = Set("x_ann_brute", "q18_ann_brute_int")
+  // side (bounded query sets): brute-force ANN and the IVF centroid
+  // probe (bounded queries x tiny broadcast centroid table)
+  private val allowNestedLoop = Set("x_ann_brute", "q18_ann_brute_int", "x_ann_ivf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
