@@ -384,8 +384,9 @@ object Bench {
          || 4N = 4 JVMs x local[4] | $p4N | $t4N | ${tableBytes / 1000000} | $s4N%.2f | $s4Nmed%.2f | ${spread4N._1}%.2f-${spread4N._2}%.2f | ${p4N / s4N}%.0f | $th4N%.0f |
          |
          |Scaling efficiency = throughput(4N) / (4 x throughput(N))
-         |= $eff%.3f (target >= 0.8; steal-corrected auxiliary estimate
-         |over all attempts incl. rejected: $effCorr%.3f)
+         |= $eff%.3f (target >= 0.8; auxiliaries over all attempts incl.
+         |rejected: steal-corrected $effCorr%.3f, canary-normalized
+         |$effNorm%.3f)
          |
          |Why processes, not one 32-thread JVM: a single JVM saturates at
          |~16 parse threads (one shared GC + allocator), which real
