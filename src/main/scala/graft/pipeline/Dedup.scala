@@ -56,6 +56,8 @@ object Dedup {
     */
   def minhashLsh(documents: DataFrame, nHashes: Int = 16, bands: Int = 4, threshold: Double = 0.7,
                  maxBucket: Int = 200, shingleWidth: Int = 3): DataFrame = {
+    require(bands > 0 && nHashes % bands == 0,
+      s"bands ($bands) must evenly divide nHashes ($nHashes)")
     val rows = nHashes / bands
     // Shingle ROWS, not arrays: higher-order array lambdas (transform/
     // aggregate) run INTERPRETED in Spark — the array formulation spent

@@ -251,11 +251,18 @@ object KgPipeline {
   }
 
   /** Namespace split of an IRI: everything up to and including the last
-    * '#' or '/'.
+    * '#' or '/'; separator-less IRIs (urn:, mailto:, …) fall back to the
+    * last ':' so such predicates still get a namespace instead of
+    * silently failing to qname downstream (round-2 ADVICE — the old ""
+    * namespace was filtered out and the whole chunk vanished).
     */
   def iriNamespace(iri: String): String = {
     val c = math.max(iri.lastIndexOf('#'), iri.lastIndexOf('/'))
-    iri.substring(0, c + 1)
+    if (c >= 0) iri.substring(0, c + 1)
+    else {
+      val k = iri.lastIndexOf(':')
+      if (k >= 0) iri.substring(0, k + 1) else ""
+    }
   }
 
   private val wellKnownPrefixes = Map(
@@ -299,7 +306,11 @@ object KgPipeline {
     import graft.xml.RdfXmlEncoder
     def term(v: String, kind: String, lang: String, dt: String): graft.rdf.Term = kind match {
       case "iri" => Iri(v)
-      case "bnode" => BNode(v.stripPrefix("_:"))
+      // internal scoped labels (`b0@<hex>`) are NOT NCNames; mangle
+      // bijectively at this export boundary so rdf:nodeID stays valid
+      // for strict parsers (reference always emits valid nodeIDs,
+      // encoder.ex:253-270)
+      case "bnode" => BNode(graft.rdf.Iris.ncSafeLabel(v.stripPrefix("_:")))
       case _ =>
         if (lang != null && lang.nonEmpty) Lit.lang(v, lang)
         else if (dt != null && dt.nonEmpty) Lit.typed(v, dt) else Lit.plain(v)
@@ -326,7 +337,7 @@ object KgPipeline {
         // selfContained: declare the chunk's namespaces ON the element
         // itself (legal on any XML element), so lines can be wrapped by
         // a bare <rdf:RDF xmlns:rdf=...> root with no coordination
-        if (!selfContained || line.isEmpty) line
+        if (!selfContained || line.isEmpty || line.startsWith("<!--")) line
         else {
           val decls = (prefixes - "rdf").toSeq.sorted
             .map { case (p, ns) => s"""xmlns:$p="${graft.xml.XmlOut.escape(ns)}"""" }
@@ -337,7 +348,19 @@ object KgPipeline {
             line.substring(0, i) + " " + decls + line.substring(i)
           }
         }
-      } catch { case _: RdfXmlEncoder.EncodeError => "" } // unprefixable predicate: skip chunk
+      } catch {
+        case e: RdfXmlEncoder.EncodeError =>
+          // a predicate whose local part is not an NCName cannot be
+          // expressed in RDF/XML at all — make the loss OBSERVABLE
+          // (round-2 ADVICE: "" made the export silently lossy): an XML
+          // comment in the output stream (parse-safe, greppable) plus an
+          // executor-log warning with the count
+          org.slf4j.LoggerFactory.getLogger(KgPipeline.getClass).warn(
+            s"exportRdfXml: dropped chunk of ${rows.size} triples (subject ${rows.head._1}): ${e.getMessage}")
+          // "--" is illegal inside XML comments; mask it in the subject
+          val subj = graft.xml.XmlOut.escape(rows.head._1).replace("--", "~~")
+          s"<!-- graft:skipped ${rows.size} triples subject=$subj: not expressible in RDF/XML -->"
+      }
     }
     edges
       .select("subj", "pred", "obj", "objKind", "lang", "datatype")

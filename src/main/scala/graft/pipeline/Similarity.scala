@@ -74,6 +74,11 @@ object Similarity {
     * deterministic under retries/repartitioning (FP sums are not).
     */
   private def sketch(corpus: DataFrame, planes: Int, tables: Int): DataFrame = {
+    // the table tag occupies bit 40+; a plane count >= 40 would overlap
+    // the sign bits with the tag and silently merge buckets across
+    // tables (round-2 ADVICE)
+    require(planes > 0 && planes < 40, s"planes must be in [1, 39], got $planes")
+    require(tables > 0, s"tables must be positive, got $tables")
     val expl = corpus.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
     val projCols = (0 until tables * planes).map { p =>
       sum(round(col("v").cast("double") * weight(col("dim"), p) * 1000000L).cast("bigint")).as(s"p$p")
@@ -157,7 +162,7 @@ object Similarity {
     * list structure matches cosine neighborhoods).
     */
   def ivfCosine(corpus: DataFrame, queries: DataFrame, k: Int = 5, nLists: Int = 32,
-                nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+                nProbe: Int = 4, seed: Long = 42L, trainCap: Long = 100000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
@@ -165,8 +170,17 @@ object Similarity {
     val train = corpus.select(
       col("vec_id"), col("embedding"),
       array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    // SAMPLING CONTRACT: the coarse quantizer trains on at most ~trainCap
+    // vectors — KMeans centroids converge on a bounded sample regardless
+    // of corpus size, and a full-corpus fit is a scale-killer at 100 TB.
+    // ASSIGNMENT below stays full-corpus. Hash-mod sampling (not
+    // .sample()) so the trained model is deterministic across retries.
+    val n = train.count()
+    val trainSample =
+      if (n <= trainCap) train
+      else train.where(pmod(xxhash64(col("vec_id")), lit(math.max(2L, (n + trainCap - 1) / trainCap))) === 0L)
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("features").setPredictionCol("list").fit(train)
+      .setFeaturesCol("features").setPredictionCol("list").fit(trainSample)
     val assigned = model.transform(train)
       .select(col("vec_id").as("corpus_id"), col("list"), col("embedding").as("cvec"))
     val centroids = model.clusterCenters.zipWithIndex

@@ -172,4 +172,41 @@ object Iris {
     if (base == null) throw ParseError(s"use of rdf:ID without a base URI $value")
     base + "#" + ncName(value)
   }
+
+  /** STRICT XML-Namespaces NCName check (ASCII production — sufficient
+    * for our minted labels, which are `[a-z0-9]` + the mangled scope):
+    * NCNameStartChar = [A-Za-z_], NCNameChar adds [0-9.-]. The
+    * reference encoder always emits valid nodeIDs (encoder.ex:253-270);
+    * [[ncSafeLabel]] + this check pin the same guarantee on our export
+    * boundaries, while the DECODER keeps the lax bug-compat [[ncName]].
+    */
+  def isStrictNCName(name: String): Boolean =
+    name.nonEmpty && {
+      val c = name.charAt(0)
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || c == '_'
+    } && name.forall { c =>
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_' || c == '-' || c == '.'
+    }
+
+  /** Bijective NCName-safe mangling of internal bnode labels for EXPORT
+    * boundaries only: internal labels are `<label>@<32-hex-scope>` and
+    * '@' is not a legal NCName / N-Triples label character. Escape
+    * coding 'x' → "xx", '@' → "xa" is injective (prefix-free escapes),
+    * so two distinct internal labels can never collide after mangling:
+    * `b0@<hex>` → `b0xa<hex>`.
+    */
+  def ncSafeLabel(label: String): String = {
+    val sb = new java.lang.StringBuilder(label.length + 4)
+    var i = 0
+    while (i < label.length) {
+      label.charAt(i) match {
+        case 'x' => sb.append("xx")
+        case '@' => sb.append("xa")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
 }

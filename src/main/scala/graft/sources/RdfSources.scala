@@ -88,15 +88,23 @@ object RdfSources {
 
   /** One N-Triples line as a codegen'd Column over the standard triple
     * columns (escaping via chained translations of \\ " and newlines).
+    * Blank-node labels are mangled NCName/PN_CHARS-safe at this export
+    * boundary (same bijective 'x'→"xx", '@'→"xa" coding as
+    * [[graft.rdf.Iris.ncSafeLabel]] — internal scoped labels carry '@',
+    * which is illegal in the N-Triples BLANK_NODE_LABEL production).
     */
   def nTriplesLineCol: org.apache.spark.sql.Column = {
     def esc(c: org.apache.spark.sql.Column) =
       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r")
-    val subj = when(col("subj").startsWith("_:"), col("subj"))
+    // the "_:" prefix contains neither 'x' nor '@', so mangling the whole
+    // string is equivalent to mangling the label and stays bijective
+    def bnodeSafe(c: org.apache.spark.sql.Column) =
+      regexp_replace(regexp_replace(c, "x", "xx"), "@", "xa")
+    val subj = when(col("subj").startsWith("_:"), bnodeSafe(col("subj")))
       .otherwise(concat(lit("<"), col("subj"), lit(">")))
     val obj = when(col("objKind") === "iri", concat(lit("<"), col("obj"), lit(">")))
-      .when(col("objKind") === "bnode", col("obj"))
+      .when(col("objKind") === "bnode", bnodeSafe(col("obj")))
       .when(col("lang").isNotNull,
         concat(lit("\""), esc(col("obj")), lit("\"@"), col("lang")))
       .when(col("datatype").isNotNull,

@@ -194,7 +194,13 @@ object RdfXmlEncoder {
     val candidates = prefixes.toSeq
       .filter { case (_, ns) => iri.startsWith(ns) && iri.length > ns.length }
       .map { case (p, ns) => (p, iri.substring(ns.length)) }
-      .filter { case (_, local) => !local.exists(c => c == '/' || c == '#' || c == ':') && local.nonEmpty }
+      // the local part must be a STRICT NCName or the emitted element
+      // name is invalid XML (e.g. urn:isbn:123 → local "123"); such
+      // predicates are unprefixable → EncodeError upstream, surfaced by
+      // KgPipeline.exportRdfXml as an explicit skip comment
+      .filter { case (_, local) =>
+        !local.exists(c => c == '/' || c == '#' || c == ':') && graft.rdf.Iris.isStrictNCName(local)
+      }
     if (candidates.isEmpty) None
     else {
       val (p, local) = candidates.maxBy { case (pfx, _) => prefixes(pfx).length }

@@ -291,6 +291,80 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("export boundaries mangle scoped bnode labels NCName/PN_CHARS-safe (strict check)") {
+    val s = spark
+    import s.implicits._
+    val scope = "0123456789abcdef0123456789abcdef"
+    val edges = Seq(
+      ("u", s"_:b0@$scope", "http://ex.org/vocab/p1", "val", "literal", null: String, null: String),
+      ("u", s"_:b0@$scope", "http://ex.org/vocab/p2", s"_:bx1@$scope", "bnode", null: String, null: String))
+      .toDF("url", "subj", "pred", "obj", "objKind", "lang", "datatype")
+    val lines = KgPipeline.exportRdfXml(edges, selfContained = true).collect().filter(_.nonEmpty)
+    val nodeIds = lines.flatMap("""rdf:nodeID="([^"]+)"""".r.findAllMatchIn(_).map(_.group(1)))
+    // every exported rdf:nodeID passes the STRICT NCName production —
+    // the reference encoder's guarantee (encoder.ex:253-270), not the
+    // decoder's lax bug-compat check
+    assert(nodeIds.nonEmpty)
+    assert(nodeIds.forall(graft.rdf.Iris.isStrictNCName), nodeIds.mkString(","))
+    // bijective: the two distinct internal labels stay distinct
+    assert(nodeIds.toSet.size == 2, nodeIds.mkString(","))
+    // N-Triples sink: '@' never appears in an exported blank-node label
+    val nt = graft.sources.RdfSources.toNTriplesLines(edges).as[String].collect()
+    assert(nt.length == 2)
+    assert(nt.forall(l => !l.contains("@")), nt.mkString("\n"))
+    val labels = nt.flatMap("""_:(\S+)""".r.findAllMatchIn(_).map(_.group(1)))
+    assert(labels.forall(graft.rdf.Iris.isStrictNCName), labels.mkString(","))
+    assert(labels.toSet.size == 2)
+  }
+
+  test("embedding near-dup recovers a planted high-cosine pair and rejects noise") {
+    val s = spark
+    import s.implicits._
+    val dim = 16
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(j => math.sin(seed * 31 + j * 7).toFloat)
+    val planted = vec(1).zipWithIndex.map { case (v, j) => v + math.sin(j).toFloat * 0.05f }
+    val vecs = ((1L, vec(1), 0) +: (2L, planted, 0) +:
+      (3L to 100L).map(i => (i, vec(i.toInt * 13 + 5), 1))).toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.embeddingNearDup(vecs, threshold = 0.9, planes = 8, tables = 4)
+      .collect()
+    assert(pairs.exists(r => r.getAs[Long]("a") == 1L && r.getAs[Long]("b") == 2L),
+      pairs.mkString(","))
+    assert(pairs.forall(_.getAs[Double]("cos") >= 0.9))
+  }
+
+  test("IVF quantizer sample-training is deterministic and preserves brute-force agreement") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0 until 60).map { i =>
+      val c = i % 3
+      val base = Array.tabulate(8)(j => (if (j == c) 10.0 else 0.0).toFloat)
+      val jitter = Array.tabulate(8)(j => (math.sin(i * 13 + j) * 0.5).toFloat)
+      (i.toLong, base.zip(jitter).map { case (a, b) => a + b }, c)
+    }.toDF("vec_id", "embedding", "label")
+    val queries = vecs.where($"vec_id" < 3)
+    // force the sampling path: cap below corpus size; clustered data
+    // still trains separable centroids from the hash-mod sample
+    val ivf = Similarity.ivfCosine(vecs, queries, k = 1, nLists = 3, nProbe = 2, trainCap = 30L)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("corpus_id")).toMap
+    val brute = Similarity.bruteCosine(vecs, queries, k = 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("corpus_id")).toMap
+    assert(ivf == brute, s"ivf=$ivf brute=$brute")
+  }
+
+  test("exportRdfXml surfaces unencodable chunks as XML comments, not silent loss") {
+    val s = spark
+    import s.implicits._
+    // predicate local part "123" is not an NCName → RDF/XML cannot
+    // express it; the chunk must surface as a greppable comment
+    val edges = Seq(
+      ("u", "http://ex.org/s", "urn:isbn:123", "v", "literal", null: String, null: String))
+      .toDF("url", "subj", "pred", "obj", "objKind", "lang", "datatype")
+    val lines = KgPipeline.exportRdfXml(edges).collect().filter(_.nonEmpty)
+    assert(lines.length == 1)
+    assert(lines(0).startsWith("<!-- graft:skipped 1 triples"), lines(0))
+  }
+
   test("extraction plan prunes the parquet scan to url+html") {
     val s = spark
     import s.implicits._
