@@ -130,6 +130,14 @@ object SparkEntry {
       Similarity.bruteDotInt(emb, emb.where(col("vec_id") < 8), k = 5)
     }),
     "q19_entity_link_docs" -> ((s, d) => KgPipeline.linkDocumentTokens(t(s, d, "documents"))),
+    "q21_simhash_pairs_md5" -> ((s, d) => Dedup.simhashMd5Pairs(t(s, d, "documents"))),
+    // oracle-checked scale twin of x_ngram_jaccard_lsh: word-SET (w=1)
+    // Jaccard via md5 minhash banding, replayable in ANSI SQL
+    "q22_wordset_lsh_md5" -> ((s, d) =>
+      Dedup.minhashLshMd5(t(s, d, "documents"), threshold = 0.5, shingleWidth = 1)),
+    "q23_ntriples_sink_docs" -> ((s, d) => graft.sources.RdfSources.ntDocLines(t(s, d, "documents"))),
+    "q24_bpe_pretoken" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), TextOps.bpePretokenCount(col("text")).as("bpe_tokens"))),
     "q20_ntriples_escape" -> ((s, d) => {
       t(s, d, "documents").select(
         col("doc_id"),
@@ -224,11 +232,13 @@ object SparkEntry {
        |SELECT doc_id, $sim AS simhash FROM bits""".stripMargin
   }
 
-  /** DuckDB twin of q17: md5-string minhash (12 sigs, 4 bands x 3),
-    * hot-bucket suppression, distinct candidate pairs, exact shingle-set
-    * Jaccard verify — replays the full LSH pipeline in ANSI SQL.
+  /** DuckDB twin of q17/q22: md5-string minhash (12 sigs, 4 bands x 3)
+    * over word `width`-shingles, hot-bucket suppression, distinct
+    * candidate pairs, exact shingle-set Jaccard verify — replays the
+    * full LSH pipeline in ANSI SQL.
     */
-  private def q17Sql: String = {
+  private def minhashLshSql(width: Int, threshold: Double): String = {
+    val w1 = width - 1
     val sigs = (0 until 12).map(j =>
       s"list_min(list_transform(sh, s -> md5('$j|' || s))) AS m$j").mkString(", ")
     val buckets = (0 until 4).map(b =>
@@ -239,7 +249,7 @@ object SparkEntry {
        |), sh0 AS (
        |  SELECT doc_id,
        |    list_distinct(list_filter(
-       |      list_transform(range(1, greatest(len(words)-2, 1)+1), i -> array_to_string(words[i:i+2], ' ')),
+       |      list_transform(range(1, greatest(len(words)-$w1, 1)+1), i -> array_to_string(words[i:i+$w1], ' ')),
        |      s -> s <> '')) AS sh
        |  FROM w0 WHERE len(words) > 0
        |), sig AS (SELECT doc_id, sh, $sigs FROM sh0 WHERE len(sh) > 0),
@@ -257,12 +267,63 @@ object SparkEntry {
        |)
        |SELECT a, b, round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
        |FROM cand JOIN sig sa ON sa.doc_id = a JOIN sig sb ON sb.doc_id = b
-       |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5""".stripMargin
+       |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= $threshold""".stripMargin
   }
+
+  /** DuckDB twin of q21: md5-simhash pair recovery — 4×8-bit pigeonhole
+    * chunk buckets, hot-chunk suppression (≤500), hamming ≤ 3 via
+    * bit_count(xor) — the full [[graft.pipeline.Dedup.simhashMd5Pairs]]
+    * pipeline in ANSI SQL.
+    */
+  private def q21Sql: String = {
+    val sums = (0 until 32).map(b =>
+      s"sum(CASE WHEN substring(h, ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$b").mkString(", ")
+    val sim = (0 until 32).map(b =>
+      s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS w
+       |  FROM documents
+       |), h AS (SELECT doc_id, md5(w) AS h FROM toks),
+       |bits AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+       |sims AS (SELECT doc_id, $sim AS simhash FROM bits),
+       |chunks AS (
+       |  SELECT doc_id, simhash, c.chunk AS chunk, (simhash >> (c.chunk * 8)) & 255 AS value
+       |  FROM sims, unnest([0,1,2,3]) c(chunk)
+       |), cold AS (
+       |  SELECT chunk, value FROM chunks GROUP BY chunk, value HAVING count(*) <= 500
+       |), c2 AS (SELECT chunks.* FROM chunks JOIN cold USING (chunk, value))
+       |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+       |FROM c2 l JOIN c2 r ON l.chunk = r.chunk AND l.value = r.value AND l.doc_id < r.doc_id
+       |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3""".stripMargin
+  }
+
+  /** DuckDB twin of q23: the N-Triples sink's escape + bnode-label
+    * mangle chain, replayed literally ('x'→"xx", '@'→"xa" applied by
+    * hand to the known label shapes).
+    */
+  private def q23Sql: String =
+    """WITH esc AS (
+      |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    text, '\\', '\\\\', 'g'), '"', '\\"', 'g'), chr(10), '\\n', 'g'), chr(13), '\\r', 'g') AS t
+      |  FROM documents
+      |), l AS (
+      |  SELECT doc_id, 1 AS kind, '_:bxx' || doc_id || 'xadeadbeef <http://ex/p> <http://ex/o/' || doc_id || '> .' AS line FROM documents
+      |  UNION ALL SELECT doc_id, 2, '_:bxx' || doc_id || 'xadeadbeef <http://ex/p> _:oxx' || doc_id || 'xabeef .' FROM documents
+      |  UNION ALL SELECT doc_id, 3, '_:bxx' || doc_id || 'xadeadbeef <http://ex/p> "' || t || '"@en .' FROM esc
+      |  UNION ALL SELECT doc_id, 4, '_:bxx' || doc_id || 'xadeadbeef <http://ex/p> "' || doc_id || '"^^<http://www.w3.org/2001/XMLSchema#integer> .' FROM documents
+      |)
+      |SELECT doc_id, kind, line FROM l""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q16_simhash_md5" -> q16Sql,
-    "q17_minhash_pairs_md5" -> q17Sql,
+    "q17_minhash_pairs_md5" -> minhashLshSql(width = 3, threshold = 0.5),
+    "q21_simhash_pairs_md5" -> q21Sql,
+    "q22_wordset_lsh_md5" -> minhashLshSql(width = 1, threshold = 0.5),
+    "q23_ntriples_sink_docs" -> q23Sql,
+    "q24_bpe_pretoken" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '(''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+)')) AS BIGINT) AS bpe_tokens
+        |FROM documents""".stripMargin,
     "q18_ann_brute_int" ->
       """WITH qv AS (
         |  SELECT vec_id AS query_id,

@@ -163,6 +163,33 @@ object Dedup {
     agg.select(col("doc_id"), sim.as("simhash"))
   }
 
+  /** Cross-engine-exact SimHash PAIR RECOVERY: the full near-dup
+    * pipeline over [[simhashMd5]] signatures — 4×8-bit pigeonhole chunk
+    * buckets, hot-chunk suppression, hamming ≤ maxHamming via
+    * bit_count(xor) — every step ANSI-replayable (DuckDB has
+    * bit_count/xor), so unlike the murmur-based [[simhash]] this
+    * variant is oracle-checked value-for-value end to end.
+    */
+  def simhashMd5Pairs(documents: DataFrame, maxHamming: Int = 3, maxBucket: Int = 500): DataFrame = {
+    require(maxHamming <= 3, "4 pigeonhole chunks only guarantee recall for hamming <= 3")
+    val withSim = simhashMd5(documents)
+    val chunked0 = withSim.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c => shiftright(col("simhash"), c * 8).bitwiseAND(255)): _*))
+        .as(Seq("chunk", "value")))
+    val hot = chunked0.groupBy(col("chunk"), col("value"))
+      .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
+      .select(col("chunk"), col("value"))
+    val chunked = chunked0.join(broadcast(hot), Seq("chunk", "value"), "left_anti")
+    val l = chunked.select(col("chunk"), col("value"), col("doc_id").as("a"), col("simhash").as("ha"))
+    val r = chunked.select(col("chunk"), col("value"), col("doc_id").as("b"), col("simhash").as("hb"))
+    l.join(r, Seq("chunk", "value"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), bit_count(expr("ha ^ hb")).cast("bigint").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Cross-engine-exact MinHash-LSH pair recovery: signatures are
     * lexicographic minima of md5("<seed>|" + shingle) strings (a valid
     * random permutation of shingle space), bands are md5 of 3
@@ -171,12 +198,13 @@ object Dedup {
     * oracle-checked. Same id-only/dedup-first transport discipline as
     * the production [[minhashLsh]].
     */
-  def minhashLshMd5(documents: DataFrame, threshold: Double = 0.5, maxBucket: Int = 200): DataFrame = {
+  def minhashLshMd5(documents: DataFrame, threshold: Double = 0.5, maxBucket: Int = 200,
+                    shingleWidth: Int = 3): DataFrame = {
     // same relational shape as minhashLsh (explode + codegen + groupBy
     // minima — array lambdas are interpreted); md5-string minima and
     // md5 band buckets keep every value replayable in ANSI SQL
     val expl = documents
-      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .select(col("doc_id"), explode(shingles(col("text"), shingleWidth)).as("s"))
       .distinct() // shingle SET semantics
     val sigCols = (0 until 12).map(j => min(md5(concat(lit(s"$j|"), col("s")))).as(s"m$j"))
     val sig = expl.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)

@@ -46,6 +46,24 @@ object TextOps {
       (acc, w) => acc + size(regexp_extract_all(w, lit(subwordPattern))).cast("bigint"))
   }
 
+  /** GPT-2-style byte-pair-encoding PRE-TOKENIZER (the published
+    * regex from the GPT-2 public release, simplified for cross-engine
+    * replay: the `\s+(?!\S)` branch is dropped because RE2 — DuckDB's
+    * engine — has no lookahead, so interior whitespace runs tokenize as
+    * one run instead of run-minus-one; consistent in both engines).
+    * Ordered alternation is leftmost-FIRST in both java.util.regex and
+    * RE2, so the match sequence — hence the count — is bit-identical.
+    */
+  val bpePretokenPattern: String =
+    "('s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+)"
+
+  /** Pre-tokenizer token count per document — the cost model input of a
+    * real BPE tokenizer (each pre-token is what BPE merges subdivide).
+    */
+  def bpePretokenCount(text: Column): Column =
+    when(text.isNull, lit(0L))
+      .otherwise(size(regexp_extract_all(text, lit(bpePretokenPattern))).cast("bigint"))
+
   /** Quality score as an integer in [0, 10000]: length band, alpha
     * ratio, punctuation ratio and stopword hit rate (heuristics in the
     * spirit of C4/Gopher quality filters). Integer arithmetic throughout

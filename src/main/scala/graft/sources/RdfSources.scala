@@ -119,6 +119,31 @@ object RdfSources {
   def toNTriplesLines(triples: DataFrame): DataFrame =
     triples.select(nTriplesLineCol.as("line"))
 
+  /** Oracle twin of the N-Triples sink: four deterministic triple rows
+    * per document — IRI object, blank-node object (labels carry '@' and
+    * 'x' to exercise the full export mangle), language-tagged literal
+    * (the document text, exercising the escape chain) and typed
+    * literal — serialized through [[nTriplesLineCol]]. Every value is
+    * ANSI-replayable, so the sink's escape + label-mangle chain is
+    * DuckDB oracle-checked value-for-value (q23).
+    */
+  def ntDocLines(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    val subj = concat(lit("_:bx"), col("doc_id"), lit("@deadbeef"))
+    def row(kind: Int, obj: Column, objKind: String, lang: Column, dt: Column): DataFrame =
+      documents.select(
+        col("doc_id"), lit(kind).as("kind"), subj.as("subj"), lit("http://ex/p").as("pred"),
+        obj.as("obj"), lit(objKind).as("objKind"),
+        lang.cast("string").as("lang"), dt.cast("string").as("datatype"))
+    val rows =
+      row(1, concat(lit("http://ex/o/"), col("doc_id")), "iri", lit(null), lit(null))
+        .unionAll(row(2, concat(lit("_:ox"), col("doc_id"), lit("@beef")), "bnode", lit(null), lit(null)))
+        .unionAll(row(3, col("text"), "literal", lit("en"), lit(null)))
+        .unionAll(row(4, col("doc_id").cast("string"), "literal", lit(null),
+          lit("http://www.w3.org/2001/XMLSchema#integer")))
+    rows.select(col("doc_id"), col("kind"), nTriplesLineCol.as("line"))
+  }
+
   /** Write triple rows as N-Triples text files. */
   def writeNTriples(triples: DataFrame, outPath: String): Unit =
     toNTriplesLines(triples).write.mode("overwrite").text(outPath)

@@ -352,6 +352,25 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivf == brute, s"ivf=$ivf brute=$brute")
   }
 
+  test("GPT-2-style pre-tokenizer count matches the known segmentation") {
+    val s = spark
+    import s.implicits._
+    // "It's a test-case 42  end" → It|'s| a| test|-|case| 42|␣␣|end = 9
+    val d = Seq((1L, "It's a test-case 42  end")).toDF("doc_id", "text")
+    val n = d.select(TextOps.bpePretokenCount(col("text")).as("n")).head().getLong(0)
+    assert(n == 9L)
+  }
+
+  test("md5-simhash pair recovery finds planted near-dups within hamming 3") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 59).map(i => s"tok$i").mkString(" ") + " zz"
+    val noise = (200 to 260).map(i => s"qqq$i").mkString(" ")
+    val d = docs((1L, base, "s"), (2L, nearDup, "s"), (3L, noise, "s"))
+    val pairs = Dedup.simhashMd5Pairs(d).collect()
+    assert(pairs.exists(r => r.getAs[Long]("a") == 1L && r.getAs[Long]("b") == 2L), pairs.mkString(","))
+    assert(!pairs.exists(r => r.getAs[Long]("b") == 3L || r.getAs[Long]("a") == 3L))
+  }
+
   test("exportRdfXml surfaces unencodable chunks as XML comments, not silent loss") {
     val s = spark
     import s.implicits._

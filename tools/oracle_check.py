@@ -10,11 +10,23 @@ a value hash with columns sorted by name and rows sorted by all columns.
 """
 import json, sys, glob, os, hashlib
 import duckdb
+import numpy as np
 import pandas as pd
+
+def norm_cell(v):
+    # dtype-independent rendering: float32-from-Spark vs float64-from-DuckDB
+    # must hash identically, and None/NaN get one sentinel (round-2 ADVICE)
+    if v is None:
+        return "NULL"
+    if isinstance(v, (float, np.floating)):
+        if pd.isna(v):
+            return "NULL"
+        return f"{float(v):.9g}"
+    return str(v)
 
 def value_hash(df: pd.DataFrame) -> str:
     df = df.reindex(sorted(df.columns), axis=1)
-    rows = df.astype(str).values.tolist()
+    rows = [[norm_cell(v) for v in r] for r in df.astype(object).values.tolist()]
     rows.sort()
     h = hashlib.md5()
     for r in rows:
