@@ -2,29 +2,48 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
-import graft.pipeline.{Extract, Page, SyntheticPages}
+import graft.pipeline.SyntheticPages
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.TimeUnit
 
 /** Benchmark main. Prints ONE JSON line with per-query seconds plus the
-  * extraction-throughput scaling evidence (same job at local[8] and
-  * local[32] on the same synthetic page table — the sandbox stand-in
+  * extraction-throughput scaling evidence (same job at 1 vs 4 pinned
+  * 4-core JVMs on the same synthetic page table — the sandbox stand-in
   * for N vs 4N executors, see BASELINE.md) and writes the reportable
   * table to BENCH/BASELINE.md.
+  *
+  * Honesty contract (round-2 verdict): numbers from steal/canary-
+  * REJECTED trials are NEVER published as results. If no clean trial
+  * exists for a config, the scaling section reports
+  * `"status":"UNMEASURABLE"` with nulls and the per-trial log — a gated
+  * harness must fail loudly, not fabricate. Children that exceed a
+  * watchdog deadline (a 12×-slow co-tenant window burned round 2's
+  * whole retry budget on one doomed 800s attempt) are killed and
+  * retried after backoff; only WASTED time (rejected attempts +
+  * backoffs) counts against the retry budget, so slow-but-clean trials
+  * can't exhaust it.
   */
 object Bench {
 
-  /** Queries whose cost model stays sane on the synthetic sf0.1 data
-    * (q13's dense token self-join is correctness-gated at sf0.01 by
-    * Verify instead — the 40-word synthetic vocabulary makes it
-    * quadratic there, unlike real-corpus token distributions).
+  /** All oracle-checked queries except q13 (its dense token self-join
+    * is quadratic by construction on the synthetic vocabulary and is
+    * correctness-gated at sf0.01 by Verify; x_ngram_jaccard_lsh /
+    * q22_wordset_lsh_md5 are its registered scale twins), plus the
+    * scale-path x_ operators. Timed with a pruning-proof consuming
+    * action (noop sink), not count() — count() lets Catalyst prune
+    * map-only projections down to a parquet row count.
     */
   private val benchQueries = Seq(
     "q1_pricing_summary", "q2_revenue_by_nation", "q3_priority_counts",
     "q4_anti_join", "q5_brand_volume", "q6_events_latest", "q7_events_by_type",
     "q8_dedup_exact", "q9_token_stats", "q10_quality", "q11_langid",
-    "q12_fingerprint", "q14_embedding_label_stats",
+    "q12_fingerprint", "q14_embedding_label_stats", "q15_events_window",
+    "q16_simhash_md5", "q17_minhash_pairs_md5", "q18_ann_brute_int",
+    "q19_entity_link_docs", "q20_ntriples_escape", "q21_simhash_pairs_md5",
+    "q22_wordset_lsh_md5", "q23_ntriples_sink_docs", "q24_bpe_pretoken",
     "x_minhash_lsh_dedup", "x_ngram_jaccard_lsh", "x_simhash_dedup",
-    "x_embedding_neardup", "x_ann_brute", "x_ann_lsh", "x_multimodal_features"
+    "x_embedding_neardup", "x_ann_brute", "x_ann_lsh", "x_ann_ivf",
+    "x_multimodal_features"
   )
 
   private def mkSpark(cpus: Int): SparkSession = {
@@ -42,7 +61,6 @@ object Bench {
     s
   }
 
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -58,7 +76,9 @@ object Bench {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        // noop sink: computes and discards every row — pruning-proof,
+        // unlike count() which collapses map-only plans to a row count
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       // a failed query must NOT publish a normal-looking duration — that
       // silently understates cost and hides breakage
@@ -129,6 +149,16 @@ object Bench {
     }
     syncSettle()
 
+    // host shape: pin sets and steal normalization derive from the REAL
+    // cpu count (round-2 ADVICE: 32 was hardcoded; on any other host the
+    // gate and pinning were silently wrong). Pinning needs the canonical
+    // 32-cpu layout; anything else runs unpinned with a LOUD flag.
+    val hostCpus = Runtime.getRuntime.availableProcessors
+    val pinned = hostCpus >= 32 && Files.exists(Paths.get("/usr/bin/taskset"))
+    if (!pinned)
+      System.err.println(s"[bench] WARNING: host has $hostCpus cpus / no taskset — children run UNPINNED; " +
+        "expect 10-20% extra run-to-run spread (flagged in the JSON as pinned:false)")
+
     def childCmd(childCpus: Int, paths: String, barrierArgs: Seq[String] = Nil,
                  pinCores: Option[String] = None): ProcessBuilder = {
       val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
@@ -136,12 +166,10 @@ object Bench {
       val cmd = new java.util.ArrayList[String]()
       // pin each child to its own physical core set — the cgroup-cpuset
       // model real cluster managers apply to executors; unpinned children
-      // migrate across all 32 cores (cold caches, 20% run-to-run spread
+      // migrate across all cores (cold caches, 20% run-to-run spread
       // measured on the N config)
-      pinCores.foreach { cores =>
-        if (Files.exists(Paths.get("/usr/bin/taskset"))) {
-          cmd.add("/usr/bin/taskset"); cmd.add("-c"); cmd.add(cores)
-        }
+      if (pinned) pinCores.foreach { cores =>
+        cmd.add("/usr/bin/taskset"); cmd.add("-c"); cmd.add(cores)
       }
       cmd.add(javaBin)
       jvmArgs.forEach(a =>
@@ -149,7 +177,7 @@ object Bench {
           a.startsWith("-Xmx") || a.startsWith("-D") ||
           (a.startsWith("-XX:") && !a.startsWith("-XX:ActiveProcessorCount"))) cmd.add(a))
       // model executor resource isolation: without this every child's GC/
-      // JIT ergonomics size themselves for the whole 32-core host
+      // JIT ergonomics size themselves for the whole host
       cmd.add(s"-XX:ActiveProcessorCount=$childCpus")
       // throughput collector: parse churn is short-lived small objects;
       // ParallelGC measured 13% faster at 4 cores and 22% at 4x4 cores
@@ -161,261 +189,323 @@ object Bench {
       new ProcessBuilder(cmd).redirectErrorStream(true)
     }
 
-    def result(out: String): (Long, Long, Double) = {
+    /** Start a slurper thread per child so the pipe can't deadlock, then
+      * waitFor with a WATCHDOG deadline: a child caught in a bad host
+      * window (round 2: 12× slowdown → one ~800s attempt ate the whole
+      * budget) is killed and the attempt rejected, instead of completing
+      * a doomed measurement.
+      */
+    final case class Child(proc: Process, buf: java.io.ByteArrayOutputStream, t: Thread)
+    def startChild(pb: ProcessBuilder): Child = {
+      val proc = pb.start()
+      val buf = new java.io.ByteArrayOutputStream()
+      val t = new Thread(() => try { proc.getInputStream.transferTo(buf); () } catch { case _: Exception => })
+      t.setDaemon(true)
+      t.start()
+      Child(proc, buf, t)
+    }
+    def awaitAll(children: Seq[Child], timeoutSec: Long): Either[String, Seq[String]] = {
+      val deadline = System.nanoTime() + timeoutSec * 1000000000L
+      val timedOut = children.exists { c =>
+        val left = math.max(1L, (deadline - System.nanoTime()) / 1000000L)
+        !c.proc.waitFor(left, TimeUnit.MILLISECONDS)
+      }
+      if (timedOut) {
+        children.foreach(c => c.proc.destroyForcibly())
+        children.foreach(c => c.proc.waitFor(10, TimeUnit.SECONDS))
+        Left(f"watchdog: child exceeded ${timeoutSec}s — killed (bad host window)")
+      } else {
+        children.foreach(_.t.join(2000))
+        Right(children.map(c => new String(c.buf.toByteArray, "UTF-8")))
+      }
+    }
+
+    // parse: EXTRACT_RESULT <cpus> <pages> <triples> <sec> <c1> <c2>
+    def parseResult(out: String): (Long, Long, Double, Double) = {
       val line = out.linesIterator.find(_.startsWith("EXTRACT_RESULT"))
         .getOrElse(sys.error(s"no result from child: ${out.takeRight(2000)}"))
       val parts = line.split(" ")
-      (parts(2).toLong, parts(3).toLong, parts(4).toDouble)
+      (parts(2).toLong, parts(3).toLong, parts(4).toDouble,
+        math.max(parts(5).toDouble, parts(6).toDouble))
     }
+
+    // watchdog deadlines ≈ 3× the committed-baseline child wall time
+    // (startup + warm + canaries + timed); env-overridable for other
+    // table sizes
+    val watchdogN = sys.env.getOrElse("SPARK_GRAFT_WATCHDOG_SEC_N", "180").toLong
+    val watchdog4N = sys.env.getOrElse("SPARK_GRAFT_WATCHDOG_SEC_4N", "150").toLong
 
     /** one executor: a single 4-core JVM over the whole table.
       * Core sets avoid cpu0-3 — kernel IRQ/softirq work concentrates on
       * the low cpus and would tax whichever config sits there.
       */
-    def runN(): (Long, Long, Double) = {
-      val proc = childCmd(4, shardPaths.mkString(","), pinCores = Some("28-31")).start()
-      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-      proc.waitFor()
-      result(out)
+    def runN(): Either[String, (Long, Long, Double, Double)] = {
+      val child = startChild(childCmd(4, shardPaths.mkString(","), pinCores = Some("28-31")))
+      awaitAll(Seq(child), watchdogN).map(outs => parseResult(outs.head))
     }
 
     /** four executors: 4 concurrent 4-core JVMs over disjoint shards;
-      * wall time = slowest child (they self-warm, so children time only
-      * their measured pass — we conservatively take the max child time)
+      * wall time = slowest child; canary = worst child canary (each is
+      * pinned, so this is the worst per-core-set weather).
       */
-    def run4N(): (Long, Long, Double) = {
+    def run4N(): Either[String, (Long, Long, Double, Double)] = {
       val bdir = java.nio.file.Files.createTempDirectory("graft_barrier").toString
-      val procs = shardPaths.zipWithIndex.map { case (p, i) =>
+      val children = shardPaths.zipWithIndex.map { case (p, i) =>
         val base = 4 + 8 * i // 4-7, 12-15, 20-23, 28-31: spread, none on cpu0-3
-        childCmd(4, p, Seq(bdir, i.toString, "4"), pinCores = Some(s"$base-${base + 3}")).start()
+        startChild(childCmd(4, p, Seq(bdir, i.toString, "4"), pinCores = Some(s"$base-${base + 3}")))
       }
-      val outs = procs.map(p => new String(p.getInputStream.readAllBytes(), "UTF-8"))
-      procs.foreach(_.waitFor())
-      val rs = outs.map(result)
-      (rs.map(_._1).sum, rs.map(_._2).sum, rs.map(_._3).max)
+      awaitAll(children, watchdog4N).map { outs =>
+        val rs = outs.map(parseResult)
+        (rs.map(_._1).sum, rs.map(_._2).sum, rs.map(_._3).max, rs.map(_._4).max)
+      }
     }
 
-    // Interleaved trials, median per config — robust to host-level noise
-    // in both directions (min hides slow-host rounds; mean is dragged by
-    // a single outlier). Additionally STEAL-AWARE: this box is a shared
-    // VM (7-10% hypervisor steal measured under 16-core load in bad
-    // windows), and a steal window during one trial silently deflates
-    // that config only — the root cause of round 1's 0.112/0.706/0.85
-    // irreproducibility. Each trial measures /proc/stat steal across its
-    // window; polluted trials (> maxStealPct of total cpu time) are
-    // discarded and retried within a bounded attempt budget.
+    // Interleaved trials, gated two ways (this box is a shared VM — the
+    // root cause of round-1's 0.112/0.706/0.85 irreproducibility):
+    //  (a) STEAL: /proc/stat hypervisor steal across the trial window,
+    //      relative to the config's BUSY cores, must be ≤ maxStealPct;
+    //  (b) CANARY: the child-side pinned single-thread parse canary must
+    //      be within 15% of that CONFIG's session-best canary (co-tenant
+    //      bandwidth load is invisible to steal accounting).
     val trials = sys.env.getOrElse("SPARK_GRAFT_SCALING_TRIALS", "7").toInt
-    val maxStealPct = sys.env.getOrElse("SPARK_GRAFT_MAX_STEAL_PCT", "2.0").toDouble // % of the config's BUSY-core time
+    val maxStealPct = sys.env.getOrElse("SPARK_GRAFT_MAX_STEAL_PCT", "2.0").toDouble
+    val canaryMargin = sys.env.getOrElse("SPARK_GRAFT_CANARY_MARGIN", "1.15").toDouble
     def stealTotal(): (Long, Long) =
       try {
         val v = Files.readAllLines(Paths.get("/proc/stat")).get(0).split("\\s+").drop(1).take(8).map(_.toLong)
         (v(7), v.sum)
       } catch { case _: Exception => (0L, 1L) }
-    // steal share expressed relative to the config's BUSY cores, not the
-    // whole 32-cpu box: 0.8% of total cpu time is 6.4% of a 4-core
-    // config's time — a trial that total-relative gating wrongly accepts
-    def measured(run: () => (Long, Long, Double), activeCores: Int): ((Long, Long, Double), Double) = {
+    def measured(run: () => Either[String, (Long, Long, Double, Double)], activeCores: Int)
+        : (Either[String, (Long, Long, Double, Double)], Double) = {
       val (s0, t0) = stealTotal()
       val r = run()
       val (s1, t1) = stealTotal()
-      (r, if (t1 > t0) 100.0 * (s1 - s0) / (t1 - t0) * 32.0 / activeCores else 0.0)
+      // steal share relative to the config's BUSY cores, not the whole
+      // box: 0.8% of total cpu time is 6.4% of a 4-core config's time
+      (r, if (t1 > t0) 100.0 * (s1 - s0) / (t1 - t0) * hostCpus.toDouble / activeCores else 0.0)
     }
-    // CANARY: a fixed single-thread parse workload timed immediately
-    // before and after every trial. Co-tenant memory-bandwidth load is
-    // INVISIBLE to /proc/stat steal (the vCPU runs, just slower) but
-    // shows directly in this number — trials whose canary is >10% above
-    // the session-best canary ran on a loud host and are excluded.
-    val canaryPages: Vector[(String, Array[Byte])] = {
-      val fx = SyntheticPages.fixtureFiles().toVector
-      (0 until 4000).map { i =>
-        val (rel, b) = fx(i % fx.size)
-        val p = SyntheticPages.page(rel, b, copy = i, rowIdx = i.toLong)
-        (p.url, p.html)
-      }.toVector
-    }
-    // ~1s of single-thread parse: long enough that scheduling jitter
-    // averages out and the reading reflects effective memory bandwidth
-    def canarySec(): Double = {
-      val t0 = System.nanoTime()
-      var rep = 0
-      while (rep < 3) {
-        canaryPages.foreach { case (u, h) => Extract.triplesOf(u, h) }
-        rep += 1
-      }
-      (System.nanoTime() - t0) / 1e9
-    }
-    (1 to 3).foreach(_ => canarySec()) // JIT warm
 
-    final case class Trial(res: (Long, Long, Double), steal: Double, canary: Double)
+    final case class Trial(pages: Long, triples: Long, sec: Double, steal: Double, canary: Double)
     val nAll = scala.collection.mutable.ArrayBuffer.empty[Trial]
     val qAll = scala.collection.mutable.ArrayBuffer.empty[Trial]
-    def minCanary: Double =
-      ((nAll.iterator ++ qAll.iterator).map(_.canary) ++ Iterator(Double.MaxValue)).min
-    def isClean(t: Trial): Boolean =
-      t.steal <= maxStealPct && t.canary <= minCanary * 1.15
+    // per-trial log — EVERYTHING that happened, including watchdog kills,
+    // goes into the JSON so a bad window is diagnosable from the artifact
+    final case class LogRow(config: String, outcome: String, sec: Double, steal: Double, canary: Double)
+    val trialLog = scala.collection.mutable.ArrayBuffer.empty[LogRow]
+    def bestCanary(ts: Seq[Trial]): Double =
+      if (ts.isEmpty) Double.MaxValue else ts.map(_.canary).min
+    // gating is PER CONFIG: the 4N canaries run concurrently (4 pinned
+    // single-thread parses), which costs a structural few % vs the solo
+    // N canary — comparing each config to its own best keeps that
+    // structural offset out of the gate
+    def isClean(t: Trial, all: Seq[Trial]): Boolean =
+      t.steal <= maxStealPct && t.canary <= bestCanary(all) * canaryMargin
+    def cleanOf(all: Seq[Trial]): Seq[Trial] = all.filter(isClean(_, all.toSeq)).toSeq
+
     var attempts = 0
-    // noise bursts on shared hosts are co-tenant jobs lasting tens of
-    // seconds — back off after a polluted trial instead of immediately
-    // re-measuring into the same burst; bounded by attempt count AND an
-    // overall retry-time budget so the driver never hangs here
-    val retryDeadline = System.nanoTime() +
-      sys.env.getOrElse("SPARK_GRAFT_STEAL_RETRY_BUDGET_SEC", "600").toLong * 1000000000L
-    def budgetLeft: Boolean = System.nanoTime() < retryDeadline
-    def cleanCount(ts: scala.collection.mutable.ArrayBuffer[Trial]): Int = ts.count(isClean)
-    while ((cleanCount(nAll) < trials || cleanCount(qAll) < trials) && attempts < trials * 4 &&
-      (budgetLeft || nAll.isEmpty || qAll.isEmpty)) {
+    var wastedNanos = 0L
+    // the retry budget counts only WASTED time (rejected/killed attempts
+    // + backoffs) — round-2 ADVICE: trial runtime itself consumed the
+    // budget, so one slow round exhausted it and the loop exited after a
+    // single attempt
+    val budgetNanos = sys.env.getOrElse("SPARK_GRAFT_STEAL_RETRY_BUDGET_SEC", "1800").toLong * 1000000000L
+    def budgetLeft: Boolean = wastedNanos < budgetNanos
+    while ((cleanOf(nAll.toSeq).size < trials || cleanOf(qAll.toSeq).size < trials) &&
+      attempts < trials * 4 && budgetLeft) {
       attempts += 1
+      val a0 = System.nanoTime()
       var dirty = false
-      if (cleanCount(nAll) < trials) {
-        val c0 = canarySec()
+      if (cleanOf(nAll.toSeq).size < trials) {
         val (r, st) = measured(runN _, activeCores = 4)
-        val c1 = canarySec()
-        val t = Trial(r, st, math.max(c0, c1))
-        nAll += t
-        if (!isClean(t)) dirty = true
-        System.err.println(f"[bench] trial $attempts N: sec=${r._3}%.2f steal(busy)=$st%.2f%% canary=${t.canary}%.2f ${if (isClean(t)) "ok" else "REJECTED"}")
+        r match {
+          case Right((p, t, sec, can)) =>
+            val tr = Trial(p, t, sec, st, can)
+            nAll += tr
+            val ok = isClean(tr, nAll.toSeq)
+            if (!ok) dirty = true
+            trialLog += LogRow("N", if (ok) "clean" else "rejected", sec, st, can)
+            System.err.println(f"[bench] trial $attempts N: sec=$sec%.2f steal(busy)=$st%.2f%% canary=$can%.2f ${if (ok) "ok" else "REJECTED"}")
+          case Left(msg) =>
+            dirty = true
+            trialLog += LogRow("N", "killed", -1, st, -1)
+            System.err.println(s"[bench] trial $attempts N: $msg")
+        }
       }
-      if (cleanCount(qAll) < trials) {
-        val c0 = canarySec()
+      if (cleanOf(qAll.toSeq).size < trials) {
         val (r, st) = measured(run4N _, activeCores = 16)
-        val c1 = canarySec()
-        val t = Trial(r, st, math.max(c0, c1))
-        qAll += t
-        if (!isClean(t)) dirty = true
-        System.err.println(f"[bench] trial $attempts 4N: sec=${r._3}%.2f steal(busy)=$st%.2f%% canary=${t.canary}%.2f ${if (isClean(t)) "ok" else "REJECTED"}")
+        r match {
+          case Right((p, t, sec, can)) =>
+            val tr = Trial(p, t, sec, st, can)
+            qAll += tr
+            val ok = isClean(tr, qAll.toSeq)
+            if (!ok) dirty = true
+            trialLog += LogRow("4N", if (ok) "clean" else "rejected", sec, st, can)
+            System.err.println(f"[bench] trial $attempts 4N: sec=$sec%.2f steal(busy)=$st%.2f%% canary=$can%.2f ${if (ok) "ok" else "REJECTED"}")
+          case Left(msg) =>
+            dirty = true
+            trialLog += LogRow("4N", "killed", -1, st, -1)
+            System.err.println(s"[bench] trial $attempts 4N: $msg")
+        }
       }
-      if (dirty && budgetLeft) Thread.sleep(20000)
+      val attemptNanos = System.nanoTime() - a0
+      if (dirty) {
+        // noise bursts on shared hosts are co-tenant jobs lasting tens of
+        // seconds — back off instead of re-measuring into the same burst
+        wastedNanos += attemptNanos
+        if (budgetLeft) { Thread.sleep(20000); wastedNanos += 20000000000L }
+      }
     }
-    val rejected = nAll.count(!isClean(_)) + qAll.count(!isClean(_))
-    // fallback if the host never quiets down: least-noisy trials
-    def valid(all: scala.collection.mutable.ArrayBuffer[Trial]): Seq[(Long, Long, Double)] = {
-      val clean = all.filter(isClean)
-      if (clean.nonEmpty) clean.map(_.res).toSeq
-      else all.sortBy(t => t.canary).take(math.max(1, trials / 2)).map(_.res).toSeq
-    }
-    val nRuns = valid(nAll)
-    val qRuns = valid(qAll)
+
+    // ---- results: CLEAN trials only. No clean trial → UNMEASURABLE. ----
+    val nClean = cleanOf(nAll.toSeq)
+    val qClean = cleanOf(qAll.toSeq)
+    val rejected = (nAll.size - nClean.size) + (qAll.size - qClean.size) +
+      trialLog.count(_.outcome == "killed")
+    val measurable = nClean.nonEmpty && qClean.nonEmpty
+    val status = if (measurable) "OK" else "UNMEASURABLE"
+
     // Estimator: MINIMUM over steal-clean trials. Contention noise on a
     // shared host is strictly additive (it only ever slows a run), so
     // the min is the least-biased estimate of the machine's capability
     // under equal conditions — the standard timeit/BenchmarkTools
     // recommendation. The median and full spread are reported alongside
     // so the noise floor stays visible.
-    def best(xs: Seq[(Long, Long, Double)]): (Long, Long, Double) = xs.minBy(_._3)
-    def median(xs: Seq[(Long, Long, Double)]): (Long, Long, Double) =
-      xs.sortBy(_._3).apply(xs.size / 2)
-    val (pN, tN, sN) = best(nRuns)
-    val (p4N, t4N, s4N) = best(qRuns)
-    val sNmed = median(nRuns)._3
-    val s4Nmed = median(qRuns)._3
-    val spreadN = (nRuns.map(_._3).min, nRuns.map(_._3).max)
-    val spread4N = (qRuns.map(_._3).min, qRuns.map(_._3).max)
+    def fmin(ts: Seq[Trial]): Trial = ts.minBy(_.sec)
+    def fmed(ts: Seq[Trial]): Double = ts.map(_.sec).sorted.apply(ts.size / 2)
+
+    // auxiliaries over ALL attempts (labeled as such, never in place of
+    // the clean-trial result): steal-corrected and canary-normalized
+    // medians give a salvage estimate from polluted windows
+    def corrMedian(all: Seq[Trial]): Double =
+      if (all.isEmpty) Double.NaN
+      else { val xs = all.map(t => t.sec * (1.0 - t.steal / 100.0)).sorted; xs(xs.size / 2) }
+    def normMin(all: Seq[Trial]): Double =
+      if (all.isEmpty) Double.NaN
+      else { val cb = bestCanary(all); all.map(t => t.sec * (cb / t.canary)).min }
+
     val tableBytes = b8
-
-    val thN = tN / sN
-    val th4N = t4N / s4N
-    val eff = th4N / (4.0 * thN)
-    // auxiliary steal-corrected estimate over ALL attempts: stolen time
-    // during a window is hypervisor-deprived CPU on the (only) busy
-    // cores, so corrected wall = wall * (1 - steal% * 32/activeCores).
-    // Reported alongside, never in place of, the clean-trial median.
-    // steal is busy-core-relative, so corrected wall is simply
-    // wall * (1 - steal) — the time the hypervisor did not deprive us of
-    def corrMedian(all: scala.collection.mutable.ArrayBuffer[Trial]): Double = {
-      val xs = all.map(t => t.res._3 * (1.0 - t.steal / 100.0)).sorted
-      xs(xs.size / 2)
-    }
-    val effCorr =
-      if (nAll.nonEmpty && qAll.nonEmpty)
-        (t4N / corrMedian(qAll)) / (4.0 * tN / corrMedian(nAll))
-      else eff
-    // canary-normalized auxiliary: scale every trial's wall time to the
-    // session-best host speed (sec * bestCanary/trialCanary — a linear
-    // host-speed correction a la reference-machine normalization), then
-    // min over ALL trials. First-order window-independent; N and 4N
-    // trials never share a window, so raw min-of-clean can pair
-    // different weather.
-    def normMin(all: scala.collection.mutable.ArrayBuffer[Trial]): Double = {
-      val canMin = (nAll.iterator ++ qAll.iterator).map(_.canary).min
-      all.map(t => t.res._3 * (canMin / t.canary)).min
-    }
-    val effNorm =
-      if (nAll.nonEmpty && qAll.nonEmpty)
-        (t4N / normMin(qAll)) / (4.0 * tN / normMin(nAll))
-      else eff
-    results("extract_throughput") = s4N
-
-    val total = results.values.sum
-    val qs = (results.map { case (k, v) => f""""$k":$v%.3f""" } ++
-      failed.map(k => s""""$k":"FAILED"""")).mkString("{", ",", "}")
-
-    // -------- reportable scaling table
     val benchDir = Paths.get("BENCH")
     if (!Files.exists(benchDir)) Files.createDirectories(benchDir)
-    val md =
-      f"""# BENCH/BASELINE — measured numbers
-         |
-         |Extraction scaling (north_rule two-cluster-size criterion; sandbox
-         |stand-in models executors as PROCESSES: config N = one 4-core JVM
-         |over the whole sharded page table; config 4N = four concurrent
-         |4-core JVMs over disjoint shards (own heap+GC each, like cluster
-         |executors). Same total input; $trials interleaved steal-clean trials,
-         |MIN per config as the capability estimator (contention noise is
-         |strictly additive; median + spread reported alongside); 4N wall
-         |time = slowest child. Children
-         |are pinned to dedicated 4-core sets (taskset — the cgroup-cpuset
-         |model cluster managers apply to executors). Dirty page cache is
-         |synced and settled before the first timed pass.
-         |
-         |Noise gating (this box is a shared VM — the root cause of
-         |round-1's irreproducible scaling numbers): a trial is discarded
-         |and retried if (a) its window shows > $maxStealPct%.1f%% hypervisor
-         |steal relative to the config's busy cores (/proc/stat), or (b) a
-         |~1s single-thread parse CANARY timed immediately before/after the
-         |trial runs >15%% slower than the session best — co-tenant
-         |memory-bandwidth pressure is invisible to steal accounting but
-         |shows directly in the canary. Here: $rejected trial-measurements
-         |rejected across $attempts interleaved rounds. See graft.Bench /
-         |ExtractRunner.
-         |
-         || config | pages | triples | table MB | sec (min) | median | spread | pages/sec | triples/sec |
-         ||---|---|---|---|---|---|---|---|---|
-         || N  = 1 JVM x local[4]  | $pN | $tN | ${tableBytes / 1000000} | $sN%.2f | $sNmed%.2f | ${spreadN._1}%.2f-${spreadN._2}%.2f | ${pN / sN}%.0f | $thN%.0f |
-         || 4N = 4 JVMs x local[4] | $p4N | $t4N | ${tableBytes / 1000000} | $s4N%.2f | $s4Nmed%.2f | ${spread4N._1}%.2f-${spread4N._2}%.2f | ${p4N / s4N}%.0f | $th4N%.0f |
-         |
-         |Scaling efficiency = throughput(4N) / (4 x throughput(N))
-         |= $eff%.3f (target >= 0.8; auxiliaries over all attempts incl.
-         |rejected: steal-corrected $effCorr%.3f, canary-normalized
-         |$effNorm%.3f)
-         |
-         |Why processes, not one 32-thread JVM: a single JVM saturates at
-         |~16 parse threads (one shared GC + allocator), which real
-         |multi-executor clusters do not exhibit — separate executor JVMs
-         |only share the host memory bus, which this model preserves.
-         |Children self-warm before their timed pass; warm phases overlap
-         |so measured passes run under realistic mutual contention.
-         |
-         |Reference anchor: the reference repo publishes no numbers (Benchee
-         |harness only, /root/reference/bench/decoder.exs). Single-thread
-         |graft parse throughput is ~19-25k pages/sec (~110-140k triples/sec)
-         |on the same fixture mix — see graft.tools.PureParseProbe.
-         |
-         |Query bench (sf dir: $sfDir, local[$cpus]):
-         |
-         || query | sec |
-         ||---|---|
-         |${(results.map { case (k, v) => f"| $k | $v%.3f |" } ++
-             failed.map(k => s"| $k | FAILED |")).mkString("\n|")}
-         |""".stripMargin
-    // a SCALING_ONLY probe run must not clobber the published full-bench
-    // numbers — it lands in a sibling probe file instead
-    Files.writeString(benchDir.resolve(if (scalingOnly) "SCALING_PROBE.md" else "BASELINE.md"), md)
 
-    val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract":{"pagesN":$pN,"triplesN":$tN,"secN":$sN%.3f,"pages4N":$p4N,"triples4N":$t4N,"sec4N":$s4N%.3f,"cores_N":4,"cores_4N":16,"triples_per_sec_N":$thN%.0f,"triples_per_sec_4N":$th4N%.0f,"scaling_efficiency":$eff%.3f,"trials":$trials,"steal_rejected":$rejected,"attempts":$attempts,"estimator":"min_of_steal_clean_trials","secN_median":$sNmed%.3f,"sec4N_median":$s4Nmed%.3f,"scaling_efficiency_steal_corrected":$effCorr%.3f,"scaling_efficiency_canary_normalized":$effNorm%.3f,"secN_spread":[${spreadN._1}%.3f,${spreadN._2}%.3f],"sec4N_spread":[${spread4N._1}%.3f,${spread4N._2}%.3f]}}"""
-    // machine-readable copy — the driver failed to parse round 1's
-    // sbt-wrapped stdout, so the same JSON also lands in a file
-    Files.writeString(benchDir.resolve(if (scalingOnly) "scaling_probe.json" else "result.json"), json + "\n")
-    println(json)
+    val trialLogJson = trialLog.map(r =>
+      f"""{"config":"${r.config}","outcome":"${r.outcome}","sec":${r.sec}%.3f,"steal_busy_pct":${r.steal}%.3f,"canary_sec":${r.canary}%.3f}""")
+      .mkString("[", ",", "]")
+
+    if (measurable) {
+      val bN = fmin(nClean); val b4 = fmin(qClean)
+      val (pN, tN, sN) = (bN.pages, bN.triples, bN.sec)
+      val (p4N, t4N, s4N) = (b4.pages, b4.triples, b4.sec)
+      val sNmed = fmed(nClean); val s4Nmed = fmed(qClean)
+      val spreadN = (nClean.map(_.sec).min, nClean.map(_.sec).max)
+      val spread4N = (qClean.map(_.sec).min, qClean.map(_.sec).max)
+      val thN = tN / sN
+      val th4N = t4N / s4N
+      val eff = th4N / (4.0 * thN)
+      val effCorr =
+        if (nAll.nonEmpty && qAll.nonEmpty) (t4N / corrMedian(qAll.toSeq)) / (4.0 * tN / corrMedian(nAll.toSeq)) else eff
+      val effNorm =
+        if (nAll.nonEmpty && qAll.nonEmpty) (t4N / normMin(qAll.toSeq)) / (4.0 * tN / normMin(nAll.toSeq)) else eff
+      results("extract_throughput") = s4N
+
+      val md =
+        f"""# BENCH/BASELINE — measured numbers
+           |
+           |Extraction scaling (north_rule two-cluster-size criterion; sandbox
+           |stand-in models executors as PROCESSES: config N = one 4-core JVM
+           |over the whole sharded page table; config 4N = four concurrent
+           |4-core JVMs over disjoint shards (own heap+GC each, like cluster
+           |executors). Same total input; up to $trials interleaved trials per
+           |config, CLEAN trials only (status: $status), MIN per config as the
+           |capability estimator (contention noise is strictly additive;
+           |median + spread reported alongside); 4N wall time = slowest child.
+           |Children are pinned to dedicated 4-core sets (taskset — the
+           |cgroup-cpuset model cluster managers apply to executors; pinned=$pinned).
+           |Dirty page cache is synced and settled before the first timed pass.
+           |
+           |Noise gating (this box is a shared VM — the root cause of
+           |round-1's irreproducible scaling numbers): a trial is discarded
+           |and retried if (a) its window shows > $maxStealPct%.1f%% hypervisor
+           |steal relative to the config's busy cores (/proc/stat), or (b) the
+           |~1s single-thread parse CANARY — run INSIDE the pinned child,
+           |bracketing the timed pass — exceeds that config's session-best by
+           |>${(canaryMargin - 1) * 100}%.0f%% (co-tenant memory-bandwidth pressure is
+           |invisible to steal accounting but shows directly in the canary).
+           |Children exceeding the watchdog deadline ($watchdogN%ds N / $watchdog4N%ds 4N)
+           |are killed and retried. Here: $rejected trial-measurements rejected or
+           |killed across $attempts interleaved rounds; clean: ${nClean.size} N + ${qClean.size} 4N.
+           |REJECTED trials are never published as results (see trial log in
+           |result.json). See graft.Bench / ExtractRunner.
+           |
+           || config | pages | triples | table MB | sec (min) | median | spread | pages/sec | triples/sec |
+           ||---|---|---|---|---|---|---|---|---|
+           || N  = 1 JVM x local[4]  | $pN | $tN | ${tableBytes / 1000000} | $sN%.2f | $sNmed%.2f | ${spreadN._1}%.2f-${spreadN._2}%.2f | ${pN / sN}%.0f | $thN%.0f |
+           || 4N = 4 JVMs x local[4] | $p4N | $t4N | ${tableBytes / 1000000} | $s4N%.2f | $s4Nmed%.2f | ${spread4N._1}%.2f-${spread4N._2}%.2f | ${p4N / s4N}%.0f | $th4N%.0f |
+           |
+           |Scaling efficiency = throughput(4N) / (4 x throughput(N))
+           |= $eff%.3f (target >= 0.8; auxiliaries over all attempts incl.
+           |rejected: steal-corrected $effCorr%.3f, canary-normalized
+           |$effNorm%.3f)
+           |
+           |Why processes, not one 32-thread JVM: a single JVM saturates at
+           |~16 parse threads (one shared GC + allocator), which real
+           |multi-executor clusters do not exhibit — separate executor JVMs
+           |only share the host memory bus, which this model preserves.
+           |Children self-warm before their timed pass; warm phases overlap
+           |so measured passes run under realistic mutual contention.
+           |
+           |Reference anchor: the reference repo publishes no numbers (Benchee
+           |harness only, /root/reference/bench/decoder.exs). Single-thread
+           |graft parse throughput is ~19-25k pages/sec (~110-140k triples/sec)
+           |on the same fixture mix — see graft.tools.PureParseProbe.
+           |
+           |Query bench (sf dir: $sfDir, local[$cpus]; timed to a noop sink —
+           |full computation, no count() pruning):
+           |
+           || query | sec |
+           ||---|---|
+           |${(results.map { case (k, v) => f"| $k | $v%.3f |" } ++
+               failed.map(k => s"| $k | FAILED |")).mkString("\n|")}
+           |""".stripMargin
+      Files.writeString(benchDir.resolve(if (scalingOnly) "SCALING_PROBE.md" else "BASELINE.md"), md)
+
+      val total = results.values.sum
+      val qs = (results.map { case (k, v) => f""""$k":$v%.3f""" } ++
+        failed.map(k => s""""$k":"FAILED"""")).mkString("{", ",", "}")
+      val json =
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract":{"status":"OK","pagesN":$pN,"triplesN":$tN,"secN":$sN%.3f,"pages4N":$p4N,"triples4N":$t4N,"sec4N":$s4N%.3f,"cores_N":4,"cores_4N":16,"triples_per_sec_N":$thN%.0f,"triples_per_sec_4N":$th4N%.0f,"scaling_efficiency":$eff%.3f,"trials":$trials,"clean_trials_N":${nClean.size},"clean_trials_4N":${qClean.size},"steal_rejected":$rejected,"attempts":$attempts,"pinned":$pinned,"estimator":"min_of_steal_clean_trials","secN_median":$sNmed%.3f,"sec4N_median":$s4Nmed%.3f,"scaling_efficiency_steal_corrected":$effCorr%.3f,"scaling_efficiency_canary_normalized":$effNorm%.3f,"secN_spread":[${spreadN._1}%.3f,${spreadN._2}%.3f],"sec4N_spread":[${spread4N._1}%.3f,${spread4N._2}%.3f],"trial_log":$trialLogJson}}"""
+      Files.writeString(benchDir.resolve(if (scalingOnly) "scaling_probe.json" else "result.json"), json + "\n")
+      println(json)
+    } else {
+      // HONEST FAILURE: the host never offered a clean window within the
+      // budget. Publish nulls + the trial log — never the rejected
+      // numbers (round-2 verdict #1: 0.258 came from two REJECTED trials
+      // published by a silent fallback).
+      failed += "extract_throughput"
+      val md =
+        f"""# BENCH/BASELINE — scaling UNMEASURABLE this run
+           |
+           |No steal/canary-clean trial existed for ${if (nClean.isEmpty) "config N" else "config 4N"}
+           |within the retry budget (attempts: $attempts, rejected/killed:
+           |$rejected, clean: ${nClean.size} N + ${qClean.size} 4N). Per round-2 verdict the
+           |harness publishes NO scaling number rather than numbers it has
+           |itself rejected. Committed clean-window captures live in git
+           |history (0.871 @e430437); the per-trial log is in result.json.
+           |
+           |Query bench (sf dir: $sfDir, local[$cpus], noop sink):
+           |
+           || query | sec |
+           ||---|---|
+           |${(results.map { case (k, v) => f"| $k | $v%.3f |" } ++
+               failed.map(k => s"| $k | FAILED |")).mkString("\n|")}
+           |""".stripMargin
+      Files.writeString(benchDir.resolve(if (scalingOnly) "SCALING_PROBE.md" else "BASELINE.md"), md)
+      val total = results.values.sum
+      val qs = (results.map { case (k, v) => f""""$k":$v%.3f""" } ++
+        failed.map(k => s""""$k":"FAILED"""")).mkString("{", ",", "}")
+      val json =
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract":{"status":"UNMEASURABLE","scaling_efficiency":null,"clean_trials_N":${nClean.size},"clean_trials_4N":${qClean.size},"steal_rejected":$rejected,"attempts":$attempts,"pinned":$pinned,"trials":$trials,"estimator":"min_of_steal_clean_trials","trial_log":$trialLogJson}}"""
+      Files.writeString(benchDir.resolve(if (scalingOnly) "scaling_probe.json" else "result.json"), json + "\n")
+      println(json)
+    }
   }
 }
