@@ -72,6 +72,18 @@ object Bench {
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     // iteration aid: SPARK_GRAFT_SCALING_ONLY=1 skips the query bench
     val scalingOnly = sys.env.get("SPARK_GRAFT_SCALING_ONLY").contains("1")
+    // session warm-up: a fresh Spark JVM pays ~10s of classloading +
+    // janino codegen + JIT on its first queries — a fixed cost every
+    // long-lived cluster amortizes away, which must not be booked
+    // against whichever query happens to run first (round-2's q1 showed
+    // 5.8s driver-run vs 1.7s warm). Exercise the parquet reader and
+    // the agg/join/window/explode codegen shapes once, untimed.
+    if (!scalingOnly) {
+      try {
+        Seq("q7_events_by_type", "q2_revenue_by_nation", "q6_events_latest", "q16_simhash_md5")
+          .foreach(q => SparkEntry.queries(q)(spark, sfDir).write.mode("overwrite").format("noop").save())
+      } catch { case e: Throwable => System.err.println(s"[bench] warm-up failed: ${e.getMessage}") }
+    }
     (if (scalingOnly) Seq.empty else benchQueries).foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
