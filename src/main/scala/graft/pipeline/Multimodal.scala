@@ -2,7 +2,10 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.nio.{ByteBuffer, ByteOrder}
+import javax.imageio.ImageIO
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed per-partition in bounded
@@ -10,16 +13,21 @@ import java.nio.{ByteBuffer, ByteOrder}
   *
   * [[PureJvmDecoder]] (the default) does REAL codec work with zero
   * external dependencies:
-  *   - image: 24-bit uncompressed BMP (BITMAPINFOHEADER) — full pixel
-  *     decode, per-channel means + luma spread.
+  *   - image: 24-bit uncompressed BMP (BITMAPINFOHEADER) via a
+  *     hand-rolled full pixel decode, plus COMPRESSED formats — baseline
+  *     + progressive JPEG, PNG, GIF — via the JDK's built-in
+  *     `javax.imageio` codecs (headless-safe, no external libraries).
+  *     Per-channel means + luma spread either way.
   *   - audio: RIFF/WAVE PCM-16 — chunk walk, sample decode, RMS / peak /
   *     zero-crossing-rate.
   *   - video: a raw BMP-frame sequence (concatenated BMP files, each
-  *     self-delimiting via its fileSize header) — frame scan + sampled
-  *     frame decode (first/middle/last), averaged features.
-  * Compressed formats (JPEG/H.264/Opus...) need native libraries that
-  * are not in this container; [[FakeDecoder]] documents that seam with
-  * a deterministic stand-in honoring the same contract.
+  *     self-delimiting via its fileSize header) or an MJPEG-style
+  *     concatenated baseline-JFIF stream (frames delimited by SOI/EOI
+  *     markers) — frame scan + sampled frame decode (first/middle/last),
+  *     averaged features.
+  * Formats the JDK cannot decode (H.264, Opus, MP3...) need native
+  * libraries not in this container; [[FakeDecoder]] documents that seam
+  * with a deterministic stand-in honoring the same contract.
   *
   * Every decoder must be a pure function of the payload bytes —
   * deterministic across retries/partitionings.
@@ -39,16 +47,121 @@ object Multimodal {
 
   object PureJvmDecoder extends AssetDecoder {
 
+    // executors may run before any AWT touch: force headless and keep
+    // ImageIO's scratch space in memory (its default disk cache writes
+    // a temp file per decode — a /tmp-writeback storm at scale)
+    System.setProperty("java.awt.headless", "true")
+    ImageIO.setUseCache(false)
+
+    private def isBmp(p: Array[Byte], off: Int): Boolean =
+      off + 2 <= p.length && p(off) == 'B' && p(off + 1) == 'M'
+    private def isJpeg(p: Array[Byte]): Boolean =
+      p.length >= 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 && (p(2) & 0xff) == 0xff
+    private def isPng(p: Array[Byte]): Boolean =
+      p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G'
+    private def isGif(p: Array[Byte]): Boolean =
+      p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F'
+
     def decode(kind: String, payload: Array[Byte], width: Int, height: Int, durationMs: Int): Option[Decoded] =
       // belt-and-braces: header fields are range-validated below, but a
       // crafted payload that slips past a check must still flag as
       // corrupt, never kill the task ("corrupt flagged, not fatal")
       try kind match {
-        case "image" => decodeBmp(payload, 0).map { case (f, _) => Decoded(f, 1) }
+        case "image" =>
+          (if (isBmp(payload, 0)) decodeBmp(payload, 0).map(_._1)
+           else decodeImageIo(payload)).map(Decoded(_, 1))
         case "audio" => decodeWav(payload).map(Decoded(_, 1))
-        case "video" => decodeBmpSequence(payload)
+        case "video" =>
+          if (isBmp(payload, 0)) decodeBmpSequence(payload)
+          else decodeJpegSequence(payload)
         case _ => None
       } catch { case _: IndexOutOfBoundsException | _: ArithmeticException | _: NegativeArraySizeException => None }
+
+    /** Compressed raster decode (JPEG/PNG/GIF) through the JDK's
+      * `javax.imageio` plugins — a full entropy/DCT/deflate decode, not
+      * a header peek. Same 8-feature contract as [[decodeBmp]]; the
+      * integer channel sums make the means bit-identical to the BMP path
+      * for lossless formats carrying the same pixels.
+      */
+    private[pipeline] def decodeImageIo(p: Array[Byte]): Option[Array[Float]] = {
+      if (!isJpeg(p) && !isPng(p) && !isGif(p)) return None
+      val img =
+        try ImageIO.read(new ByteArrayInputStream(p))
+        catch { case _: Exception => null } // corrupt stream → flagged, not fatal
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var sl = 0.0; var sl2 = 0.0
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val rgb = row(x)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          sr += r; sg += g; sb += b
+          val luma = 0.299 * r + 0.587 * g + 0.114 * b
+          sl += luma; sl2 += luma * luma
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val meanL = sl / n
+      val varL = math.max(0.0, sl2 / n - meanL * meanL)
+      Some(Array(
+        (sr.toDouble / n / 255.0).toFloat,
+        (sg.toDouble / n / 255.0).toFloat,
+        (sb.toDouble / n / 255.0).toFloat,
+        (math.sqrt(varL) / 255.0).toFloat,
+        w / 1024.0f,
+        h / 1024.0f,
+        w.toFloat / h,
+        0f
+      ))
+    }
+
+    /** MJPEG-style concatenated baseline-JFIF frames. Baseline JPEG
+      * entropy data byte-stuffs every 0xFF (as FF 00 / FF D0-D7), so a
+      * raw FF D9 scan finds exactly the frame-terminating EOI markers.
+      * Samples first/middle/last frames, averages features.
+      */
+    private[pipeline] def decodeJpegSequence(p: Array[Byte]): Option[Decoded] = {
+      if (!isJpeg(p)) return None
+      val bounds = List.newBuilder[(Int, Int)]
+      var count = 0
+      var start = 0
+      while (start < p.length) {
+        if (start + 3 > p.length || (p(start) & 0xff) != 0xff ||
+          (p(start + 1) & 0xff) != 0xd8 || (p(start + 2) & 0xff) != 0xff) return None
+        var i = start + 2
+        var end = -1
+        while (end < 0 && i + 1 < p.length) {
+          if ((p(i) & 0xff) == 0xff && (p(i + 1) & 0xff) == 0xd9) end = i + 2
+          i += 1
+        }
+        if (end < 0) return None // truncated frame
+        bounds += ((start, end))
+        count += 1
+        start = end
+      }
+      if (count == 0) return None
+      val frameBounds = bounds.result()
+      val sample = Seq(0, count / 2, count - 1).distinct.map(frameBounds(_))
+      val feats = sample.map { case (s, e) =>
+        decodeImageIo(java.util.Arrays.copyOfRange(p, s, e)) match {
+          case Some(f) => f
+          case None => return None
+        }
+      }
+      val avg = new Array[Float](8)
+      feats.foreach(f => (0 until 8).foreach(j => avg(j) += f(j) / feats.size))
+      Some(Decoded(avg, count))
+    }
 
     /** 24-bit uncompressed BMP at `off`. Returns (features, byteLength).
       * Features: meanR, meanG, meanB, luma stddev, w/1024, h/1024,
@@ -184,11 +297,12 @@ object Multimodal {
     }
   }
 
-  /** Deterministic fake for codecs that DO need native libraries
-    * (JPEG/H.264/...): features derived from payload bytes only —
-    * stable across retries/partitionings, the same contract a real
-    * decoder must satisfy. Swap for a JNI/FFI-backed decoder in
-    * production.
+  /** Deterministic fake for codecs that DO need native libraries the
+    * JDK lacks (H.264/Opus/MP3/...): features derived from payload
+    * bytes only — stable across retries/partitionings, the same
+    * contract a real decoder must satisfy. Swap for a JNI/FFI-backed
+    * decoder in production. (JPEG/PNG/GIF/BMP/WAV no longer need this
+    * seam — [[PureJvmDecoder]] decodes them for real.)
     */
   object FakeDecoder extends AssetDecoder {
     def decode(kind: String, payload: Array[Byte], width: Int, height: Int, durationMs: Int): Option[Decoded] = {
@@ -243,6 +357,44 @@ object Multimodal {
     b
   }
 
+  /** A raster whose pixels follow the SAME LCG draw order as
+    * [[syntheticBmp]] — so a PNG and a BMP of equal (w, h, seed) carry
+    * an identical pixel multiset and their integer channel means decode
+    * bit-identically across the two codec paths.
+    */
+  private def syntheticRaster(w: Int, h: Int, seed: Long): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var s = seed
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        val b = ((s >>> 40) & 0xff).toInt
+        val g = ((s >>> 48) & 0xff).toInt
+        val r = ((s >>> 56) & 0xff).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private def encodeImage(img: BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  /** A real PNG (JDK deflate encoder) with seed-deterministic pixels. */
+  private[pipeline] def syntheticPng(w: Int, h: Int, seed: Long): Array[Byte] =
+    encodeImage(syntheticRaster(w, h, seed), "png")
+
+  /** A real baseline-JFIF JPEG (JDK encoder) with seed-deterministic pixels. */
+  private[pipeline] def syntheticJpeg(w: Int, h: Int, seed: Long): Array[Byte] =
+    encodeImage(syntheticRaster(w, h, seed), "jpg")
+
   /** A real PCM-16 mono WAV whose samples are a pure function of `seed`. */
   private[pipeline] def syntheticWav(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
     val dataLen = nSamples * 2
@@ -268,9 +420,11 @@ object Multimodal {
     b
   }
 
-  /** Deterministic synthetic asset table with REAL payloads (BMP / WAV /
-    * BMP-sequence; pure function of asset_id). ~1/16 assets are corrupt:
-    * empty or truncated payloads the decoders must flag, not crash on.
+  /** Deterministic synthetic asset table with REAL payloads, rotating
+    * formats per modality (image: BMP / PNG / JPEG; video: BMP-sequence
+    * / MJPEG; audio: WAV) — pure function of asset_id. ~1/16 assets are
+    * corrupt: empty or truncated payloads the decoders must flag, not
+    * crash on.
     */
   def syntheticAssets(spark: SparkSession, n: Long, partitions: Int = 32): Dataset[AssetRow] = {
     import spark.implicits._
@@ -281,9 +435,17 @@ object Multimodal {
       val h = 8 + (id % 5).toInt
       val frames = 1 + (id % 4).toInt
       val full: Array[Byte] = kind match {
-        case "image" => syntheticBmp(w, h, id)
+        case "image" => ((id / 3) % 3) match {
+          case 0 => syntheticBmp(w, h, id)
+          case 1 => syntheticPng(w, h, id)
+          case _ => syntheticJpeg(w, h, id)
+        }
         case "audio" => syntheticWav(256 + (id % 1024).toInt, 16000, id)
-        case _ => (0 until frames).map(f => syntheticBmp(w, h, id * 31 + f)).reduce(_ ++ _)
+        case _ =>
+          val mk: Int => Array[Byte] =
+            if ((id / 3) % 2 == 0) f => syntheticBmp(w, h, id * 31 + f)
+            else f => syntheticJpeg(w, h, id * 31 + f)
+          (0 until frames).map(mk).reduce(_ ++ _)
       }
       val payload =
         if (id % 16 == 15) Array.emptyByteArray // corrupt: empty

@@ -53,6 +53,55 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(d.features(6) == 1.0f) // aspect of 8x8 frames
   }
 
+  test("PNG decode (ImageIO path) matches the BMP path bit-for-bit on channel means") {
+    val dec = Multimodal.PureJvmDecoder
+    val bmpF = dec.decodeBmp(Multimodal.syntheticBmp(16, 8, 42L), 0).get._1
+    val pngF = dec.decodeImageIo(Multimodal.syntheticPng(16, 8, 42L)).get
+    // identical pixel multiset + integer channel sums → exact equality
+    assert(pngF(0) == bmpF(0) && pngF(1) == bmpF(1) && pngF(2) == bmpF(2))
+    // luma stddev accumulates doubles in a different pixel order
+    assert(math.abs(pngF(3) - bmpF(3)) < 1e-6f)
+    assert(pngF(4) == bmpF(4) && pngF(5) == bmpF(5) && pngF(6) == bmpF(6))
+  }
+
+  test("JPEG decode does real DCT work: dims exact, stats near the lossless source") {
+    val dec = Multimodal.PureJvmDecoder
+    val ref = dec.decodeBmp(Multimodal.syntheticBmp(16, 8, 42L), 0).get._1
+    val jpgF = dec.decodeImageIo(Multimodal.syntheticJpeg(16, 8, 42L)).get
+    assert(jpgF(4) == 16 / 1024.0f && jpgF(5) == 8 / 1024.0f && jpgF(6) == 2.0f)
+    // lossy but mean-preserving: channel means within JPEG quantization error
+    (0 to 2).foreach(i => assert(math.abs(jpgF(i) - ref(i)) < 0.05f, s"channel $i"))
+    assert(jpgF(3) > 0f)
+  }
+
+  test("JPEG decode is content-sensitive") {
+    val dec = Multimodal.PureJvmDecoder
+    val a = dec.decodeImageIo(Multimodal.syntheticJpeg(16, 8, 1L)).get
+    val b = dec.decodeImageIo(Multimodal.syntheticJpeg(16, 8, 2L)).get
+    assert(!(a sameElements b))
+  }
+
+  test("MJPEG video counts and samples real JPEG frames") {
+    val frames = (0 until 4).map(i => Multimodal.syntheticJpeg(8, 8, 100L + i)).reduce(_ ++ _)
+    val Some(d) = Multimodal.PureJvmDecoder.decodeJpegSequence(frames)
+    assert(d.frames == 4)
+    assert(d.features.length == 8)
+    assert(d.features(6) == 1.0f)
+    // truncated final frame (no EOI) must reject the whole sequence
+    assert(Multimodal.PureJvmDecoder.decodeJpegSequence(frames.dropRight(3)).isEmpty)
+  }
+
+  test("compressed-format garbage is rejected, never crashes") {
+    val dec = Multimodal.PureJvmDecoder
+    val fakeJpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++ Array.fill[Byte](64)(0x5a)
+    assert(dec.decodeImageIo(fakeJpeg).isEmpty)
+    val fakePng = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++ Array.fill[Byte](64)(0x13)
+    assert(dec.decodeImageIo(fakePng).isEmpty)
+    assert(dec.decodeImageIo(Array.emptyByteArray).isEmpty)
+    assert(dec.decode("image", fakePng, 8, 8, 0).isEmpty)
+    assert(dec.decode("video", fakeJpeg, 8, 8, 1000).isEmpty)
+  }
+
   test("malformed payloads are rejected, never crash") {
     val dec = Multimodal.PureJvmDecoder
     assert(dec.decode("image", Array.emptyByteArray, 8, 8, 0).isEmpty)
