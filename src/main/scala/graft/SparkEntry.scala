@@ -138,6 +138,11 @@ object SparkEntry {
     "q23_ntriples_sink_docs" -> ((s, d) => graft.sources.RdfSources.ntDocLines(t(s, d, "documents"))),
     "q24_bpe_pretoken" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"), TextOps.bpePretokenCount(col("text")).as("bpe_tokens"))),
+    // trained-vocab subword count: the shipped corpus-trained BPE merges
+    // resource drives a greedy longest-match segmenter (the oracle-
+    // expressible twin of true merge-order BPE encoding, x_bpe_encode)
+    "q25_bpe_vocab_subwords" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), Bpe.trainedSubwordCount(col("text")).as("bpe_subwords"))),
     "q20_ntriples_escape" -> ((s, d) => {
       t(s, d, "documents").select(
         col("doc_id"),
@@ -186,6 +191,11 @@ object SparkEntry {
       Similarity.ivfCosine(emb, emb.where(col("vec_id") < 8), k = 5)
     }),
     "x_multimodal_features" -> ((s, _) => Multimodal.featureSummary(Multimodal.syntheticAssets(s, 3000)).toDF()),
+    // distributed BPE trainer: one word-freq shuffle + bounded driver
+    // merge loop; deterministic, so the merges table is stable
+    "x_bpe_train" -> ((s, d) => Bpe.mergesTable(s, Bpe.train(t(s, d, "documents"), numMerges = 60))),
+    // true merge-order BPE encoding with the shipped merges resource
+    "x_bpe_encode" -> ((s, d) => Bpe.tokenCounts(t(s, d, "documents"), Bpe.shippedMerges)),
     "x_entity_link" -> ((s, _) => {
       import s.implicits._
       val pages = SyntheticPages.pages(s, copies = 2, numPartitions = 8)
@@ -323,6 +333,13 @@ object SparkEntry {
     "q24_bpe_pretoken" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '(''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+)')) AS BIGINT) AS bpe_tokens
+        |FROM documents""".stripMargin,
+    // the alternation is generated from the same checked-in merges
+    // resource the Spark side loads — DuckDB segments independently
+    "q25_bpe_vocab_subwords" ->
+      s"""SELECT doc_id,
+        |  CAST(coalesce(list_sum(list_transform(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+        |           w -> len(regexp_extract_all(w, '${pipeline.Bpe.trainedVocabPattern}')))), 0) AS BIGINT) AS bpe_subwords
         |FROM documents""".stripMargin,
     "q18_ann_brute_int" ->
       """WITH qv AS (

@@ -1,0 +1,198 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Byte-pair-encoding (Sennrich et al. 2016, ACL — public algorithm):
+  * a distributed trainer and a real merge-order encoder, the tokenizer
+  * stage of a training-data pipeline.
+  *
+  * Scale design: the ONLY corpus-sized pass is the word-frequency
+  * aggregation — one map-side-combinable groupBy shuffle. The merge
+  * loop itself runs on the top-`maxTypes` word types (a bounded table:
+  * standard practice — BPE statistics saturate long before the type
+  * tail), so driver memory and time are independent of corpus size.
+  * Encoding is a pure per-row function over a broadcast merge-rank map
+  * (small arrays, once per word — not a per-element hot-path lambda).
+  *
+  * Everything is deterministic: ties in pair counts break on the
+  * lexicographically smallest (left, right), so the merges table is a
+  * pure function of the corpus.
+  */
+object Bpe {
+
+  /** Distributed word-type frequency table over `[a-z]+` runs of the
+    * lowercased text. One shuffle, map-side combinable.
+    */
+  def wordFreq(docs: DataFrame): DataFrame =
+    docs.select(explode(filter(split(lower(col("text")), "[^a-z]+"), w => w =!= "")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Train `numMerges` BPE merges from a corpus. The word-type table is
+    * capped at the `maxTypes` most frequent types (ties broken
+    * lexicographically) before the driver-side merge loop — the cap is
+    * what keeps this safe at 100 TB.
+    */
+  def train(docs: DataFrame, numMerges: Int, maxTypes: Int = 50000): Seq[(String, String)] = {
+    val types = wordFreq(docs)
+      .orderBy(col("freq").desc, col("word"))
+      .limit(maxTypes)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    trainFromTypes(types, numMerges)
+  }
+
+  /** The classic merge loop over a (word type → frequency) table:
+    * repeatedly merge the most frequent adjacent symbol pair.
+    */
+  def trainFromTypes(types: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+    var words: Array[(Array[String], Long)] =
+      types.map { case (w, f) => (w.map(_.toString).toArray, f) }.toArray
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.size < numMerges && !done) {
+      val counts = mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        // deterministic argmax: max count, then smallest (left, right)
+        val best = counts.foldLeft(null.asInstanceOf[((String, String), Long)]) {
+          case (acc, kv) =>
+            if (acc == null) kv
+            else if (kv._2 > acc._2) kv
+            else if (kv._2 == acc._2 &&
+              (kv._1._1 < acc._1._1 || (kv._1._1 == acc._1._1 && kv._1._2 < acc._1._2))) kv
+            else acc
+        }
+        merges += best._1
+        words = words.map { case (syms, f) => (mergePair(syms, best._1._1, best._1._2), f) }
+      }
+    }
+    merges.toSeq
+  }
+
+  private def mergePair(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += l + r
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Encode one word with the trained merges — the real BPE algorithm
+    * (lowest-rank pair first), not greedy longest-match.
+    */
+  def encodeWord(word: String, rank: collection.Map[(String, String), Int]): Array[String] = {
+    if (word.isEmpty) return Array.empty
+    var syms: Array[String] = word.map(_.toString).toArray
+    var improved = true
+    while (improved && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestAt = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        rank.get((syms(i), syms(i + 1))).foreach { rk =>
+          if (rk < bestRank) { bestRank = rk; bestAt = i }
+        }
+        i += 1
+      }
+      if (bestAt < 0) improved = false
+      else syms = mergePair(syms, syms(bestAt), syms(bestAt + 1))
+    }
+    syms
+  }
+
+  /** Per-document BPE token count with a broadcast merge-rank map:
+    * `(doc_id, bpe_tokens)`. The encode is a pure function per word —
+    * bounded work, no shuffle beyond the scan.
+    */
+  def tokenCounts(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rankB = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
+    docs.select(col("doc_id"), lower(col("text")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val rank = rankB.value
+        val wordRe = "[a-z]+".r
+        it.map { case (id, text) =>
+          val n =
+            if (text == null) 0L
+            else wordRe.findAllIn(text).foldLeft(0L)((acc, w) => acc + encodeWord(w, rank).length)
+          (id, n)
+        }
+      }
+      .toDF("doc_id", "bpe_tokens")
+  }
+
+  /** The merges table as a DataFrame `(rank, left, right)` — the
+    * trainer's registered-query surface.
+    */
+  def mergesTable(spark: SparkSession, merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((l, r), i) => (i.toLong, l, r) }
+      .toDF("rank", "left", "right")
+  }
+
+  // -------------------------------------------- shipped merges resource
+
+  /** Merges trained by [[graft.tools.BpeTrainCli]] on the sf0.1
+    * documents corpus (60 merges — capped below the tiny synthetic
+    * vocabulary's saturation point so encoding still subdivides words)
+    * and checked in as `graft/bpe_merges.txt`. A pure function of the
+    * corpus: retraining reproduces the file byte-for-byte.
+    */
+  lazy val shippedMerges: Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/bpe_merges.txt")
+    require(in != null, "bpe_merges.txt resource missing")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().map { line =>
+      val t = line.split("\t", 2)
+      (t(0), t(1))
+    }.toVector
+    finally in.close()
+  }
+
+  /** Subword vocabulary induced by [[shippedMerges]] (every merge
+    * product), ordered longest-first then lexicographic — the ordering
+    * that makes a leftmost-first regex alternation implement greedy
+    * longest-match identically in java.util.regex (Spark) and RE2
+    * (DuckDB), the same cross-engine contract as
+    * [[TextOps.subwordVocab]].
+    */
+  lazy val trainedVocab: Seq[String] =
+    shippedMerges.map { case (l, r) => l + r }.distinct.sortBy(p => (-p.length, p))
+
+  /** Greedy longest-match alternation over the trained vocabulary with
+    * a single-char fallback. Vocab tokens are `[a-z]+` only — no regex
+    * metacharacters to escape.
+    */
+  lazy val trainedVocabPattern: String =
+    "(" + (trainedVocab :+ "[a-z0-9]").mkString("|") + ")"
+
+  /** Subword count against the TRAINED vocabulary: greedy longest-match
+    * segmentation, codegen'd built-ins only — the oracle-checkable twin
+    * of [[tokenCounts]] (true merge-order BPE is not SQL-expressible;
+    * greedy segmentation over the same vocab is).
+    */
+  def trainedSubwordCount(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val words = filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+    aggregate(words, lit(0L),
+      (acc, w) => acc + size(regexp_extract_all(w, lit(trainedVocabPattern))).cast("bigint"))
+  }
+}

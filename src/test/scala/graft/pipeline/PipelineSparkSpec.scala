@@ -32,6 +32,29 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.toSeq.toDF("doc_id", "text", "source")
   }
 
+  test("distributed BPE encode matches the driver-side reference and trainer round-trips") {
+    val d = docs(
+      (1L, "spark spark merge", "a"),
+      (2L, "filter window", "a"),
+      (3L, "", "b")
+    )
+    val merges = Bpe.train(d, numMerges = 8, maxTypes = 100)
+    assert(merges.nonEmpty)
+    val rank = merges.zipWithIndex.toMap
+    val expected = Map(
+      1L -> Seq("spark", "spark", "merge").map(w => Bpe.encodeWord(w, rank).length.toLong).sum,
+      2L -> Seq("filter", "window").map(w => Bpe.encodeWord(w, rank).length.toLong).sum,
+      3L -> 0L)
+    val got = Bpe.tokenCounts(d, merges).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bpe_tokens")).toMap
+    assert(got == expected)
+    // trained-vocab greedy segmenter: total subwords per doc >= word count
+    // (every word splits into >=1 piece) and empty text counts zero
+    val g = d.select(col("doc_id"), Bpe.trainedSubwordCount(col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g(1L) >= 3 && g(2L) >= 2 && g(3L) == 0)
+  }
+
   test("exact dedup groups identical normalized texts") {
     val d = docs(
       (1L, "Hello   World", "a"),
