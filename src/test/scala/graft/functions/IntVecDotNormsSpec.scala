@@ -72,6 +72,22 @@ class IntVecDotNormsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.head.isNullAt(0))
   }
 
+  test("the kernel executes inside a WholeStageCodegen span (no interpreted fallback)") {
+    GraftFunctions.register(spark)
+    // spark.range source (a literal Seq would constant-fold to a
+    // LocalTableScan and never exercise doGenCode at runtime)
+    val df = spark.range(2)
+      .select(array(col("id") + 1, col("id") * 2).as("a"), array(col("id") + 3, col("id") + 4).as("b"))
+      .select(expr("int_vec_dot_norms(a, b)").as("r"))
+    // codegen stages render as `*(n) Project ...` in simpleString; the
+    // kernel's Project must carry the star, or codegen fell back
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("int_vec_dot_norms") && l.trim.startsWith("*(")),
+      s"kernel fell out of codegen:\n$plan")
+    // id=0: [1,0]·[3,4]=3 ; id=1: [2,2]·[4,5]=18
+    assert(df.collect().map(_.getSeq[Long](0).head).sorted.toSeq == Seq(3L, 18L))
+  }
+
   test("registration is idempotent and survives re-register") {
     GraftFunctions.register(spark)
     GraftFunctions.register(spark)
