@@ -330,9 +330,11 @@ object SparkEntry {
     "q21_simhash_pairs_md5" -> q21Sql,
     "q22_wordset_lsh_md5" -> minhashLshSql(width = 1, threshold = 0.5),
     "q23_ntriples_sink_docs" -> q23Sql,
+    // whitespace spelled as an explicit class (java \s includes \x0B,
+    // RE2 \s does not); coalesce matches the Spark side's NULL → 0
     "q24_bpe_pretoken" ->
       """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '(''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+)')) AS BIGINT) AS bpe_tokens
+        |  CAST(coalesce(len(regexp_extract_all(text, '(''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+|[ \t\n\x0B\f\r]+)')), 0) AS BIGINT) AS bpe_tokens
         |FROM documents""".stripMargin,
     // the alternation is generated from the same checked-in merges
     // resource the Spark side loads — DuckDB segments independently

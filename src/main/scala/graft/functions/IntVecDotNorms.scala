@@ -30,13 +30,20 @@ case class IntVecDotNorms(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "int_vec_dot_norms"
 
+  // Mismatched lengths (a truncated vector from a bad upstream batch):
+  // the dot runs over the common prefix but each norm covers its FULL
+  // vector — same semantics as the per-dimension relational form this
+  // kernel replaced, so a short prefix can never score cos=1.0 against
+  // its parent.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     var dot = 0L
     var nl = 0L
     var nr = 0L
-    val n = math.min(x.numElements(), y.numElements())
+    val nx = x.numElements()
+    val ny = y.numElements()
+    val n = math.min(nx, ny)
     var i = 0
     while (i < n) {
       val xi = x.getLong(i)
@@ -46,6 +53,10 @@ case class IntVecDotNorms(left: Expression, right: Expression)
       nr += yi * yi
       i += 1
     }
+    var j = n
+    while (j < nx) { val v = x.getLong(j); nl += v * v; j += 1 }
+    j = n
+    while (j < ny) { val v = y.getLong(j); nr += v * v; j += 1 }
     new GenericArrayData(Array(dot, nl, nr))
   }
 
@@ -54,13 +65,17 @@ case class IntVecDotNorms(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val nl = ctx.freshName("nl")
       val nr = ctx.freshName("nr")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
          |long $dot = 0L, $nl = 0L, $nr = 0L;
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $n = java.lang.Math.min($nx, $ny);
          |for (int $i = 0; $i < $n; $i++) {
          |  long $x = $a.getLong($i);
          |  long $y = $b.getLong($i);
@@ -68,6 +83,8 @@ case class IntVecDotNorms(left: Expression, right: Expression)
          |  $nl += $x * $x;
          |  $nr += $y * $y;
          |}
+         |for (int $i = $n; $i < $nx; $i++) { long $x = $a.getLong($i); $nl += $x * $x; }
+         |for (int $i = $n; $i < $ny; $i++) { long $y = $b.getLong($i); $nr += $y * $y; }
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new long[]{$dot, $nl, $nr});
        """.stripMargin
     })

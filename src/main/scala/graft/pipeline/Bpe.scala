@@ -192,7 +192,8 @@ object Bpe {
     */
   def trainedSubwordCount(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val words = filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
-    aggregate(words, lit(0L),
-      (acc, w) => acc + size(regexp_extract_all(w, lit(trainedVocabPattern))).cast("bigint"))
+    // NULL text counts 0, matching the oracle's coalesce(..., 0)
+    coalesce(aggregate(words, lit(0L),
+      (acc, w) => acc + size(regexp_extract_all(w, lit(trainedVocabPattern))).cast("bigint")), lit(0L))
   }
 }

@@ -125,10 +125,49 @@ object Multimodal {
       ))
     }
 
-    /** MJPEG-style concatenated baseline-JFIF frames. Baseline JPEG
-      * entropy data byte-stuffs every 0xFF (as FF 00 / FF D0-D7), so a
-      * raw FF D9 scan finds exactly the frame-terminating EOI markers.
-      * Samples first/middle/last frames, averages features.
+    /** Exclusive end offset of the JPEG frame starting at `start`, or
+      * -1 if malformed/truncated. A SEGMENT-AWARE walk, not a raw FFD9
+      * scan: length-prefixed marker segments (APPn/COM — where EXIF
+      * thumbnails embed a complete inner JPEG with its own EOI) are
+      * skipped wholesale; only entropy-coded scan data is byte-scanned,
+      * where byte-stuffing (FF 00 / FF D0-D7) makes a bare FF-marker
+      * test sound.
+      */
+    private[pipeline] def jpegFrameEnd(p: Array[Byte], start: Int): Int = {
+      var pos = start + 2 // past SOI
+      while (pos + 1 < p.length) {
+        if ((p(pos) & 0xff) != 0xff) return -1 // marker expected
+        var m = p(pos + 1) & 0xff
+        while (m == 0xff && pos + 2 < p.length) { pos += 1; m = p(pos + 1) & 0xff } // fill bytes
+        m match {
+          case 0xd9 => return pos + 2 // EOI
+          case 0xd8 => return -1 // nested SOI outside a length-prefixed segment
+          case x if (x >= 0xd0 && x <= 0xd7) || x == 0x01 => pos += 2 // standalone
+          case 0xda => // SOS: skip header, then entropy data to next true marker
+            if (pos + 3 >= p.length) return -1
+            val len = ((p(pos + 2) & 0xff) << 8) | (p(pos + 3) & 0xff)
+            var i = pos + 2 + len
+            var next = -1
+            while (next < 0 && i + 1 < p.length) {
+              val b2 = p(i + 1) & 0xff
+              if ((p(i) & 0xff) == 0xff && b2 != 0x00 && !(b2 >= 0xd0 && b2 <= 0xd7)) next = i
+              else i += 1
+            }
+            if (next < 0) return -1 // truncated entropy data
+            pos = next
+          case _ => // length-prefixed segment (APPn/COM/DQT/SOF/DHT/...)
+            if (pos + 3 >= p.length) return -1
+            val len = ((p(pos + 2) & 0xff) << 8) | (p(pos + 3) & 0xff)
+            if (len < 2) return -1
+            pos += 2 + len
+        }
+      }
+      -1
+    }
+
+    /** MJPEG-style concatenated JFIF frames, delimited by the segment-
+      * aware [[jpegFrameEnd]] walk. Samples first/middle/last frames,
+      * averages features.
       */
     private[pipeline] def decodeJpegSequence(p: Array[Byte]): Option[Decoded] = {
       if (!isJpeg(p)) return None
@@ -138,13 +177,8 @@ object Multimodal {
       while (start < p.length) {
         if (start + 3 > p.length || (p(start) & 0xff) != 0xff ||
           (p(start + 1) & 0xff) != 0xd8 || (p(start + 2) & 0xff) != 0xff) return None
-        var i = start + 2
-        var end = -1
-        while (end < 0 && i + 1 < p.length) {
-          if ((p(i) & 0xff) == 0xff && (p(i + 1) & 0xff) == 0xd9) end = i + 2
-          i += 1
-        }
-        if (end < 0) return None // truncated frame
+        val end = jpegFrameEnd(p, start)
+        if (end < 0) return None // truncated/malformed frame
         bounds += ((start, end))
         count += 1
         start = end

@@ -42,8 +42,9 @@ object TextOps {
     */
   def subwordCount(text: Column): Column = {
     val words = filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
-    aggregate(words, lit(0L),
-      (acc, w) => acc + size(regexp_extract_all(w, lit(subwordPattern))).cast("bigint"))
+    // NULL text counts 0, matching the oracle's coalesce(..., 0)
+    coalesce(aggregate(words, lit(0L),
+      (acc, w) => acc + size(regexp_extract_all(w, lit(subwordPattern))).cast("bigint")), lit(0L))
   }
 
   /** GPT-2-style byte-pair-encoding PRE-TOKENIZER (the published
@@ -53,9 +54,12 @@ object TextOps {
     * one run instead of run-minus-one; consistent in both engines).
     * Ordered alternation is leftmost-FIRST in both java.util.regex and
     * RE2, so the match sequence — hence the count — is bit-identical.
+    * Whitespace is an EXPLICIT class because the engines' `\s` differ
+    * by exactly one character: java's ASCII `\s` includes `\x0B`
+    * (vertical tab), RE2's does not.
     */
   val bpePretokenPattern: String =
-    "('s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+)"
+    "('s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\x0B\\f\\r]+)"
 
   /** Pre-tokenizer token count per document — the cost model input of a
     * real BPE tokenizer (each pre-token is what BPE merges subdivide).

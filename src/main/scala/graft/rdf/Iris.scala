@@ -189,24 +189,47 @@ object Iris {
         (c >= '0' && c <= '9') || c == '_' || c == '-' || c == '.'
     }
 
-  /** Bijective NCName-safe mangling of internal bnode labels for EXPORT
-    * boundaries only: internal labels are `<label>@<32-hex-scope>` and
-    * '@' is not a legal NCName / N-Triples label character. Escape
-    * coding 'x' → "xx", '@' → "xa" is injective (prefix-free escapes),
-    * so two distinct internal labels can never collide after mangling:
-    * `b0@<hex>` → `b0xa<hex>`.
+  /** NCName-safe mangling of internal bnode labels for EXPORT
+    * boundaries only. Internal labels are `<label>@<32-hex-scope>` and
+    * '@' is not a legal NCName / N-Triples label character — but the
+    * lax bug-compat decoder ([[ncName]]) also admits labels with
+    * spaces, '%', non-ASCII etc., so the mangle must cover EVERY label:
+    *   - labels that are NCName-shaped apart from 'x'/'@' use the
+    *     injective prefix-free escape coding 'x' → "xx", '@' → "xa"
+    *     (`b0@<hex>` → `b0xa<hex>`), preserving readability;
+    *   - anything else (bad start char, exotic characters) maps to
+    *     `xh<md5-hex>` — a valid NCName that cannot collide with the
+    *     escape branch (a raw leading 'x' always escapes to "xx...").
+    * Injective modulo md5 (2^-128); mirrored in SQL by
+    * [[graft.sources.RdfSources.nTriplesLineCol]]'s bnodeSafe column.
     */
   def ncSafeLabel(label: String): String = {
-    val sb = new java.lang.StringBuilder(label.length + 4)
-    var i = 0
-    while (i < label.length) {
-      label.charAt(i) match {
-        case 'x' => sb.append("xx")
-        case '@' => sb.append("xa")
-        case c => sb.append(c)
-      }
-      i += 1
+    val simpleOk = label.nonEmpty && {
+      val c0 = label.charAt(0)
+      (c0 >= 'a' && c0 <= 'z') || (c0 >= 'A' && c0 <= 'Z') || c0 == '_'
+    } && label.forall { c =>
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_' || c == '-' || c == '.' || c == '@'
     }
-    sb.toString
+    if (simpleOk) {
+      val sb = new java.lang.StringBuilder(label.length + 4)
+      var i = 0
+      while (i < label.length) {
+        label.charAt(i) match {
+          case 'x' => sb.append("xx")
+          case '@' => sb.append("xa")
+          case c => sb.append(c)
+        }
+        i += 1
+      }
+      sb.toString
+    } else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(label.getBytes("UTF-8"))
+      val sb = new java.lang.StringBuilder(34)
+      sb.append("xh")
+      d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+      sb.toString
+    }
   }
 }

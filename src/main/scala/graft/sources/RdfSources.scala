@@ -97,10 +97,17 @@ object RdfSources {
     def esc(c: org.apache.spark.sql.Column) =
       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r")
-    // the "_:" prefix contains neither 'x' nor '@', so mangling the whole
-    // string is equivalent to mangling the label and stays bijective
-    def bnodeSafe(c: org.apache.spark.sql.Column) =
-      regexp_replace(regexp_replace(c, "x", "xx"), "@", "xa")
+    // SQL mirror of Iris.ncSafeLabel: NCName-shaped labels (module 'x'/
+    // '@') take the readable escape chain; anything the lax decoder let
+    // through (spaces, bad start chars, non-ASCII) hashes to xh<md5> —
+    // still codegen'd built-ins, no UDF
+    def bnodeSafe(c: org.apache.spark.sql.Column) = {
+      val label = substring(c, 3, Int.MaxValue) // strip "_:"
+      val simple = regexp_replace(regexp_replace(label, "x", "xx"), "@", "xa")
+      concat(lit("_:"),
+        when(label.rlike("^[A-Za-z_][A-Za-z0-9_.@-]*$"), simple)
+          .otherwise(concat(lit("xh"), md5(label))))
+    }
     val subj = when(col("subj").startsWith("_:"), bnodeSafe(col("subj")))
       .otherwise(concat(lit("<"), col("subj"), lit(">")))
     val obj = when(col("objKind") === "iri", concat(lit("<"), col("obj"), lit(">")))

@@ -76,8 +76,15 @@ object ExtractRunner {
       java.nio.file.Files.createDirectories(d)
       java.nio.file.Files.writeString(d.resolve(s"$phase-$id"), "1")
       val deadline = System.nanoTime() + 120L * 1000000000L
-      while (java.nio.file.Files.list(d).filter(p => p.getFileName.toString.startsWith(s"$phase-")).count() < parties
-        && System.nanoTime() < deadline) Thread.sleep(20)
+      // close each directory stream: an unclosed Files.list leaks one fd
+      // per 20ms poll — a slow sibling near the watchdog deadline means
+      // ~6000 iterations, enough to breach a 1024 fd ulimit
+      def arrived(): Long = {
+        val s = java.nio.file.Files.list(d)
+        try s.filter(p => p.getFileName.toString.startsWith(s"$phase-")).count()
+        finally s.close()
+      }
+      while (arrived() < parties && System.nanoTime() < deadline) Thread.sleep(20)
     }
 
     pass() // warm: JIT, parquet footers, page cache (also warms the parse canary's code paths)

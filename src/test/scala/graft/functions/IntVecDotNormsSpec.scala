@@ -29,12 +29,10 @@ class IntVecDotNormsSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
   private def ref(a: Seq[Long], b: Seq[Long]): Seq[Long] = {
-    val n = math.min(a.length, b.length)
-    var dot = 0L; var nl = 0L; var nr = 0L
-    (0 until n).foreach { i =>
-      dot += a(i) * b(i); nl += a(i) * a(i); nr += b(i) * b(i)
-    }
-    Seq(dot, nl, nr)
+    // dot over the common prefix; each norm over its FULL vector (a
+    // truncated vector must never score cos=1.0 against its parent)
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    Seq(dot, a.map(x => x * x).sum, b.map(y => y * y).sum)
   }
 
   private def run(codegen: Boolean, rows: Seq[(Seq[Long], Seq[Long])]): Seq[Seq[Long]] = {
@@ -53,7 +51,7 @@ class IntVecDotNormsSpec extends AnyFunSuite with BeforeAndAfterAll {
     (Seq(1L, 2L, 3L), Seq(4L, -5L, 6L)),
     (Seq.empty[Long], Seq.empty[Long]),
     (Seq(1000000L, -1000000L), Seq(1000000L, 1000000L)), // micro-unit scale, fits long
-    (Seq(7L), Seq(7L, 8L, 9L)), // length mismatch → shorter prefix
+    (Seq(7L), Seq(7L, 8L, 9L)), // length mismatch → prefix dot, full norms
     (Seq.tabulate(64)(i => (i * 2654435761L) % 2000001L - 1000000L),
      Seq.tabulate(64)(i => (i * 40503L) % 2000001L - 1000000L))
   )

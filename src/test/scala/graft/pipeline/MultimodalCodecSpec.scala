@@ -91,6 +91,27 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(Multimodal.PureJvmDecoder.decodeJpegSequence(frames.dropRight(3)).isEmpty)
   }
 
+  test("MJPEG frame walk is segment-aware: an EXIF-style embedded EOI does not split the frame") {
+    // inject an APP1 segment whose payload contains a bare FF D9 (the
+    // shape of an EXIF thumbnail's own EOI) right after each frame's SOI
+    def withApp1(jpeg: Array[Byte]): Array[Byte] = {
+      val payload = Array[Byte](
+        'E', 'x', 'i', 'f', 0, 0,
+        0xff.toByte, 0xd8.toByte, 0x01, 0x02, 0xff.toByte, 0xd9.toByte, 0x03)
+      val seg = Array[Byte](0xff.toByte, 0xe1.toByte,
+        (((payload.length + 2) >> 8) & 0xff).toByte, ((payload.length + 2) & 0xff).toByte) ++ payload
+      jpeg.take(2) ++ seg ++ jpeg.drop(2)
+    }
+    val dec = Multimodal.PureJvmDecoder
+    val f1 = withApp1(Multimodal.syntheticJpeg(8, 8, 1L))
+    val f2 = withApp1(Multimodal.syntheticJpeg(8, 8, 2L))
+    // single frame decodes (ImageIO skips the unknown APP1)...
+    assert(dec.decodeImageIo(f1).isDefined)
+    // ...and the sequence walk counts 2 frames, not 4 thumbnail-split ones
+    val Some(d) = dec.decodeJpegSequence(f1 ++ f2)
+    assert(d.frames == 2)
+  }
+
   test("compressed-format garbage is rejected, never crashes") {
     val dec = Multimodal.PureJvmDecoder
     val fakeJpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++ Array.fill[Byte](64)(0x5a)

@@ -36,7 +36,8 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val d = docs(
       (1L, "spark spark merge", "a"),
       (2L, "filter window", "a"),
-      (3L, "", "b")
+      (3L, "", "b"),
+      (4L, null, "b")
     )
     val merges = Bpe.train(d, numMerges = 8, maxTypes = 100)
     assert(merges.nonEmpty)
@@ -44,15 +45,23 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expected = Map(
       1L -> Seq("spark", "spark", "merge").map(w => Bpe.encodeWord(w, rank).length.toLong).sum,
       2L -> Seq("filter", "window").map(w => Bpe.encodeWord(w, rank).length.toLong).sum,
-      3L -> 0L)
+      3L -> 0L,
+      4L -> 0L)
     val got = Bpe.tokenCounts(d, merges).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bpe_tokens")).toMap
     assert(got == expected)
     // trained-vocab greedy segmenter: total subwords per doc >= word count
-    // (every word splits into >=1 piece) and empty text counts zero
+    // (every word splits into >=1 piece); empty AND NULL text count zero
+    // (the oracle convention: coalesce(..., 0) on both sides)
     val g = d.select(col("doc_id"), Bpe.trainedSubwordCount(col("text")).as("n")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(g(1L) >= 3 && g(2L) >= 2 && g(3L) == 0)
+    assert(g(1L) >= 3 && g(2L) >= 2 && g(3L) == 0 && g(4L) == 0)
+    val pt = d.select(col("doc_id"), TextOps.bpePretokenCount(col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pt(4L) == 0 && pt(3L) == 0)
+    val sw = d.select(col("doc_id"), TextOps.subwordCount(col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sw(4L) == 0)
   }
 
   test("exact dedup groups identical normalized texts") {
@@ -338,6 +347,25 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val labels = nt.flatMap("""_:(\S+)""".r.findAllMatchIn(_).map(_.group(1)))
     assert(labels.forall(graft.rdf.Iris.isStrictNCName), labels.mkString(","))
     assert(labels.toSet.size == 2)
+  }
+
+  test("lax-admitted bnode labels (spaces, bad start, non-ASCII) still export as strict NCNames") {
+    val s = spark
+    import s.implicits._
+    // the lax decoder admits all of these as nodeIDs; the export mangle
+    // must cover them, not just the internal 'b<n>@<scope>' shape
+    val weird = Seq("a b", "0start", "ümläut", "pct%25", "b0@scope", "")
+    val edges = weird.zipWithIndex.map { case (l, i) =>
+      (s"u$i", s"_:$l", "http://ex.org/vocab/p", s"v$i", "literal", null: String, null: String)
+    }.toDF("url", "subj", "pred", "obj", "objKind", "lang", "datatype")
+    val nt = graft.sources.RdfSources.toNTriplesLines(edges).as[String].collect()
+    assert(nt.length == weird.size)
+    val labels = nt.map("""^_:(\S+) """.r.findFirstMatchIn(_).get.group(1))
+    assert(labels.forall(graft.rdf.Iris.isStrictNCName), labels.mkString(","))
+    assert(labels.toSet.size == weird.size) // injective across all shapes
+    // the SQL column mangle and the Scala mangle must agree exactly
+    // (RDF/XML export uses the Scala path, the N-Triples sink the SQL one)
+    assert(labels.toSeq == weird.map(graft.rdf.Iris.ncSafeLabel))
   }
 
   test("embedding near-dup recovers a planted high-cosine pair and rejects noise") {

@@ -21,7 +21,11 @@ def norm_cell(v):
     if isinstance(v, (float, np.floating)):
         if pd.isna(v):
             return "NULL"
-        return f"{float(v):.9g}"
+        # collapse float32-vs-float64 representation noise: a float32
+        # widened to float64 carries ~8 junk decimal digits (0.8571 ->
+        # 0.857100009918...), so %.9g would NOT make the sides agree;
+        # round-trip through float32 and render at float32 precision
+        return f"{float(np.float32(v)):.7g}"
     return str(v)
 
 def value_hash(df: pd.DataFrame) -> str:
