@@ -103,6 +103,144 @@ object StreamingExtract {
       }
   }
 
+  /** Online MinHash-LSH NEAR-dup over an unbounded document stream —
+    * the streaming twin of [[Dedup.minhashLsh]]. Each document's
+    * signature is a pure per-row function (no shuffle, no streaming
+    * aggregation): word w-shingle set → 64-bit hashes → bands×rows
+    * minhash minima → one bucket id per band. The stream is keyed by
+    * (band, bucket); per-bucket state holds up to `maxExemplars` recent
+    * documents' SORTED shingle-hash sets, so arriving documents verify
+    * EXACT Jaccard against candidates that may have arrived in earlier
+    * micro-batches. Event-time TTL bounds state exactly like
+    * [[streamingExactDedup]]; hot buckets are bounded by the exemplar
+    * cap instead of the batch path's hot-bucket anti-join (state can
+    * never exceed maxExemplars per bucket, the streaming analogue of
+    * the |bucket|² guard).
+    *
+    * A pair sharing several bands can be emitted once per shared band
+    * (bucket states are independent) — consumers dedupe with
+    * `.distinct()`, the same discipline as the batch path's
+    * dedup-before-verify but applied after, since cross-bucket state
+    * cannot be consulted mid-stream.
+    *
+    * Input columns: (doc_id bigint, text string, event_ts timestamp).
+    * Output: (a, b, jaccard) with a < b and jaccard >= threshold.
+    */
+  def streamingNearDup(docs: DataFrame,
+                       threshold: Double = 0.5,
+                       bands: Int = 4,
+                       rowsPerBand: Int = 3,
+                       shingleWidth: Int = 3,
+                       maxExemplars: Int = 16,
+                       stateTtl: scala.concurrent.duration.FiniteDuration =
+                         scala.concurrent.duration.Duration(1, "hour")): Dataset[(Long, Long, Double)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ttlMs = stateTtl.toMillis
+
+    // FNV-1a 64-bit: deterministic, dependency-free per-row hashing
+    def fnv(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+      h
+    }
+    def mix(h: Long, seed: Int): Long = {
+      var z = h + 0x9e3779b97f4a7c15L * (seed + 1)
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def shingleHashes(text: String): Array[Long] = {
+      if (text == null) return Array.empty
+      val words = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      if (words.isEmpty) return Array.empty
+      val n = math.max(words.length - (shingleWidth - 1), 1)
+      val set = new java.util.TreeSet[java.lang.Long]()
+      var i = 0
+      while (i < n) {
+        set.add(fnv(words.slice(i, i + shingleWidth).mkString(" ")))
+        i += 1
+      }
+      val out = new Array[Long](set.size)
+      val it = set.iterator(); var j = 0
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      out // sorted ascending — intersection below is a linear merge
+    }
+    def buckets(hs: Array[Long]): Array[Long] = {
+      if (hs.isEmpty) return Array.empty
+      (0 until bands).map { b =>
+        var acc = 0xcbf29ce484222325L ^ b
+        var r = 0
+        while (r < rowsPerBand) {
+          val seed = b * rowsPerBand + r
+          var m = Long.MaxValue
+          var i = 0
+          while (i < hs.length) { val v = mix(hs(i), seed); if (v < m) m = v; i += 1 }
+          acc = (acc ^ m) * 0x100000001b3L
+          r += 1
+        }
+        acc
+      }.toArray
+    }
+    def jaccard(a: Array[Long], b: Array[Long]): Double = {
+      var i = 0; var j = 0; var inter = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1 else j += 1
+      }
+      val union = a.length + b.length - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+
+    docs
+      .select(col("doc_id"), col("text"), col("event_ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .flatMap { case (id, text, ts) =>
+        val hs = shingleHashes(text)
+        buckets(hs).zipWithIndex.iterator.map { case (bk, band) =>
+          (band.toLong << 56 | (bk & 0x00ffffffffffffffL), id, hs, ts)
+        }
+      }
+      // the watermark must be (re)declared on the flat-mapped frame: a
+      // typed flatMap re-serializes its output, erasing the upstream
+      // watermark marker the event-time timeout needs
+      .toDF("bucket", "doc_id", "hs", "event_ts")
+      .withWatermark("event_ts", s"${stateTtl.toSeconds} seconds")
+      .as[(Long, Long, Array[Long], java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Array[Long], Long)], (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state: GroupState[List[(Long, Array[Long], Long)]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // micro-batch arrivals for this bucket, deterministic order
+            val batch = rows.toArray.sortBy(_._2)
+            if (batch.isEmpty) Iterator.empty
+            else {
+              var exemplars = state.getOption.getOrElse(Nil)
+              val out = List.newBuilder[(Long, Long, Double)]
+              batch.foreach { case (_, id, hs, ts) =>
+                exemplars.foreach { case (eid, ehs, _) =>
+                  if (eid != id) {
+                    val j = jaccard(hs, ehs)
+                    if (j >= threshold)
+                      out += ((math.min(id, eid), math.max(id, eid),
+                        math.rint(j * 10000) / 10000))
+                  }
+                }
+                // newest-first; cap bounds both state size and pair fanout
+                exemplars = ((id, hs, ts.getTime) :: exemplars.filterNot(_._1 == id)).take(maxExemplars)
+              }
+              val maxTs = batch.iterator.map(_._4.getTime).max
+              state.update(exemplars)
+              state.setTimeoutTimestamp(math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
+              out.result().iterator
+            }
+          }
+      }
+  }
+
   /** Wire a streaming page source to a parquet triple sink. */
   def start(pages: DataFrame, outDir: String, checkpointDir: String): StreamingQuery =
     triples(pages).writeStream

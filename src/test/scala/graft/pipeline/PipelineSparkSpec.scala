@@ -294,6 +294,33 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byFp.values.toSet == Set(5L, 2L, 7L), out.mkString(","))
   }
 
+  test("streaming near-dup finds a planted pair ACROSS micro-batches and rejects noise") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val base = "the quick brown fox jumps over the lazy dog again and again while the cat watches quietly from the warm windowsill"
+    val nearDup = base.replace("warm", "cold") // one word differs → high word-shingle overlap
+    val noise = "completely unrelated text about spark catalyst optimizer rules and parquet column pruning strategies"
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingExtract.streamingNearDup(
+      mem.toDF().toDF("doc_id", "text", "event_ts"), threshold = 0.5)
+      .toDF("a", "b", "jaccard")
+      .writeStream.format("memory").queryName("stream_neardup").outputMode("append").start()
+    mem.addData(Seq((1L, base, ts), (3L, noise, ts)))
+    q.processAllAvailable()
+    // the near-dup arrives in a LATER micro-batch — only cross-batch
+    // state can pair it with doc 1
+    mem.addData(Seq((2L, nearDup, ts)))
+    q.processAllAvailable()
+    q.stop()
+    val out = s.sql("SELECT DISTINCT a, b, jaccard FROM stream_neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 1, out.mkString(","))
+    assert(out.head._1 == 1L && out.head._2 == 2L && out.head._3 >= 0.5, out.head.toString)
+  }
+
   test("SparkEntry.entry (driver smoke contract) returns triples") {
     val df = graft.SparkEntry.entry(spark)
     assert(df.limit(5).count() > 0)
