@@ -41,7 +41,8 @@ object Bench {
     "q16_simhash_md5", "q17_minhash_pairs_md5", "q18_ann_brute_int",
     "q19_entity_link_docs", "q20_ntriples_escape", "q21_simhash_pairs_md5",
     "q22_wordset_lsh_md5", "q23_ntriples_sink_docs", "q24_bpe_pretoken",
-    "q25_bpe_vocab_subwords", "x_bpe_train", "x_bpe_encode",
+    "q25_bpe_vocab_subwords", "q26_connected_components", "q27_embedding_dot_norms",
+    "x_bpe_train", "x_bpe_encode",
     "x_minhash_lsh_dedup", "x_ngram_jaccard_lsh", "x_simhash_dedup",
     "x_embedding_neardup", "x_ann_brute", "x_ann_lsh", "x_ann_ivf",
     "x_multimodal_features"

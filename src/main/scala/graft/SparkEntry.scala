@@ -143,6 +143,30 @@ object SparkEntry {
     // expressible twin of true merge-order BPE encoding, x_bpe_encode)
     "q25_bpe_vocab_subwords" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"), Bpe.trainedSubwordCount(col("text")).as("bpe_subwords"))),
+    // connected components over the near-dup pair graph, oracle-checked
+    // via a DuckDB WITH RECURSIVE transitive-closure min — the iterative
+    // Spark min-label propagation must converge to the same labels
+    "q26_connected_components" -> ((s, d) => {
+      val pairs = Dedup.minhashLshMd5(t(s, d, "documents"), threshold = 0.5)
+        .select(col("a"), col("b"))
+      KgPipeline.connectedComponents(pairs)
+    }),
+    // full int_vec_dot_norms kernel surface (dot AND both norms) over
+    // all pairs of a bounded slice — q18 oracles only the dot
+    "q27_embedding_dot_norms" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      def quant(c: org.apache.spark.sql.Column) =
+        transform(c, e => round(e.cast("double") * 1000000L).cast("bigint"))
+      val emb = t(s, d, "embeddings").where(col("vec_id") < 40)
+      val l = emb.select(col("vec_id").as("a"), quant(col("embedding")).as("qa"))
+      val r = emb.select(col("vec_id").as("b"), quant(col("embedding")).as("qb"))
+      l.join(broadcast(r), col("a") < col("b"))
+        .select(col("a"), col("b"), expr("int_vec_dot_norms(qa, qb)").as("dnn"))
+        .select(col("a"), col("b"),
+          col("dnn").getItem(0).as("dot"),
+          col("dnn").getItem(1).as("n2a"),
+          col("dnn").getItem(2).as("n2b"))
+    }),
     "q20_ntriples_escape" -> ((s, d) => {
       t(s, d, "documents").select(
         col("doc_id"),
@@ -327,6 +351,29 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q16_simhash_md5" -> q16Sql,
     "q17_minhash_pairs_md5" -> minhashLshSql(width = 3, threshold = 0.5),
+    // transitive-closure CC: the recursive CTE computes every label
+    // reachable from each node; min per node == the component minimum,
+    // exactly what the Spark side's min-label propagation converges to
+    "q26_connected_components" ->
+      s"""WITH RECURSIVE pairs AS (SELECT a, b FROM (${minhashLshSql(width = 3, threshold = 0.5)}) q17),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS node FROM edges),
+        |reach AS (
+        |  SELECT node, node AS lab FROM nodes
+        |  UNION
+        |  SELECT e.b AS node, r.lab FROM edges e JOIN reach r ON e.a = r.node
+        |)
+        |SELECT node, min(lab) AS component FROM reach GROUP BY node""".stripMargin,
+    "q27_embedding_dot_norms" ->
+      """WITH qv AS (
+        |  SELECT vec_id, list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS v
+        |  FROM embeddings WHERE vec_id < 40
+        |)
+        |SELECT l.vec_id AS a, r.vec_id AS b,
+        |  CAST(list_sum(list_transform(range(1, len(l.v)+1), i -> l.v[i] * r.v[i])) AS BIGINT) AS dot,
+        |  CAST(list_sum(list_transform(l.v, x -> x * x)) AS BIGINT) AS n2a,
+        |  CAST(list_sum(list_transform(r.v, x -> x * x)) AS BIGINT) AS n2b
+        |FROM qv l, qv r WHERE l.vec_id < r.vec_id""".stripMargin,
     "q21_simhash_pairs_md5" -> q21Sql,
     "q22_wordset_lsh_md5" -> minhashLshSql(width = 1, threshold = 0.5),
     "q23_ntriples_sink_docs" -> q23Sql,

@@ -198,15 +198,27 @@ object KgPipeline {
       .where(col("jaccard") >= 0.9)
       .select("e1", "e2").distinct()
 
-    // connected components: iterative min-label propagation. Label
-    // propagation needs O(diameter) rounds; alias-similarity clusters
-    // are near-cliques (tiny diameter), so the cap is generous — but a
-    // silent early exit would mis-canonicalize long chains, so
-    // non-convergence is LOUD, not swallowed.
-    var labels = entities.select(col("entity"), col("entity").as("canon"))
-    val edgesBoth = pairs.union(pairs.select(col("e2").as("e1"), col("e1").as("e2")))
+    // connected components: iterative min-label propagation; seed =
+    // every entity labels itself so isolated entities stay canonical
+    minLabelPropagation(entities.select(col("entity"), col("entity").as("canon")), pairs,
+      context = "canonicalize")
+  }
+
+  /** Iterative min-label propagation: each node's label converges to
+    * the minimum label in its connected component. O(diameter) rounds;
+    * the cap is generous for the near-clique clusters this pipeline
+    * produces — but a silent early exit would mis-label long chains,
+    * so non-convergence is LOUD, not swallowed.
+    *
+    * `seed`: (entity, canon) initial labels (canon = entity for plain
+    * CC); `pairs`: undirected edges (e1, e2).
+    */
+  def minLabelPropagation(seed: DataFrame, pairs: DataFrame, maxIters: Int = 25,
+                          context: String = "connectedComponents"): DataFrame = {
+    var labels = seed
+    val edgesBoth = pairs.select(col("e1"), col("e2"))
+      .union(pairs.select(col("e2").as("e1"), col("e1").as("e2")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val maxIters = 25
     var i = 0
     var converged = false
     while (i < maxIters && !converged) {
@@ -225,9 +237,26 @@ object KgPipeline {
     edgesBoth.unpersist()
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"canonicalize: connected components did NOT converge in $maxIters rounds — " +
-          "alias chains longer than the cap exist; canonical ids for those chains are unstable")
+        s"$context: connected components did NOT converge in $maxIters rounds — " +
+          "chains longer than the cap exist; labels for those chains are unstable")
     labels
+  }
+
+  /** Connected components over an undirected edge list (columns a, b):
+    * returns (node, component) for every node appearing in an edge,
+    * component = the minimum node id of the component. Deterministic —
+    * and, per component, exactly what a transitive-closure min would
+    * compute, which is how the DuckDB oracle (q26, WITH RECURSIVE)
+    * replays it.
+    */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 25): DataFrame = {
+    val nodes = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node"))).distinct()
+    minLabelPropagation(
+      nodes.select(col("node").as("entity"), col("node").as("canon")),
+      edges.select(col("a").as("e1"), col("b").as("e2")),
+      maxIters)
+      .select(col("entity").as("node"), col("canon").as("component"))
   }
 
   /** Rewrite edges onto canonical entities and dedup. Both rewrite joins

@@ -11,7 +11,9 @@ object PlanAudit {
   // non-equi joins that are INTENTIONALLY nested-loop with a broadcast
   // side (bounded query sets): brute-force ANN and the IVF centroid
   // probe (bounded queries x tiny broadcast centroid table)
-  private val allowNestedLoop = Set("x_ann_brute", "q18_ann_brute_int", "x_ann_ivf")
+  // q27 joins a 40-row broadcast slice against itself on a<b — an
+  // intentional bounded nested loop, same class as the ANN query sides
+  private val allowNestedLoop = Set("x_ann_brute", "q18_ann_brute_int", "x_ann_ivf", "q27_embedding_dot_norms")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

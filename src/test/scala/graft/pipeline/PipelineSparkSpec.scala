@@ -321,6 +321,16 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.head._1 == 1L && out.head._2 == 2L && out.head._3 >= 0.5, out.head.toString)
   }
 
+  test("connected components labels every node with its component minimum") {
+    val s = spark
+    import s.implicits._
+    // two components {1,2,3,7} (chain + branch) and {10,11}; 5 isolated (absent)
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 7L), (10L, 11L)).toDF("a", "b")
+    val out = KgPipeline.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("SparkEntry.entry (driver smoke contract) returns triples") {
     val df = graft.SparkEntry.entry(spark)
     assert(df.limit(5).count() > 0)
