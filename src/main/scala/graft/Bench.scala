@@ -414,7 +414,9 @@ object Bench {
         if (r.outcome == "killed") "killed"
         else {
           val all = (if (r.config == "N") nAll else qAll).toSeq
-          if (r.steal <= maxStealPct && r.canary <= bestCanary(all) * canaryMargin) "clean" else "rejected"
+          // through isClean itself so the published log can never
+          // diverge from the gate that produced clean_trials counts
+          if (isClean(Trial(0L, 0L, r.sec, r.steal, r.canary), all)) "clean" else "rejected"
         }
       f"""{"config":"${r.config}","outcome":"$outcome","sec":${r.sec}%.3f,"steal_busy_pct":${r.steal}%.3f,"canary_sec":${r.canary}%.3f}"""
     }.mkString("[", ",", "]")

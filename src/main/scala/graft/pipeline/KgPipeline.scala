@@ -239,7 +239,16 @@ object KgPipeline {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"$context: connected components did NOT converge in $maxIters rounds — " +
           "chains longer than the cap exist; labels for those chains are unstable")
-    labels
+    // hand back a lineage-truncated materialization and RELEASE the loop
+    // cache: a persisted result with no owner accumulates across a
+    // long-lived session (Bench times 30+ queries after this one), while
+    // localCheckpoint blocks are reference-tracked and reclaimed by the
+    // ContextCleaner once the returned frame is collected. (Executor
+    // loss recomputation is handled by stage-level checkpointing in
+    // KgPipeline.stage, not here.)
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
+    out
   }
 
   /** Connected components over an undirected edge list (columns a, b):

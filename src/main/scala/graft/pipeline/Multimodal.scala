@@ -146,6 +146,7 @@ object Multimodal {
           case 0xda => // SOS: skip header, then entropy data to next true marker
             if (pos + 3 >= p.length) return -1
             val len = ((p(pos + 2) & 0xff) << 8) | (p(pos + 3) & 0xff)
+            if (len < 2) return -1
             var i = pos + 2 + len
             var next = -1
             while (next < 0 && i + 1 < p.length) {

@@ -104,8 +104,11 @@ object RdfSources {
     def bnodeSafe(c: org.apache.spark.sql.Column) = {
       val label = substring(c, 3, Int.MaxValue) // strip "_:"
       val simple = regexp_replace(regexp_replace(label, "x", "xx"), "@", "xa")
+      // \z, not $: java's $ matches before a trailing line terminator,
+      // so a label ending in \n would take the simple branch here while
+      // the Scala mangle hashes it — and emit a raw newline mid-line
       concat(lit("_:"),
-        when(label.rlike("^[A-Za-z_][A-Za-z0-9_.@-]*$"), simple)
+        when(label.rlike("^[A-Za-z_][A-Za-z0-9_.@-]*\\z"), simple)
           .otherwise(concat(lit("xh"), md5(label))))
     }
     val subj = when(col("subj").startsWith("_:"), bnodeSafe(col("subj")))

@@ -391,7 +391,9 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     import s.implicits._
     // the lax decoder admits all of these as nodeIDs; the export mangle
     // must cover them, not just the internal 'b<n>@<scope>' shape
-    val weird = Seq("a b", "0start", "ümläut", "pct%25", "b0@scope", "")
+    // "b\n" pins the \z anchor: java's $ matches before a trailing
+    // newline, which would leak a raw newline into the N-Triples line
+    val weird = Seq("a b", "0start", "ümläut", "pct%25", "b0@scope", "", "b\n")
     val edges = weird.zipWithIndex.map { case (l, i) =>
       (s"u$i", s"_:$l", "http://ex.org/vocab/p", s"v$i", "literal", null: String, null: String)
     }.toDF("url", "subj", "pred", "obj", "objKind", "lang", "datatype")

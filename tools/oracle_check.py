@@ -13,24 +13,28 @@ import duckdb
 import numpy as np
 import pandas as pd
 
-def norm_cell(v):
-    # dtype-independent rendering: float32-from-Spark vs float64-from-DuckDB
-    # must hash identically, and None/NaN get one sentinel (round-2 ADVICE)
+def norm_cell(v, f32=False):
+    # None/NaN get one sentinel (round-2 ADVICE). Floats render by the
+    # COLUMN's dtype: a float32 column widens to float64 with ~8 junk
+    # decimal digits (0.8571 -> 0.857100009918...), so it renders at
+    # float32 precision; float64 columns keep %.9g so genuine sub-1e-7
+    # engine divergence still fails the value-exact compare (scoping the
+    # collapse to float32 columns keeps the oracle strict everywhere else)
     if v is None:
         return "NULL"
     if isinstance(v, (float, np.floating)):
         if pd.isna(v):
             return "NULL"
-        # collapse float32-vs-float64 representation noise: a float32
-        # widened to float64 carries ~8 junk decimal digits (0.8571 ->
-        # 0.857100009918...), so %.9g would NOT make the sides agree;
-        # round-trip through float32 and render at float32 precision
-        return f"{float(np.float32(v)):.7g}"
+        if f32:
+            return f"{float(np.float32(v)):.7g}"
+        return f"{float(v):.9g}"
     return str(v)
 
 def value_hash(df: pd.DataFrame) -> str:
     df = df.reindex(sorted(df.columns), axis=1)
-    rows = [[norm_cell(v) for v in r] for r in df.astype(object).values.tolist()]
+    f32s = [df[c].dtype == np.float32 for c in df.columns]
+    rows = [[norm_cell(v, f) for v, f in zip(r, f32s)]
+            for r in df.astype(object).values.tolist()]
     rows.sort()
     h = hashlib.md5()
     for r in rows:
