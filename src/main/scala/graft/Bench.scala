@@ -518,8 +518,9 @@ object Bench {
            |within the retry budget (attempts: $attempts, rejected/killed:
            |$rejected, clean: ${nClean.size} N + ${qClean.size} 4N). Per round-2 verdict the
            |harness publishes NO scaling number rather than numbers it has
-           |itself rejected. Committed clean-window captures live in git
-           |history (0.871 @e430437); the per-trial log is in result.json.
+           |itself rejected. The most recent committed clean-window capture
+           |is the BENCH/result.json in git history (see its
+           |scaling_efficiency field); the per-trial log is in result.json.
            |
            |Query bench (sf dir: $sfDir, local[$cpus], noop sink):
            |

@@ -83,11 +83,36 @@ object Multimodal {
       * integer channel sums make the means bit-identical to the BMP path
       * for lossless formats carrying the same pixels.
       */
+    /** Decompression-bomb guard: a tiny payload can DECLARE a huge
+      * W×H (PNG/GIF headers are bytes), and a full decode would
+      * allocate W*H*4 bytes — an executor-killing OutOfMemoryError,
+      * which is an Error, not the Exception set the corrupt-payload
+      * contract catches. Checked header-only before any pixel decode.
+      */
+    private val MaxPixels = 64L * 1024 * 1024 // 64 Mpx ≈ 256 MB ARGB
+
     private[pipeline] def decodeImageIo(p: Array[Byte]): Option[Array[Float]] = {
       if (!isJpeg(p) && !isPng(p) && !isGif(p)) return None
       val img =
-        try ImageIO.read(new ByteArrayInputStream(p))
-        catch { case _: Exception => null } // corrupt stream → flagged, not fatal
+        try {
+          // header-only dimension peek via the plugin reader, THEN the
+          // bounded full decode through the same reader
+          val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(p))
+          try {
+            val readers = ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) null
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis, true, true)
+                val w = reader.getWidth(0)
+                val h = reader.getHeight(0)
+                if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) null
+                else reader.read(0)
+              } finally reader.dispose()
+            }
+          } finally if (iis != null) iis.close()
+        } catch { case _: Exception => null } // corrupt stream → flagged, not fatal
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
       val w = img.getWidth
       val h = img.getHeight

@@ -204,10 +204,14 @@ object Iris {
     * [[graft.sources.RdfSources.nTriplesLineCol]]'s bnodeSafe column.
     */
   def ncSafeLabel(label: String): String = {
+    // a trailing '.' is a legal NCName tail but illegal as the FINAL
+    // char of an N-Triples BLANK_NODE_LABEL ('_:b0.' serializes as
+    // '_:b0. .', an unparseable line) — route it to the md5 branch so
+    // the one mangle is valid on BOTH export boundaries
     val simpleOk = label.nonEmpty && {
       val c0 = label.charAt(0)
       (c0 >= 'a' && c0 <= 'z') || (c0 >= 'A' && c0 <= 'Z') || c0 == '_'
-    } && label.forall { c =>
+    } && label.charAt(label.length - 1) != '.' && label.forall { c =>
       (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
         (c >= '0' && c <= '9') || c == '_' || c == '-' || c == '.' || c == '@'
     }

@@ -106,9 +106,12 @@ object RdfSources {
       val simple = regexp_replace(regexp_replace(label, "x", "xx"), "@", "xa")
       // \z, not $: java's $ matches before a trailing line terminator,
       // so a label ending in \n would take the simple branch here while
-      // the Scala mangle hashes it — and emit a raw newline mid-line
+      // the Scala mangle hashes it — and emit a raw newline mid-line.
+      // The final char excludes '.' (illegal as the last char of an
+      // N-Triples BLANK_NODE_LABEL — '_:b0. .' would not parse); such
+      // labels hash, mirroring Iris.ncSafeLabel.
       concat(lit("_:"),
-        when(label.rlike("^[A-Za-z_][A-Za-z0-9_.@-]*\\z"), simple)
+        when(label.rlike("^[A-Za-z_]([A-Za-z0-9_.@-]*[A-Za-z0-9_@-])?\\z"), simple)
           .otherwise(concat(lit("xh"), md5(label))))
     }
     val subj = when(col("subj").startsWith("_:"), bnodeSafe(col("subj")))

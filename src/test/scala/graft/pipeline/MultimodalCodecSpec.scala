@@ -112,6 +112,27 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(d.frames == 2)
   }
 
+  test("decompression-bomb PNG (tiny payload, huge declared WxH) is flagged, not decoded") {
+    // patch a valid PNG's IHDR to declare 50000x50000 (2.5 Gpx ≈ 10 GB
+    // ARGB) and fix the chunk CRC so the header parses — the dimension
+    // cap must reject it BEFORE any pixel allocation (an OOM here is an
+    // Error, outside the corrupt-payload catch set)
+    val png = Multimodal.syntheticPng(16, 8, 42L).clone()
+    def putInt(off: Int, v: Int): Unit = {
+      png(off) = (v >>> 24).toByte; png(off + 1) = (v >>> 16).toByte
+      png(off + 2) = (v >>> 8).toByte; png(off + 3) = v.toByte
+    }
+    putInt(16, 50000) // IHDR width  (8-byte sig + 4 len + 4 "IHDR")
+    putInt(20, 50000) // IHDR height
+    val crc = new java.util.zip.CRC32
+    crc.update(png, 12, 4 + 13) // chunk type + IHDR payload
+    putInt(12 + 4 + 13, crc.getValue.toInt)
+    val t0 = System.nanoTime()
+    assert(Multimodal.PureJvmDecoder.decodeImageIo(png).isEmpty)
+    // header peek only: milliseconds, no 10 GB allocation attempt
+    assert((System.nanoTime() - t0) / 1e9 < 5.0)
+  }
+
   test("compressed-format garbage is rejected, never crashes") {
     val dec = Multimodal.PureJvmDecoder
     val fakeJpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++ Array.fill[Byte](64)(0x5a)

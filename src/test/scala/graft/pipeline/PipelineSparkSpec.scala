@@ -393,7 +393,9 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     // must cover them, not just the internal 'b<n>@<scope>' shape
     // "b\n" pins the \z anchor: java's $ matches before a trailing
     // newline, which would leak a raw newline into the N-Triples line
-    val weird = Seq("a b", "0start", "ümläut", "pct%25", "b0@scope", "", "b\n")
+    // "b0." pins the trailing-dot rule: legal NCName tail, but illegal
+    // as the FINAL char of an N-Triples BLANK_NODE_LABEL → md5 branch
+    val weird = Seq("a b", "0start", "ümläut", "pct%25", "b0@scope", "", "b\n", "b0.")
     val edges = weird.zipWithIndex.map { case (l, i) =>
       (s"u$i", s"_:$l", "http://ex.org/vocab/p", s"v$i", "literal", null: String, null: String)
     }.toDF("url", "subj", "pred", "obj", "objKind", "lang", "datatype")
