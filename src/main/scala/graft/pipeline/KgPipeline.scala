@@ -198,57 +198,13 @@ object KgPipeline {
       .where(col("jaccard") >= 0.9)
       .select("e1", "e2").distinct()
 
-    // connected components: iterative min-label propagation; seed =
-    // every entity labels itself so isolated entities stay canonical
-    minLabelPropagation(entities.select(col("entity"), col("entity").as("canon")), pairs,
-      context = "canonicalize")
-  }
-
-  /** Iterative min-label propagation: each node's label converges to
-    * the minimum label in its connected component. O(diameter) rounds;
-    * the cap is generous for the near-clique clusters this pipeline
-    * produces — but a silent early exit would mis-label long chains,
-    * so non-convergence is LOUD, not swallowed.
-    *
-    * `seed`: (entity, canon) initial labels (canon = entity for plain
-    * CC); `pairs`: undirected edges (e1, e2).
-    */
-  def minLabelPropagation(seed: DataFrame, pairs: DataFrame, maxIters: Int = 25,
-                          context: String = "connectedComponents"): DataFrame = {
-    var labels = seed
-    val edgesBoth = pairs.select(col("e1"), col("e2"))
-      .union(pairs.select(col("e2").as("e1"), col("e1").as("e2")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var i = 0
-    var converged = false
-    while (i < maxIters && !converged) {
-      val neighborMin = edgesBoth.join(labels, edgesBoth("e2") === labels("entity"))
-        .groupBy(col("e1").as("entity2")).agg(min(col("canon")).as("ncanon"))
-      val next = labels.join(neighborMin, labels("entity") === neighborMin("entity2"), "left")
-        .select(col("entity"), least(col("canon"), coalesce(col("ncanon"), col("canon"))).as("canon"))
-      val changed = next.join(labels.withColumnRenamed("canon", "old"), "entity")
-        .where(col("canon") =!= col("old")).limit(1).count()
-      val prev = labels
-      labels = next.persist(StorageLevel.MEMORY_AND_DISK)
-      prev.unpersist()
-      converged = changed == 0
-      i += 1
-    }
-    edgesBoth.unpersist()
-    if (!converged)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"$context: connected components did NOT converge in $maxIters rounds — " +
-          "chains longer than the cap exist; labels for those chains are unstable")
-    // hand back a lineage-truncated materialization and RELEASE the loop
-    // cache: a persisted result with no owner accumulates across a
-    // long-lived session (Bench times 30+ queries after this one), while
-    // localCheckpoint blocks are reference-tracked and reclaimed by the
-    // ContextCleaner once the returned frame is collected. (Executor
-    // loss recomputation is handled by stage-level checkpointing in
-    // KgPipeline.stage, not here.)
-    val out = labels.localCheckpoint(true)
-    labels.unpersist()
-    out
+    // connected components over the verified pair graph; isolated
+    // entities (no pair) stay their own canonical via the left join
+    val cc = connectedComponents(pairs.select(col("e1").as("a"), col("e2").as("b")))
+      .withColumnRenamed("node", "entity").withColumnRenamed("component", "canon")
+    entities.select(col("entity"))
+      .join(cc, Seq("entity"), "left")
+      .select(col("entity"), coalesce(col("canon"), col("entity")).as("canon"))
   }
 
   /** Connected components over an undirected edge list (columns a, b):
@@ -257,15 +213,108 @@ object KgPipeline {
     * and, per component, exactly what a transitive-closure min would
     * compute, which is how the DuckDB oracle (q26, WITH RECURSIVE)
     * replays it.
+    *
+    * Algorithm: alternating large-star / small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — converges in O(log n) rounds to disjoint stars centered
+    * on each component's minimum node, unlike plain min-label
+    * propagation whose O(diameter) rounds blow up on chain-shaped
+    * near-dup graphs at scale. Per round:
+    *
+    *   large-star: every node u links each STRICTLY LARGER neighbor to
+    *     min(N(u) ∪ {u});
+    *   small-star: every node u links each neighbor ≤ u (and itself) to
+    *     min(N≤(u) ∪ {u}).
+    *
+    * Both preserve connectivity and never raise the component minimum,
+    * so the fixpoint labels equal the transitive-closure min (q26's
+    * oracle semantics). The edge set after small-star is canonically
+    * directed (child > parent), so convergence = set equality of
+    * consecutive rounds, checked by count + two independent order-
+    * insensitive 64-bit hash sums (and the cap throws rather than
+    * shipping unstable labels into an oracle-gated result).
+    *
+    * Scale notes: the input edge set is materialized ONCE up front
+    * (persist) so an expensive upstream lineage — e.g. the full
+    * MinHash-LSH pipeline feeding q26 — is not recomputed per round;
+    * each round persists its output, checks convergence on that same
+    * materialization, then releases the previous round's cache.
     */
-  def connectedComponents(edges: DataFrame, maxIters: Int = 25): DataFrame = {
-    val nodes = edges.select(col("a").as("node"))
-      .union(edges.select(col("b").as("node"))).distinct()
-    minLabelPropagation(
-      nodes.select(col("node").as("entity"), col("node").as("canon")),
-      edges.select(col("a").as("e1"), col("b").as("e2")),
-      maxIters)
-      .select(col("entity").as("node"), col("canon").as("component"))
+  def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    // canonical direction child > parent, self-loops dropped. Eager
+    // localCheckpoint (NOT persist): it both materializes the upstream
+    // lineage exactly once AND truncates the logical plan — without
+    // truncation each round's plan nests the previous round's
+    // (large-star + small-star reference `cur` three times), growing
+    // the tree exponentially until analysis itself OOMs around round 6.
+    // Blocks are reference-tracked and reclaimed by the ContextCleaner
+    // when a round's frame goes out of scope.
+    var cur = edges
+      .where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val both = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = both.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      both.join(m, Seq("u"))
+        .where(col("v") > col("u"))
+        // v > u >= m, so no self-loops; direction child > parent holds
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // input is already directed child > parent (large-star output)
+      val m = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      e.join(m, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // order-insensitive signature of the (canonically directed) edge
+    // set: row count + two independent 64-bit hash sums (summed as
+    // decimal — a long sum overflows under ANSI mode) — one action per
+    // round, no join
+    def signature(e: DataFrame): (Long, BigDecimal, BigDecimal) = {
+      val r = e.agg(
+        count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(27,0)")),
+        sum(xxhash64(lit("g2"), col("v"), col("u")).cast("decimal(27,0)"))).head()
+      def bd(i: Int): BigDecimal =
+        if (r.isNullAt(i)) BigDecimal(0) else BigDecimal(r.getDecimal(i))
+      (r.getLong(0), bd(1), bd(2))
+    }
+
+    var sig = signature(cur)
+    var i = 0
+    var converged = false
+    while (i < maxIters && !converged) {
+      // eager checkpoint per round: one materialization the signature
+      // action then reads from blocks, plan reset to a leaf
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val nsig = signature(next)
+      cur = next
+      converged = nsig == sig
+      sig = nsig
+      i += 1
+    }
+    if (!converged)
+      // q26 is a value-exact oracle query: shipping unstable labels
+      // would compare silently-wrong — fail loudly instead
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters large-star/small-star rounds " +
+          "(O(log n) expected — this indicates a bug or an adversarial input)")
+    // at the fixpoint every edge is (child, center) with center = the
+    // component minimum; centers label themselves
+    cur.select(col("u").as("node"), col("v").as("component"))
+      .union(cur.select(col("v").as("node"), col("v").as("component")))
+      .distinct()
   }
 
   /** Rewrite edges onto canonical entities and dedup. Both rewrite joins

@@ -331,6 +331,28 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components converges on a 60-node path graph (diameter >> old 25-round cap)") {
+    val s = spark
+    import s.implicits._
+    // a pure chain is the worst case for O(diameter) min-label
+    // propagation; large-star/small-star must close it in O(log n)
+    // rounds without tripping the iteration cap
+    val chain = (1L until 60L).map(i => (i + 1, i)).toDF("a", "b")
+    val out = KgPipeline.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == (1L to 60L).toSet)
+    assert(out.values.forall(_ == 1L), out.toString)
+  }
+
+  test("connected components on string node ids uses lexicographic minima (oracle semantics)") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq(("b", "c"), ("c", "aa"), ("z", "y")).toDF("a", "b")
+    val out = KgPipeline.connectedComponents(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("aa" -> "aa", "b" -> "aa", "c" -> "aa", "y" -> "y", "z" -> "y"))
+  }
+
   test("SparkEntry.entry (driver smoke contract) returns triples") {
     val df = graft.SparkEntry.entry(spark)
     assert(df.limit(5).count() > 0)
