@@ -167,6 +167,13 @@ object SparkEntry {
           col("dnn").getItem(1).as("n2a"),
           col("dnn").getItem(2).as("n2b"))
     }),
+    // cross-engine-exact twin of the embedding-LSH near-dup CANDIDATE
+    // path: md5-Rademacher hyperplane signs + integer projections →
+    // bucket assignment, hot-bucket suppression, pair recovery AND the
+    // integer kernel verify all replay value-exact in DuckDB (q27
+    // oracles the kernel only; this oracles the whole bucket pipeline)
+    "q28_embedding_lsh_md5" -> ((s, d) =>
+      Similarity.embeddingNearDupMd5(t(s, d, "embeddings"))),
     "q20_ntriples_escape" -> ((s, d) => {
       t(s, d, "documents").select(
         col("doc_id"),
@@ -348,7 +355,53 @@ object SparkEntry {
       |)
       |SELECT doc_id, kind, line FROM l""".stripMargin
 
+  /** DuckDB twin of q28: the full embedding-LSH bucket pipeline —
+    * md5-sign hyperplane projections over integer micro-unit vectors,
+    * sign-bit bucket packing per table, hot-bucket suppression,
+    * distinct pair recovery, and the exact integer dot/norm verify with
+    * a RATIONAL cosine threshold (den²·dot² ≥ num²·n2a·n2b in HUGEINT —
+    * no FP anywhere).
+    */
+  private def q28Sql(planes: Int = 6, tables: Int = 4, maxBucket: Int = 200,
+                     num: Long = 2, den: Long = 5): String = {
+    val projs = (0 until planes * tables).map(p =>
+      s"sum(CASE WHEN substring(md5('$p|' || d), 1, 1) >= '8' THEN val ELSE -val END) AS p$p")
+      .mkString(", ")
+    val ks = (0 until tables).map { t =>
+      val bits = (0 until planes).map(pp =>
+        s"(CASE WHEN p${t * planes + pp} >= 0 THEN ${1L << pp} ELSE 0 END)").mkString(" + ")
+      s"($bits + ${t * 4096L}) AS k$t"
+    }.mkString(", ")
+    val bandCase = (0 until tables).map(t => s"WHEN $t THEN k$t").mkString(" ")
+    s"""WITH qq AS (
+       |  SELECT vec_id, list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS v
+       |  FROM embeddings
+       |), expl AS (
+       |  SELECT vec_id, unnest(range(1, len(v)+1)) AS d, unnest(v) AS val FROM qq
+       |), proj AS (SELECT vec_id, $projs FROM expl GROUP BY vec_id),
+       |bk AS (SELECT vec_id, $ks FROM proj),
+       |banded AS (
+       |  SELECT vec_id, tbl, CASE tbl $bandCase END AS bucket
+       |  FROM bk, unnest([${(0 until tables).mkString(",")}]) u(tbl)
+       |), cold AS (
+       |  SELECT tbl, bucket FROM banded GROUP BY tbl, bucket HAVING count(*) <= $maxBucket
+       |), b2 AS (SELECT banded.* FROM banded JOIN cold USING (tbl, bucket)),
+       |cand AS (
+       |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+       |  FROM b2 l JOIN b2 r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+       |), dn AS (
+       |  SELECT a, b,
+       |    CAST(list_sum(list_transform(range(1, len(qa.v)+1), i -> qa.v[i] * qb.v[i])) AS BIGINT) AS dot,
+       |    CAST(list_sum(list_transform(qa.v, x -> x * x)) AS BIGINT) AS n2a,
+       |    CAST(list_sum(list_transform(qb.v, x -> x * x)) AS BIGINT) AS n2b
+       |  FROM cand JOIN qq qa ON qa.vec_id = a JOIN qq qb ON qb.vec_id = b
+       |)
+       |SELECT a, b, dot, n2a, n2b FROM dn
+       |WHERE dot >= 0 AND CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) * ${den * den} >= CAST(n2a AS HUGEINT) * CAST(n2b AS HUGEINT) * ${num * num}""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q28_embedding_lsh_md5" -> q28Sql(),
     "q16_simhash_md5" -> q16Sql,
     "q17_minhash_pairs_md5" -> minhashLshSql(width = 3, threshold = 0.5),
     // transitive-closure CC: the recursive CTE computes every label

@@ -214,6 +214,81 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("bigint")).where(col("rank") <= k)
   }
 
+  /** Cross-engine-exact twin of the embedding-LSH near-dup CANDIDATE
+    * path ([[sketch]] → suppress → bucket-join → verify), replayable in
+    * ANSI SQL end to end — the q16/q17 md5 technique applied to
+    * hyperplane LSH:
+    *
+    *   - hyperplane weights are Rademacher signs (±1) derived from
+    *     md5("<plane>|<dim>") (first hex nibble ≥ '8' → +1) — a valid
+    *     random-hyperplane family, and bit-identical in any engine
+    *     with md5;
+    *   - vectors quantize to integer micro-units, so each projection
+    *     is an exact integer sum (order-independent — FP summation
+    *     order would differ between engines);
+    *   - bucket = sign-bit pack + table tag, hot buckets suppressed,
+    *     candidate pairs deduped before verification (same transport
+    *     discipline as the production path);
+    *   - verify emits the codegen'd [[graft.functions.IntVecDotNorms]]
+    *     integers (dot, |a|², |b|²) and thresholds on cosine ≥ num/den
+    *     RATIONALLY: dot ≥ 0 ∧ den²·dot² ≥ num²·n2a·n2b in exact
+    *     decimal — no FP division anywhere in the output.
+    *
+    * The production [[embeddingNearDup]] keeps the cheaper xxhash64
+    * weights; this twin pins the whole bucket pipeline value-exact
+    * against the DuckDB oracle (q28).
+    */
+  def embeddingNearDupMd5(corpus: DataFrame, thresholdNum: Long = 2, thresholdDen: Long = 5,
+                          planes: Int = 6, tables: Int = 4, maxBucket: Int = 200): DataFrame = {
+    require(planes > 0 && planes < 12, s"planes must fit the 4096 table stride, got $planes")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val nPlanes = planes * tables
+    val quant = corpus.select(col("vec_id"),
+      transform(col("embedding"), e => round(e.cast("double") * 1000000L).cast("bigint")).as("qv"))
+    // relational projections: explode once, all (table, plane) sums in
+    // one map-side-combinable groupBy of codegen'd expressions (array
+    // lambdas per plane would run interpreted — see CLAUDE.md)
+    val expl = corpus
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "e")))
+      .select(col("vec_id"), (col("dim0") + 1).cast("string").as("d"),
+        round(col("e").cast("double") * 1000000L).cast("bigint").as("v"))
+    val projCols = (0 until nPlanes).map { p =>
+      sum(when(substring(md5(concat(lit(s"$p|"), col("d"))), 1, 1) >= "8", col("v"))
+        .otherwise(-col("v"))).as(s"p$p")
+    }
+    val proj = expl.groupBy(col("vec_id")).agg(projCols.head, projCols.tail: _*)
+    val bucketCols = (0 until tables).map { t =>
+      (0 until planes).map { pp =>
+        when(col(s"p${t * planes + pp}") >= 0, lit(1L << pp)).otherwise(lit(0L))
+      }.reduce(_ + _) + lit(t.toLong * 4096L)
+    }
+    val banded0 = proj.select(col("vec_id"),
+      posexplode(array(bucketCols: _*)).as(Seq("tbl", "bucket")))
+    val hot = banded0.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
+      .select(col("tbl"), col("bucket"))
+    val banded = banded0.join(broadcast(hot), Seq("tbl", "bucket"), "left_anti")
+    val candIds = banded.select(col("tbl"), col("bucket"), col("vec_id").as("a"))
+      .join(banded.select(col("tbl"), col("bucket"), col("vec_id").as("b")), Seq("tbl", "bucket"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+    val dnn = candIds
+      .join(quant.select(col("vec_id").as("a"), col("qv").as("qa")), Seq("a"))
+      .join(quant.select(col("vec_id").as("b"), col("qv").as("qb")), Seq("b"))
+      .select(col("a"), col("b"), expr("int_vec_dot_norms(qa, qb)").as("dnn"))
+      .select(col("a"), col("b"),
+        col("dnn").getItem(0).as("dot"),
+        col("dnn").getItem(1).as("n2a"),
+        col("dnn").getItem(2).as("n2b"))
+    val d = col("dot").cast("decimal(19,0)")
+    dnn.where(col("dot") >= 0 &&
+        d * d * lit(thresholdDen * thresholdDen) >=
+          col("n2a").cast("decimal(19,0)") * col("n2b").cast("decimal(19,0)") *
+            lit(thresholdNum * thresholdNum))
+      .select(col("a"), col("b"), col("dot"), col("n2a"), col("n2b"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup by vector space):
     * LSH-bucketed, exact-cosine verified.
     */

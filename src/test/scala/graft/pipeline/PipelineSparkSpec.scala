@@ -447,6 +447,26 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.forall(_.getAs[Double]("cos") >= 0.9))
   }
 
+  test("md5-hyperplane embedding LSH twin recovers a planted pair with exact integer verdicts") {
+    val s = spark
+    import s.implicits._
+    val dim = 16
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(j => math.sin(seed * 31 + j * 7).toFloat)
+    val planted = vec(1).zipWithIndex.map { case (v, j) => v + math.sin(j).toFloat * 0.05f }
+    val vecs = ((1L, vec(1), 0) +: (2L, planted, 0) +:
+      (3L to 80L).map(i => (i, vec(i.toInt * 13 + 5), 1))).toDF("vec_id", "embedding", "label")
+    // cos(v1, planted) ≈ 0.999 → rational threshold 9/10
+    val out = Similarity.embeddingNearDupMd5(vecs, thresholdNum = 9, thresholdDen = 10,
+      planes = 6, tables = 4).collect()
+    assert(out.exists(r => r.getAs[Long]("a") == 1L && r.getAs[Long]("b") == 2L), out.mkString(","))
+    // every emitted pair satisfies the rational threshold exactly
+    out.foreach { r =>
+      val (dot, n2a, n2b) = (BigInt(r.getAs[Long]("dot")), BigInt(r.getAs[Long]("n2a")), BigInt(r.getAs[Long]("n2b")))
+      assert(dot >= 0 && dot * dot * 100 >= n2a * n2b * 81, r.toString)
+    }
+  }
+
   test("IVF quantizer sample-training is deterministic and preserves brute-force agreement") {
     val s = spark
     import s.implicits._
