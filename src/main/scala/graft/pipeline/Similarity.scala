@@ -169,7 +169,8 @@ object Similarity {
     * list structure matches cosine neighborhoods).
     */
   def ivfCosine(corpus: DataFrame, queries: DataFrame, k: Int = 5, nLists: Int = 32,
-                nProbe: Int = 4, seed: Long = 42L, trainCap: Long = 100000L): DataFrame = {
+                nProbe: Int = 4, seed: Long = 42L, trainCap: Long = 100000L,
+                trainMod: Long = 0L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
@@ -182,10 +183,24 @@ object Similarity {
     // of corpus size, and a full-corpus fit is a scale-killer at 100 TB.
     // ASSIGNMENT below stays full-corpus. Hash-mod sampling (not
     // .sample()) so the trained model is deterministic across retries.
-    val n = train.count()
+    //
+    // The sampling modulus comes WITHOUT a count() pre-pass (a full
+    // corpus scan before any work — the round-3 scale nit): the
+    // optimizer's row-count statistic when the source provides one
+    // (CBO/metadata — free), else the caller-supplied `trainMod`
+    // (derive it from table metadata, e.g. an Iceberg snapshot's
+    // record count / trainCap; 0 = auto). A modulus estimated high
+    // only shrinks the training sample — KMeans quality degrades
+    // gracefully, and assignment correctness never depends on it.
+    val mod: Long =
+      if (trainMod > 0) trainMod
+      else corpus.queryExecution.optimizedPlan.stats.rowCount match {
+        case Some(n) => math.max(1L, ((n + trainCap - 1) / trainCap).toLong)
+        case None => 1L // unknown and uncapped by the caller: train full
+      }
     val trainSample =
-      if (n <= trainCap) train
-      else train.where(pmod(xxhash64(col("vec_id")), lit(math.max(2L, (n + trainCap - 1) / trainCap))) === 0L)
+      if (mod <= 1) train
+      else train.where(pmod(xxhash64(col("vec_id")), lit(mod)) === 0L)
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("list").fit(trainSample)
     val assigned = model.transform(train)

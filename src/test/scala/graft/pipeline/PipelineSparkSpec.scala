@@ -484,6 +484,12 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val brute = Similarity.bruteCosine(vecs, queries, k = 1)
       .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("corpus_id")).toMap
     assert(ivf == brute, s"ivf=$ivf brute=$brute")
+    // the explicit metadata-derived modulus (the 100 TB path, where no
+    // count() pre-pass exists) selects the same hash-mod sample as the
+    // stats-derived one → identical quantizer → identical results
+    val ivfMod = Similarity.ivfCosine(vecs, queries, k = 1, nLists = 3, nProbe = 2, trainMod = 2L)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("corpus_id")).toMap
+    assert(ivfMod == ivf, s"ivfMod=$ivfMod ivf=$ivf")
   }
 
   test("GPT-2-style pre-tokenizer count matches the known segmentation") {
