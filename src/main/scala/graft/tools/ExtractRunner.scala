@@ -12,7 +12,7 @@ import graft.pipeline.{Extract, Page, SyntheticPages}
   * canary is free to migrate and measured "healthy" during round-2's
   * polluted 201s trial — VERDICT r2 "what's wrong" #3).
   *
-  * Prints: EXTRACT_RESULT <cpus> <pages> <triples> <sec> <canaryBefore> <canaryAfter>
+  * Prints: EXTRACT_RESULT <cpus> <pages> <triples> <sec> <canaryBefore> <canaryAfter> <quadBefore> <quadAfter>
   */
 object ExtractRunner {
   def main(args: Array[String]): Unit = {
@@ -71,6 +71,33 @@ object ExtractRunner {
       best
     }
 
+    // 4-thread canary (all the child's pinned cores busy at once): the
+    // round-3 blind spot was co-tenant MEMORY-BANDWIDTH pressure that a
+    // single-thread parse cannot see — it only materializes when every
+    // core contends for the bus, which is exactly what this probes. In
+    // the 4N config all four children run it concurrently (16 threads,
+    // barrier-synced), the same load shape as the timed pass itself.
+    def canaryQuadSec(): Double = {
+      // each thread walks the FULL canary set: the wall time stays
+      // ~0.1-0.2s (same resolution as the 1-thread canary) — a quarter-
+      // set split measured ~0.04s, where scheduler jitter swamps the
+      // gate margin
+      var best = Double.MaxValue
+      var rep = 0
+      while (rep < 3) {
+        val t0 = System.nanoTime()
+        val threads = (0 until 4).map { _ =>
+          val t = new Thread(() => canaryPages.foreach { case (u, h) => Extract.triplesOf(u, h) })
+          t.start(); t
+        }
+        threads.foreach(_.join())
+        val d = (System.nanoTime() - t0) / 1e9
+        if (rep > 0 && d < best) best = d
+        rep += 1
+      }
+      best
+    }
+
     def sync(phase: String): Unit = barrier.foreach { case (dir, id, parties) =>
       val d = java.nio.file.Paths.get(dir)
       java.nio.file.Files.createDirectories(d)
@@ -96,10 +123,12 @@ object ExtractRunner {
     // background.
     sync("ready")
     val c1 = canarySec()
+    val q1 = canaryQuadSec()
     val best = pass() // one timed pass; cross-JVM min happens in Bench
     sync("done")
     val c2 = canarySec()
-    println(f"EXTRACT_RESULT $cpus ${best._1} ${best._2} ${best._3}%.3f $c1%.3f $c2%.3f")
+    val q2 = canaryQuadSec()
+    println(f"EXTRACT_RESULT $cpus ${best._1} ${best._2} ${best._3}%.3f $c1%.3f $c2%.3f $q1%.3f $q2%.3f")
     spark.stop()
   }
 }
