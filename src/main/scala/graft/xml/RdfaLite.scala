@@ -21,10 +21,17 @@ import scala.collection.mutable
   *   - `resource` without `property` — sets the subject for descendants
   *   - `lang`/`xml:lang` — literal language, inherited
   *
-  * Real-world HTML requires a lenient tokenizer; the island corpus here
-  * is well-formed markup, so the same hardened SAX stack as the RDF/XML
-  * decoder is used. Blank nodes are generated per document with the
-  * same deterministic counter contract.
+  * Well-formed islands go through the same hardened SAX stack as the
+  * RDF/XML decoder (fast, and behavior-identical to prior rounds).
+  * Real Common-Crawl HTML is mostly MALFORMED — unclosed tags, bare
+  * ampersands, unquoted attributes — so when the SAX parse fails the
+  * island is re-tokenized by a lenient scanner ([[parseLenient]]) that
+  * drives the SAME event handler: explicit close tags pop to their
+  * nearest matching open (orphans ignored), void/self-closing elements
+  * auto-close, everything still open closes at island end, entities
+  * decode leniently (unknown/bare `&` passes through). Blank nodes are
+  * generated per document with the same deterministic counter contract
+  * in both paths.
   */
 object RdfaLite {
 
@@ -35,12 +42,141 @@ object RdfaLite {
       Right(handler.triples.toVector)
     } catch {
       case e: ParseError => SaxPool.invalidate(); Left(e)
-      case e: Exception => SaxPool.invalidate(); Left(ParseError(s"RDFa parse error: ${e.getMessage}"))
+      case _: Exception =>
+        SaxPool.invalidate()
+        // malformed markup: fall back to the lenient tokenizer (a fresh
+        // handler — the failed SAX pass may have emitted partial state)
+        try Right(parseLenient(new String(xml, offset, length, "UTF-8"), base))
+        catch { case e2: Exception => Left(ParseError(s"RDFa parse error: ${e2.getMessage}")) }
     }
 
   def parse(xml: String, base: Option[String]): Either[ParseError, Vector[Triple]] = {
     val b = xml.getBytes("UTF-8")
     parseBytes(b, 0, b.length, base)
+  }
+
+  private val voidElements = Set(
+    "area", "base", "br", "col", "embed", "hr", "img", "input",
+    "link", "meta", "param", "source", "track", "wbr")
+
+  private val attrRe =
+    """([A-Za-z_][A-Za-z0-9_:.-]*)\s*(?:=\s*(?:"([^"]*)"|'([^']*)'|([^\s/>]+)))?""".r
+
+  /** Lenient HTML entity decode: the five predefined entities plus
+    * numeric references; anything else — including a BARE `&` —
+    * passes through unchanged (real-world pages are full of them).
+    */
+  private[xml] def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        val handled =
+          if (semi > i && semi - i <= 10) {
+            val name = s.substring(i + 1, semi)
+            name match {
+              case "amp" => sb.append('&'); true
+              case "lt" => sb.append('<'); true
+              case "gt" => sb.append('>'); true
+              case "quot" => sb.append('"'); true
+              case "apos" => sb.append('\''); true
+              case _ if name.startsWith("#") =>
+                try {
+                  val cp =
+                    if (name.length > 1 && (name.charAt(1) == 'x' || name.charAt(1) == 'X'))
+                      Integer.parseInt(name.substring(2), 16)
+                    else Integer.parseInt(name.substring(1))
+                  if (Character.isValidCodePoint(cp)) { sb.appendCodePoint(cp); true } else false
+                } catch { case _: NumberFormatException => false }
+              case _ => false
+            }
+          } else false
+        if (handled) i = semi + 1 else { sb.append('&'); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Malformed-markup tolerant parse: a forward tag scan feeding the
+    * same [[RdfaHandler]] as the SAX path. Never throws on bad nesting;
+    * deterministic for any input bytes.
+    */
+  def parseLenient(html: String, base: Option[String]): Vector[Triple] = {
+    val handler = new RdfaHandler(base.map(Iris.normalizeBase).orNull)
+    val open = mutable.ArrayBuffer.empty[String]
+    val text = new StringBuilder
+    val n = html.length
+    var i = 0
+    def flushText(): Unit = if (text.nonEmpty) {
+      val d = decodeEntities(text.toString)
+      handler.characters(d.toCharArray, 0, d.length)
+      text.clear()
+    }
+    def closeOne(): Unit = {
+      val nm = open.remove(open.length - 1)
+      handler.endElement("", nm, nm)
+    }
+    def skipTo(marker: String, from: Int): Int = {
+      val e = html.indexOf(marker, from)
+      if (e < 0) n else e + marker.length
+    }
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<' && i + 1 < n) {
+        val c1 = html.charAt(i + 1)
+        if (html.startsWith("<!--", i)) { flushText(); i = skipTo("-->", i + 4) }
+        else if (c1 == '!' || c1 == '?') { flushText(); i = skipTo(">", i + 2) } // doctype / PI
+        else if (Character.isLetter(c1) || c1 == '/') {
+          flushText()
+          val isClose = c1 == '/'
+          var j = i + (if (isClose) 2 else 1)
+          val nameStart = j
+          while (j < n && (Character.isLetterOrDigit(html.charAt(j)) ||
+            html.charAt(j) == '-' || html.charAt(j) == ':')) j += 1
+          val name = html.substring(nameStart, j).toLowerCase
+          // end of tag, quote-aware
+          var k = j
+          var inQ: Char = 0
+          while (k < n && (inQ != 0 || html.charAt(k) != '>')) {
+            val ch = html.charAt(k)
+            if (inQ != 0) { if (ch == inQ) inQ = 0 }
+            else if (ch == '"' || ch == '\'') inQ = ch
+            k += 1
+          }
+          val inner = html.substring(j, k)
+          if (isClose) {
+            // pop to the nearest matching open; implicitly closes
+            // anything left open inside it; orphan close tags ignored
+            val idx = open.lastIndexOf(name)
+            if (idx >= 0) while (open.length > idx) closeOne()
+          } else if (name.nonEmpty) {
+            val attrs = new org.xml.sax.helpers.AttributesImpl
+            attrRe.findAllMatchIn(inner).foreach { m =>
+              val v = Option(m.group(2)).orElse(Option(m.group(3))).orElse(Option(m.group(4)))
+              // attribute with no value = empty string (HTML boolean attr)
+              attrs.addAttribute("", m.group(1), m.group(1), "CDATA",
+                decodeEntities(v.getOrElse("")))
+            }
+            handler.startElement("", name, name, attrs)
+            if (inner.trim.endsWith("/") || voidElements(name)) handler.endElement("", name, name)
+            else if (name == "script" || name == "style") {
+              // raw-text elements: their content is NOT markup
+              handler.endElement("", name, name)
+              val closeAt = html.toLowerCase.indexOf(s"</$name", k + 1)
+              i = if (closeAt < 0) n else skipTo(">", closeAt)
+              k = i - 1 // i is set below from k + 1
+            } else open += name
+          }
+          i = if (k < n) k + 1 else n
+        } else { text.append(c); i += 1 } // bare '<'
+      } else { text.append(c); i += 1 }
+    }
+    flushText()
+    while (open.nonEmpty) closeOne() // island end closes every orphan
+    handler.triples.toVector
   }
 
   private final class Scope(

@@ -61,6 +61,47 @@ class RdfaLiteSpec extends AnyFunSuite {
     ))
   }
 
+  test("malformed island (unclosed tags, bare ampersand, unquoted attr) yields the well-formed twin's triples") {
+    // the well-formed twin — parses via the strict SAX path
+    val wellFormed =
+      """<div vocab="http://schema.org/" about="http://ex/alice" typeof="Person">
+        |<p><span property="name">Alice &amp; Bob</span></p>
+        |<a property="url" href="http://ex/a?x=1&amp;y=2">site</a>
+        |</div>""".stripMargin
+    // real-world shape: <p> never closed, bare & in text AND in an
+    // attribute value, unquoted attribute — the SAX parse fails and the
+    // lenient tokenizer must recover the SAME triples
+    val malformed =
+      """<div vocab="http://schema.org/" about="http://ex/alice" typeof=Person>
+        |<p><span property="name">Alice & Bob</span>
+        |<a property="url" href="http://ex/a?x=1&y=2">site</a>
+        |</div>""".stripMargin
+    val good = RdfaLite.parse(wellFormed, Some("http://ex/page")).toOption.get.toSet
+    val recovered = RdfaLite.parse(malformed, Some("http://ex/page")).toOption.get.toSet
+    assert(good.nonEmpty)
+    // literal whitespace differs trivially (the unclosed <p> swallows a
+    // newline) — compare modulo trimmed literal lexical forms
+    def norm(ts: Set[Triple]): Set[Triple] = ts.map {
+      case Triple(s, p, Lit(lex, dt, lang)) => Triple(s, p, Lit(lex.trim, dt, lang))
+      case t => t
+    }
+    assert(norm(recovered) == norm(good), s"recovered=$recovered good=$good")
+  }
+
+  test("lenient tokenizer handles comments, doctype, script content and orphan close tags") {
+    val malformed =
+      """<!DOCTYPE html><!-- c --><div vocab="http://schema.org/" about="http://ex/s">
+        |</nothing><script>if (1 < 2) { var x = "<span property='bogus'>"; }</script>
+        |<span property="name">N&#233;o</span><br>
+        |<img property="image" src="/i.png">
+        |</div>""".stripMargin
+    val ts = RdfaLite.parseLenient(malformed, Some("http://ex/page")).toSet
+    assert(ts == Set(
+      Triple(Iri("http://ex/s"), Iri(schema + "name"), Lit.plain("Néo")),
+      Triple(Iri("http://ex/s"), Iri(schema + "image"), Iri("http://ex/i.png"))
+    ), ts.toString)
+  }
+
   test("extraction picks up both the RDF/XML and RDFa islands of a page") {
     import graft.pipeline.{Extract, SyntheticPages}
     val (rel, bytes) = SyntheticPages.fixtureFiles().find(_._1 == "xmlbase/test001.rdf").get
