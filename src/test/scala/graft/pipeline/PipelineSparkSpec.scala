@@ -321,6 +321,49 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.head._1 == 1L && out.head._2 == 2L && out.head._3 >= 0.5, out.head.toString)
   }
 
+  test("streaming near-dup consumer contract: .distinct() equals the batch minhashLsh pair set") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // three clearly-separated near-dup clusters + unrelated noise: every
+    // planted pair has word-shingle jaccard >> 0.5, noise ~0, so BOTH
+    // hash families (streaming FNV minhash, batch xxhash64 minhash)
+    // recover exactly the planted pairs and verify identical exact
+    // jaccard values
+    def doc(vocab: String, n: Int, twist: Int): String =
+      (1 to n).map(i => if (i == twist) s"${vocab}X$i" else s"$vocab$i").mkString(" ")
+    val docs: Seq[(Long, String)] =
+      Seq(1L -> doc("alpha", 40, 0), 2L -> doc("alpha", 40, 39), 3L -> doc("alpha", 40, 2)) ++
+        Seq(10L -> doc("beta", 50, 0), 11L -> doc("beta", 50, 49)) ++
+        Seq(20L -> doc("gamma", 35, 0), 21L -> doc("gamma", 35, 34)) ++
+        (30L to 39L).map(i => i -> doc(s"noise${i}z", 30, 0))
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingExtract.streamingNearDup(
+      mem.toDF().toDF("doc_id", "text", "event_ts"), threshold = 0.5)
+      .toDF("a", "b", "jaccard")
+      .writeStream.format("memory").queryName("stream_neardup_contract").outputMode("append").start()
+    // split across micro-batches so cross-batch state pairing is exercised
+    docs.grouped(6).foreach { g =>
+      mem.addData(g.map { case (id, t) => (id, t, ts) })
+      q.processAllAvailable()
+    }
+    q.stop()
+    val raw = s.sql("SELECT a, b, jaccard FROM stream_neardup_contract").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the documented contract: duplicates across bands are possible; the
+    // consumer's .distinct() yields the canonical pair set
+    val streamed = raw.distinct.map { case (a, b, j) => (a, b) -> j }.toMap
+    val batch = Dedup.minhashLsh(docs.toDF("doc_id", "text"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(batch.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (20L, 21L)), batch.toString)
+    assert(streamed.keySet == batch.keySet, s"streamed=${streamed.keySet} batch=${batch.keySet}")
+    // exact-jaccard verify agrees per pair (both sides compute the true
+    // shingle-set jaccard; rounding modes differ at the 4th decimal)
+    streamed.foreach { case (k, j) => assert(math.abs(j - batch(k)) < 1e-3, s"$k: $j vs ${batch(k)}") }
+  }
+
   test("connected components labels every node with its component minimum") {
     val s = spark
     import s.implicits._
