@@ -70,7 +70,9 @@ object Multimodal {
         case "image" =>
           (if (isBmp(payload, 0)) decodeBmp(payload, 0).map(_._1)
            else decodeImageIo(payload)).map(Decoded(_, 1))
-        case "audio" => decodeWav(payload).map(Decoded(_, 1))
+        case "audio" =>
+          (if (payload.length >= 4 && payload(0) == 'R' && payload(1) == 'I') decodeWav(payload)
+           else decodeMp3Stats(payload)).map(Decoded(_, 1))
         case "video" =>
           if (isBmp(payload, 0)) decodeBmpSequence(payload)
           else decodeJpegSequence(payload)
@@ -331,6 +333,80 @@ object Multimodal {
       ))
     }
 
+    /** MPEG audio Layer III (MP3) STATS-grade decode: a frame-header
+      * walk — sync, version, bitrate/samplerate indices, padding —
+      * yields frame count, exact duration, mean bitrate and a VBR flag
+      * without any entropy/DCT work (the stats a 100 TB curation
+      * pipeline filters on). Skips a leading ID3v2 tag (syncsafe size)
+      * and tolerates a trailing ID3v1 block; any other mid-stream
+      * garbage = corrupt → None. Features:
+      * duration/60, meanKbps/320, sampleRate/48k, channels, frames/1e4,
+      * isVbr, 0, 0.
+      */
+    private[pipeline] def decodeMp3Stats(p: Array[Byte]): Option[Array[Float]] = {
+      // bitrate (kbps) tables, Layer III; index 0 ("free") and 15 invalid
+      val brV1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+      val brV2 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+      val srV1 = Array(44100, 48000, 32000, 0)
+      val srV2 = Array(22050, 24000, 16000, 0)
+      val srV25 = Array(11025, 12000, 8000, 0)
+      var pos = 0
+      // ID3v2: "ID3" <ver:2> <flags:1> <syncsafe size:4>
+      if (p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3') {
+        val sz = ((p(6) & 0x7f) << 21) | ((p(7) & 0x7f) << 14) | ((p(8) & 0x7f) << 7) | (p(9) & 0x7f)
+        pos = 10 + sz
+        if (pos >= p.length) return None
+      }
+      var frames = 0
+      var durationSec = 0.0
+      var kbpsSum = 0L
+      var kbpsFirst = -1
+      var vbr = false
+      var channels = 0
+      var sampleRate = 0
+      while (pos + 4 <= p.length) {
+        val b0 = p(pos) & 0xff; val b1 = p(pos + 1) & 0xff
+        if (b0 == 0xff && (b1 & 0xe0) == 0xe0) {
+          val version = (b1 >> 3) & 3 // 0=MPEG2.5, 2=MPEG2, 3=MPEG1 (1=reserved)
+          val layer = (b1 >> 1) & 3 // 1 = Layer III
+          if (version == 1 || layer != 1) return None
+          val b2 = p(pos + 2) & 0xff
+          val brIdx = (b2 >> 4) & 0xf
+          val srIdx = (b2 >> 2) & 3
+          val padding = (b2 >> 1) & 1
+          val kbps = (if (version == 3) brV1 else brV2)(brIdx)
+          val sr = version match {
+            case 3 => srV1(srIdx); case 2 => srV2(srIdx); case _ => srV25(srIdx)
+          }
+          if (kbps == 0 || sr == 0) return None // "free"/bad indices: not stats-decodable
+          val samplesPerFrame = if (version == 3) 1152 else 576
+          val frameLen = samplesPerFrame / 8 * kbps * 1000 / sr + padding
+          if (frameLen <= 4 || pos.toLong + frameLen > p.length) return None // truncated
+          val mode = (p(pos + 3) >> 6) & 3
+          channels = if (mode == 3) 1 else 2
+          sampleRate = sr
+          if (kbpsFirst < 0) kbpsFirst = kbps else if (kbps != kbpsFirst) vbr = true
+          kbpsSum += kbps
+          durationSec += samplesPerFrame.toDouble / sr
+          frames += 1
+          pos += frameLen
+        } else if (p.length - pos == 128 && p(pos) == 'T' && p(pos + 1) == 'A' && p(pos + 2) == 'G') {
+          pos = p.length // trailing ID3v1
+        } else return None // mid-stream garbage: corrupt
+      }
+      if (frames == 0) return None
+      Some(Array(
+        (durationSec / 60.0).toFloat,
+        (kbpsSum.toDouble / frames / 320.0).toFloat,
+        sampleRate / 48000.0f,
+        channels.toFloat,
+        frames / 10000.0f,
+        if (vbr) 1f else 0f,
+        0f,
+        0f
+      ))
+    }
+
     /** Concatenated BMP frames; sample first/middle/last, average. */
     private[pipeline] def decodeBmpSequence(p: Array[Byte]): Option[Decoded] = {
       // scan pass: frame offsets via each BMP's self-declared fileSize
@@ -358,11 +434,12 @@ object Multimodal {
   }
 
   /** Deterministic fake for codecs that DO need native libraries the
-    * JDK lacks (H.264/Opus/MP3/...): features derived from payload
+    * JDK lacks (H.264/Opus/...): features derived from payload
     * bytes only — stable across retries/partitionings, the same
     * contract a real decoder must satisfy. Swap for a JNI/FFI-backed
-    * decoder in production. (JPEG/PNG/GIF/BMP/WAV no longer need this
-    * seam — [[PureJvmDecoder]] decodes them for real.)
+    * decoder in production. (JPEG/PNG/GIF/BMP/WAV/MJPEG decode for
+    * real in [[PureJvmDecoder]]; MP3 gets a real stats-grade
+    * frame-header decode there too.)
     */
   object FakeDecoder extends AssetDecoder {
     def decode(kind: String, payload: Array[Byte], width: Int, height: Int, durationMs: Int): Option[Decoded] = {

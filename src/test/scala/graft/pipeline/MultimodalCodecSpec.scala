@@ -133,6 +133,54 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert((System.nanoTime() - t0) / 1e9 < 5.0)
   }
 
+  test("MP3 frame-header walk: duration, bitrate, channels, frame count from a synthesized CBR stream") {
+    // MPEG1 Layer III, 128 kbps, 44100 Hz, mono: frameLen = 144*128000/44100 = 417 (+padding)
+    def frame(padding: Int): Array[Byte] = {
+      val len = 144 * 128000 / 44100 + padding
+      val f = new Array[Byte](len)
+      f(0) = 0xff.toByte
+      f(1) = 0xfb.toByte // sync + MPEG1 + Layer III + no CRC
+      f(2) = ((9 << 4) | (0 << 2) | (padding << 1)).toByte // 128 kbps, 44100 Hz
+      f(3) = (3 << 6).toByte // mono
+      f
+    }
+    val id3 = "ID3".getBytes ++ Array[Byte](4, 0, 0) ++ Array[Byte](0, 0, 0, 10) ++ new Array[Byte](10)
+    val id3v1 = "TAG".getBytes ++ new Array[Byte](125)
+    val frames = 200
+    val stream = id3 ++ (0 until frames).flatMap(i => frame(i % 2)).toArray ++ id3v1
+    val f = Multimodal.PureJvmDecoder.decodeMp3Stats(stream).get
+    val expectedSec = frames * 1152.0 / 44100.0 // ≈ 5.22 s
+    assert(math.abs(f(0) * 60 - expectedSec) < 1e-3, s"duration=${f(0) * 60}")
+    assert(f(1) == 128f / 320f) // CBR 128 kbps
+    assert(f(2) == 44100f / 48000f)
+    assert(f(3) == 1f) // mono
+    assert(f(4) == frames / 10000.0f)
+    assert(f(5) == 0f) // not VBR
+    // dispatched through the audio kind as a real decode
+    assert(Multimodal.PureJvmDecoder.decode("audio", stream, 0, 0, 0).isDefined)
+    // truncated mid-frame and mid-stream garbage are corrupt, not fatal
+    assert(Multimodal.PureJvmDecoder.decodeMp3Stats(stream.dropRight(200)).isEmpty)
+    val garbled = stream.clone(); garbled(id3.length + 417 * 2 + 1) = 0x00 // break a later sync
+    assert(Multimodal.PureJvmDecoder.decodeMp3Stats(garbled).isEmpty)
+  }
+
+  test("MP3 VBR stream is flagged and mean bitrate averages the frame rates") {
+    def frame(brIdx: Int, kbps: Int): Array[Byte] = {
+      val len = 144 * kbps * 1000 / 44100
+      val f = new Array[Byte](len)
+      f(0) = 0xff.toByte; f(1) = 0xfb.toByte
+      f(2) = ((brIdx << 4) | (0 << 2)).toByte
+      f(3) = 0 // stereo
+      f
+    }
+    // alternate 128 (idx 9) and 192 (idx 11) kbps frames
+    val stream = (0 until 50).flatMap(i => if (i % 2 == 0) frame(9, 128) else frame(11, 192)).toArray
+    val f = Multimodal.PureJvmDecoder.decodeMp3Stats(stream).get
+    assert(f(5) == 1f) // VBR
+    assert(f(1) == 160f / 320f) // mean of 128/192
+    assert(f(3) == 2f) // stereo
+  }
+
   test("compressed-format garbage is rejected, never crashes") {
     val dec = Multimodal.PureJvmDecoder
     val fakeJpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++ Array.fill[Byte](64)(0x5a)
