@@ -351,10 +351,11 @@ object Multimodal {
       val srV2 = Array(22050, 24000, 16000, 0)
       val srV25 = Array(11025, 12000, 8000, 0)
       var pos = 0
-      // ID3v2: "ID3" <ver:2> <flags:1> <syncsafe size:4>
+      // ID3v2: "ID3" <ver:2> <flags:1> <syncsafe size:4>; the v2.4
+      // footer flag (bit 4) appends 10 bytes NOT counted in the size
       if (p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3') {
         val sz = ((p(6) & 0x7f) << 21) | ((p(7) & 0x7f) << 14) | ((p(8) & 0x7f) << 7) | (p(9) & 0x7f)
-        pos = 10 + sz
+        pos = 10 + sz + (if ((p(5) & 0x10) != 0) 10 else 0)
         if (pos >= p.length) return None
       }
       var frames = 0

@@ -185,22 +185,30 @@ object Similarity {
     // .sample()) so the trained model is deterministic across retries.
     //
     // The sampling modulus comes WITHOUT a count() pre-pass (a full
-    // corpus scan before any work — the round-3 scale nit): the
-    // optimizer's row-count statistic when the source provides one
-    // (CBO/metadata — free), else the caller-supplied `trainMod`
-    // (derive it from table metadata, e.g. an Iceberg snapshot's
-    // record count / trainCap; 0 = auto). A modulus estimated high
-    // only shrinks the training sample — KMeans quality degrades
-    // gracefully, and assignment correctness never depends on it.
+    // corpus scan before any work — the round-3 scale nit). Priority:
+    // caller-supplied `trainMod` (derive it from table metadata, e.g.
+    // an Iceberg snapshot's record count / trainCap; 0 = auto), else
+    // the optimizer's row-count statistic (CBO — free), else a
+    // conservative estimate from the plan's sizeInBytes at 64 B/row —
+    // real embedding rows are larger, so rows are OVERestimated, the
+    // modulus overshoots, and the sample only ever SHRINKS below the
+    // cap: KMeans quality degrades gracefully, the cap guarantee never
+    // breaks, and assignment correctness never depends on it.
     val mod: Long =
       if (trainMod > 0) trainMod
-      else corpus.queryExecution.optimizedPlan.stats.rowCount match {
-        case Some(n) => math.max(1L, ((n + trainCap - 1) / trainCap).toLong)
-        case None => 1L // unknown and uncapped by the caller: train full
+      else {
+        val stats = corpus.queryExecution.optimizedPlan.stats
+        val estRows: BigInt = stats.rowCount.getOrElse(stats.sizeInBytes / 64)
+        math.max(1L, ((estRows + trainCap - 1) / trainCap).toLong)
       }
     val trainSample =
       if (mod <= 1) train
-      else train.where(pmod(xxhash64(col("vec_id")), lit(mod)) === 0L)
+      else
+        // deterministic non-empty floor: a wildly-overshooting modulus
+        // on a tiny corpus of huge rows could hash-mod every row away,
+        // and KMeans.fit on an empty set throws
+        train.where(pmod(xxhash64(col("vec_id")), lit(mod)) === 0L)
+          .union(train.limit(nLists))
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("list").fit(trainSample)
     val assigned = model.transform(train)

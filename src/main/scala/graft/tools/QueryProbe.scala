@@ -21,10 +21,12 @@ object QueryProbe {
     // pays ~9s of classloading + janino codegen + JIT on its first
     // query, which would otherwise be booked against whichever query is
     // probed first and mislead ad-hoc comparisons
-    try {
-      Seq("q7_events_by_type", "q2_revenue_by_nation", "q6_events_latest", "q16_simhash_md5")
-        .foreach(q => graft.SparkEntry.queries(q)(spark, sfDir).write.mode("overwrite").format("noop").save())
-    } catch { case e: Throwable => System.err.println(s"[probe] warm-up failed: ${e.getMessage}") }
+    Seq("q7_events_by_type", "q2_revenue_by_nation", "q6_events_latest", "q16_simhash_md5")
+      .foreach { q =>
+        // per-query try: one failing warm-up query must not abort the rest
+        try graft.SparkEntry.queries(q)(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable => System.err.println(s"[probe] warm-up $q failed: ${e.getMessage}") }
+      }
     // per-query codegen (janino compiles a fresh class per plan shape)
     // is not covered by the session warm-up — rep 1 carries it, rep 2+
     // is the warm capability number; both are printed so neither is

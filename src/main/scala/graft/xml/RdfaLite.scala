@@ -59,8 +59,11 @@ object RdfaLite {
     "area", "base", "br", "col", "embed", "hr", "img", "input",
     "link", "meta", "param", "source", "track", "wbr")
 
+  // unquoted values may contain '/' (HTML5: `href=http://x/` is the
+  // whole URL, the slash is NOT a self-close marker) — only whitespace
+  // and '>' end them
   private val attrRe =
-    """([A-Za-z_][A-Za-z0-9_:.-]*)\s*(?:=\s*(?:"([^"]*)"|'([^']*)'|([^\s/>]+)))?""".r
+    """([A-Za-z_][A-Za-z0-9_:.-]*)\s*(?:=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+)))?""".r
 
   /** Lenient HTML entity decode: the five predefined entities plus
     * numeric references; anything else — including a BARE `&` —
@@ -109,6 +112,9 @@ object RdfaLite {
     val open = mutable.ArrayBuffer.empty[String]
     val text = new StringBuilder
     val n = html.length
+    // one lowercase copy per parse, for case-insensitive raw-text
+    // close-tag search (computing it per <script> tag is O(n·#scripts))
+    lazy val htmlLower = html.toLowerCase
     var i = 0
     def flushText(): Unit = if (text.nonEmpty) {
       val d = decodeEntities(text.toString)
@@ -156,16 +162,26 @@ object RdfaLite {
             val attrs = new org.xml.sax.helpers.AttributesImpl
             attrRe.findAllMatchIn(inner).foreach { m =>
               val v = Option(m.group(2)).orElse(Option(m.group(3))).orElse(Option(m.group(4)))
-              // attribute with no value = empty string (HTML boolean attr)
-              attrs.addAttribute("", m.group(1), m.group(1), "CDATA",
-                decodeEntities(v.getOrElse("")))
+              // HTML attribute names are case-insensitive → lowercase
+              // for the handler's lookups; no-value attr = "" (boolean)
+              val an = m.group(1).toLowerCase
+              attrs.addAttribute("", an, an, "CDATA", decodeEntities(v.getOrElse("")))
             }
             handler.startElement("", name, name, attrs)
-            if (inner.trim.endsWith("/") || voidElements(name)) handler.endElement("", name, name)
+            // self-closing only when the trailing '/' is its own token
+            // (whole tag, or preceded by whitespace/quote) — a '/' glued
+            // to an unquoted value (`href=http://x/`) belongs to the
+            // value per HTML5 and was consumed by attrRe above
+            val t = inner.trim
+            val selfClose = t == "/" || (t.endsWith("/") && {
+              val before = t.charAt(t.length - 2)
+              before == '"' || before == '\'' || Character.isWhitespace(before)
+            })
+            if (selfClose || voidElements(name)) handler.endElement("", name, name)
             else if (name == "script" || name == "style") {
               // raw-text elements: their content is NOT markup
               handler.endElement("", name, name)
-              val closeAt = html.toLowerCase.indexOf(s"</$name", k + 1)
+              val closeAt = htmlLower.indexOf(s"</$name", k + 1)
               i = if (closeAt < 0) n else skipTo(">", closeAt)
               k = i - 1 // i is set below from k + 1
             } else open += name

@@ -164,6 +164,21 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(Multimodal.PureJvmDecoder.decodeMp3Stats(garbled).isEmpty)
   }
 
+  test("MP3 with ID3v2.4 footer flag decodes (footer bytes not counted in the syncsafe size)") {
+    def frame(): Array[Byte] = {
+      val f = new Array[Byte](144 * 128000 / 44100)
+      f(0) = 0xff.toByte; f(1) = 0xfb.toByte
+      f(2) = (9 << 4).toByte; f(3) = (3 << 6).toByte
+      f
+    }
+    // flags bit 4 set → a 10-byte "3DI" footer follows the tag body
+    val id3 = "ID3".getBytes ++ Array[Byte](4, 0, 0x10) ++ Array[Byte](0, 0, 0, 10) ++
+      new Array[Byte](10) ++ ("3DI".getBytes ++ new Array[Byte](7))
+    val stream = id3 ++ (0 until 10).flatMap(_ => frame()).toArray
+    val f = Multimodal.PureJvmDecoder.decodeMp3Stats(stream).get
+    assert(f(4) == 10 / 10000.0f, f.mkString(","))
+  }
+
   test("MP3 VBR stream is flagged and mean bitrate averages the frame rates") {
     def frame(brIdx: Int, kbps: Int): Array[Byte] = {
       val len = 144 * kbps * 1000 / 44100

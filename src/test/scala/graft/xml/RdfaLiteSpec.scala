@@ -102,6 +102,32 @@ class RdfaLiteSpec extends AnyFunSuite {
     ), ts.toString)
   }
 
+  test("lenient tokenizer: unquoted URL values keep their slashes and do not self-close the tag") {
+    // HTML5: `href=http://ex/a/` is the whole URL — the trailing '/'
+    // belongs to the unquoted value, it is NOT a self-close marker
+    val malformed =
+      """<div vocab=http://schema.org/ about=http://ex/s>
+        |<a property=url href=http://ex/a/>site</a>
+        |<span property="name">N</span>
+        |</div>""".stripMargin
+    val ts = RdfaLite.parse(malformed, Some("http://ex/page")).toOption.get.toSet
+    assert(ts == Set(
+      Triple(Iri("http://ex/s"), Iri(schema + "url"), Iri("http://ex/a/")),
+      Triple(Iri("http://ex/s"), Iri(schema + "name"), Lit.plain("N"))
+    ), ts.toString)
+  }
+
+  test("lenient tokenizer: attribute names are case-insensitive like HTML") {
+    // unclosed <p> forces the lenient path; legacy uppercase attrs must
+    // still be seen (HTML attribute names are case-insensitive)
+    val malformed =
+      """<div VOCAB="http://schema.org/" ABOUT="http://ex/s"><p>
+        |<span PROPERTY="name">Ada</span>
+        |</div>""".stripMargin
+    val ts = RdfaLite.parse(malformed, Some("http://ex/page")).toOption.get.toSet
+    assert(ts.exists(t => t.p == Iri(schema + "name")), ts.toString)
+  }
+
   test("extraction picks up both the RDF/XML and RDFa islands of a page") {
     import graft.pipeline.{Extract, SyntheticPages}
     val (rel, bytes) = SyntheticPages.fixtureFiles().find(_._1 == "xmlbase/test001.rdf").get
