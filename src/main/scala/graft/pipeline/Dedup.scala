@@ -65,18 +65,29 @@ object Dedup {
     // the subtree recomputed once per consumer. One explode + codegen'd
     // xxhash64 + a map-side-combinable 16-way min groupBy is ~10x
     // cheaper, and no array ever enters a shuffle.
+    // eager localCheckpoint: this subtree (scan → explode → distinct)
+    // feeds FOUR consumers (signatures, sizes, both sides of the
+    // intersection join) and Spark's ReuseExchange does NOT unify them
+    // (measured: 8 parquet scans, 0 reused exchanges) — materialize
+    // once, read from blocks. Reference-tracked, reclaimed by the
+    // ContextCleaner when the result frame is dropped; persist() would
+    // instead pin the plan in the CacheManager for the whole session.
     val expl = documents
       .select(col("doc_id"), explode(shingles(col("text"), shingleWidth)).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
       .distinct() // shingle SET semantics
+      .localCheckpoint(true)
     val sigCols = (0 until nHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
     val sig = expl.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    // banded rows feed three consumers (hot census + both join sides);
+    // tiny (bands rows/doc) — checkpoint skips re-running the 16-min
+    // groupBy per consumer
     val banded0 = sig.select(
       col("doc_id"),
       posexplode(array((0 until bands).map(b =>
         hash((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*)): _*))
         .as(Seq("band", "bucket"))
-    )
+    ).localCheckpoint(true)
     val hot = banded0.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
       .select(col("band"), col("bucket"))
@@ -123,11 +134,13 @@ object Dedup {
     val sim = (0 until 32).map(b =>
       when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)).reduce((a, b) => a + b)
     val withSim = agg.select(col("doc_id"), sim.as("simhash"))
+    // 3 consumers (hot census + both join sides) — materialize the
+    // 32-sum signature aggregation once (see minhashLsh census note)
     val chunked0 = withSim.select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c => shiftright(col("simhash"), c * 8).bitwiseAND(255)): _*))
         .as(Seq("chunk", "value"))
-    )
+    ).localCheckpoint(true)
     // hot-chunk suppression: same skew guard as minhashLsh
     val hot = chunked0.groupBy(col("chunk"), col("value"))
       .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
@@ -177,6 +190,7 @@ object Dedup {
       col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c => shiftright(col("simhash"), c * 8).bitwiseAND(255)): _*))
         .as(Seq("chunk", "value")))
+      .localCheckpoint(true) // 3 consumers — see minhashLsh census note
     val hot = chunked0.groupBy(col("chunk"), col("value"))
       .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
       .select(col("chunk"), col("value"))
@@ -203,9 +217,12 @@ object Dedup {
     // same relational shape as minhashLsh (explode + codegen + groupBy
     // minima — array lambdas are interpreted); md5-string minima and
     // md5 band buckets keep every value replayable in ANSI SQL
+    // same materialization points as minhashLsh: expl feeds 4 consumers,
+    // banded0 feeds 3 (see the scan/exchange census note there)
     val expl = documents
       .select(col("doc_id"), explode(shingles(col("text"), shingleWidth)).as("s"))
       .distinct() // shingle SET semantics
+      .localCheckpoint(true)
     val sigCols = (0 until 12).map(j => min(md5(concat(lit(s"$j|"), col("s")))).as(s"m$j"))
     val sig = expl.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     val bucketCols = (0 until 4).map(b =>
@@ -213,6 +230,7 @@ object Dedup {
     val banded0 = sig.select(
       col("doc_id"),
       posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
+      .localCheckpoint(true)
     val hot = banded0.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
       .select(col("band"), col("bucket"))

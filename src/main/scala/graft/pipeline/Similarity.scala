@@ -101,10 +101,15 @@ object Similarity {
     * rows; similar vectors recur in other tables' buckets anyway.
     */
   private def suppressHot(sketched: DataFrame, maxBucket: Int): DataFrame = {
-    val hot = sketched.groupBy(col("table"), col("bucket"))
+    // the sketch aggregation feeds the hot census AND (via the anti-
+    // join) both sides of the candidate join — materialize it once
+    // (eager localCheckpoint: reference-tracked blocks, no CacheManager
+    // pinning; same census rationale as Dedup.minhashLsh)
+    val sk = sketched.localCheckpoint(true)
+    val hot = sk.groupBy(col("table"), col("bucket"))
       .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
       .select(col("table"), col("bucket"))
-    sketched.join(broadcast(hot), Seq("table", "bucket"), "left_anti")
+    sk.join(broadcast(hot), Seq("table", "bucket"), "left_anti")
   }
 
   /** Quantized-cosine scoring of id pairs against a vector corpus via
@@ -287,6 +292,7 @@ object Similarity {
     }
     val banded0 = proj.select(col("vec_id"),
       posexplode(array(bucketCols: _*)).as(Seq("tbl", "bucket")))
+      .localCheckpoint(true) // 3 consumers — see suppressHot rationale
     val hot = banded0.groupBy(col("tbl"), col("bucket"))
       .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
       .select(col("tbl"), col("bucket"))

@@ -32,8 +32,22 @@ object QueryProbe {
     // is the warm capability number; both are printed so neither is
     // mistaken for the other
     val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "2").toInt
+    // SPARK_GRAFT_PROBE_EXPLAIN=1: print the formatted physical plan and
+    // an Exchange/ReusedExchange census instead of timing — the census is
+    // the quick answer to "is this self-joined subtree shuffled once or
+    // recomputed per consumer?"
+    val explain = sys.env.get("SPARK_GRAFT_PROBE_EXPLAIN").contains("1")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
+      if (explain) {
+        val df = fn(spark, sfDir)
+        val plan = df.queryExecution.executedPlan.toString
+        val ex = "(?m)^.*\\bExchange\\b".r.findAllIn(plan).size
+        val reused = "ReusedExchange".r.findAllIn(plan).size
+        val scans = "FileScan|Scan parquet".r.findAllIn(plan).size
+        println(s"EXPLAIN $name exchanges=$ex reused_exchanges=$reused scans=$scans")
+        println(df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode))
+      } else
       (1 to reps).foreach { rep =>
         val t0 = System.nanoTime()
         try {
