@@ -167,6 +167,12 @@ object SparkEntry {
           col("dnn").getItem(1).as("n2a"),
           col("dnn").getItem(2).as("n2b"))
     }),
+    // corpus-curation primitives (Gopher-style repetition filter stats;
+    // deterministic md5-bucket stratified source downsampling) — both
+    // integer/md5-exact, DuckDB-oracle-checked
+    "q29_repetition" -> ((s, d) => Curation.repetitionStats(t(s, d, "documents"))),
+    "q30_stratified_sample" -> ((s, d) =>
+      Curation.stratifiedSample(t(s, d, "documents"), q30Quotas)),
     // cross-engine-exact twin of the embedding-LSH near-dup CANDIDATE
     // path: md5-Rademacher hyperplane signs + integer projections →
     // bucket assignment, hot-bucket suppression, pair recovery AND the
@@ -400,7 +406,57 @@ object SparkEntry {
        |WHERE dot >= 0 AND CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) * ${den * den} >= CAST(n2a AS HUGEINT) * CAST(n2b AS HUGEINT) * ${num * num}""".stripMargin
   }
 
+  /** Source quotas for the registered stratified-sample query: a spread
+    * of keep-percentages across the synthetic sources (src0 → 10% …
+    * src19 → 86%) so the oracle exercises the whole CASE ladder.
+    */
+  private val q30Quotas: Map[String, Int] = (0 until 20).map(i => s"src$i" -> (10 + 4 * i)).toMap
+
+  /** DuckDB twin of q29: word-level repetition statistics in integer
+    * basis points (dup-word, top-word and top-bigram shares), integer
+    * `//` division throughout.
+    */
+  private def q29Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+      |  FROM documents
+      |), counts AS (
+      |  SELECT doc_id, len(words) AS nw, len(list_distinct(words)) AS dw FROM base
+      |), we AS (SELECT doc_id, unnest(words) AS w FROM base),
+      |tw AS (SELECT doc_id, max(n) AS mxw, sum(n) AS totw FROM (SELECT doc_id, w, count(*) AS n FROM we GROUP BY doc_id, w) GROUP BY doc_id),
+      |bge AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])) AS bg
+      |  FROM base WHERE len(words) >= 2
+      |),
+      |tb AS (SELECT doc_id, max(n) AS mxb, sum(n) AS totb FROM (SELECT doc_id, bg, count(*) AS n FROM bge GROUP BY doc_id, bg) GROUP BY doc_id)
+      |SELECT c.doc_id,
+      |  CAST(CASE WHEN nw > 0 THEN (nw - dw) * 10000 // nw ELSE 0 END AS BIGINT) AS dup_word_bp,
+      |  CAST(coalesce(mxw * 10000 // totw, 0) AS BIGINT) AS top_word_bp,
+      |  CAST(coalesce(mxb * 10000 // totb, 0) AS BIGINT) AS top_bigram_bp
+      |FROM counts c LEFT JOIN tw USING (doc_id) LEFT JOIN tb USING (doc_id)""".stripMargin
+
+  /** DuckDB twin of q30: md5-nibble bucket in [0,100) vs the per-source
+    * quota CASE generated from the SAME Scala map the Spark side uses.
+    */
+  private def q30Sql: String = {
+    def nib(i: Int) =
+      s"(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), $i, 1) <= '9' " +
+        s"THEN ascii(substring(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 48 " +
+        s"ELSE ascii(substring(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 87 END)"
+    val cases = q30Quotas.toSeq.sortBy(_._1)
+      .map { case (s, q) => s"WHEN '$s' THEN $q" }.mkString(" ")
+    s"""WITH b AS (
+       |  SELECT doc_id, source,
+       |    CAST((${nib(1)} * 16 + ${nib(2)}) % 100 AS BIGINT) AS bucket
+       |  FROM documents
+       |)
+       |SELECT doc_id, source, bucket FROM b
+       |WHERE bucket < CASE source $cases ELSE 100 END""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q29_repetition" -> q29Sql,
+    "q30_stratified_sample" -> q30Sql,
     "q28_embedding_lsh_md5" -> q28Sql(),
     "q16_simhash_md5" -> q16Sql,
     "q17_minhash_pairs_md5" -> minhashLshSql(width = 3, threshold = 0.5),

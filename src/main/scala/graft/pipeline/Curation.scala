@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * before anything touches a tokenizer: repetition filtering (the
+  * Gopher/RefinedWeb-style quality rules) and deterministic stratified
+  * downsampling of over-represented sources. Both are value-exact
+  * cross-engine (integer basis points, md5-derived buckets), so the
+  * driver's DuckDB oracle replays them end to end (q29/q30).
+  */
+object Curation {
+
+  /** Per-document repetition statistics in integer basis points:
+    *
+    *   - `dup_word_bp`: 1 − |distinct words| / |words| — bulk token
+    *     repetition;
+    *   - `top_word_bp`: most-frequent-word share — degenerate chant
+    *     pages;
+    *   - `top_bigram_bp`: most-frequent-bigram share — boilerplate /
+    *     template repetition (the Gopher "top n-gram fraction" rule).
+    *
+    * Shape: counting is RELATIONAL (explode → two map-side-combinable
+    * groupBys), never a per-row lambda fold over an unbounded array —
+    * a 10 MB degenerate document costs rows, not driver-side or
+    * interpreted-lambda time. Integer `div` arithmetic keeps every
+    * emitted value engine-exact.
+    */
+  def repetitionStats(documents: DataFrame): DataFrame = {
+    val words = filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "")
+    val base = documents.select(col("doc_id"), words.as("words"))
+    val counts = base.select(
+      col("doc_id"),
+      size(col("words")).cast("bigint").as("nw"),
+      size(array_distinct(col("words"))).cast("bigint").as("dw"))
+    // word shares
+    val wordExpl = base.select(col("doc_id"), explode(col("words")).as("w"))
+    val topWord = wordExpl.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id")).agg(max(col("n")).as("mxw"), sum(col("n")).as("totw"))
+    // bigram shares
+    val bigrams = base.select(
+      col("doc_id"),
+      explode(
+        when(size(col("words")) >= 2,
+          transform(sequence(lit(1), size(col("words")) - 1),
+            i => concat(element_at(col("words"), i), lit(" "), element_at(col("words"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+    val topBigram = bigrams.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id")).agg(max(col("n")).as("mxb"), sum(col("n")).as("totb"))
+    counts
+      .join(topWord, Seq("doc_id"), "left")
+      .join(topBigram, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        expr("CAST(CASE WHEN nw > 0 THEN (nw - dw) * 10000 div nw ELSE 0 END AS BIGINT)").as("dup_word_bp"),
+        expr("CAST(coalesce(mxw * 10000 div totw, 0) AS BIGINT)").as("top_word_bp"),
+        expr("CAST(coalesce(mxb * 10000 div totb, 0) AS BIGINT)").as("top_bigram_bp"))
+  }
+
+  /** Deterministic stratified downsampling: keep a document iff its
+    * md5-derived bucket (two hex nibbles of md5(doc_id) → [0, 100))
+    * falls under its source's quota percentage. No RNG state — the
+    * same row is kept on every retry, every partitioning, and in any
+    * engine with md5 (the property .sample() cannot give), so
+    * downstream incremental jobs see a STABLE subcorpus. One
+    * filter-only pass: no shuffle, no join; the quota map rides along
+    * as a literal CASE.
+    */
+  def stratifiedSample(documents: DataFrame, quotaPct: Map[String, Int],
+                       defaultPct: Int = 100): DataFrame = {
+    val h = md5(col("doc_id").cast("string"))
+    def nibble(i: Int) = {
+      val c = substring(h, i, 1)
+      (ascii(c) - when(c <= "9", lit(48)).otherwise(lit(87)))
+    }
+    val bucket = pmod(nibble(1) * 16 + nibble(2), lit(100)).cast("bigint")
+    val quota = quotaPct.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (s, q)) => when(col("source") === s, lit(q)).otherwise(acc)
+    }
+    documents
+      .select(col("doc_id"), col("source"), bucket.as("bucket"))
+      .where(col("bucket") < quota)
+  }
+}

@@ -490,6 +490,44 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.forall(_.getAs[Double]("cos") >= 0.9))
   }
 
+  test("repetition stats: known duplicate-word, top-word and top-bigram shares") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam eggs"), // 4 words, 2 distinct; top word 3/4; top bigram "spam spam" 2/3
+      (2L, "all words unique here"), // no repetition; bigrams all 1/3
+      (3L, "solo"), // 1 word: no bigrams
+      (4L, "") // empty: all zeros
+    ).toDF("doc_id", "text")
+    val out = Curation.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((2L * 10000 / 4, 3L * 10000 / 4, 2L * 10000 / 3)), out(1L).toString)
+    assert(out(2L) == ((0L, 2500L, 3333L)), out(2L).toString)
+    assert(out(3L) == ((0L, 10000L, 0L)), out(3L).toString)
+    assert(out(4L) == ((0L, 0L, 0L)), out(4L).toString)
+  }
+
+  test("stratified sample is deterministic, quota-bounded and filter-only (no shuffle)") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 2000L).map(i => (i, s"text $i", s"src${i % 4}")).toDF("doc_id", "text", "source")
+    val quotas = Map("src0" -> 0, "src1" -> 25, "src2" -> 100)
+    val a = Curation.stratifiedSample(docs, quotas, defaultPct = 50).collect()
+    val b = Curation.stratifiedSample(docs, quotas, defaultPct = 50).collect()
+    assert(a.map(_.getLong(0)).sorted.sameElements(b.map(_.getLong(0)).sorted)) // deterministic
+    val bySource = a.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(!bySource.contains("src0")) // 0% quota keeps nothing
+    assert(bySource("src2") == 500) // 100% keeps everything
+    // 25% / 50% quotas keep roughly that share (md5 buckets are uniform)
+    assert(math.abs(bySource("src1") - 125) < 50, bySource.toString)
+    assert(math.abs(bySource("src3") - 250) < 60, bySource.toString)
+    // buckets always within quota
+    assert(a.forall(r => r.getLong(2) < quotas.getOrElse(r.getString(1), 50)))
+    // scale contract: one filtered projection, no exchange in the plan
+    val plan = Curation.stratifiedSample(docs, quotas).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("md5-hyperplane embedding LSH twin recovers a planted pair with exact integer verdicts") {
     val s = spark
     import s.implicits._
