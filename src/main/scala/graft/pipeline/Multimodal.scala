@@ -19,15 +19,20 @@ import javax.imageio.ImageIO
   *     `javax.imageio` codecs (headless-safe, no external libraries).
   *     Per-channel means + luma spread either way.
   *   - audio: RIFF/WAVE PCM-16 — chunk walk, sample decode, RMS / peak /
-  *     zero-crossing-rate.
+  *     zero-crossing-rate. MP3 and Ogg/Opus get stats-grade decodes
+  *     (frame-header / page-and-TOC walks: duration, bitrate, channels).
   *   - video: a raw BMP-frame sequence (concatenated BMP files, each
   *     self-delimiting via its fileSize header) or an MJPEG-style
   *     concatenated baseline-JFIF stream (frames delimited by SOI/EOI
   *     markers) — frame scan + sampled frame decode (first/middle/last),
-  *     averaged features.
-  * Formats the JDK cannot decode (H.264, Opus, MP3...) need native
-  * libraries not in this container; [[FakeDecoder]] documents that seam
-  * with a deterministic stand-in honoring the same contract.
+  *     averaged features. H.264 Annex-B gets a stats-grade NAL walk with
+  *     a full Exp-Golomb SPS parse (resolution, profile/level, frames).
+  * Compressed A/V formats whose full sample decode needs native
+  * libraries (H.264, Opus, MP3) get STATS-grade decodes instead — real
+  * parses of the public bitstream framing (MP3 frame headers, H.264
+  * NAL/SPS, Ogg/Opus pages) yielding the duration/resolution/bitrate/
+  * channel facts a 100 TB curation pipeline actually filters on,
+  * without any entropy/DCT work.
   *
   * Every decoder must be a pure function of the payload bytes —
   * deterministic across retries/partitionings.
@@ -61,6 +66,11 @@ object Multimodal {
       p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G'
     private def isGif(p: Array[Byte]): Boolean =
       p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F'
+    private def isOgg(p: Array[Byte]): Boolean =
+      p.length >= 4 && p(0) == 'O' && p(1) == 'g' && p(2) == 'g' && p(3) == 'S'
+    private def isAnnexB(p: Array[Byte]): Boolean =
+      (p.length >= 4 && p(0) == 0 && p(1) == 0 && p(2) == 0 && p(3) == 1) ||
+        (p.length >= 3 && p(0) == 0 && p(1) == 0 && p(2) == 1)
 
     def decode(kind: String, payload: Array[Byte], width: Int, height: Int, durationMs: Int): Option[Decoded] =
       // belt-and-braces: header fields are range-validated below, but a
@@ -72,9 +82,11 @@ object Multimodal {
            else decodeImageIo(payload)).map(Decoded(_, 1))
         case "audio" =>
           (if (payload.length >= 4 && payload(0) == 'R' && payload(1) == 'I') decodeWav(payload)
+           else if (isOgg(payload)) decodeOggOpusStats(payload)
            else decodeMp3Stats(payload)).map(Decoded(_, 1))
         case "video" =>
           if (isBmp(payload, 0)) decodeBmpSequence(payload)
+          else if (isAnnexB(payload)) decodeH264Stats(payload)
           else decodeJpegSequence(payload)
         case _ => None
       } catch { case _: IndexOutOfBoundsException | _: ArithmeticException | _: NegativeArraySizeException => None }
@@ -408,6 +420,266 @@ object Multimodal {
       ))
     }
 
+    // ------------------------------------------- H.264 stats (Annex B)
+
+    /** MSB-first bit reader with Exp-Golomb reads over an unescaped
+      * RBSP. Overruns throw IndexOutOfBoundsException, which the decode
+      * dispatcher maps to the corrupt-asset path.
+      */
+    private final class BitReader(b: Array[Byte]) {
+      private var pos = 0
+      def u1(): Int = { val v = (b(pos >> 3) >> (7 - (pos & 7))) & 1; pos += 1; v }
+      def u(n: Int): Int = { var v = 0; var i = 0; while (i < n) { v = (v << 1) | u1(); i += 1 }; v }
+      def ue(): Int = {
+        var zeros = 0
+        while (u1() == 0) { zeros += 1; if (zeros > 31) throw new IndexOutOfBoundsException("ue too wide") }
+        (1 << zeros) - 1 + u(zeros)
+      }
+      def se(): Int = { val k = ue(); if ((k & 1) == 1) (k + 1) / 2 else -(k / 2) }
+    }
+
+    /** Strip H.264 emulation-prevention bytes: 00 00 03 → 00 00. */
+    private def unescapeRbsp(p: Array[Byte], from: Int, until: Int): Array[Byte] = {
+      val out = new Array[Byte](until - from)
+      var i = from; var o = 0; var zeros = 0
+      while (i < until) {
+        val b = p(i)
+        if (zeros >= 2 && b == 3) zeros = 0 // drop the escape byte
+        else { out(o) = b; o += 1; zeros = if (b == 0) zeros + 1 else 0 }
+        i += 1
+      }
+      java.util.Arrays.copyOf(out, o)
+    }
+
+    private val HighProfiles = Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+
+    /** Full SPS parse (ITU-T H.264 §7.3.2.1.1): profile/level and the
+      * exact coded resolution including frame cropping and chroma-
+      * format-dependent crop units; scaling matrices are consumed
+      * bit-exactly. Returns (width, height, profileIdc, levelIdc).
+      */
+    private def parseSps(rbsp: Array[Byte]): (Int, Int, Int, Int) = {
+      val r = new BitReader(rbsp)
+      val profile = r.u(8)
+      r.u(8) // constraint flags + reserved_zero
+      val level = r.u(8)
+      r.ue() // seq_parameter_set_id
+      var chromaFormat = 1 // default 4:2:0 when not signalled
+      var separateColourPlane = 0
+      if (HighProfiles.contains(profile)) {
+        chromaFormat = r.ue()
+        if (chromaFormat == 3) separateColourPlane = r.u1()
+        r.ue(); r.ue(); r.u1() // bit depths, qpprime bypass
+        if (r.u1() == 1) { // seq_scaling_matrix_present
+          val lists = if (chromaFormat != 3) 8 else 12
+          var i = 0
+          while (i < lists) {
+            if (r.u1() == 1) {
+              val size = if (i < 6) 16 else 64
+              var lastScale = 8; var nextScale = 8; var j = 0
+              while (j < size) {
+                if (nextScale != 0) nextScale = (lastScale + r.se() + 256) % 256
+                lastScale = if (nextScale == 0) lastScale else nextScale
+                j += 1
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      r.ue() // log2_max_frame_num_minus4
+      val pocType = r.ue()
+      if (pocType == 0) r.ue()
+      else if (pocType == 1) {
+        r.u1(); r.se(); r.se()
+        val n = r.ue()
+        var i = 0; while (i < n) { r.se(); i += 1 }
+      }
+      r.ue() // max_num_ref_frames
+      r.u1() // gaps_in_frame_num_value_allowed
+      val widthMbs = r.ue() + 1
+      val heightMapUnits = r.ue() + 1
+      val frameMbsOnly = r.u1()
+      if (frameMbsOnly == 0) r.u1() // mb_adaptive_frame_field
+      r.u1() // direct_8x8_inference
+      var w = widthMbs * 16
+      var h = (2 - frameMbsOnly) * heightMapUnits * 16
+      if (r.u1() == 1) { // frame_cropping
+        val chromaArrayType = if (separateColourPlane == 1) 0 else chromaFormat
+        val (cropX, cropY) = chromaArrayType match {
+          case 1 => (2, 2 * (2 - frameMbsOnly)) // 4:2:0
+          case 2 => (2, 2 - frameMbsOnly) // 4:2:2
+          case _ => (1, 2 - frameMbsOnly) // monochrome / 4:4:4
+        }
+        val cl = r.ue(); val cr = r.ue(); val ct = r.ue(); val cb = r.ue()
+        w -= cropX * (cl + cr)
+        h -= cropY * (ct + cb)
+      }
+      (w, h, profile, level)
+    }
+
+    /** H.264/AVC Annex-B elementary stream, STATS-grade: a NAL-unit
+      * walk (start-code framing, forbidden-bit check) with a real
+      * Exp-Golomb SPS parse for profile/level and exact coded
+      * resolution, frames counted via each slice header's
+      * first_mb_in_slice == 0 (so multi-slice pictures count once).
+      * No entropy/DCT work — the resolution/frame/keyframe facts a
+      * curation pipeline filters on. Requires ≥1 SPS and ≥1 slice.
+      */
+    private[pipeline] def decodeH264Stats(p: Array[Byte]): Option[Decoded] = {
+      if (!isAnnexB(p)) return None
+      def nextStart(from: Int): Int = {
+        var j = from
+        while (j + 2 < p.length) {
+          if (p(j) == 0 && p(j + 1) == 0 && p(j + 2) == 1) return j
+          j += 1
+        }
+        -1
+      }
+      var frames = 0; var idr = 0; var slices = 0
+      var width = 0; var height = 0; var profile = 0; var level = 0
+      var sawSps = false
+      var sc = nextStart(0)
+      while (sc >= 0) {
+        val payloadStart = sc + 3
+        val nxt = nextStart(payloadStart)
+        val end = if (nxt < 0) p.length else nxt
+        if (payloadStart >= end) return None
+        val hdr = p(payloadStart) & 0xff
+        if ((hdr & 0x80) != 0) return None // forbidden_zero_bit
+        hdr & 0x1f match {
+          case 7 =>
+            val (w, h, pr, lv) = parseSps(unescapeRbsp(p, payloadStart + 1, end))
+            if (w <= 0 || h <= 0) return None
+            width = w; height = h; profile = pr; level = lv; sawSps = true
+          case t @ (1 | 5) =>
+            slices += 1
+            if (t == 5) idr += 1
+            // first_mb_in_slice is the slice header's leading ue —
+            // 8 unescaped bytes bound any plausible value
+            val head = unescapeRbsp(p, payloadStart + 1, math.min(end, payloadStart + 9))
+            if (new BitReader(head).ue() == 0) frames += 1
+          case _ => // PPS/SEI/AUD/...: framing only
+        }
+        sc = nxt
+      }
+      if (!sawSps || frames == 0) return None
+      Some(Decoded(Array(
+        width / 1024.0f,
+        height / 1024.0f,
+        width.toFloat / height,
+        frames / 10000.0f,
+        idr.toFloat / slices,
+        profile / 255.0f,
+        level / 255.0f,
+        0f
+      ), frames))
+    }
+
+    // ------------------------------------------------- Ogg/Opus stats
+
+    /** Ogg-encapsulated Opus, STATS-grade: a real Ogg page walk —
+      * lacing-table packet reassembly with continuation-flag
+      * consistency checks — plus OpusHead parse (channels, pre-skip,
+      * input rate, mapping family) and per-packet TOC framing.
+      * Duration comes from BOTH the final granule position
+      * (authoritative, 48 kHz units minus pre-skip) and the summed TOC
+      * frame durations (cross-check feature). Page CRCs are not
+      * verified — a stats walk, not a bit-exact demux. The first
+      * min(255, len) bytes of any packet are page-contiguous (a packet
+      * only spans pages via full 255-byte segments), so header and TOC
+      * reads below are safely flat offsets.
+      */
+    private[pipeline] def decodeOggOpusStats(p: Array[Byte]): Option[Array[Float]] = {
+      if (!isOgg(p)) return None
+      val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+      var pos = 0
+      var packetIndex = 0 // 0=OpusHead, 1=OpusTags, ≥2 audio
+      var packetStart = -1
+      var packetLen = 0
+      var channels = 0; var preSkip = 0; var inputRate = 0; var mappingFamily = -1
+      var audioPackets = 0
+      var tocQuarterMs = 0L
+      var lastGranule = 0L
+      var sawHead = false
+
+      def endPacket(): Boolean = {
+        if (packetStart < 0 || packetLen == 0) return false // empty packet: not stats-decodable
+        if (packetIndex == 0) {
+          if (packetLen < 19) return false
+          if (!(p(packetStart) == 'O' && p(packetStart + 1) == 'p' && p(packetStart + 2) == 'u' &&
+            p(packetStart + 3) == 's' && p(packetStart + 4) == 'H' && p(packetStart + 5) == 'e' &&
+            p(packetStart + 6) == 'a' && p(packetStart + 7) == 'd')) return false
+          if ((p(packetStart + 8) & 0xff) != 1) return false // encapsulation version
+          channels = p(packetStart + 9) & 0xff
+          preSkip = bb.getShort(packetStart + 10) & 0xffff
+          inputRate = bb.getInt(packetStart + 12)
+          mappingFamily = p(packetStart + 18) & 0xff
+          sawHead = true
+        } else if (packetIndex == 1) {
+          if (packetLen < 8 || !(p(packetStart) == 'O' && p(packetStart + 1) == 'p' &&
+            p(packetStart + 4) == 'T' && p(packetStart + 5) == 'a')) return false
+        } else {
+          audioPackets += 1
+          val toc = p(packetStart) & 0xff
+          val config = toc >>> 3
+          val frameQuarterMs =
+            if (config < 12) Array(40, 80, 160, 240)(config & 3) // SILK NB/MB/WB
+            else if (config < 16) Array(40, 80)(config & 1) // hybrid SWB/FB
+            else Array(10, 20, 40, 80)(config & 3) // CELT
+          val nFrames = (toc & 3) match {
+            case 0 => 1
+            case 1 | 2 => 2
+            case _ =>
+              if (packetLen < 2) return false
+              p(packetStart + 1) & 0x3f
+          }
+          tocQuarterMs += frameQuarterMs.toLong * nFrames
+        }
+        packetIndex += 1
+        packetStart = -1; packetLen = 0
+        true
+      }
+
+      var continued = false
+      while (pos < p.length) {
+        if (pos + 27 > p.length || p(pos) != 'O' || p(pos + 1) != 'g' || p(pos + 2) != 'g' || p(pos + 3) != 'S')
+          return None
+        if ((p(pos + 4) & 0xff) != 0) return None // stream structure version
+        val headerType = p(pos + 5) & 0xff
+        val granule = bb.getLong(pos + 6)
+        val nSegs = p(pos + 26) & 0xff
+        if (pos + 27 + nSegs > p.length) return None
+        if (((headerType & 1) != 0) != continued) return None
+        var body = pos + 27 + nSegs
+        var s = 0
+        while (s < nSegs) {
+          val lac = p(pos + 27 + s) & 0xff
+          if (body + lac > p.length) return None
+          if (packetStart < 0) packetStart = body
+          packetLen += lac
+          body += lac
+          if (lac < 255) { if (!endPacket()) return None }
+          s += 1
+        }
+        if (nSegs > 0) continued = (p(pos + 27 + nSegs - 1) & 0xff) == 255
+        if (granule != -1L) lastGranule = granule
+        pos = body
+      }
+      if (!sawHead || continued || audioPackets == 0 || channels < 1) return None
+      val granuleDurSec = math.max(0L, lastGranule - preSkip) / 48000.0
+      Some(Array(
+        (granuleDurSec / 60.0).toFloat,
+        channels.toFloat,
+        inputRate / 48000.0f,
+        audioPackets / 10000.0f,
+        preSkip / 48000.0f,
+        mappingFamily.toFloat,
+        (tocQuarterMs / 4000.0 / 60.0).toFloat,
+        0f
+      ))
+    }
+
     /** Concatenated BMP frames; sample first/middle/last, average. */
     private[pipeline] def decodeBmpSequence(p: Array[Byte]): Option[Decoded] = {
       // scan pass: frame offsets via each BMP's self-declared fileSize
@@ -431,31 +703,6 @@ object Multimodal {
       val avg = new Array[Float](8)
       feats.foreach(f => (0 until 8).foreach(j => avg(j) += f(j) / feats.size))
       Some(Decoded(avg, count))
-    }
-  }
-
-  /** Deterministic fake for codecs that DO need native libraries the
-    * JDK lacks (H.264/Opus/...): features derived from payload
-    * bytes only — stable across retries/partitionings, the same
-    * contract a real decoder must satisfy. Swap for a JNI/FFI-backed
-    * decoder in production. (JPEG/PNG/GIF/BMP/WAV/MJPEG decode for
-    * real in [[PureJvmDecoder]]; MP3 gets a real stats-grade
-    * frame-header decode there too.)
-    */
-  object FakeDecoder extends AssetDecoder {
-    def decode(kind: String, payload: Array[Byte], width: Int, height: Int, durationMs: Int): Option[Decoded] = {
-      if (payload.isEmpty) return None // corrupt asset path
-      val out = new Array[Float](8)
-      var h = 1125899906842597L
-      var i = 0
-      while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
-      var j = 0
-      while (j < out.length) {
-        h = h * 6364136223846793005L + 1442695040888963407L
-        out(j) = ((h >>> 40).toInt % 1000) / 1000.0f
-        j += 1
-      }
-      Some(Decoded(out, if (kind == "video") math.max(1, durationMs / 1000) else 1))
     }
   }
 
@@ -558,11 +805,165 @@ object Multimodal {
     b
   }
 
+  /** MSB-first bit writer with an Exp-Golomb helper (SPS synthesis). */
+  private final class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var cur = 0
+    private var nbits = 0
+    def u1(v: Int): Unit = {
+      cur = (cur << 1) | (v & 1); nbits += 1
+      if (nbits == 8) { buf += cur.toByte; cur = 0; nbits = 0 }
+    }
+    def u(n: Int, v: Int): Unit = { var i = n - 1; while (i >= 0) { u1((v >> i) & 1); i -= 1 } }
+    def ue(v: Int): Unit = {
+      val vv = v + 1
+      val bits = 32 - Integer.numberOfLeadingZeros(vv)
+      var i = 0; while (i < bits - 1) { u1(0); i += 1 }
+      u(bits, vv)
+    }
+    /** rbsp_stop_one_bit + byte alignment, then the accumulated bytes. */
+    def rbspTrailing(): Array[Byte] = { u1(1); while (nbits != 0) u1(0); buf.toArray }
+  }
+
+  /** Insert H.264 emulation-prevention bytes: 00 00 0x (x ≤ 3) → 00 00 03 0x. */
+  private def escapeRbsp(rbsp: Array[Byte]): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var zeros = 0
+    var i = 0
+    while (i < rbsp.length) {
+      val b = rbsp(i)
+      if (zeros >= 2 && (b & 0xff) <= 3) { out += 3.toByte; zeros = 0 }
+      out += b
+      zeros = if (b == 0) zeros + 1 else 0
+      i += 1
+    }
+    out.toArray
+  }
+
+  private def nal(refIdc: Int, nalType: Int, rbsp: Array[Byte]): Array[Byte] =
+    Array[Byte](0, 0, 0, 1, ((refIdc << 5) | nalType).toByte) ++ escapeRbsp(rbsp)
+
+  /** A real (to the framing level) H.264 Annex-B stream: Baseline SPS
+    * with the requested macroblock grid (odd seeds crop 2px right and
+    * bottom), a minimal PPS, one IDR slice and `frames - 1` non-IDR
+    * slices, each with first_mb_in_slice = 0 and deterministic filler
+    * payload. Pure function of the arguments.
+    */
+  private[pipeline] def syntheticH264(wMbs: Int, hMbs: Int, frames: Int, seed: Long): Array[Byte] = {
+    val crop = (seed & 1) == 1
+    val sps = {
+      val w = new BitWriter
+      w.u(8, 66); w.u(8, 0); w.u(8, 30) // Baseline profile, level 3.0
+      w.ue(0) // seq_parameter_set_id
+      w.ue(0) // log2_max_frame_num_minus4
+      w.ue(0) // pic_order_cnt_type = 0
+      w.ue(0) // log2_max_pic_order_cnt_lsb_minus4
+      w.ue(1) // max_num_ref_frames
+      w.u1(0) // gaps_in_frame_num_value_allowed
+      w.ue(wMbs - 1)
+      w.ue(hMbs - 1)
+      w.u1(1) // frame_mbs_only
+      w.u1(1) // direct_8x8_inference
+      if (crop) { w.u1(1); w.ue(0); w.ue(1); w.ue(0); w.ue(1) } // crop right+bottom by one 2px unit
+      else w.u1(0)
+      w.u1(0) // vui_parameters_present
+      w.rbspTrailing()
+    }
+    val pps = {
+      val w = new BitWriter
+      w.ue(0); w.ue(0) // pps_id, sps_id
+      w.u1(0); w.u1(0) // entropy_coding_mode (CAVLC), bottom_field_pic_order
+      w.ue(0) // num_slice_groups_minus1
+      w.ue(0); w.ue(0) // num_ref_idx_l0/l1_active_minus1
+      w.u1(0); w.u(2, 0) // weighted_pred, weighted_bipred_idc
+      w.ue(0); w.ue(0); w.ue(0) // init_qp/qs/chroma offsets (se(0) == ue(0) bit pattern)
+      w.u1(0); w.u1(0); w.u1(0) // deblocking, constrained_intra, redundant_pic_cnt
+      w.rbspTrailing()
+    }
+    var s = seed
+    def slice(idr: Boolean, frameNum: Int): Array[Byte] = {
+      val w = new BitWriter
+      w.ue(0) // first_mb_in_slice
+      w.ue(if (idr) 7 else 5) // slice_type (I / P, "all slices" form)
+      w.ue(0) // pic_parameter_set_id
+      w.u(4, frameNum & 0xf) // frame_num (log2_max_frame_num = 4)
+      val head = w.rbspTrailing()
+      val fill = new Array[Byte](16 + (frameNum % 16))
+      var i = 0
+      while (i < fill.length) { s = s * 6364136223846793005L + 1442695040888963407L; fill(i) = (s >>> 56).toByte; i += 1 }
+      // deterministic raw start-code-shaped bytes: forces the
+      // emulation-prevention escape path in every synthetic stream (a
+      // NAL walk without unescaping would mis-frame here)
+      head ++ fill ++ Array[Byte](0, 0, 1, 0, 0, 2)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    out ++= nal(3, 7, sps)
+    out ++= nal(3, 8, pps)
+    var f = 0
+    while (f < frames) { out ++= nal(if (f == 0) 3 else 2, if (f == 0) 5 else 1, slice(f == 0, f)); f += 1 }
+    out.toArray
+  }
+
+  /** A real (framing-level) Ogg/Opus stream: BOS page with OpusHead,
+    * an OpusTags page, then 20 ms CELT packets (TOC config 19, up to 50
+    * per page) with correct lacing and cumulative granule positions;
+    * EOS flag on the last page. Page CRCs are zero (the stats decoder
+    * does not verify them). Pure function of the arguments.
+    */
+  private[pipeline] def syntheticOggOpus(packets: Int, seed: Long): Array[Byte] = {
+    val channels = 1 + (seed % 2).toInt
+    val preSkip = 312
+    val head = new Array[Byte](19)
+    "OpusHead".getBytes("US-ASCII").copyToArray(head, 0)
+    head(8) = 1; head(9) = channels.toByte
+    putShort(head, 10, preSkip); putInt(head, 12, 48000)
+    // output gain 0 at 16-17, mapping family 0 at 18
+    val tags = "OpusTags".getBytes("US-ASCII") ++ new Array[Byte](8) // empty vendor, 0 comments
+    def page(headerType: Int, granule: Long, seq: Int, pkts: Seq[Array[Byte]]): Array[Byte] = {
+      val lacing = pkts.flatMap { pk =>
+        Seq.fill(pk.length / 255)(255) :+ pk.length % 255
+      }
+      require(lacing.length <= 255, "synthetic page overflow")
+      val hdr = new Array[Byte](27 + lacing.length)
+      "OggS".getBytes("US-ASCII").copyToArray(hdr, 0)
+      hdr(5) = headerType.toByte
+      var g = granule
+      var i = 0
+      while (i < 8) { hdr(6 + i) = (g & 0xff).toByte; g >>= 8; i += 1 }
+      putInt(hdr, 14, 0x5eed01) // bitstream serial
+      putInt(hdr, 18, seq)
+      hdr(26) = lacing.length.toByte
+      lacing.zipWithIndex.foreach { case (l, j) => hdr(27 + j) = l.toByte }
+      hdr ++ pkts.flatten
+    }
+    val toc = ((19 << 3) | ((channels - 1) << 2)).toByte // CELT NB 20 ms, code 0
+    var s = seed
+    val audio = (0 until packets).map { i =>
+      val b = new Array[Byte](1 + 10 + (i % 50))
+      b(0) = toc
+      var j = 1
+      while (j < b.length) { s = s * 6364136223846793005L + 1442695040888963407L; b(j) = (s >>> 56).toByte; j += 1 }
+      b
+    }
+    val pages = scala.collection.mutable.ArrayBuffer(
+      page(0x02, 0, 0, Seq(head)), // BOS
+      page(0, 0, 1, Seq(tags)))
+    var done = 0
+    var seq = 2
+    while (done < packets) {
+      val n = math.min(50, packets - done)
+      val last = done + n == packets
+      pages += page(if (last) 0x04 else 0, preSkip.toLong + 960L * (done + n), seq, audio.slice(done, done + n))
+      done += n; seq += 1
+    }
+    pages.toArray.flatten
+  }
+
   /** Deterministic synthetic asset table with REAL payloads, rotating
     * formats per modality (image: BMP / PNG / JPEG; video: BMP-sequence
-    * / MJPEG; audio: WAV) — pure function of asset_id. ~1/16 assets are
-    * corrupt: empty or truncated payloads the decoders must flag, not
-    * crash on.
+    * / MJPEG / H.264 Annex-B; audio: WAV / Ogg-Opus) — pure function of
+    * asset_id. ~1/16 assets are corrupt: empty or truncated payloads
+    * the decoders must flag, not crash on.
     */
   def syntheticAssets(spark: SparkSession, n: Long, partitions: Int = 32): Dataset[AssetRow] = {
     import spark.implicits._
@@ -578,12 +979,14 @@ object Multimodal {
           case 1 => syntheticPng(w, h, id)
           case _ => syntheticJpeg(w, h, id)
         }
-        case "audio" => syntheticWav(256 + (id % 1024).toInt, 16000, id)
-        case _ =>
-          val mk: Int => Array[Byte] =
-            if ((id / 3) % 2 == 0) f => syntheticBmp(w, h, id * 31 + f)
-            else f => syntheticJpeg(w, h, id * 31 + f)
-          (0 until frames).map(mk).reduce(_ ++ _)
+        case "audio" =>
+          if ((id / 3) % 2 == 0) syntheticWav(256 + (id % 1024).toInt, 16000, id)
+          else syntheticOggOpus(1 + (id % 60).toInt, id)
+        case _ => ((id / 3) % 3) match {
+          case 0 => (0 until frames).map(f => syntheticBmp(w, h, id * 31 + f)).reduce(_ ++ _)
+          case 1 => (0 until frames).map(f => syntheticJpeg(w, h, id * 31 + f)).reduce(_ ++ _)
+          case _ => syntheticH264(1 + (id % 3).toInt, 1 + (id % 2).toInt, frames, id)
+        }
       }
       val payload =
         if (id % 16 == 15) Array.emptyByteArray // corrupt: empty

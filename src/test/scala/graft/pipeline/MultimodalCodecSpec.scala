@@ -2,10 +2,11 @@ package graft.pipeline
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pure-JVM codec tests (no Spark): the BMP / WAV / BMP-sequence
-  * decoders do real parsing — dimensions, pixel statistics and sample
-  * statistics must reflect the actual payload content, and malformed
-  * payloads must be rejected, never crash.
+/** Pure-JVM codec tests (no Spark): the BMP / WAV / image-sequence /
+  * MP3 / H.264 / Ogg-Opus decoders do real parsing — dimensions, pixel
+  * and sample statistics, frame counts and durations must reflect the
+  * actual payload content, and malformed payloads must be rejected,
+  * never crash.
   */
 class MultimodalCodecSpec extends AnyFunSuite {
 
@@ -194,6 +195,80 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(f(5) == 1f) // VBR
     assert(f(1) == 160f / 320f) // mean of 128/192
     assert(f(3) == 2f) // stereo
+  }
+
+  test("H.264 stats walk: SPS resolution (cropped and uncropped), frames, IDR share, profile/level") {
+    val dec = Multimodal.PureJvmDecoder
+    // even seed: no cropping → exact macroblock grid
+    val a = dec.decodeH264Stats(Multimodal.syntheticH264(wMbs = 8, hMbs = 6, frames = 7, seed = 42L)).get
+    assert(a.frames == 7)
+    assert(a.features(0) == 128 / 1024.0f && a.features(1) == 96 / 1024.0f, a.features.mkString(","))
+    assert(a.features(4) == 1f / 7f) // one IDR of 7 slices
+    assert(a.features(5) == 66 / 255.0f && a.features(6) == 30 / 255.0f) // Baseline, level 3.0
+    // odd seed: frame cropping of one 2px unit right+bottom
+    val b = dec.decodeH264Stats(Multimodal.syntheticH264(8, 6, 3, seed = 43L)).get
+    assert(b.features(0) == 126 / 1024.0f && b.features(1) == 94 / 1024.0f, b.features.mkString(","))
+    // dispatched through the video kind
+    assert(dec.decode("video", Multimodal.syntheticH264(2, 2, 4, 0L), 0, 0, 0).exists(_.frames == 4))
+    // escape/start-code robustness across seeds (slice filler embeds
+    // raw 00 00 01 bytes that MUST be emulation-prevention-escaped)
+    (0L until 20L).foreach { s =>
+      assert(dec.decodeH264Stats(Multimodal.syntheticH264(3, 2, 5, s)).exists(_.frames == 5), s"seed $s")
+    }
+  }
+
+  test("H.264 frame counting is slice-aware: a second slice of the same picture does not double-count") {
+    val base = Multimodal.syntheticH264(4, 4, 3, 2L)
+    // append a non-IDR slice NAL whose first_mb_in_slice = 5 (ue bits
+    // 00110) — a continuation slice of the last picture, not a new frame
+    val contSlice = Array[Byte](0, 0, 0, 1, 0x21, 0x34, 0x80.toByte) // 0x34 = 00110100₂
+
+    val d = Multimodal.PureJvmDecoder.decodeH264Stats(base ++ contSlice).get
+    assert(d.frames == 3, s"frames=${d.frames}")
+  }
+
+  test("H.264 malformed streams are rejected, never crash") {
+    val dec = Multimodal.PureJvmDecoder
+    val good = Multimodal.syntheticH264(4, 2, 3, 6L)
+    // forbidden_zero_bit set on a NAL header
+    val bad = good.clone(); bad(4) = (bad(4) | 0x80).toByte
+    assert(dec.decodeH264Stats(bad).isEmpty)
+    // no SPS: slices only
+    val noSps = Array[Byte](0, 0, 0, 1, 0x65, 0x88.toByte, 0x80.toByte)
+    assert(dec.decodeH264Stats(noSps).isEmpty)
+    // start code then nothing
+    assert(dec.decodeH264Stats(Array[Byte](0, 0, 1)).isEmpty)
+    assert(dec.decode("video", Array[Byte](0, 0, 0, 1), 0, 0, 0).isEmpty)
+  }
+
+  test("Ogg/Opus stats walk: duration from granule AND TOC, channels, packet count, pre-skip") {
+    val dec = Multimodal.PureJvmDecoder
+    // 120 packets × 20 ms CELT = 2.4 s; even seed → mono
+    val f = dec.decodeOggOpusStats(Multimodal.syntheticOggOpus(120, seed = 42L)).get
+    assert(math.abs(f(0) * 60 - 2.4f) < 1e-4, s"granule duration=${f(0) * 60}")
+    assert(f(1) == 1f) // mono (even seed)
+    assert(f(2) == 1f) // 48 kHz input
+    assert(f(3) == 120 / 10000.0f)
+    assert(f(4) == 312 / 48000.0f) // pre-skip
+    assert(f(5) == 0f) // mapping family
+    assert(math.abs(f(6) * 60 - 2.4f) < 1e-4, s"TOC duration=${f(6) * 60}")
+    // odd seed → stereo, and the multi-page path (>50 packets/page split)
+    val g = dec.decodeOggOpusStats(Multimodal.syntheticOggOpus(51, seed = 1L)).get
+    assert(g(1) == 2f)
+    assert(g(3) == 51 / 10000.0f)
+    // dispatched through the audio kind
+    assert(dec.decode("audio", Multimodal.syntheticOggOpus(10, 0L), 0, 0, 0).isDefined)
+  }
+
+  test("Ogg/Opus malformed streams are rejected, never crash") {
+    val dec = Multimodal.PureJvmDecoder
+    val good = Multimodal.syntheticOggOpus(60, 5L)
+    assert(dec.decodeOggOpusStats(good.take(good.length / 2)).isEmpty) // truncated mid-page
+    val badVersion = good.clone(); badVersion(4) = 1
+    assert(dec.decodeOggOpusStats(badVersion).isEmpty)
+    val badMagic = good.clone(); badMagic(28 + 4) = 'X' // corrupt OpusHead magic
+    assert(dec.decodeOggOpusStats(badMagic).isEmpty)
+    assert(dec.decode("audio", "OggS".getBytes, 0, 0, 0).isEmpty)
   }
 
   test("compressed-format garbage is rejected, never crashes") {
