@@ -173,6 +173,10 @@ object SparkEntry {
     "q29_repetition" -> ((s, d) => Curation.repetitionStats(t(s, d, "documents"))),
     "q30_stratified_sample" -> ((s, d) =>
       Curation.stratifiedSample(t(s, d, "documents"), q30Quotas)),
+    // benchmark decontamination: distinct-trigram overlap of each
+    // training document against the held-out eval slice (doc_id % 97),
+    // integer basis points, eval grams broadcast — oracle-checked
+    "q31_decontam" -> ((s, d) => Curation.decontaminate(t(s, d, "documents"))),
     // cross-engine-exact twin of the embedding-LSH near-dup CANDIDATE
     // path: md5-Rademacher hyperplane signs + integer projections →
     // bucket assignment, hot-bucket suppression, pair recovery AND the
@@ -454,9 +458,35 @@ object SparkEntry {
        |WHERE bucket < CASE source $cases ELSE 100 END""".stripMargin
   }
 
+  /** DuckDB twin of q31: same trigram sets, same eval slice, same
+    * integer basis points.
+    */
+  private def q31Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, CASE WHEN len(words) >= 3
+      |    THEN list_distinct(list_transform(range(1, len(words) - 1), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+      |    ELSE [] END AS gs
+      |  FROM base
+      |), ge AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+      |ev AS (SELECT DISTINCT g FROM ge WHERE doc_id % 97 = 0),
+      |hits AS (
+      |  SELECT doc_id, count(*) AS h FROM ge
+      |  WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM ev) GROUP BY doc_id
+      |)
+      |SELECT gr.doc_id,
+      |  CAST(len(gr.gs) AS BIGINT) AS n_grams,
+      |  CAST(coalesce(h.h, 0) AS BIGINT) AS n_contaminated,
+      |  CAST(CASE WHEN len(gr.gs) > 0 THEN coalesce(h.h, 0) * 10000 // len(gr.gs) ELSE 0 END AS BIGINT) AS contam_bp
+      |FROM grams gr LEFT JOIN hits h USING (doc_id)
+      |WHERE gr.doc_id % 97 <> 0""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q29_repetition" -> q29Sql,
     "q30_stratified_sample" -> q30Sql,
+    "q31_decontam" -> q31Sql,
     "q28_embedding_lsh_md5" -> q28Sql(),
     "q16_simhash_md5" -> q16Sql,
     "q17_minhash_pairs_md5" -> minhashLshSql(width = 3, threshold = 0.5),

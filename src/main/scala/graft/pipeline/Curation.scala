@@ -58,6 +58,48 @@ object Curation {
         expr("CAST(coalesce(mxb * 10000 div totb, 0) AS BIGINT)").as("top_bigram_bp"))
   }
 
+  /** Benchmark decontamination: for every training document, the
+    * fraction of its distinct word n-grams that also occur in a
+    * held-out eval set (here: documents whose `doc_id` is divisible by
+    * `evalModulus` — a deterministic stand-in for the real benchmark
+    * corpus). The standard pre-training hygiene op: training documents
+    * with high overlap leak eval answers and are dropped or flagged.
+    *
+    * Scale shape: the eval n-gram set is BROADCAST — real benchmark
+    * suites are megabytes against a 100 TB corpus, so the overlap
+    * check must never shuffle the corpus on the n-gram key. Training
+    * grams stream through a broadcast left join into one map-side-
+    * combinable groupBy on doc_id. Output is integer basis points.
+    */
+  def decontaminate(documents: DataFrame, evalModulus: Int = 97, n: Int = 3): DataFrame = {
+    require(n >= 2, "n-gram width must be >= 2")
+    val words = filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "")
+    val grams = when(size(words) >= n,
+      array_distinct(transform(sequence(lit(1), size(words) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(words, i + o)): _*))))
+      .otherwise(array().cast("array<string>"))
+    val isEval = col("doc_id") % evalModulus === 0
+    val exploded = documents.select(col("doc_id"), explode(grams).as("g"))
+    val evalGrams = exploded.where(isEval).select(col("g")).distinct()
+    // hits: gram rows stream through the broadcast semi-join, then one
+    // map-side-combinable groupBy — the only shuffle carries doc-level
+    // partial counts, never gram-level rows
+    val hits = exploded.where(!isEval)
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+    // totals come straight off the scan (distinct-gram array size) —
+    // no second pass through the gram explosion
+    documents.where(!isEval)
+      .select(col("doc_id"), size(grams).cast("bigint").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        coalesce(col("hits"), lit(0L)).as("n_contaminated"),
+        expr("CAST(CASE WHEN n_grams > 0 THEN coalesce(hits, 0) * 10000 div n_grams ELSE 0 END AS BIGINT)")
+          .as("contam_bp"))
+  }
+
   /** Deterministic stratified downsampling: keep a document iff its
     * md5-derived bucket (two hex nibbles of md5(doc_id) → [0, 100))
     * falls under its source's quota percentage. No RNG state — the

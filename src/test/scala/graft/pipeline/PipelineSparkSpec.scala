@@ -528,6 +528,32 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("decontamination: trigram overlap vs the eval slice, in basis points, eval grams broadcast") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "a b c d"), // eval (0 % 97 == 0): grams {a b c, b c d}
+      (97L, "q q q"), // eval: gram {q q q}
+      (1L, "a b c x"), // grams {a b c, b c x}: 1 of 2 contaminated
+      (2L, "a b c d e"), // grams {a b c, b c d, c d e}: 2 of 3
+      (3L, "zz yy"), // < 3 words: no grams
+      (4L, "q q q"), // exact eval leak: 1 of 1
+      (5L, "u v w x") // grams {u v w, v w x}: clean
+    ).toDF("doc_id", "text")
+    val out = Curation.decontaminate(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L)) // eval docs excluded
+    assert(out(1L) == ((2L, 1L, 5000L)), out(1L).toString)
+    assert(out(2L) == ((3L, 2L, 6666L)), out(2L).toString)
+    assert(out(3L) == ((0L, 0L, 0L)), out(3L).toString)
+    assert(out(4L) == ((1L, 1L, 10000L)), out(4L).toString)
+    assert(out(5L) == ((2L, 0L, 0L)), out(5L).toString)
+    // scale contract: the eval-gram membership test must be a broadcast
+    // semi join — the corpus is never shuffled on the gram key
+    val plan = Curation.decontaminate(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") && plan.contains("Broadcast"), plan)
+  }
+
   test("md5-hyperplane embedding LSH twin recovers a planted pair with exact integer verdicts") {
     val s = spark
     import s.implicits._
