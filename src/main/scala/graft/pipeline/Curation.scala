@@ -73,13 +73,25 @@ object Curation {
     */
   def decontaminate(documents: DataFrame, evalModulus: Int = 97, n: Int = 3): DataFrame = {
     require(n >= 2, "n-gram width must be >= 2")
-    val words = filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "")
-    val grams = when(size(words) >= n,
-      array_distinct(transform(sequence(lit(1), size(words) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(o => element_at(words, i + o)): _*))))
+    // words are PROJECTED once; grams stay an EXPRESSION fed straight
+    // to explode. Both halves matter: (a) an inlined words AST would be
+    // cloned per element_at and re-tokenize the document per gram
+    // element; (b) exploding a projected grams ATTRIBUTE lets
+    // InferFiltersFromGenerate synthesize a size(grams) > 0 filter
+    // that predicate pushdown then inlines through both projections —
+    // re-deriving the whole gram pipeline per element inside a scan
+    // filter (measured 40x slower at sf0.1). With a complex explode
+    // child the inference rule skips (the SPARK-33544 guard), which is
+    // exactly the q29 shape.
+    val wordsExpr = filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "")
+    val base = documents.select(col("doc_id"), wordsExpr.as("words"))
+    val w = col("words")
+    val gramsExpr = when(size(w) >= n,
+      array_distinct(transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(w, i + o)): _*))))
       .otherwise(array().cast("array<string>"))
     val isEval = col("doc_id") % evalModulus === 0
-    val exploded = documents.select(col("doc_id"), explode(grams).as("g"))
+    val exploded = base.select(col("doc_id"), explode(gramsExpr).as("g"))
     val evalGrams = exploded.where(isEval).select(col("g")).distinct()
     // hits: gram rows stream through the broadcast semi-join, then one
     // map-side-combinable groupBy — the only shuffle carries doc-level
@@ -89,8 +101,8 @@ object Curation {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
     // totals come straight off the scan (distinct-gram array size) —
     // no second pass through the gram explosion
-    documents.where(!isEval)
-      .select(col("doc_id"), size(grams).cast("bigint").as("n_grams"))
+    base.where(!isEval)
+      .select(col("doc_id"), size(gramsExpr).cast("bigint").as("n_grams"))
       .join(hits, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
