@@ -177,6 +177,10 @@ object SparkEntry {
     // training document against the held-out eval slice (doc_id % 97),
     // integer basis points, eval grams broadcast — oracle-checked
     "q31_decontam" -> ((s, d) => Curation.decontaminate(t(s, d, "documents"))),
+    // canonical representative per near-dup cluster: q26's components +
+    // q10's integer quality, highest-quality member wins (min doc_id
+    // tiebreak) — the keep-one-per-duplicate-group step, oracle-checked
+    "q32_cluster_rep" -> ((s, d) => Curation.clusterRepresentatives(t(s, d, "documents"))),
     // cross-engine-exact twin of the embedding-LSH near-dup CANDIDATE
     // path: md5-Rademacher hyperplane signs + integer projections →
     // bucket assignment, hot-bucket suppression, pair recovery AND the
@@ -483,7 +487,53 @@ object SparkEntry {
       |FROM grams gr LEFT JOIN hits h USING (doc_id)
       |WHERE gr.doc_id % 97 <> 0""".stripMargin
 
+  /** The q10 integer quality score as a bare SQL scalar over `text` —
+    * shared by q10 and the q32 cluster-representative tiebreak.
+    */
+  private val q10QualityExpr: String =
+    """CAST(
+      |  (CASE WHEN length(text) > 0 THEN floor(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 4000.0 / length(text)) ELSE 0 END)
+      |  + (2000 - (CASE WHEN length(text) > 0 THEN least(floor(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 20000.0 / length(text)), 2000.0) ELSE 0 END))
+      |  + (CASE WHEN length(text) BETWEEN 200 AND 4000 THEN 2000 WHEN length(text) >= 50 THEN 1000 ELSE 0 END)
+      |  + (CASE WHEN ((CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %' THEN 1 ELSE 0 END)
+      |            + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% and %' THEN 1 ELSE 0 END)
+      |            + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% of %' THEN 1 ELSE 0 END)
+      |            + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% to %' THEN 1 ELSE 0 END)
+      |            + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% a %' THEN 1 ELSE 0 END)) >= 3 THEN 2000
+      |       WHEN ((CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %' THEN 1 ELSE 0 END)
+      |            + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% and %' THEN 1 ELSE 0 END)
+      |            + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% of %' THEN 1 ELSE 0 END)
+      |            + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% to %' THEN 1 ELSE 0 END)
+      |            + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% a %' THEN 1 ELSE 0 END)) >= 1 THEN 1000
+      |       ELSE 0 END) AS BIGINT)""".stripMargin
+
+  /** DuckDB twin of q32: q26's recursive-CTE components + the q10
+    * quality scalar; representative = min doc_id among max-quality
+    * members, same deterministic tiebreak as the Spark window.
+    */
+  private def q32Sql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT a, b FROM (${minhashLshSql(width = 3, threshold = 0.5)}) q17),
+      |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+      |nodes AS (SELECT DISTINCT a AS node FROM edges),
+      |reach AS (
+      |  SELECT node, node AS lab FROM nodes
+      |  UNION
+      |  SELECT e.b AS node, r.lab FROM edges e JOIN reach r ON e.a = r.node
+      |),
+      |cc AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+      |q AS (SELECT doc_id, $q10QualityExpr AS q FROM documents),
+      |j AS (SELECT cc.node, cc.component, q.q FROM cc JOIN q ON q.doc_id = cc.node),
+      |w AS (SELECT j.*,
+      |        count(*) OVER (PARTITION BY component) AS n_members,
+      |        max(q) OVER (PARTITION BY component) AS best_quality
+      |      FROM j)
+      |SELECT component, min(node) AS rep_doc,
+      |  CAST(n_members AS BIGINT) AS n_members,
+      |  CAST(best_quality AS BIGINT) AS best_quality
+      |FROM w WHERE q = best_quality GROUP BY component, n_members, best_quality""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q32_cluster_rep" -> q32Sql,
     "q29_repetition" -> q29Sql,
     "q30_stratified_sample" -> q30Sql,
     "q31_decontam" -> q31Sql,
@@ -604,23 +654,7 @@ object SparkEntry {
         |  CAST(coalesce(list_sum(list_transform(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''),
         |           w -> len(regexp_extract_all(w, '${pipeline.TextOps.subwordPattern}')))), 0) AS BIGINT) AS subwords
         |FROM documents""".stripMargin,
-    "q10_quality" ->
-      """SELECT doc_id, CAST(
-        |  (CASE WHEN length(text) > 0 THEN floor(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 4000.0 / length(text)) ELSE 0 END)
-        |  + (2000 - (CASE WHEN length(text) > 0 THEN least(floor(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 20000.0 / length(text)), 2000.0) ELSE 0 END))
-        |  + (CASE WHEN length(text) BETWEEN 200 AND 4000 THEN 2000 WHEN length(text) >= 50 THEN 1000 ELSE 0 END)
-        |  + (CASE WHEN ((CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %' THEN 1 ELSE 0 END)
-        |            + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% and %' THEN 1 ELSE 0 END)
-        |            + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% of %' THEN 1 ELSE 0 END)
-        |            + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% to %' THEN 1 ELSE 0 END)
-        |            + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% a %' THEN 1 ELSE 0 END)) >= 3 THEN 2000
-        |       WHEN ((CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %' THEN 1 ELSE 0 END)
-        |            + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% and %' THEN 1 ELSE 0 END)
-        |            + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% of %' THEN 1 ELSE 0 END)
-        |            + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% to %' THEN 1 ELSE 0 END)
-        |            + (CASE WHEN ' ' || lower(text) || ' ' LIKE '% a %' THEN 1 ELSE 0 END)) >= 1 THEN 1000
-        |       ELSE 0 END) AS BIGINT) AS quality
-        |FROM documents""".stripMargin,
+    "q10_quality" -> s"SELECT doc_id, $q10QualityExpr AS quality\nFROM documents",
     "q11_langid" ->
       """SELECT doc_id,
         |  CASE WHEN ((CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %' THEN 1 ELSE 0 END)

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators a large-scale training-data pipeline runs
@@ -110,6 +111,35 @@ object Curation {
         coalesce(col("hits"), lit(0L)).as("n_contaminated"),
         expr("CAST(CASE WHEN n_grams > 0 THEN coalesce(hits, 0) * 10000 div n_grams ELSE 0 END AS BIGINT)")
           .as("contam_bp"))
+  }
+
+  /** Canonical-document selection per near-dup cluster: the step after
+    * near-dup detection where a real pipeline KEEPS one document per
+    * duplicate group and drops the rest. Clusters come from connected
+    * components over the MinHash-LSH pair graph (the q26 pipeline);
+    * the representative is the member with the highest integer quality
+    * score, ties broken by lowest doc_id — fully deterministic.
+    *
+    * Scale shape: the pair graph and its components are tiny relative
+    * to the corpus (only documents with a near-duplicate appear), so
+    * the per-component window runs over node-level rows, one shuffle
+    * on the component key. The corpus contributes only the quality
+    * projection through a node-keyed join.
+    */
+  def clusterRepresentatives(documents: DataFrame): DataFrame = {
+    val pairs = Dedup.minhashLshMd5(documents, threshold = 0.5).select(col("a"), col("b"))
+    val labels = KgPipeline.connectedComponents(pairs) // (node, component)
+    val quality = documents.select(col("doc_id").as("node"), TextOps.qualityScore(col("text")).as("q"))
+    val byComp = Window.partitionBy(col("component"))
+    labels.join(quality, Seq("node"))
+      .withColumn("n_members", count(lit(1)).over(byComp))
+      .withColumn("best_quality", max(col("q")).over(byComp))
+      .where(col("q") === col("best_quality"))
+      .groupBy(col("component"), col("n_members"), col("best_quality"))
+      .agg(min(col("node")).as("rep_doc"))
+      .select(col("component"), col("rep_doc"),
+        col("n_members").cast("bigint").as("n_members"),
+        col("best_quality").cast("bigint").as("best_quality"))
   }
 
   /** Deterministic stratified downsampling: keep a document iff its

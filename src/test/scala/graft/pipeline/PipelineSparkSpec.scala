@@ -554,6 +554,27 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("LeftSemi") && plan.contains("Broadcast"), plan)
   }
 
+  test("cluster representatives: highest-quality member per near-dup component, min-id tiebreak") {
+    val s = spark
+    import s.implicits._
+    // two planted near-dup groups (identical texts cluster under
+    // MinHash-LSH) plus singletons that never enter the pair graph
+    val rich = "the quick brown fox jumps over the lazy dog and runs to a creek of cool water near the old mill"
+    val poor = "the quick brown fox jumps over the lazy dog and runs to a creek of cool water near the old mill!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!"
+    val docs = Seq(
+      (10L, rich), (11L, rich), (12L, poor), // group A: 10/11 tie on quality, 10 wins
+      (20L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (21L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // group B
+      (30L, "completely unrelated text about spark catalyst optimizer internals")
+    ).toDF("doc_id", "text")
+    val reps = Curation.clusterRepresentatives(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(reps.keySet == Set(10L, 20L)) // component labels = min member id
+    val (repA, membersA) = reps(10L)
+    assert(membersA == 3L && repA == 10L) // quality tie between 10/11 -> min id; 12 penalized for punct spam
+    assert(reps(20L) == ((20L, 2L)))
+  }
+
   test("md5-hyperplane embedding LSH twin recovers a planted pair with exact integer verdicts") {
     val s = spark
     import s.implicits._
