@@ -181,6 +181,17 @@ object SparkEntry {
     // q10's integer quality, highest-quality member wins (min doc_id
     // tiebreak) — the keep-one-per-duplicate-group step, oracle-checked
     "q32_cluster_rep" -> ((s, d) => Curation.clusterRepresentatives(t(s, d, "documents"))),
+    // PII masking over text augmented with constructed contact strings
+    // (pure function of doc_id, mirrored in the oracle) so the redaction
+    // logic itself — not just identity text — is value-exact-checked
+    "q33_pii_mask" -> ((s, d) => {
+      val aug = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@mail.example.com or +1-555-01"),
+          pmod(col("doc_id"), lit(90)) + 10, lit(" from 10.0."),
+          pmod(col("doc_id"), lit(256)), lit(".7")).as("text"))
+      Curation.maskPii(aug)
+    }),
     // cross-engine-exact twin of the embedding-LSH near-dup CANDIDATE
     // path: md5-Rademacher hyperplane signs + integer projections →
     // bucket assignment, hot-bucket suppression, pair recovery AND the
@@ -532,8 +543,32 @@ object SparkEntry {
       |  CAST(best_quality AS BIGINT) AS best_quality
       |FROM w WHERE q = best_quality GROUP BY component, n_members, best_quality""".stripMargin
 
+  /** DuckDB twin of q33: identical augmented text, identical
+    * RE2-compatible patterns (shared constants), identical masking
+    * order — counts taken at the same intermediate stages.
+    */
+  private def q33Sql: String = {
+    val e = Curation.EmailRe
+    val i = Curation.Ipv4Re
+    val p = Curation.PhoneRe
+    s"""WITH aug AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or +1-555-01'
+      |      || CAST(doc_id % 90 + 10 AS VARCHAR) || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t0
+      |  FROM documents
+      |), s1 AS (SELECT doc_id, t0, regexp_replace(t0, '$e', '<EMAIL>', 'g') AS t1 FROM aug),
+      |s2 AS (SELECT doc_id, t0, t1, regexp_replace(t1, '$i', '<IP>', 'g') AS t2 FROM s1)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t0, '$e')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(t1, '$i')) AS BIGINT) AS n_ips,
+      |  CAST(len(regexp_extract_all(t2, '$p')) AS BIGINT) AS n_phones,
+      |  regexp_replace(t2, '$p', '<PHONE>', 'g') AS masked
+      |FROM s2""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q32_cluster_rep" -> q32Sql,
+    "q33_pii_mask" -> q33Sql,
     "q29_repetition" -> q29Sql,
     "q30_stratified_sample" -> q30Sql,
     "q31_decontam" -> q31Sql,

@@ -113,6 +113,36 @@ object Curation {
           .as("contam_bp"))
   }
 
+  /** PII redaction patterns. RE2-compatible by construction (no
+    * lookarounds, no backreferences) so the DuckDB oracle replays the
+    * exact same matches: character classes, bounded repetition, ASCII
+    * word boundaries and non-capturing groups only.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhoneRe = "\\+?[0-9][0-9 .-]{6,}[0-9]"
+
+  /** PII masking: replace emails, IPv4 addresses and phone-shaped
+    * digit runs with typed placeholder tokens, and count each kind.
+    * Masking order is load-bearing (emails first — their digits would
+    * otherwise feed the phone pattern; IPs before phones — dotted
+    * quads are phone-shaped) and is mirrored exactly by the oracle.
+    * Pure per-row codegen'd string work: no UDF, no shuffle, scales as
+    * a projection.
+    */
+  def maskPii(documents: DataFrame): DataFrame = {
+    val t0 = col("text")
+    val t1 = regexp_replace(t0, EmailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, Ipv4Re, "<IP>")
+    val t3 = regexp_replace(t2, PhoneRe, "<PHONE>")
+    documents.select(
+      col("doc_id"),
+      regexp_count(t0, lit(EmailRe)).cast("bigint").as("n_emails"),
+      regexp_count(t1, lit(Ipv4Re)).cast("bigint").as("n_ips"),
+      regexp_count(t2, lit(PhoneRe)).cast("bigint").as("n_phones"),
+      t3.as("masked"))
+  }
+
   /** Canonical-document selection per near-dup cluster: the step after
     * near-dup detection where a real pipeline KEEPS one document per
     * duplicate group and drops the rest. Clusters come from connected

@@ -575,6 +575,31 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(reps(20L) == ((20L, 2L)))
   }
 
+  test("PII masking: emails, IPv4s and phone runs redacted in order; lookalikes survive") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "reach me at jane.doe+spam@sub.example.org or bob@x.io thanks"),
+      (2L, "server 192.168.0.1 and 10.0.255.7 but not 1.2.3 or a.b.c.d"),
+      (3L, "call +1-555-867-5309 or 020 7946 0958 now"),
+      (4L, "mixed: admin@corp.net at 172.16.4.20 tel +44 20 7946 0958"),
+      (5L, "clean text with no contact details at all"),
+      (6L, "not-an-email @missing.local and half@tld. dot")
+    ).toDF("doc_id", "text")
+    val out = Curation.maskPii(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((2L, 0L, 0L, "reach me at <EMAIL> or <EMAIL> thanks")), out(1L).toString)
+    assert(out(2L)._1 == 0L && out(2L)._2 == 2L, out(2L).toString)
+    assert(out(2L)._4.contains("<IP> and <IP>") && out(2L)._4.contains("not 1.2.3 or a.b.c.d"))
+    assert(out(3L) == ((0L, 0L, 2L, "call <PHONE> or <PHONE> now")), out(3L).toString)
+    assert(out(4L) == ((1L, 1L, 1L, "mixed: <EMAIL> at <IP> tel <PHONE>")), out(4L).toString)
+    assert(out(5L) == ((0L, 0L, 0L, "clean text with no contact details at all")), out(5L).toString)
+    assert(out(6L)._1 == 0L, out(6L).toString) // no local part / no TLD letters: not an email
+    // projection-only plan: no shuffle, no UDF
+    val plan = Curation.maskPii(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.toLowerCase.contains("batchevalpython"), plan)
+  }
+
   test("md5-hyperplane embedding LSH twin recovers a planted pair with exact integer verdicts") {
     val s = spark
     import s.implicits._
