@@ -17,7 +17,11 @@ import scala.collection.mutable
   *   - `typeof` — rdf:type triples for the current subject
   *   - `property` — predicate (CURIE / vocab term / absolute IRI);
   *     object = `resource`/`href`/`src` attribute (IRI) if present,
-  *     else the element's text content as a (lang-tagged) literal
+  *     else `content` attribute (the OpenGraph `<meta>` shape), else
+  *     the element's text content — as a (lang-tagged or datatyped)
+  *     literal
+  *   - `datatype` — types the literal object (CURIE/term-expanded;
+  *     empty value forces the plain/lang form, RDFa Core precedence)
   *   - `resource` without `property` — sets the subject for descendants
   *   - `lang`/`xml:lang` — literal language, inherited
   *
@@ -202,9 +206,19 @@ object RdfaLite {
       val lang: String // null allowed
   )
 
-  private final class PendingLiteral(val subject: Term, val predicates: Seq[Iri], val lang: String) {
+  private final class PendingLiteral(val subject: Term, val predicates: Seq[Iri],
+      val lang: String, val datatype: String) {
     val text = new StringBuilder
   }
+
+  /** Literal construction precedence (RDFa Core): an expanded
+    * `datatype` wins over the language; `datatype=""` forces the
+    * plain/lang form.
+    */
+  private def mkLit(lexical: String, datatype: String, lang: String): Lit =
+    if (datatype != null) Lit.typed(lexical, datatype)
+    else if (lang != null && lang.nonEmpty) Lit.lang(lexical, lang)
+    else Lit.plain(lexical)
 
   private final class RdfaHandler(base: String) extends DefaultHandler {
     val triples = mutable.LinkedHashSet.empty[Triple]
@@ -292,8 +306,22 @@ object RdfaLite {
           stack += new Scope(obj, vocab, prefixes, lang)
           pending += null
         } else {
-          stack += new Scope(subject, vocab, prefixes, lang)
-          pending += new PendingLiteral(s, preds, lang)
+          // literal object: an expanded @datatype types it; @content
+          // (the OpenGraph <meta property=... content=...> shape that
+          // dominates real-world RDFa) supplies the lexical form
+          // directly and beats element text
+          val dtAttr = attr("datatype")
+          val dt = if (dtAttr == null || dtAttr.isEmpty) null else expand(dtAttr, scope0).orNull
+          val contentAttr = attr("content")
+          if (contentAttr != null) {
+            val o = mkLit(contentAttr, dt, lang)
+            if (s != null) preds.foreach(p => triples += Triple(s, p, o))
+            stack += new Scope(subject, vocab, prefixes, lang)
+            pending += null
+          } else {
+            stack += new Scope(subject, vocab, prefixes, lang)
+            pending += new PendingLiteral(s, preds, lang, dt)
+          }
         }
       } else {
         stack += new Scope(subject, vocab, prefixes, lang)
@@ -313,9 +341,7 @@ object RdfaLite {
       val p = pending.remove(pending.length - 1)
       stack.remove(stack.length - 1)
       if (p != null && p.subject != null) {
-        val o =
-          if (p.lang != null && p.lang.nonEmpty) Lit.lang(p.text.toString, p.lang)
-          else Lit.plain(p.text.toString)
+        val o = mkLit(p.text.toString, p.datatype, p.lang)
         p.predicates.foreach(pred => triples += Triple(p.subject, pred, o))
       }
     }

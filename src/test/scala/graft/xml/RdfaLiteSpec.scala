@@ -47,6 +47,44 @@ class RdfaLiteSpec extends AnyFunSuite {
     ))
   }
 
+  test("content attribute supplies the literal (OpenGraph meta shape), beats element text") {
+    val island =
+      """<html prefix="og: http://ogp.me/ns#"><head>
+        |<meta about="http://p/page" property="og:title" content="The Title"/>
+        |<meta about="http://p/page" property="og:site_name" content="Site"></meta>
+        |</head></html>""".stripMargin
+    val ts = RdfaLite.parse(island, Some("http://p/page")).toOption.get.toSet
+    val s = Iri("http://p/page")
+    assert(ts == Set(
+      Triple(s, Iri("http://ogp.me/ns#title"), Lit.plain("The Title")),
+      Triple(s, Iri("http://ogp.me/ns#site_name"), Lit.plain("Site"))
+    ))
+    // the same page through the LENIENT path (unclosed meta, unquoted attr)
+    val malformed =
+      """<html prefix="og: http://ogp.me/ns#"><head>
+        |<meta about="http://p/page" property="og:title" content="The Title">
+        |</head>""".stripMargin
+    val lts = RdfaLite.parseLenient(malformed, Some("http://p/page")).toSet
+    assert(lts == Set(Triple(s, Iri("http://ogp.me/ns#title"), Lit.plain("The Title"))))
+  }
+
+  test("datatype attribute types the literal; empty datatype keeps the lang form") {
+    val island =
+      """<div vocab="http://schema.org/" prefix="xsd: http://www.w3.org/2001/XMLSchema#" lang="en">
+        |<span about="http://p/d" property="position" datatype="xsd:integer">41</span>
+        |<span about="http://p/d" property="name" datatype="">Plain</span>
+        |<meta about="http://p/d" property="dateCreated" datatype="xsd:date" content="2020-01-02"/>
+        |</div>""".stripMargin
+    val ts = RdfaLite.parse(island, Some("http://p/d")).toOption.get.toSet
+    val s = Iri("http://p/d")
+    val xsd = "http://www.w3.org/2001/XMLSchema#"
+    assert(ts == Set(
+      Triple(s, Iri(schema + "position"), Lit.typed("41", xsd + "integer")),
+      Triple(s, Iri(schema + "name"), Lit.lang("Plain", "en")),
+      Triple(s, Iri(schema + "dateCreated"), Lit.typed("2020-01-02", xsd + "date"))
+    ))
+  }
+
   test("relative about/resource resolve against the base") {
     val island =
       """<div vocab="http://schema.org/">
