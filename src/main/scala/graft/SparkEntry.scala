@@ -192,6 +192,11 @@ object SparkEntry {
           pmod(col("doc_id"), lit(256)), lit(".7")).as("text"))
       Curation.maskPii(aug)
     }),
+    // exact duplicate-SPAN detection (substring-level dedup, Lee et al.
+    // 2022): rolling word-window md5s, corpus-wide duplicated-window
+    // count, per-doc gaps-and-islands merge into maximal spans —
+    // integer coverage stats, oracle-checked end to end
+    "q34_dup_spans" -> ((s, d) => Curation.dupSpans(t(s, d, "documents"))),
     // cross-engine-exact twin of the embedding-LSH near-dup CANDIDATE
     // path: md5-Rademacher hyperplane signs + integer projections →
     // bucket assignment, hot-bucket suppression, pair recovery AND the
@@ -566,7 +571,50 @@ object SparkEntry {
       |FROM s2""".stripMargin
   }
 
+  /** DuckDB twin of q34: same window md5s, same >=2 corpus-wide dup
+    * rule, same gaps-and-islands merge (windows of width 8 merge while
+    * consecutive duplicated starts are <= 8 apart).
+    */
+  private def q34Sql(width: Int = 8): String = {
+    val w1 = width - 1
+    s"""WITH base AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+       |  FROM documents
+       |), occ AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos, md5(array_to_string(words[i:i+$w1], ' ')) AS h
+       |  FROM base, unnest(range(1, len(words) - $w1 + 1)) t(i)
+       |  WHERE len(words) >= $width
+       |), hot AS (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2),
+       |dup AS (SELECT occ.doc_id, occ.pos FROM occ JOIN hot USING (h)),
+       |m AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $width THEN 0 ELSE 1 END AS brk
+       |  FROM dup
+       |), isl AS (
+       |  SELECT doc_id, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM m
+       |), sp AS (
+       |  SELECT doc_id, island, count(*) AS nwin, max(pos) - min(pos) + $width AS cover
+       |  FROM isl GROUP BY doc_id, island
+       |), agg AS (
+       |  SELECT doc_id, count(*) AS spans, sum(nwin) AS dupwin, sum(cover) AS covered
+       |  FROM sp GROUP BY doc_id
+       |), stats AS (
+       |  SELECT doc_id, len(words) AS n_words, greatest(len(words) - $w1, 0) AS n_windows FROM base
+       |)
+       |SELECT s.doc_id,
+       |  CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(n_windows AS BIGINT) AS n_windows,
+       |  CAST(coalesce(dupwin, 0) AS BIGINT) AS n_dup_windows,
+       |  CAST(coalesce(spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(coalesce(covered, 0) AS BIGINT) AS dup_cover,
+       |  CAST(CASE WHEN n_words > 0 THEN coalesce(covered, 0) * 10000 // n_words ELSE 0 END AS BIGINT) AS dup_bp
+       |FROM stats s LEFT JOIN agg USING (doc_id)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q34_dup_spans" -> q34Sql(),
     "q32_cluster_rep" -> q32Sql,
     "q33_pii_mask" -> q33Sql,
     "q29_repetition" -> q29Sql,

@@ -172,6 +172,69 @@ object Curation {
         col("best_quality").cast("bigint").as("best_quality"))
   }
 
+  /** Duplicate-span detection — exact SUBSTRING-level dedup, the family
+    * member document-level hashing (q8) and near-dup LSH (q17) cannot
+    * express: find every maximal run of words that occurs (anywhere in
+    * the corpus, including elsewhere in the same document) at least
+    * twice, as in "Deduplicating Training Data Makes Language Models
+    * Better" (Lee et al., 2022) — there via a corpus suffix array, here
+    * as the relational equivalent: fixed-width rolling word windows,
+    * corpus-wide duplicated-window detection, and a per-document
+    * gaps-and-islands merge of overlapping duplicated windows into
+    * maximal spans.
+    *
+    * Scale shape: ONE corpus-sized shuffle keyed on the 128-bit window
+    * hash (map-side-combinable count), a semi-join back to the
+    * occurrence stream, and a per-document window sort over only the
+    * DUPLICATED positions (the skew-bounded minority in a real corpus).
+    * The window hashes are fed straight to posexplode as an expression
+    * (never a projected attribute — the q31 InferFiltersFromGenerate
+    * pathology). Everything emitted is integer / md5, so the DuckDB
+    * oracle (q34) replays it value-exact.
+    */
+  def dupSpans(documents: DataFrame, width: Int = 8): DataFrame = {
+    require(width >= 2, "window width must be >= 2")
+    val wordsExpr = filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "")
+    val base = documents.select(col("doc_id"), wordsExpr.as("words"))
+    val w = col("words")
+    val hashesExpr = when(size(w) >= width,
+      transform(sequence(lit(1), size(w) - (width - 1)),
+        i => md5(concat_ws(" ", (0 until width).map(o => element_at(w, i + o)): _*))))
+      .otherwise(array().cast("array<string>"))
+    val occ = base.select(col("doc_id"), posexplode(hashesExpr).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("bigint").as("pos"), col("h"))
+    // a window is duplicated if its hash occurs >= 2 times corpus-wide
+    // (cross-document or within-document — self-repetition is still
+    // training-data duplication)
+    val hot = occ.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2).select(col("h"))
+    val dup = occ.join(hot, Seq("h"), "left_semi")
+    // gaps-and-islands: two duplicated windows merge while their
+    // [pos, pos+width-1] coverage stays contiguous, i.e. the next start
+    // is within `width` of the previous one
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val islands = dup
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= width, lit(0)).otherwise(lit(1)))
+      .withColumn("island",
+        sum(col("brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spans = islands.groupBy(col("doc_id"), col("island"))
+      .agg(count(lit(1)).as("nwin"), (max(col("pos")) - min(col("pos")) + width).as("cover"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("spans"), sum(col("nwin")).as("dupwin"), sum(col("cover")).as("covered"))
+    base.select(col("doc_id"),
+        size(w).cast("bigint").as("n_words"),
+        greatest(size(w) - (width - 1), lit(0)).cast("bigint").as("n_windows"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_words"), col("n_windows"),
+        coalesce(col("dupwin"), lit(0L)).cast("bigint").as("n_dup_windows"),
+        coalesce(col("spans"), lit(0L)).cast("bigint").as("n_spans"),
+        coalesce(col("covered"), lit(0L)).cast("bigint").as("dup_cover"),
+        expr("CAST(CASE WHEN n_words > 0 THEN coalesce(covered, 0) * 10000 div n_words ELSE 0 END AS BIGINT)")
+          .as("dup_bp"))
+  }
+
   /** Deterministic stratified downsampling: keep a document iff its
     * md5-derived bucket (two hex nibbles of md5(doc_id) → [0, 100))
     * falls under its source's quota percentage. No RNG state — the

@@ -507,6 +507,33 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L) == ((0L, 0L, 0L)), out(4L).toString)
   }
 
+  test("duplicate spans: corpus-wide window dups merge into maximal per-doc spans") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g"), // shares windows "a b c","b c d" with doc 2
+      (2L, "x y a b c d q"),
+      (3L, "p q r s t u v w"), // all windows unique -> zeros
+      (4L, "m n o m n o m n o"), // within-doc repetition: every window dup
+      (5L, "short one"), // fewer words than the window width
+      (6L, "a b c z1 z2 z3 z4 z5 z6 b c d") // two non-adjacent dup spans
+    ).toDF("doc_id", "text")
+    val out = Curation.dupSpans(docs, width = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // doc 1: dup starts {1,2} merge -> one span covering words 1..4
+    assert(out(1L) == ((7L, 5L, 2L, 1L, 4L, 4L * 10000 / 7)), out(1L).toString)
+    // doc 2: dup starts {3,4} -> one span covering words 3..6
+    assert(out(2L) == ((7L, 5L, 2L, 1L, 4L, 4L * 10000 / 7)), out(2L).toString)
+    assert(out(3L) == ((8L, 6L, 0L, 0L, 0L, 0L)), out(3L).toString)
+    // doc 4: "m n o" repeated — every window occurs >= 2x corpus-wide
+    // (positions 1,4,7 alone repeat the same hash), one span covers all
+    assert(out(4L) == ((9L, 7L, 7L, 1L, 9L, 10000L)), out(4L).toString)
+    assert(out(5L) == ((2L, 0L, 0L, 0L, 0L, 0L)), out(5L).toString)
+    // doc 6: dup starts {1,10}, gap 9 > width -> TWO spans of 3 words each
+    assert(out(6L) == ((12L, 10L, 2L, 2L, 6L, 6L * 10000 / 12)), out(6L).toString)
+  }
+
   test("stratified sample is deterministic, quota-bounded and filter-only (no shuffle)") {
     val s = spark
     import s.implicits._
