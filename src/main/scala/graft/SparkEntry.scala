@@ -192,6 +192,15 @@ object SparkEntry {
           pmod(col("doc_id"), lit(256)), lit(".7")).as("text"))
       Curation.maskPii(aug)
     }),
+    // text normalization (NFC + control strip + whitespace collapse)
+    // over text augmented with a decomposed accent, a BEL control and
+    // messy whitespace — so the normalization logic itself, not just
+    // identity text, is value-exact-checked (same pattern as q33)
+    "q35_normalize" -> ((s, d) => {
+      val aug = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" Cafe\u0301 \u0007beep\tx  y ")).as("text"))
+      Curation.normalizeText(aug)
+    }),
     // exact duplicate-SPAN detection (substring-level dedup, Lee et al.
     // 2022): rolling word-window md5s, corpus-wide duplicated-window
     // count, per-doc gaps-and-islands merge into maximal spans —
@@ -613,7 +622,29 @@ object SparkEntry {
        |FROM stats s LEFT JOIN agg USING (doc_id)""".stripMargin
   }
 
+  /** DuckDB twin of q35: identical augmentation (decomposed accent,
+    * BEL, tab, doubled spaces), `nfc_normalize` for the NFC stage, and
+    * the same RE2-compatible control/whitespace classes.
+    */
+  private def q35Sql: String =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    text || ' Cafe' || chr(769) || ' ' || chr(7) || 'beep' || chr(9) || 'x  y ' AS text
+      |  FROM documents
+      |), n AS (
+      |  SELECT doc_id, text,
+      |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+      |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '[ \t\n\r]+', ' ', 'g')) AS norm_text
+      |  FROM aug
+      |)
+      |SELECT doc_id, norm_text,
+      |  CAST(CASE WHEN norm_text <> text THEN 1 ELSE 0 END AS BIGINT) AS changed,
+      |  CAST(length(text) AS BIGINT) AS chars_before,
+      |  CAST(length(norm_text) AS BIGINT) AS chars_after
+      |FROM n""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q35_normalize" -> q35Sql,
     "q34_dup_spans" -> q34Sql(),
     "q32_cluster_rep" -> q32Sql,
     "q33_pii_mask" -> q33Sql,

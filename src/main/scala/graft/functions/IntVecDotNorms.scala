@@ -105,14 +105,27 @@ object GraftFunctions {
     IntVecDotNorms(children.head, children(1))
   }
 
+  val nfcIdent: FunctionIdentifier = FunctionIdentifier("unicode_nfc")
+  private val nfcInfo =
+    new ExpressionInfo(classOf[UnicodeNfc].getName, "unicode_nfc")
+  private val nfcBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 1, s"unicode_nfc expects 1 argument, got ${children.size}")
+    UnicodeNfc(children.head)
+  }
+
   def register(spark: SparkSession): Unit = {
     val fr = spark.sessionState.functionRegistry
     if (!fr.functionExists(dotNormsIdent))
       fr.registerFunction(dotNormsIdent, dotNormsInfo, dotNormsBuilder)
+    if (!fr.functionExists(nfcIdent))
+      fr.registerFunction(nfcIdent, nfcInfo, nfcBuilder)
   }
 
   private[functions] def description =
     (dotNormsIdent, dotNormsInfo, dotNormsBuilder)
+
+  private[functions] def nfcDescription =
+    (nfcIdent, nfcInfo, nfcBuilder)
 }
 
 /** `SparkSessionExtensions` installer — the deployment-grade hook:
@@ -122,6 +135,8 @@ object GraftFunctions {
   * needs no config).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.description)
+    ext.injectFunction(GraftFunctions.nfcDescription)
+  }
 }

@@ -235,6 +235,30 @@ object Curation {
           .as("dup_bp"))
   }
 
+  /** Text normalization — the hygiene pass run BEFORE any hash-based
+    * operator (exact dedup, fingerprints, minhash shingles), so that
+    * canonically-equivalent byte sequences collide instead of silently
+    * diverging: (1) Unicode NFC composition via the codegen'd
+    * [[graft.functions.UnicodeNfc]] expression, (2) C0/DEL control-char
+    * strip (tab/newline/CR survive as whitespace), (3) whitespace
+    * collapse + trim. Pure per-row codegen'd projection — no UDF, no
+    * shuffle; scales as a map. The DuckDB oracle (q35) replays it via
+    * `nfc_normalize` + identical RE2-compatible classes.
+    */
+  def normalizeText(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val t0 = col("text")
+    val t1 = expr("unicode_nfc(text)")
+    val t2 = regexp_replace(t1, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val t3 = trim(regexp_replace(t2, "[ \\t\\n\\r]+", " "))
+    documents.select(
+      col("doc_id"),
+      t3.as("norm_text"),
+      (t3 =!= t0).cast("bigint").as("changed"),
+      length(t0).cast("bigint").as("chars_before"),
+      length(t3).cast("bigint").as("chars_after"))
+  }
+
   /** Deterministic stratified downsampling: keep a document iff its
     * md5-derived bucket (two hex nibbles of md5(doc_id) → [0, 100))
     * falls under its source's quota percentage. No RNG state — the

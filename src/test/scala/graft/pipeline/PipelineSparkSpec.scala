@@ -507,6 +507,28 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L) == ((0L, 0L, 0L)), out(4L).toString)
   }
 
+  test("text normalization: NFC composes, controls strip, whitespace collapses; plan is shuffle-free") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "Cafe\u0301 du parc"), // decomposed accent -> composed: 13 chars -> 12
+      (2L, "bell\u0007 and\u0000null"), // C0 controls stripped
+      (3L, "  too\t\tmany   spaces\r\n"), // collapse + trim
+      (4L, "already clean"), // unchanged
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = Curation.normalizeText(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == (("Caf\u00e9 du parc", 1L, 13L, 12L)), out(1L).toString)
+    assert(out(2L) == (("bell andnull", 1L, 14L, 12L)), out(2L).toString)
+    assert(out(3L) == (("too many spaces", 1L, 22L, 15L)), out(3L).toString)
+    assert(out(4L) == (("already clean", 0L, 13L, 13L)), out(4L).toString)
+    assert(out(5L) == (("", 0L, 0L, 0L)), out(5L).toString)
+    // projection-only plan: no shuffle, no UDF boxing
+    val plan = Curation.normalizeText(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.toLowerCase.contains("batchevalpython"), plan)
+  }
+
   test("duplicate spans: corpus-wide window dups merge into maximal per-doc spans") {
     val s = spark
     import s.implicits._
