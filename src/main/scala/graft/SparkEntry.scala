@@ -201,6 +201,16 @@ object SparkEntry {
         concat(col("text"), lit(" Cafe\u0301 \u0007beep\tx  y ")).as("text"))
       Curation.normalizeText(aug)
     }),
+    // URL canonicalization over deterministically constructed messy
+    // URLs (mixed-case scheme/host, default + non-default ports, empty
+    // paths, fragments, queries — three variants by doc_id % 3) so all
+    // canonicalization branches are value-exact-checked
+    "q36_url_canon" -> ((s, d) => Curation.canonicalizeUrls(
+      t(s, d, "documents").select(col("doc_id"), syntheticUrl.as("url")))),
+    // per-domain rollup over the same constructed URLs: the stats that
+    // drive domain quotas / blocklists — one map-side-combinable groupBy
+    "q37_domain_stats" -> ((s, d) => Curation.domainStats(
+      t(s, d, "documents").select(col("doc_id"), syntheticUrl.as("url"), col("n_chars")))),
     // exact duplicate-SPAN detection (substring-level dedup, Lee et al.
     // 2022): rolling word-window md5s, corpus-wide duplicated-window
     // count, per-doc gaps-and-islands merge into maximal spans —
@@ -622,6 +632,72 @@ object SparkEntry {
        |FROM stats s LEFT JOIN agg USING (doc_id)""".stripMargin
   }
 
+  /** Deterministic messy-URL construction for q36/q37 (the q33 pattern:
+    * a pure function of doc_id/source, mirrored byte-for-byte in the
+    * oracle SQL, so the canonicalization logic itself is value-checked):
+    * variant 0 — uppercase scheme/host, www, default :443, path, query
+    * AND fragment; variant 1 — http with default :80 and a fragment;
+    * variant 2 — non-default port kept, EMPTY path with a query.
+    */
+  private def syntheticUrl: org.apache.spark.sql.Column =
+    when(pmod(col("doc_id"), lit(3)) === 0,
+      concat(lit("HtTpS://WWW."), col("source"), lit(".Example.COM:443/a/"),
+        pmod(col("doc_id"), lit(50)), lit("/p?id="), col("doc_id"), lit("&ref=feed#top")))
+      .when(pmod(col("doc_id"), lit(3)) === 1,
+        concat(lit("HTTP://"), col("source"), lit(".example.ORG:80/b/"),
+          pmod(col("doc_id"), lit(50)), lit("#frag")))
+      .otherwise(concat(lit("https://Api."), col("source"), lit(".Net:8443?x=1")))
+
+  /** DuckDB twin of the q36/q37 URL construction. */
+  private def syntheticUrlSql: String =
+    """CASE doc_id % 3
+      |  WHEN 0 THEN 'HtTpS://WWW.' || source || '.Example.COM:443/a/' || CAST(doc_id % 50 AS VARCHAR) || '/p?id=' || CAST(doc_id AS VARCHAR) || '&ref=feed#top'
+      |  WHEN 1 THEN 'HTTP://' || source || '.example.ORG:80/b/' || CAST(doc_id % 50 AS VARCHAR) || '#frag'
+      |  ELSE 'https://Api.' || source || '.Net:8443?x=1'
+      |END""".stripMargin
+
+  /** DuckDB twin of q36: the same RE2 component patterns (shared
+    * constants) and canonicalization CASE ladder.
+    */
+  private def q36Sql: String = {
+    val sch = Curation.UrlSchemeRe
+    val hst = Curation.UrlHostRe
+    val pth = Curation.UrlPathRe
+    val qry = Curation.UrlQueryRe
+    s"""WITH aug AS (SELECT doc_id, $syntheticUrlSql AS url FROM documents),
+       |c AS (
+       |  SELECT doc_id, url,
+       |    lower(regexp_extract(url, '$sch', 1)) AS scheme,
+       |    lower(regexp_extract(url, '$hst', 1)) AS hostport,
+       |    regexp_extract(url, '$pth', 1) AS path0,
+       |    regexp_extract(url, '$qry', 1) AS query
+       |  FROM aug
+       |), h AS (
+       |  SELECT doc_id, scheme, query,
+       |    CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+       |         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+       |         ELSE hostport END AS host,
+       |    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path
+       |  FROM c
+       |)
+       |SELECT doc_id,
+       |  scheme || '://' || host || path || (CASE WHEN query = '' THEN '' ELSE '?' || query END) AS canonical,
+       |  regexp_replace(host, '^www\\.', '') AS domain,
+       |  CAST(length(path) - length(replace(path, '/', '')) AS BIGINT) AS depth,
+       |  CAST(CASE WHEN query <> '' THEN 1 ELSE 0 END AS BIGINT) AS has_query
+       |FROM h""".stripMargin
+  }
+
+  /** DuckDB twin of q37: group the q36 domains. */
+  private def q37Sql: String =
+    s"""WITH canon AS ($q36Sql)
+       |SELECT c.domain, count(*) AS n_docs,
+       |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+       |  min(c.doc_id) AS min_doc,
+       |  CAST(sum(c.has_query) AS BIGINT) AS n_with_query
+       |FROM canon c JOIN documents d USING (doc_id)
+       |GROUP BY c.domain""".stripMargin
+
   /** DuckDB twin of q35: identical augmentation (decomposed accent,
     * BEL, tab, doubled spaces), `nfc_normalize` for the NFC stage, and
     * the same RE2-compatible control/whitespace classes.
@@ -644,6 +720,8 @@ object SparkEntry {
       |FROM n""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q36_url_canon" -> q36Sql,
+    "q37_domain_stats" -> q37Sql,
     "q35_normalize" -> q35Sql,
     "q34_dup_spans" -> q34Sql(),
     "q32_cluster_rep" -> q32Sql,

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -257,6 +257,70 @@ object Curation {
       (t3 =!= t0).cast("bigint").as("changed"),
       length(t0).cast("bigint").as("chars_before"),
       length(t3).cast("bigint").as("chars_after"))
+  }
+
+  /** URL component patterns, RE2-compatible (no lookarounds) so the
+    * DuckDB oracle replays extraction with the same regex semantics.
+    */
+  val UrlSchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  val UrlHostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+  val UrlPathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+  val UrlQueryRe = "[?]([^#]*)"
+
+  /** URL canonicalization — the identity step of web-corpus curation:
+    * crawls see the same page under `HTTP://WWW.Site.COM:80/a#x` and
+    * `http://site.com/a`, and URL-level dedup / per-domain quotas only
+    * work after those collapse. Rules (the conservative, always-safe
+    * subset): lowercase scheme + host, strip the scheme's default port
+    * (:80 / :443), empty path → "/", drop the fragment, keep the query
+    * (and a `www.`-stripped `domain` column for grouping). Pure per-row
+    * codegen'd regex projection: no UDF, no shuffle, no java.net.URL
+    * (driver-side parsing would not scale and throws on real-world
+    * malformed URLs; these regexes never throw).
+    */
+  private def urlScheme: Column = lower(regexp_extract(col("url"), UrlSchemeRe, 1))
+  private def urlHost: Column = {
+    val hostport = lower(regexp_extract(col("url"), UrlHostRe, 1))
+    when(urlScheme === "https", regexp_replace(hostport, ":443$", ""))
+      .when(urlScheme === "http", regexp_replace(hostport, ":80$", ""))
+      .otherwise(hostport)
+  }
+  private def urlDomain: Column = regexp_replace(urlHost, "^www\\.", "")
+  private def urlPath: Column = {
+    val p = regexp_extract(col("url"), UrlPathRe, 1)
+    when(p === "", lit("/")).otherwise(p)
+  }
+  private def urlQuery: Column = regexp_extract(col("url"), UrlQueryRe, 1)
+
+  def canonicalizeUrls(urls: DataFrame): DataFrame = {
+    val canonical = concat(urlScheme, lit("://"), urlHost, urlPath,
+      when(urlQuery === "", lit("")).otherwise(concat(lit("?"), urlQuery)))
+    urls.select(
+      col("doc_id"),
+      canonical.as("canonical"),
+      urlDomain.as("domain"),
+      (length(urlPath) - length(translate(urlPath, "/", ""))).cast("bigint").as("depth"),
+      (urlQuery =!= "").cast("bigint").as("has_query"))
+  }
+
+  /** Per-domain corpus rollup over canonicalized URLs — the statistics
+    * that drive domain-level curation decisions (quota assignment,
+    * spam-domain blocklists, per-site crawl budgets): document count
+    * and total text volume per registered domain. The domain is derived
+    * in the same projection that feeds ONE map-side-combinable groupBy
+    * — no join back to the corpus, no second scan. Input needs
+    * `doc_id`, `url` and `n_chars` columns.
+    */
+  def domainStats(urls: DataFrame): DataFrame = {
+    urls.select(
+        urlDomain.as("domain"), col("doc_id"), col("n_chars"),
+        (urlQuery =!= "").cast("bigint").as("hq"))
+      .groupBy(col("domain"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        sum(col("hq")).cast("bigint").as("n_with_query"))
   }
 
   /** Deterministic stratified downsampling: keep a document iff its

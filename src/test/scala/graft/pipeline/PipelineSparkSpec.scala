@@ -529,6 +529,36 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange") && !plan.toLowerCase.contains("batchevalpython"), plan)
   }
 
+  test("URL canonicalization: case, default ports, empty path, fragment; domain rollup groups") {
+    val s = spark
+    import s.implicits._
+    val urls = Seq(
+      (1L, "HtTpS://WWW.News.Example.COM:443/a/b/p?id=1&ref=x#top", 100L),
+      (2L, "HTTP://site.ORG:80/path#frag", 200L),
+      (3L, "https://Api.Site.Net:8443?x=1", 300L), // non-default port KEPT, empty path
+      (4L, "http://www.site.org/path", 400L), // same canonical target as doc 2
+      (5L, "ftp://Files.example.com:21/pub", 500L) // unknown scheme: port kept
+    ).toDF("doc_id", "url", "n_chars")
+    val out = Curation.canonicalizeUrls(urls).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == (("https://www.news.example.com/a/b/p?id=1&ref=x", "news.example.com", 3L, 1L)), out(1L).toString)
+    assert(out(2L) == (("http://site.org/path", "site.org", 1L, 0L)), out(2L).toString)
+    assert(out(3L) == (("https://api.site.net:8443/?x=1", "api.site.net:8443", 1L, 1L)), out(3L).toString)
+    assert(out(4L) == (("http://www.site.org/path", "site.org", 1L, 0L)), out(4L).toString)
+    assert(out(5L) == (("ftp://files.example.com:21/pub", "files.example.com:21", 1L, 0L)), out(5L).toString)
+    // rollup: docs 2 and 4 share site.org after canonicalization
+    val stats = Curation.domainStats(urls).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(stats("site.org") == ((2L, 600L, 2L, 0L)), stats.toString)
+    assert(stats("news.example.com") == ((1L, 100L, 1L, 1L)))
+    // both are single-pass: canonicalize is shuffle-free, rollup has
+    // exactly one exchange (the domain groupBy)
+    val cPlan = Curation.canonicalizeUrls(urls).queryExecution.executedPlan.toString
+    assert(!cPlan.contains("Exchange"), cPlan)
+    val dPlan = Curation.domainStats(urls).queryExecution.executedPlan.toString
+    assert(dPlan.split("Exchange").length == 2, dPlan)
+  }
+
   test("duplicate spans: corpus-wide window dups merge into maximal per-doc spans") {
     val s = spark
     import s.implicits._
