@@ -23,6 +23,12 @@ import scala.collection.mutable
   *   - `datatype` — types the literal object (CURIE/term-expanded;
   *     empty value forces the plain/lang form, RDFa Core precedence)
   *   - `resource` without `property` — sets the subject for descendants
+  *   - `rel` — link relations with IRI objects from `resource`/`href`/
+  *     `src` (or an inline `typeof` object): CURIE / vocab-term /
+  *     absolute-IRI values plus the documented plain-term subset of the
+  *     XHTML vocabulary ([[XhtmlRelTerms]]); machinery rels
+  *     (stylesheet, nofollow, preload, ...) are inert; hanging `@rel`
+  *     (object supplied by later elements) is out of scope
   *   - `lang`/`xml:lang` — literal language, inherited
   *
   * Well-formed islands go through the same hardened SAX stack as the
@@ -199,6 +205,23 @@ object RdfaLite {
     handler.triples.toVector
   }
 
+  /** Plain `@rel` terms honored without a vocab/prefix: the stable
+    * content-statement subset of the XHTML vocabulary (RDFa Core's
+    * initial-context home for link relations) plus `describedby`
+    * (POWDER-S, per the RDFa 1.1 initial context). Machinery rels
+    * (stylesheet, preload, icon, dns-prefetch, ...) are resource
+    * hints, not statements about the page, and are deliberately NOT
+    * in this map — a crawler extracting them would drown the graph.
+    */
+  private val XhtmlRelTerms: Map[String, String] = {
+    val xhv = "http://www.w3.org/1999/xhtml/vocab#"
+    Seq("alternate", "appendix", "bookmark", "chapter", "contents",
+      "copyright", "first", "glossary", "help", "index", "last",
+      "license", "next", "prev", "section", "start", "subsection",
+      "top", "up").map(t => t -> (xhv + t)).toMap +
+      ("describedby" -> "http://www.w3.org/2007/05/powder-s#describedby")
+  }
+
   private final class Scope(
       val subject: Term,
       val vocab: String, // null allowed
@@ -241,6 +264,17 @@ object RdfaLite {
       }
     }
 
+    /** `@rel` terms: CURIE / vocab-term / absolute-IRI expansion first,
+      * then the documented plain-term subset from the XHTML vocabulary
+      * ([[RdfaLite.XhtmlRelTerms]]). Anything else — including the
+      * machinery rels real pages are full of — expands to nothing and
+      * emits nothing.
+      */
+    private def expandRel(term: String, scope: Scope): Option[String] =
+      expand(term, scope).orElse(
+        if (term != null && term.indexOf(':') < 0) XhtmlRelTerms.get(term.toLowerCase)
+        else None)
+
     override def startElement(uri: String, localName: String, qName: String, attrs: Attributes): Unit = {
       val parent = if (stack.isEmpty) new Scope(null, null, Map.empty, null) else stack.last
       def attr(n: String): String = attrs.getValue(n)
@@ -276,6 +310,55 @@ object RdfaLite {
           }
       def preds: Seq[Iri] =
         propertyAttr.trim.split("\\s+").flatMap(p => expand(p, scope0)).map(Iri).toSeq
+
+      val relPreds: Seq[Iri] =
+        if (attr("rel") == null) Nil
+        else attr("rel").trim.split("\\s+").toSeq.flatMap(t => expandRel(t, scope0)).map(Iri)
+
+      if (relPreds.nonEmpty) {
+        val objRef = if (resource != null) resource else if (href != null) href else src
+        if (objRef != null) {
+          // <a rel=... href=...>: the (@about or parent) subject links
+          // to the href resource; @typeof without @about types the
+          // TYPED RESOURCE — the object, per RDFa 1.1's typed-resource
+          // rule; descendants inherit the object as their subject
+          val s: Term = if (about != null) Iri(Iris.uriReference(about, base)) else parent.subject
+          val obj = Iri(Iris.uriReference(objRef, base))
+          if (about != null) emitTypes(s) else emitTypes(obj)
+          if (s != null) relPreds.foreach(r => triples += Triple(s, r, obj))
+          if (propertyAttr != null) {
+            // @rel consumed the IRI object; @property falls back to
+            // @content / element text (RDFa Core attribute interaction)
+            val dtAttr = attr("datatype")
+            val dt = if (dtAttr == null || dtAttr.isEmpty) null else expand(dtAttr, scope0).orNull
+            val contentAttr = attr("content")
+            if (contentAttr != null) {
+              val o = mkLit(contentAttr, dt, lang)
+              if (s != null) preds.foreach(p => triples += Triple(s, p, o))
+              stack += new Scope(obj, vocab, prefixes, lang)
+              pending += null
+            } else {
+              stack += new Scope(obj, vocab, prefixes, lang)
+              pending += new PendingLiteral(s, preds, lang, dt)
+            }
+          } else {
+            stack += new Scope(obj, vocab, prefixes, lang)
+            pending += null
+          }
+          return
+        } else if (typeofAttr != null && about == null && propertyAttr == null) {
+          // <x rel=... typeof=T>: inline typed object — the rel's
+          // object is a fresh typed node, like the property+typeof form
+          val obj = freshBNode()
+          emitTypes(obj)
+          if (parent.subject != null) relPreds.foreach(r => triples += Triple(parent.subject, r, obj))
+          stack += new Scope(obj, vocab, prefixes, lang)
+          pending += null
+          return
+        }
+        // hanging @rel (object supplied by later siblings/descendants)
+        // stays out of scope — fall through with the rel inert
+      }
 
       if (propertyAttr != null && typeofAttr != null && about == null) {
         // RDFa Lite inline object: <x property=p typeof=T> — the typed

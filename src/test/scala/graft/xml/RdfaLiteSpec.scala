@@ -85,6 +85,66 @@ class RdfaLiteSpec extends AnyFunSuite {
     ))
   }
 
+  test("rel: plain xhv terms, CURIEs and vocab terms link IRIs; machinery rels stay inert") {
+    val xhv = "http://www.w3.org/1999/xhtml/vocab#"
+    val island =
+      """<div about="http://p/r" prefix="dc: http://purl.org/dc/terms/">
+        |<a rel="license" href="http://cc.example/by/4.0/">CC-BY</a>
+        |<link rel="dc:source" href="/orig.html"/>
+        |<link rel="stylesheet" href="/style.css"/>
+        |<a rel="nofollow noopener" href="http://spam.example/">x</a>
+        |</div>""".stripMargin
+    val ts = RdfaLite.parse(island, Some("http://p/r")).toOption.get.toSet
+    val s = Iri("http://p/r")
+    assert(ts == Set(
+      Triple(s, Iri(xhv + "license"), Iri("http://cc.example/by/4.0/")),
+      Triple(s, Iri("http://purl.org/dc/terms/source"), Iri("http://p/orig.html"))
+    ))
+  }
+
+  test("rel + typeof without href links an inline typed object; rel+href+typeof types the object") {
+    val island =
+      """<div vocab="http://schema.org/" about="http://p/s">
+        |<span rel="author" typeof="Person"><span property="name">Ada</span></span>
+        |<a rel="license" typeof="CreativeWork" href="http://l/1">lic</a>
+        |</div>""".stripMargin
+    val ts = RdfaLite.parse(island, Some("http://p/s")).toOption.get
+    val s = Iri("http://p/s")
+    val bnodes = ts.collect { case Triple(_, _, b: BNode) => b }
+    assert(bnodes.size == 1)
+    val b = bnodes.head
+    assert(ts.toSet == Set(
+      Triple(b, Iri(Vocab.rdfType), Iri(schema + "Person")),
+      Triple(s, Iri(schema + "author"), b),
+      Triple(b, Iri(schema + "name"), Lit.plain("Ada")),
+      Triple(Iri("http://l/1"), Iri(Vocab.rdfType), Iri(schema + "CreativeWork")),
+      Triple(s, Iri(schema + "license"), Iri("http://l/1"))
+    ))
+  }
+
+  test("rel + property on one element: rel takes the href, property falls back to element text") {
+    val island =
+      """<div vocab="http://schema.org/" about="http://p/t">
+        |<a rel="license" property="name" href="http://l/2">The License</a>
+        |</div>""".stripMargin
+    val ts = RdfaLite.parse(island, Some("http://p/t")).toOption.get.toSet
+    val s = Iri("http://p/t")
+    assert(ts == Set(
+      Triple(s, Iri(schema + "license"), Iri("http://l/2")),
+      Triple(s, Iri(schema + "name"), Lit.plain("The License"))
+    ))
+  }
+
+  test("rel in the lenient malformed path matches the well-formed twin") {
+    val wellFormed =
+      """<div about="http://p/u"><a rel="license" href="http://l/3">x</a></div>"""
+    val malformed =
+      """<div about=http://p/u><a rel=license href=http://l/3>x"""
+    val a = RdfaLite.parse(wellFormed, Some("http://p/u")).toOption.get.toSet
+    val b = RdfaLite.parse(malformed, Some("http://p/u")).toOption.get.toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("relative about/resource resolve against the base") {
     val island =
       """<div vocab="http://schema.org/">
