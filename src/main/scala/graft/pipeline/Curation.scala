@@ -205,10 +205,15 @@ object Curation {
       .select(col("doc_id"), (col("p0") + 1).cast("bigint").as("pos"), col("h"))
     // a window is duplicated if its hash occurs >= 2 times corpus-wide
     // (cross-document or within-document — self-repetition is still
-    // training-data duplication)
-    val hot = occ.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") >= 2).select(col("h"))
-    val dup = occ.join(hot, Seq("h"), "left_semi")
+    // training-data duplication). Shape: a COUNT window over the hash
+    // partition, not groupBy-then-semi-join — the occurrence stream is
+    // the corpus-sized thing here, and the window form shuffles it
+    // ONCE (partition by h + local sort) where the join form shuffles
+    // it twice (once into the aggregate, once into the join probe).
+    val dup = occ
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .where(col("cnt") >= 2)
+      .select(col("doc_id"), col("pos"))
     // gaps-and-islands: two duplicated windows merge while their
     // [pos, pos+width-1] coverage stays contiguous, i.e. the next start
     // is within `width` of the previous one
