@@ -640,20 +640,25 @@ object SparkEntry {
     * variant 2 — non-default port kept, EMPTY path with a query.
     */
   private def syntheticUrl: org.apache.spark.sql.Column =
-    when(pmod(col("doc_id"), lit(3)) === 0,
+    when(pmod(col("doc_id"), lit(4)) === 0,
       concat(lit("HtTpS://WWW."), col("source"), lit(".Example.COM:443/a/"),
         pmod(col("doc_id"), lit(50)), lit("/p?id="), col("doc_id"), lit("&ref=feed#top")))
-      .when(pmod(col("doc_id"), lit(3)) === 1,
+      .when(pmod(col("doc_id"), lit(4)) === 1,
         concat(lit("HTTP://"), col("source"), lit(".example.ORG:80/b/"),
           pmod(col("doc_id"), lit(50)), lit("#frag")))
-      .otherwise(concat(lit("https://Api."), col("source"), lit(".Net:8443?x=1")))
+      .when(pmod(col("doc_id"), lit(4)) === 2,
+        concat(lit("https://Api."), col("source"), lit(".Net:8443?x=1")))
+      // protocol-relative: unparseable on purpose — exercises the
+      // parsed=0 verbatim-passthrough branch end to end
+      .otherwise(concat(lit("//Cdn."), col("source"), lit(".example.com/lib.js")))
 
   /** DuckDB twin of the q36/q37 URL construction. */
   private def syntheticUrlSql: String =
-    """CASE doc_id % 3
+    """CASE doc_id % 4
       |  WHEN 0 THEN 'HtTpS://WWW.' || source || '.Example.COM:443/a/' || CAST(doc_id % 50 AS VARCHAR) || '/p?id=' || CAST(doc_id AS VARCHAR) || '&ref=feed#top'
       |  WHEN 1 THEN 'HTTP://' || source || '.example.ORG:80/b/' || CAST(doc_id % 50 AS VARCHAR) || '#frag'
-      |  ELSE 'https://Api.' || source || '.Net:8443?x=1'
+      |  WHEN 2 THEN 'https://Api.' || source || '.Net:8443?x=1'
+      |  ELSE '//Cdn.' || source || '.example.com/lib.js'
       |END""".stripMargin
 
   /** DuckDB twin of q36: the same RE2 component patterns (shared
@@ -673,7 +678,7 @@ object SparkEntry {
        |    regexp_extract(url, '$qry', 1) AS query
        |  FROM aug
        |), h AS (
-       |  SELECT doc_id, scheme, query,
+       |  SELECT doc_id, url, scheme, hostport, query,
        |    CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
        |         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
        |         ELSE hostport END AS host,
@@ -681,10 +686,13 @@ object SparkEntry {
        |  FROM c
        |)
        |SELECT doc_id,
-       |  scheme || '://' || host || path || (CASE WHEN query = '' THEN '' ELSE '?' || query END) AS canonical,
-       |  regexp_replace(host, '^www\\.', '') AS domain,
-       |  CAST(length(path) - length(replace(path, '/', '')) AS BIGINT) AS depth,
-       |  CAST(CASE WHEN query <> '' THEN 1 ELSE 0 END AS BIGINT) AS has_query
+       |  CASE WHEN hostport <> ''
+       |    THEN scheme || '://' || host || path || (CASE WHEN query = '' THEN '' ELSE '?' || query END)
+       |    ELSE url END AS canonical,
+       |  CASE WHEN hostport <> '' THEN regexp_replace(host, '^www\\.', '') ELSE NULL END AS domain,
+       |  CAST(CASE WHEN hostport <> '' THEN length(path) - length(replace(path, '/', '')) ELSE 0 END AS BIGINT) AS depth,
+       |  CAST(CASE WHEN hostport <> '' AND query <> '' THEN 1 ELSE 0 END AS BIGINT) AS has_query,
+       |  CAST(CASE WHEN hostport <> '' THEN 1 ELSE 0 END AS BIGINT) AS parsed
        |FROM h""".stripMargin
   }
 
@@ -696,6 +704,7 @@ object SparkEntry {
        |  min(c.doc_id) AS min_doc,
        |  CAST(sum(c.has_query) AS BIGINT) AS n_with_query
        |FROM canon c JOIN documents d USING (doc_id)
+       |WHERE c.parsed = 1
        |GROUP BY c.domain""".stripMargin
 
   /** DuckDB twin of q35: identical augmentation (decomposed accent,

@@ -27,8 +27,9 @@ import scala.collection.mutable
   *     `src` (or an inline `typeof` object): CURIE / vocab-term /
   *     absolute-IRI values plus the documented plain-term subset of the
   *     XHTML vocabulary ([[XhtmlRelTerms]]); machinery rels
-  *     (stylesheet, nofollow, preload, ...) are inert; hanging `@rel`
-  *     (object supplied by later elements) is out of scope
+  *     (stylesheet, nofollow, preload, ... — [[MachineryRels]]) are
+  *     inert even under an ancestor `@vocab`; hanging `@rel` (object
+  *     supplied by later elements) is out of scope
   *   - `lang`/`xml:lang` — literal language, inherited
   *
   * Well-formed islands go through the same hardened SAX stack as the
@@ -222,6 +223,23 @@ object RdfaLite {
       ("describedby" -> "http://www.w3.org/2007/05/powder-s#describedby")
   }
 
+  /** HTML link-type keywords that are resource/processing hints, never
+    * content statements (HTML spec link types + crawler directives).
+    * These stay inert EVEN when an ancestor `@vocab` is in scope —
+    * without this guard, a page-wide `vocab="http://schema.org/"`
+    * (the dominant real-world shape) would expand every
+    * `rel="stylesheet"` / `rel="nofollow"` into a schema.org triple and
+    * drown the graph (the HTML+RDFa spec restricts plain @rel terms for
+    * exactly this reason).
+    */
+  private val MachineryRels: Set[String] = Set(
+    "stylesheet", "icon", "shortcut", "manifest", "modulepreload",
+    "preload", "prefetch", "preconnect", "dns-prefetch", "prerender",
+    "canonical", "nofollow", "noopener", "noreferrer", "opener",
+    "external", "ugc", "sponsored", "search", "pingback", "edituri",
+    "wlwmanifest", "import", "apple-touch-icon",
+    "apple-touch-icon-precomposed", "mask-icon", "amphtml")
+
   private final class Scope(
       val subject: Term,
       val vocab: String, // null allowed
@@ -271,7 +289,8 @@ object RdfaLite {
       * emits nothing.
       */
     private def expandRel(term: String, scope: Scope): Option[String] =
-      expand(term, scope).orElse(
+      if (term != null && term.indexOf(':') < 0 && MachineryRels(term.toLowerCase)) None
+      else expand(term, scope).orElse(
         if (term != null && term.indexOf(':') < 0) XhtmlRelTerms.get(term.toLowerCase)
         else None)
 

@@ -40,11 +40,18 @@ class IntVecDotNormsSpec extends AnyFunSuite with BeforeAndAfterAll {
     import s.implicits._
     val mode = if (codegen) "CODEGEN_ONLY" else "NO_CODEGEN"
     spark.conf.set("spark.sql.codegen.factoryMode", mode)
+    // factoryMode alone does NOT disable whole-stage codegen — without
+    // this the "interpreted" leg still runs doGenCode and nullSafeEval
+    // is never exercised
+    spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
     try {
       rows.toDF("a", "b")
         .select(expr("int_vec_dot_norms(a, b)").as("r"))
         .as[Seq[Long]].collect().toSeq
-    } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    } finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+    }
   }
 
   private val cases = Seq(

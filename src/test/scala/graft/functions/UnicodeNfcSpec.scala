@@ -47,8 +47,15 @@ class UnicodeNfcSpec extends AnyFunSuite with BeforeAndAfterAll {
     import s.implicits._
     val mode = if (codegen) "CODEGEN_ONLY" else "NO_CODEGEN"
     spark.conf.set("spark.sql.codegen.factoryMode", mode)
+    // factoryMode alone does NOT disable whole-stage codegen — without
+    // this the "interpreted" leg still runs doGenCode and nullSafeEval
+    // is never exercised
+    spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
     try cases.toDF("t").select(expr("unicode_nfc(t)").as("n")).as[String].collect().toSeq
-    finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+    }
   }
 
   test("codegen and interpreted paths agree with java.text.Normalizer") {

@@ -537,20 +537,29 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, "HTTP://site.ORG:80/path#frag", 200L),
       (3L, "https://Api.Site.Net:8443?x=1", 300L), // non-default port KEPT, empty path
       (4L, "http://www.site.org/path", 400L), // same canonical target as doc 2
-      (5L, "ftp://Files.example.com:21/pub", 500L) // unknown scheme: port kept
+      (5L, "ftp://Files.example.com:21/pub", 500L), // unknown scheme: port kept
+      (6L, "http://h.example/p#sec?tab=2", 600L), // '?' INSIDE the fragment: no query
+      (7L, "//cdn.example.com/lib.js", 700L), // protocol-relative: unparseable
+      (8L, "mailto:someone@example.org", 800L) // no authority: unparseable
     ).toDF("doc_id", "url", "n_chars")
     val out = Curation.canonicalizeUrls(urls).collect()
-      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))).toMap
-    assert(out(1L) == (("https://www.news.example.com/a/b/p?id=1&ref=x", "news.example.com", 3L, 1L)), out(1L).toString)
-    assert(out(2L) == (("http://site.org/path", "site.org", 1L, 0L)), out(2L).toString)
-    assert(out(3L) == (("https://api.site.net:8443/?x=1", "api.site.net:8443", 1L, 1L)), out(3L).toString)
-    assert(out(4L) == (("http://www.site.org/path", "site.org", 1L, 0L)), out(4L).toString)
-    assert(out(5L) == (("ftp://files.example.com:21/pub", "files.example.com:21", 1L, 0L)), out(5L).toString)
-    // rollup: docs 2 and 4 share site.org after canonicalization
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(1L) == (("https://www.news.example.com/a/b/p?id=1&ref=x", "news.example.com", 3L, 1L, 1L)), out(1L).toString)
+    assert(out(2L) == (("http://site.org/path", "site.org", 1L, 0L, 1L)), out(2L).toString)
+    assert(out(3L) == (("https://api.site.net:8443/?x=1", "api.site.net:8443", 1L, 1L, 1L)), out(3L).toString)
+    assert(out(4L) == (("http://www.site.org/path", "site.org", 1L, 0L, 1L)), out(4L).toString)
+    assert(out(5L) == (("ftp://files.example.com:21/pub", "files.example.com:21", 1L, 0L, 1L)), out(5L).toString)
+    // the fragment (and the '?' inside it) is dropped, not resurrected
+    assert(out(6L) == (("http://h.example/p", "h.example", 1L, 0L, 1L)), out(6L).toString)
+    // unparseable: verbatim passthrough, NULL domain, parsed = 0
+    assert(out(7L) == (("//cdn.example.com/lib.js", null, 0L, 0L, 0L)), out(7L).toString)
+    assert(out(8L) == (("mailto:someone@example.org", null, 0L, 0L, 0L)), out(8L).toString)
+    // rollup: docs 2 and 4 share site.org; unparseable rows excluded
     val stats = Curation.domainStats(urls).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     assert(stats("site.org") == ((2L, 600L, 2L, 0L)), stats.toString)
     assert(stats("news.example.com") == ((1L, 100L, 1L, 1L)))
+    assert(stats.size == 5 && !stats.contains(null) && !stats.contains(""), stats.toString)
     // both are single-pass: canonicalize is shuffle-free, rollup has
     // exactly one exchange (the domain groupBy)
     val cPlan = Curation.canonicalizeUrls(urls).queryExecution.executedPlan.toString

@@ -100,6 +100,18 @@ class RdfaLiteSpec extends AnyFunSuite {
       Triple(s, Iri(xhv + "license"), Iri("http://cc.example/by/4.0/")),
       Triple(s, Iri("http://purl.org/dc/terms/source"), Iri("http://p/orig.html"))
     ))
+    // machinery rels stay inert even when an ancestor @vocab would
+    // otherwise term-expand them (the page-wide schema.org shape);
+    // content rels under @vocab expand via the vocab, as RDFa Core says
+    val island2 =
+      """<div vocab="http://schema.org/" about="http://p/r2">
+        |<link rel="stylesheet" href="/m.css"/>
+        |<a rel="nofollow noreferrer" href="http://x/">x</a>
+        |<a rel="license" href="http://l/9">lic</a>
+        |</div>""".stripMargin
+    val ts2 = RdfaLite.parse(island2, Some("http://p/r2")).toOption.get.toSet
+    assert(ts2 == Set(
+      Triple(Iri("http://p/r2"), Iri("http://schema.org/license"), Iri("http://l/9"))))
   }
 
   test("rel + typeof without href links an inline typed object; rel+href+typeof types the object") {
