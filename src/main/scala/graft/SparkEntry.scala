@@ -216,6 +216,10 @@ object SparkEntry {
     // count, per-doc gaps-and-islands merge into maximal spans —
     // integer coverage stats, oracle-checked end to end
     "q34_dup_spans" -> ((s, d) => Curation.dupSpans(t(s, d, "documents"))),
+    // the CUT step of substring dedup: rewrite each doc's normalized
+    // token stream with every duplicated span removed (q34 detects,
+    // q38 cuts) — deterministic token-level rebuild, oracle-checked
+    "q38_dedup_rewrite" -> ((s, d) => Curation.dedupRewrite(t(s, d, "documents"))),
     // cross-engine-exact twin of the embedding-LSH near-dup CANDIDATE
     // path: md5-Rademacher hyperplane signs + integer projections →
     // bucket assignment, hot-bucket suppression, pair recovery AND the
@@ -728,7 +732,50 @@ object SparkEntry {
       |  CAST(length(norm_text) AS BIGINT) AS chars_after
       |FROM n""".stripMargin
 
+  /** DuckDB twin of q38: q34's span CTEs + ordinality word explode,
+    * NOT-EXISTS range anti-join, ordered string_agg rebuild.
+    */
+  private def q38Sql(width: Int = 8): String = {
+    val w1 = width - 1
+    s"""WITH base AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+       |  FROM documents
+       |), occ AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos, md5(array_to_string(words[i:i+$w1], ' ')) AS h
+       |  FROM base, unnest(range(1, len(words) - $w1 + 1)) t(i)
+       |  WHERE len(words) >= $width
+       |), hot AS (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2),
+       |dup AS (SELECT occ.doc_id, occ.pos FROM occ JOIN hot USING (h)),
+       |m AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $width THEN 0 ELSE 1 END AS brk
+       |  FROM dup
+       |), isl AS (
+       |  SELECT doc_id, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM m
+       |), sp AS (
+       |  SELECT doc_id, island, min(pos) AS s, max(pos) + $w1 AS e
+       |  FROM isl GROUP BY doc_id, island
+       |), we AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS p, words[i] AS w
+       |  FROM base, unnest(range(1, len(words) + 1)) t(i)
+       |), kept AS (
+       |  SELECT we.doc_id, we.p, we.w FROM we
+       |  WHERE NOT EXISTS (SELECT 1 FROM sp WHERE sp.doc_id = we.doc_id AND we.p BETWEEN sp.s AND sp.e)
+       |), reb AS (
+       |  SELECT doc_id, count(*) AS kept, string_agg(w, ' ' ORDER BY p) AS ct
+       |  FROM kept GROUP BY doc_id
+       |), stats AS (SELECT doc_id, len(words) AS n_words FROM base)
+       |SELECT s.doc_id,
+       |  coalesce(ct, '') AS clean_text,
+       |  CAST(coalesce(kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(n_words - coalesce(kept, 0) AS BIGINT) AS n_dropped
+       |FROM stats s LEFT JOIN reb USING (doc_id)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q38_dedup_rewrite" -> q38Sql(),
     "q36_url_canon" -> q36Sql,
     "q37_domain_stats" -> q37Sql,
     "q35_normalize" -> q35Sql,

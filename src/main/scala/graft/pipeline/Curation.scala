@@ -192,10 +192,20 @@ object Curation {
     * pathology). Everything emitted is integer / md5, so the DuckDB
     * oracle (q34) replays it value-exact.
     */
-  def dupSpans(documents: DataFrame, width: Int = 8): DataFrame = {
+  private def docWordsExpr: Column =
+    filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "")
+
+  /** Internal shared stage of [[dupSpans]] / [[dedupRewrite]]: maximal
+    * duplicated-span ranges per document as (doc_id, island, nwin, s,
+    * e) in 1-based word positions, span = [s, e] inclusive.
+    */
+  private def dupSpanRanges(documents: DataFrame, width: Int): DataFrame = {
     require(width >= 2, "window width must be >= 2")
-    val wordsExpr = filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "")
-    val base = documents.select(col("doc_id"), wordsExpr.as("words"))
+    // words PROJECTED once (an inlined words AST would be cloned per
+    // element_at and re-tokenize the document per window element — the
+    // q29/q31 lesson); the when/transform fed to posexplode stays a
+    // complex expression so InferFiltersFromGenerate skips it
+    val base = documents.select(col("doc_id"), docWordsExpr.as("words"))
     val w = col("words")
     // md5 INSIDE the transform lambda — a measured exception to the
     // interpreted-HOF rule: hashing before posexplode means the
@@ -229,11 +239,19 @@ object Curation {
         when(col("pos") - lag(col("pos"), 1).over(byDoc) <= width, lit(0)).otherwise(lit(1)))
       .withColumn("island",
         sum(col("brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val spans = islands.groupBy(col("doc_id"), col("island"))
-      .agg(count(lit(1)).as("nwin"), (max(col("pos")) - min(col("pos")) + width).as("cover"))
+    islands.groupBy(col("doc_id"), col("island"))
+      .agg(count(lit(1)).as("nwin"),
+        min(col("pos")).as("s"),
+        (max(col("pos")) + (width - 1)).as("e"))
+  }
+
+  def dupSpans(documents: DataFrame, width: Int = 8): DataFrame = {
+    val spans = dupSpanRanges(documents, width)
     val perDoc = spans.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("spans"), sum(col("nwin")).as("dupwin"), sum(col("cover")).as("covered"))
-    base.select(col("doc_id"),
+      .agg(count(lit(1)).as("spans"), sum(col("nwin")).as("dupwin"),
+        sum(col("e") - col("s") + 1).as("covered"))
+    val w = docWordsExpr
+    documents.select(col("doc_id"),
         size(w).cast("bigint").as("n_words"),
         greatest(size(w) - (width - 1), lit(0)).cast("bigint").as("n_windows"))
       .join(perDoc, Seq("doc_id"), "left")
@@ -244,6 +262,43 @@ object Curation {
         coalesce(col("covered"), lit(0L)).cast("bigint").as("dup_cover"),
         expr("CAST(CASE WHEN n_words > 0 THEN coalesce(covered, 0) * 10000 div n_words ELSE 0 END AS BIGINT)")
           .as("dup_bp"))
+  }
+
+  /** The CUT step completing the Lee-et-al. dedup pipeline: rewrite
+    * each document's normalized token stream with every duplicated
+    * span (as detected by [[dupSpans]], both copies — the
+    * deduplicate-everywhere policy of the paper) removed. Output is
+    * the surviving word sequence joined on single spaces — a
+    * TOKEN-LEVEL rewrite (case/punctuation already normalized away by
+    * the word split), which is the form the downstream tokenizer
+    * consumes anyway.
+    *
+    * Scale shape: the span table is tiny (only documents with
+    * duplication, a handful of ranges each), so the kept-word
+    * anti-join is doc-keyed with a per-doc range predicate; the
+    * rebuild is one sort_array over each doc's surviving words.
+    */
+  def dedupRewrite(documents: DataFrame, width: Int = 8): DataFrame = {
+    val spans = dupSpanRanges(documents, width)
+      .select(col("doc_id").as("sd"), col("s"), col("e"))
+    val words = documents
+      .select(col("doc_id"), posexplode(docWordsExpr).as(Seq("p0", "w")))
+      .select(col("doc_id"), (col("p0") + 1).cast("bigint").as("p"), col("w"))
+    val kept = words.join(spans,
+      words("doc_id") === spans("sd") && col("p") >= col("s") && col("p") <= col("e"),
+      "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("p"), col("w")))), x => x.getField("w")),
+          " ").as("ct"))
+    documents.select(col("doc_id"), size(docWordsExpr).cast("bigint").as("n_words"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("ct"), lit("")).as("clean_text"),
+        coalesce(col("kept"), lit(0L)).cast("bigint").as("n_kept"),
+        (col("n_words") - coalesce(col("kept"), lit(0L))).cast("bigint").as("n_dropped"))
   }
 
   /** Text normalization — the hygiene pass run BEFORE any hash-based

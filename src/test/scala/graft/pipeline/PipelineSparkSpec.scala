@@ -595,6 +595,27 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(6L) == ((12L, 10L, 2L, 2L, 6L, 6L * 10000 / 12)), out(6L).toString)
   }
 
+  test("dedup rewrite cuts every duplicated span from the token stream, keeps the rest in order") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g"), // span [1,4] dup with doc 2 -> keep e f g
+      (2L, "x y a b c d q"), // span [3,6] -> keep x y q
+      (3L, "p q r s t u v w"), // no dups -> unchanged
+      (4L, "m n o m n o m n o"), // fully covered -> empty
+      (5L, "short one"), // below window width -> unchanged
+      (6L, "a b c z1 z2 z3 z4 z5 z6 b c d") // two spans [1,3] and [10,12]
+    ).toDF("doc_id", "text")
+    val out = Curation.dedupRewrite(docs, width = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("e f g", 3L, 4L)), out(1L).toString)
+    assert(out(2L) == (("x y q", 3L, 4L)), out(2L).toString)
+    assert(out(3L) == (("p q r s t u v w", 8L, 0L)), out(3L).toString)
+    assert(out(4L) == (("", 0L, 9L)), out(4L).toString)
+    assert(out(5L) == (("short one", 2L, 0L)), out(5L).toString)
+    assert(out(6L) == (("z1 z2 z3 z4 z5 z6", 6L, 6L)), out(6L).toString)
+  }
+
   test("stratified sample is deterministic, quota-bounded and filter-only (no shuffle)") {
     val s = spark
     import s.implicits._
