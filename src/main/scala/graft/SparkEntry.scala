@@ -220,6 +220,17 @@ object SparkEntry {
     // token stream with every duplicated span removed (q34 detects,
     // q38 cuts) — deterministic token-level rebuild, oracle-checked
     "q38_dedup_rewrite" -> ((s, d) => Curation.dedupRewrite(t(s, d, "documents"))),
+    // sequence packing (concat-and-chunk): per-source-shard prefix sums
+    // lay documents end-to-end (+1 EOS each) and cut fixed 512-token
+    // training sequences — integer window arithmetic, oracle-checked
+    "q39_pack_chunks" -> ((s, d) => CorpusOps.packChunks(t(s, d, "documents"))),
+    // bigram-LM fluency: corpus-wide bigram frequencies (ONE window
+    // shuffle over the md5'd occurrence stream) → per-doc mean frequency
+    // + hapax share — the CCNet-style frequency-prior quality signal
+    "q40_bigram_lm" -> ((s, d) => CorpusOps.bigramLm(t(s, d, "documents"))),
+    // TF-IDF-style keywords: integer tf-over-df score, deterministic
+    // top-3 per document — tf collapses the corpus before the df shuffle
+    "q41_tfidf_topk" -> ((s, d) => CorpusOps.tfIdfTopK(t(s, d, "documents"))),
     // cross-engine-exact twin of the embedding-LSH near-dup CANDIDATE
     // path: md5-Rademacher hyperplane signs + integer projections →
     // bucket assignment, hot-bucket suppression, pair recovery AND the
@@ -774,7 +785,73 @@ object SparkEntry {
        |FROM stats s LEFT JOIN reb USING (doc_id)""".stripMargin
   }
 
+  /** DuckDB twin of q39: same whitespace token count (+1 EOS), same
+    * per-source prefix-sum window, same integer chunk arithmetic.
+    */
+  private def q39Sql(seqLen: Int = 512): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) + 1 AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), st AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+       |  FROM tk
+       |)
+       |SELECT doc_id, source, n_tokens, start_tok,
+       |  CAST(start_tok // $seqLen AS BIGINT) AS chunk_first,
+       |  CAST((start_tok + n_tokens - 1) // $seqLen AS BIGINT) AS chunk_last,
+       |  CAST(start_tok % $seqLen AS BIGINT) AS chunk_offset,
+       |  CAST((start_tok + n_tokens - 1) // $seqLen - start_tok // $seqLen + 1 AS BIGINT) AS n_chunks
+       |FROM st""".stripMargin
+
+  /** DuckDB twin of q40: same md5'd bigram stream, same corpus-wide
+    * COUNT window, same integer mean/hapax arithmetic.
+    */
+  private def q40Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+      |  FROM documents
+      |), occ AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(words)), i -> md5(words[i] || ' ' || words[i+1]))) AS h
+      |  FROM base WHERE len(words) >= 2
+      |), counted AS (
+      |  SELECT doc_id, count(*) OVER (PARTITION BY h) AS cnt FROM occ
+      |), perdoc AS (
+      |  SELECT doc_id, count(*) AS nbg, sum(cnt) AS cnt_sum,
+      |    sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS hapax
+      |  FROM counted GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(nbg, 0) AS BIGINT) AS n_bigrams,
+      |  CAST(coalesce(cnt_sum, 0) AS BIGINT) AS cnt_sum,
+      |  CAST(CASE WHEN coalesce(nbg, 0) > 0 THEN cnt_sum * 100 // nbg ELSE 0 END AS BIGINT) AS mean_cnt_x100,
+      |  CAST(CASE WHEN coalesce(nbg, 0) > 0 THEN hapax * 10000 // nbg ELSE 0 END AS BIGINT) AS hapax_bp
+      |FROM documents d LEFT JOIN perdoc USING (doc_id)""".stripMargin
+
+  /** DuckDB twin of q41: same tf rollup, same COUNT-window df, same
+    * integer tf-over-df score and (score DESC, term) top-3 window.
+    */
+  private def q41Sql: String =
+    """WITH we AS (
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM we GROUP BY doc_id, term
+      |), sc AS (
+      |  SELECT doc_id, term, tf, df, tf * 1000000 // df AS score
+      |  FROM (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf)
+      |)
+      |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+      |  CAST(score AS BIGINT) AS score, CAST(rank AS BIGINT) AS rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM sc)
+      |WHERE rank <= 3""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q39_pack_chunks" -> q39Sql(),
+    "q40_bigram_lm" -> q40Sql,
+    "q41_tfidf_topk" -> q41Sql,
     "q38_dedup_rewrite" -> q38Sql(),
     "q36_url_canon" -> q36Sql,
     "q37_domain_stats" -> q37Sql,

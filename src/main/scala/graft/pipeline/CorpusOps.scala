@@ -1,0 +1,130 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level statistics and tokenizer-prep operators: sequence
+  * packing (the step that turns curated documents into fixed-length
+  * training rows), bigram-LM fluency scoring (the CCNet-style
+  * frequency-prior quality signal), and TF-IDF-style keyword
+  * extraction. All three are integer/exact by construction, so the
+  * driver's DuckDB oracle replays them value-for-value (q39-q41).
+  */
+object CorpusOps {
+
+  private def wordsExpr: Column =
+    filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "")
+
+  /** Sequence packing — concat-and-chunk: documents are laid out
+    * end-to-end in deterministic (source, doc_id) order, one EOS token
+    * appended per document, and the stream is cut into fixed
+    * `seqLen`-token training sequences. Emits, per document, where its
+    * tokens land: the starting token offset within its source's
+    * stream, the first and last chunk it touches, its offset inside
+    * the first chunk, and how many chunks it spans.
+    *
+    * Scale shape: packing is PER SOURCE SHARD (`partitionBy(source)`),
+    * which is both what real pipelines do (each input shard packs
+    * independently; chunk ids are scoped to the shard) and what keeps
+    * the plan scale-safe — a corpus-global running sum would funnel
+    * 100 TB through one window partition, while per-shard prefix sums
+    * parallelize across sources with ONE shuffle on the source key.
+    * Token counts are whitespace tokens (the q9 `tokens` column) + 1
+    * EOS, all arithmetic integer.
+    */
+  def packChunks(documents: DataFrame, seqLen: Int = 512): DataFrame = {
+    require(seqLen >= 2, "sequence length must be >= 2")
+    val ntok = TextOps.tokenCount(col("text")) + lit(1L) // + EOS
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"), ntok.cast("bigint").as("n_tokens"))
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"), col("start_tok"),
+        expr(s"start_tok div $seqLen").as("chunk_first"),
+        expr(s"(start_tok + n_tokens - 1) div $seqLen").as("chunk_last"),
+        expr(s"start_tok % $seqLen").as("chunk_offset"),
+        expr(s"(start_tok + n_tokens - 1) div $seqLen - start_tok div $seqLen + 1")
+          .as("n_chunks"))
+  }
+
+  /** Bigram-LM fluency scoring — the frequency-prior half of a
+    * CCNet-style quality filter: score each document by how common its
+    * word bigrams are corpus-wide. Fluent text reuses the corpus's
+    * high-frequency transitions; gibberish, boilerplate keyboards and
+    * mojibake sit in the hapax tail. Emits per document the bigram
+    * count, the summed corpus frequency of its bigram occurrences, the
+    * mean frequency ×100 (integer div) and the hapax share in basis
+    * points (bigrams seen exactly once corpus-wide — the "no LM has
+    * ever seen this transition" signal).
+    *
+    * Scale shape: corpus-wide bigram frequencies come from a COUNT
+    * window over the bigram-hash partition — the q34 lesson: the
+    * occurrence stream is the corpus-sized thing, and the window form
+    * shuffles it ONCE where groupBy-then-join shuffles it twice. The
+    * per-doc rollup is a map-side-combinable groupBy. Bigrams are
+    * md5-hashed inside the once-per-row transform so the Generate
+    * boundary materializes 32-hex digests, not raw word pairs.
+    */
+  def bigramLm(documents: DataFrame): DataFrame = {
+    val base = documents.select(col("doc_id"), wordsExpr.as("words"))
+    val w = col("words")
+    val bgExpr = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => md5(concat(element_at(w, i), lit(" "), element_at(w, i + 1)))))
+      .otherwise(array().cast("array<string>"))
+    val occ = base.select(col("doc_id"), explode(bgExpr).as("h"))
+    val counted = occ
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("h"))))
+    val perDoc = counted.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nbg"),
+        sum(col("cnt")).as("cnt_sum"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax"))
+    documents.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("nbg"), lit(0L)).cast("bigint").as("n_bigrams"),
+        coalesce(col("cnt_sum"), lit(0L)).cast("bigint").as("cnt_sum"),
+        expr("CAST(CASE WHEN coalesce(nbg, 0) > 0 THEN cnt_sum * 100 div nbg ELSE 0 END AS BIGINT)")
+          .as("mean_cnt_x100"),
+        expr("CAST(CASE WHEN coalesce(nbg, 0) > 0 THEN hapax * 10000 div nbg ELSE 0 END AS BIGINT)")
+          .as("hapax_bp"))
+  }
+
+  /** TF-IDF-style keyword extraction: the top-`k` most
+    * characteristic terms per document, scored by an integer tf-over-df
+    * ratio (term frequency ×1e6 div document frequency — the same
+    * ordering as tf·idf for a fixed corpus size, with no FP logarithm
+    * so every engine agrees bit-for-bit). Ties break by term text, so
+    * the top-k set is fully deterministic.
+    *
+    * Scale shape: the corpus collapses to distinct (doc, term, tf)
+    * rows FIRST (map-side-combinable groupBy — the explode stream
+    * never crosses a shuffle raw); document frequency is then a COUNT
+    * window over the term partition of those already-distinct rows
+    * (one shuffle, same q34 form); top-k is a row_number window per
+    * document. Three shuffles total, each over the reduced tf table,
+    * none over raw occurrences.
+    */
+  def tfIdfTopK(documents: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val we = documents
+      .select(col("doc_id"), explode(wordsExpr).as("term"))
+    val tf = we.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val withDf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .withColumn("score", expr("tf * 1000000 div df"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    withDf
+      .withColumn("rank", row_number().over(byDoc))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("term"),
+        col("tf").cast("bigint").as("tf"),
+        col("df").cast("bigint").as("df"),
+        col("score").cast("bigint").as("score"),
+        col("rank").cast("bigint").as("rank"))
+  }
+}

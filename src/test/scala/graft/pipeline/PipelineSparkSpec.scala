@@ -786,6 +786,76 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lines(0).startsWith("<!-- graft:skipped 1 triples"), lines(0))
   }
 
+  test("sequence packing: per-source prefix sums, chunk spans and offsets are exact") {
+    val s = spark
+    import s.implicits._
+    // source "a": 3+1, 6+1, 2+1 tokens -> starts 0, 4, 11; seqLen 8
+    val d = Seq(
+      (1L, "w w w", "a"),
+      (2L, "w w w w w w", "a"),
+      (3L, "w w", "a"),
+      (10L, "x x x x x x x x x", "b") // 10 tokens spanning chunks 0 and 1
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusOps.packChunks(d, seqLen = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    // (n_tokens, start_tok, chunk_first, chunk_last, chunk_offset, n_chunks)
+    assert(out(1L) == ((4L, 0L, 0L, 0L, 0L, 1L)), out(1L).toString)
+    assert(out(2L) == ((7L, 4L, 0L, 1L, 4L, 2L)), out(2L).toString)
+    assert(out(3L) == ((3L, 11L, 1L, 1L, 3L, 1L)), out(3L).toString)
+    // source "b" packs independently: its stream starts at 0
+    assert(out(10L) == ((10L, 0L, 0L, 1L, 0L, 2L)), out(10L).toString)
+    // scale contract: ONE exchange (the per-source window shuffle) —
+    // never a corpus-global single-partition sort
+    val plan = CorpusOps.packChunks(d).queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length == 2, plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("bigram-LM fluency: corpus frequencies, mean and hapax share are exact") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "the cat sat"), // bigrams: "the cat" (x2 corpus-wide), "cat sat" (x1)
+      (2L, "the cat ran"), // "the cat" (x2), "cat ran" (x1)
+      (3L, "zz"), // single word: no bigrams
+      (4L, "") // empty: no bigrams
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.bigramLm(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // (n_bigrams, cnt_sum, mean_cnt_x100, hapax_bp)
+    assert(out(1L) == ((2L, 3L, 150L, 5000L)), out(1L).toString)
+    assert(out(2L) == ((2L, 3L, 150L, 5000L)), out(2L).toString)
+    assert(out(3L) == ((0L, 0L, 0L, 0L)), out(3L).toString)
+    assert(out(4L) == ((0L, 0L, 0L, 0L)), out(4L).toString)
+  }
+
+  test("tf-idf top-k: integer tf-over-df scores, deterministic ties, k bound") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "apple apple apple banana common"),
+      (2L, "banana banana cherry common"),
+      (3L, "common cherry date")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.tfIdfTopK(d, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(5)) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // doc 1: apple tf=3 df=1 -> 3000000; banana tf=1 df=2 -> 500000
+    assert(out((1L, 1L)) == (("apple", 3L, 1L, 3000000L)), out.toString)
+    assert(out((1L, 2L)) == (("banana", 1L, 2L, 500000L)), out.toString)
+    // doc 2: banana tf=2 df=2 -> 1000000; cherry tf=1 df=2 -> 500000
+    assert(out((2L, 1L)) == (("banana", 2L, 2L, 1000000L)), out.toString)
+    assert(out((2L, 2L)) == (("cherry", 1L, 2L, 500000L)), out.toString)
+    // doc 3: date tf=1 df=1 -> 1000000; cherry ties with common on
+    // score? cherry 1/2 -> 500000, common 1/3 -> 333333: no tie; date first
+    assert(out((3L, 1L)) == (("date", 1L, 1L, 1000000L)), out.toString)
+    assert(out((3L, 2L)) == (("cherry", 1L, 2L, 500000L)), out.toString)
+    // k bound holds
+    assert(out.keys.forall(_._2 <= 2L))
+  }
+
   test("extraction plan prunes the parquet scan to url+html") {
     val s = spark
     import s.implicits._
