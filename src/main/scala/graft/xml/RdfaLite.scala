@@ -30,6 +30,16 @@ import scala.collection.mutable
   *     (stylesheet, nofollow, preload, ... — [[MachineryRels]]) are
   *     inert even under an ancestor `@vocab`; hanging `@rel` (object
   *     supplied by later elements) is out of scope
+  *   - `rev` — reverse link relations: same term expansion as `rel`,
+  *     triple direction flipped (object-IRI → predicate → subject);
+  *     `rel` and `rev` on one element emit both directions off the
+  *     same object; hanging `@rev` is out of scope like hanging `@rel`
+  *   - `inlist` — collects the objects of `property`/`rel` into an
+  *     RDF collection (rdf:first/rdf:rest/rdf:nil, fresh deterministic
+  *     bnodes) instead of emitting independent triples; items from
+  *     sibling elements sharing the subject and predicate append in
+  *     document order, and the list closes when the element that
+  *     established the subject ends (the RDFa Core list-mapping rule)
   *   - `lang`/`xml:lang` — literal language, inherited
   *
   * Well-formed islands go through the same hardened SAX stack as the
@@ -248,7 +258,11 @@ object RdfaLite {
   )
 
   private final class PendingLiteral(val subject: Term, val predicates: Seq[Iri],
-      val lang: String, val datatype: String) {
+      val lang: String, val datatype: String,
+      // non-null: @inlist literal — on completion the literal is
+      // APPENDED to these list buffers (one per predicate) instead of
+      // emitted as independent triples
+      val listBufs: Seq[mutable.ArrayBuffer[Term]] = null) {
     val text = new StringBuilder
   }
 
@@ -266,8 +280,51 @@ object RdfaLite {
     private var bnodeCounter = 0
     private val stack = mutable.ArrayBuffer.empty[Scope]
     private val pending = mutable.ArrayBuffer.empty[PendingLiteral] // aligned with stack
+    // @inlist list mappings: one active frame per subject (pred →
+    // items in document order); `owners` is aligned with `stack` and
+    // names the subjects whose frames close — and emit — when that
+    // element ends (the element that established the subject)
+    private val frames =
+      mutable.LinkedHashMap.empty[Term, mutable.LinkedHashMap[Iri, mutable.ArrayBuffer[Term]]]
+    private val owners = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Term]]
 
     private def freshBNode(): BNode = { val b = BNode("ra" + bnodeCounter); bnodeCounter += 1; b }
+
+    /** The item buffer for (subject, predicate). A new frame's owner is
+      * the stack level that ESTABLISHED the subject (deepest level whose
+      * subject is `s` but whose parent's differs); a subject not on the
+      * stack (set by @about on the element being processed) is owned by
+      * that element itself via `pendingOwner`.
+      */
+    private def bufferFor(s: Term, pred: Iri,
+        pendingOwner: mutable.ArrayBuffer[Term]): mutable.ArrayBuffer[Term] = {
+      val fm = frames.getOrElse(s, {
+        val m = mutable.LinkedHashMap.empty[Iri, mutable.ArrayBuffer[Term]]
+        frames(s) = m
+        var idx = -1
+        var i = stack.length - 1
+        while (i >= 0 && idx < 0) {
+          if (stack(i).subject == s && (i == 0 || stack(i - 1).subject != s)) idx = i
+          i -= 1
+        }
+        if (idx >= 0) owners(idx) += s else pendingOwner += s
+        m
+      })
+      fm.getOrElseUpdate(pred, mutable.ArrayBuffer.empty[Term])
+    }
+
+    /** rdf:first/rdf:rest/rdf:nil chain for a completed list mapping. */
+    private def emitList(s: Term, pred: Iri, items: Seq[Term]): Unit =
+      if (items.isEmpty) triples += Triple(s, pred, Iri(Vocab.rdfNil))
+      else {
+        val nodes = items.map(_ => freshBNode())
+        triples += Triple(s, pred, nodes.head)
+        items.indices.foreach { i =>
+          triples += Triple(nodes(i), Iri(Vocab.rdfFirst), items(i))
+          triples += Triple(nodes(i), Iri(Vocab.rdfRest),
+            if (i == items.length - 1) Iri(Vocab.rdfNil) else nodes(i + 1))
+        }
+      }
 
     private def expand(term: String, scope: Scope): Option[String] = {
       if (term == null || term.isEmpty) None
@@ -333,8 +390,21 @@ object RdfaLite {
       val relPreds: Seq[Iri] =
         if (attr("rel") == null) Nil
         else attr("rel").trim.split("\\s+").toSeq.flatMap(t => expandRel(t, scope0)).map(Iri)
+      // @rev: same expansion, reversed direction (object → pred → subject)
+      val revPreds: Seq[Iri] =
+        if (attr("rev") == null) Nil
+        else attr("rev").trim.split("\\s+").toSeq.flatMap(t => expandRel(t, scope0)).map(Iri)
+      // @inlist (boolean attribute): rel/property objects collect into
+      // an RDF list instead of emitting independent triples
+      val inlist = attr("inlist") != null
+      // frame-ownership marks created while processing THIS element
+      // attach to the scope it pushes
+      val pendingOwner = mutable.ArrayBuffer.empty[Term]
+      def push(sc: Scope, pl: PendingLiteral): Unit = {
+        stack += sc; pending += pl; owners += pendingOwner
+      }
 
-      if (relPreds.nonEmpty) {
+      if (relPreds.nonEmpty || revPreds.nonEmpty) {
         val objRef = if (resource != null) resource else if (href != null) href else src
         if (objRef != null) {
           // <a rel=... href=...>: the (@about or parent) subject links
@@ -344,7 +414,12 @@ object RdfaLite {
           val s: Term = if (about != null) Iri(Iris.uriReference(about, base)) else parent.subject
           val obj = Iri(Iris.uriReference(objRef, base))
           if (about != null) emitTypes(s) else emitTypes(obj)
-          if (s != null) relPreds.foreach(r => triples += Triple(s, r, obj))
+          if (s != null) {
+            if (inlist) relPreds.foreach(r => bufferFor(s, r, pendingOwner) += obj)
+            else relPreds.foreach(r => triples += Triple(s, r, obj))
+            // @inlist applies to @rel/@property only — @rev stays direct
+            revPreds.foreach(r => triples += Triple(obj, r, s))
+          }
           if (propertyAttr != null) {
             // @rel consumed the IRI object; @property falls back to
             // @content / element text (RDFa Core attribute interaction)
@@ -353,30 +428,32 @@ object RdfaLite {
             val contentAttr = attr("content")
             if (contentAttr != null) {
               val o = mkLit(contentAttr, dt, lang)
-              if (s != null) preds.foreach(p => triples += Triple(s, p, o))
-              stack += new Scope(obj, vocab, prefixes, lang)
-              pending += null
+              if (s != null) {
+                if (inlist) preds.foreach(p => bufferFor(s, p, pendingOwner) += o)
+                else preds.foreach(p => triples += Triple(s, p, o))
+              }
+              push(new Scope(obj, vocab, prefixes, lang), null)
             } else {
-              stack += new Scope(obj, vocab, prefixes, lang)
-              pending += new PendingLiteral(s, preds, lang, dt)
+              val bufs = if (inlist && s != null) preds.map(p => bufferFor(s, p, pendingOwner)) else null
+              push(new Scope(obj, vocab, prefixes, lang), new PendingLiteral(s, preds, lang, dt, bufs))
             }
-          } else {
-            stack += new Scope(obj, vocab, prefixes, lang)
-            pending += null
-          }
+          } else push(new Scope(obj, vocab, prefixes, lang), null)
           return
         } else if (typeofAttr != null && about == null && propertyAttr == null) {
           // <x rel=... typeof=T>: inline typed object — the rel's
           // object is a fresh typed node, like the property+typeof form
           val obj = freshBNode()
           emitTypes(obj)
-          if (parent.subject != null) relPreds.foreach(r => triples += Triple(parent.subject, r, obj))
-          stack += new Scope(obj, vocab, prefixes, lang)
-          pending += null
+          if (parent.subject != null) {
+            if (inlist) relPreds.foreach(r => bufferFor(parent.subject, r, pendingOwner) += obj)
+            else relPreds.foreach(r => triples += Triple(parent.subject, r, obj))
+            revPreds.foreach(r => triples += Triple(obj, r, parent.subject))
+          }
+          push(new Scope(obj, vocab, prefixes, lang), null)
           return
         }
-        // hanging @rel (object supplied by later siblings/descendants)
-        // stays out of scope — fall through with the rel inert
+        // hanging @rel/@rev (object supplied by later siblings/
+        // descendants) stays out of scope — fall through, inert
       }
 
       if (propertyAttr != null && typeofAttr != null && about == null) {
@@ -384,9 +461,11 @@ object RdfaLite {
         // thing is a fresh node linked from the parent subject
         val obj = freshBNode()
         emitTypes(obj)
-        if (parent.subject != null) preds.foreach(p => triples += Triple(parent.subject, p, obj))
-        stack += new Scope(obj, vocab, prefixes, lang)
-        pending += null
+        if (parent.subject != null) {
+          if (inlist) preds.foreach(p => bufferFor(parent.subject, p, pendingOwner) += obj)
+          else preds.foreach(p => triples += Triple(parent.subject, p, obj))
+        }
+        push(new Scope(obj, vocab, prefixes, lang), null)
         return
       }
 
@@ -404,9 +483,11 @@ object RdfaLite {
         val objRef = if (resource != null) resource else if (href != null) href else src
         if (objRef != null) {
           val obj = Iri(Iris.uriReference(objRef, base))
-          if (s != null) preds.foreach(p => triples += Triple(s, p, obj))
-          stack += new Scope(obj, vocab, prefixes, lang)
-          pending += null
+          if (s != null) {
+            if (inlist) preds.foreach(p => bufferFor(s, p, pendingOwner) += obj)
+            else preds.foreach(p => triples += Triple(s, p, obj))
+          }
+          push(new Scope(obj, vocab, prefixes, lang), null)
         } else {
           // literal object: an expanded @datatype types it; @content
           // (the OpenGraph <meta property=... content=...> shape that
@@ -417,18 +498,17 @@ object RdfaLite {
           val contentAttr = attr("content")
           if (contentAttr != null) {
             val o = mkLit(contentAttr, dt, lang)
-            if (s != null) preds.foreach(p => triples += Triple(s, p, o))
-            stack += new Scope(subject, vocab, prefixes, lang)
-            pending += null
+            if (s != null) {
+              if (inlist) preds.foreach(p => bufferFor(s, p, pendingOwner) += o)
+              else preds.foreach(p => triples += Triple(s, p, o))
+            }
+            push(new Scope(subject, vocab, prefixes, lang), null)
           } else {
-            stack += new Scope(subject, vocab, prefixes, lang)
-            pending += new PendingLiteral(s, preds, lang, dt)
+            val bufs = if (inlist && s != null) preds.map(p => bufferFor(s, p, pendingOwner)) else null
+            push(new Scope(subject, vocab, prefixes, lang), new PendingLiteral(s, preds, lang, dt, bufs))
           }
         }
-      } else {
-        stack += new Scope(subject, vocab, prefixes, lang)
-        pending += null
-      }
+      } else push(new Scope(subject, vocab, prefixes, lang), null)
     }
 
     override def characters(ch: Array[Char], start: Int, length: Int): Unit = {
@@ -442,9 +522,16 @@ object RdfaLite {
     override def endElement(uri: String, localName: String, qName: String): Unit = {
       val p = pending.remove(pending.length - 1)
       stack.remove(stack.length - 1)
+      val owned = owners.remove(owners.length - 1)
       if (p != null && p.subject != null) {
         val o = mkLit(p.text.toString, p.datatype, p.lang)
-        p.predicates.foreach(pred => triples += Triple(p.subject, pred, o))
+        if (p.listBufs != null) p.listBufs.foreach(_ += o)
+        else p.predicates.foreach(pred => triples += Triple(p.subject, pred, o))
+      }
+      // list mappings owned by this element complete here: the pending
+      // literal above appended first, so same-element items are in
+      owned.foreach { s =>
+        frames.remove(s).foreach(_.foreach { case (pred, items) => emitList(s, pred, items.toSeq) })
       }
     }
   }

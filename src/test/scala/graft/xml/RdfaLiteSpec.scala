@@ -157,6 +157,100 @@ class RdfaLiteSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("rev: reversed link relations, alone and combined with rel") {
+    val island =
+      """<div about="http://p/r" prefix="dc: http://purl.org/dc/terms/">
+        |<a rev="dc:isReferencedBy" href="http://citing/1">cite</a>
+        |<a rel="dc:source" rev="dc:isVersionOf" href="http://orig/2">both</a>
+        |<link rev="stylesheet" href="/m.css"/>
+        |</div>""".stripMargin
+    val ts = RdfaLite.parse(island, Some("http://p/r")).toOption.get.toSet
+    val s = Iri("http://p/r")
+    val dc = "http://purl.org/dc/terms/"
+    assert(ts == Set(
+      // rev flips direction: the href resource is the SUBJECT
+      Triple(Iri("http://citing/1"), Iri(dc + "isReferencedBy"), s),
+      Triple(s, Iri(dc + "source"), Iri("http://orig/2")),
+      Triple(Iri("http://orig/2"), Iri(dc + "isVersionOf"), s)
+      // machinery terms stay inert under @rev exactly as under @rel
+    ))
+  }
+
+  test("rev on an inline typed object points from the bnode back to the subject") {
+    val island =
+      """<div vocab="http://schema.org/" about="http://p/s">
+        |<span rev="about" typeof="Article"><span property="name">A1</span></span>
+        |</div>""".stripMargin
+    val ts = RdfaLite.parse(island, Some("http://p/s")).toOption.get
+    val b = ts.collect { case Triple(bb: BNode, _, _) => bb }.head
+    assert(ts.toSet == Set(
+      Triple(b, Iri(Vocab.rdfType), Iri(schema + "Article")),
+      Triple(b, Iri(schema + "about"), Iri("http://p/s")),
+      Triple(b, Iri(schema + "name"), Lit.plain("A1"))
+    ))
+  }
+
+  test("inlist collects sibling property literals into one rdf collection in document order") {
+    val island =
+      """<p about="http://ex/book" prefix="dc: http://purl.org/dc/terms/">
+        |<span property="dc:creator" inlist="">Alice</span>
+        |<span property="dc:creator" inlist="">Bob</span>
+        |</p>""".stripMargin
+    val ts = RdfaLite.parse(island, Some("http://ex/book")).toOption.get
+    val s = Iri("http://ex/book")
+    val creator = Iri("http://purl.org/dc/terms/creator")
+    // exactly ONE list head off the subject (not two independent triples)
+    val heads = ts.collect { case Triple(`s`, `creator`, b: BNode) => b }
+    assert(heads.size == 1, ts.mkString("\n"))
+    val first = Iri(Vocab.rdfFirst)
+    val rest = Iri(Vocab.rdfRest)
+    val n1 = heads.head
+    val v1 = ts.collectFirst { case Triple(`n1`, `first`, o) => o }.get
+    val n2 = ts.collectFirst { case Triple(`n1`, `rest`, o: BNode) => o }.get
+    val v2 = ts.collectFirst { case Triple(`n2`, `first`, o) => o }.get
+    val tail = ts.collectFirst { case Triple(`n2`, `rest`, o) => o }.get
+    assert(v1 == Lit.plain("Alice") && v2 == Lit.plain("Bob"), ts.mkString("\n"))
+    assert(tail == Iri(Vocab.rdfNil))
+  }
+
+  test("inlist with rel collects href IRIs; separate predicates get separate lists") {
+    val island =
+      """<div about="http://ex/w" prefix="dc: http://purl.org/dc/terms/">
+        |<a rel="dc:relation" inlist="" href="http://r/1">r1</a>
+        |<a rel="dc:relation" inlist="" href="http://r/2">r2</a>
+        |<span property="dc:title" inlist="">T</span>
+        |</div>""".stripMargin
+    val ts = RdfaLite.parse(island, Some("http://ex/w")).toOption.get
+    val s = Iri("http://ex/w")
+    val first = Iri(Vocab.rdfFirst)
+    val rel = Iri("http://purl.org/dc/terms/relation")
+    val title = Iri("http://purl.org/dc/terms/title")
+    val relHead = ts.collect { case Triple(`s`, `rel`, b: BNode) => b }
+    val titleHead = ts.collect { case Triple(`s`, `title`, b: BNode) => b }
+    assert(relHead.size == 1 && titleHead.size == 1, ts.mkString("\n"))
+    val relItems = ts.collect { case Triple(_, `first`, o: Iri) => o }
+    assert(relItems.toSet == Set(Iri("http://r/1"), Iri("http://r/2")))
+    assert(ts.exists { case Triple(_, `first`, o) => o == Lit.plain("T"); case _ => false })
+  }
+
+  test("rev and inlist in the lenient malformed path match the well-formed twins") {
+    val wellFormed =
+      """<div about="http://p/v" prefix="dc: http://purl.org/dc/terms/">
+        |<a rev="dc:references" href="http://c/1">x</a>
+        |<span property="dc:creator" inlist="">A</span>
+        |<span property="dc:creator" inlist="">B</span>
+        |</div>""".stripMargin
+    // unquoted attrs, boolean inlist without a value, unclosed tags
+    val malformed =
+      """<div about=http://p/v prefix="dc: http://purl.org/dc/terms/">
+        |<a rev=dc:references href=http://c/1>x</a>
+        |<span property=dc:creator inlist>A</span>
+        |<span property=dc:creator inlist>B""".stripMargin
+    val a = RdfaLite.parse(wellFormed, Some("http://p/v")).toOption.get.toSet
+    val b = RdfaLite.parse(malformed, Some("http://p/v")).toOption.get.toSet
+    assert(a == b && a.nonEmpty, (a diff b).mkString("\n") + "|" + (b diff a).mkString("\n"))
+  }
+
   test("relative about/resource resolve against the base") {
     val island =
       """<div vocab="http://schema.org/">
