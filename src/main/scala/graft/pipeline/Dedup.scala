@@ -29,7 +29,15 @@ object Dedup {
   def wordSet(text: Column): Column =
     array_distinct(filter(split(lower(text), "[^a-z0-9]+"), t => t =!= ""))
 
-  /** Word w-shingles (default 3) as a distinct array. */
+  /** Word w-shingles (default 3) as a distinct array.
+    *
+    * NOTE: inlines the tokenizer into the transform lambda — fine for a
+    * literal column or ad-hoc use, but on the corpus scan path use
+    * [[shingleRows]], which tokenizes once per document (the q29/q31
+    * lesson: the inlined `words` AST is cloned into `size` and every
+    * `slice`, re-splitting the document per shingle element — measured
+    * 5.8s → sub-second at sf0.1 for the explode+distinct stage).
+    */
   def shingles(text: Column, w: Int = 3): Column = {
     val words = filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
     array_distinct(
@@ -39,6 +47,27 @@ object Dedup {
         s => s =!= ""
       )
     )
+  }
+
+  /** (doc_id, shingle) occurrence rows with the words array PROJECTED
+    * once per document: the transform lambda then references a bounded
+    * attribute, not a re-tokenizing expression tree. The shingle array
+    * stays a complex expression fed straight to explode (never a
+    * projected attribute — the InferFiltersFromGenerate pathology, see
+    * Curation.decontaminate). CollapseProject keeps the projection
+    * split because `words` is referenced more than once and split() is
+    * not cheap.
+    */
+  private[graft] def shingleRows(documents: DataFrame, w: Int): DataFrame = {
+    val wordsExpr = filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")
+    val base = documents.select(col("doc_id"), wordsExpr.as("words"))
+    val words = col("words")
+    val sh = array_distinct(
+      filter(
+        transform(sequence(lit(1), greatest(size(words) - (w - 1), lit(1))),
+          i => concat_ws(" ", slice(words, i, lit(w)))),
+        s => s =!= ""))
+    base.select(col("doc_id"), explode(sh).as("s"))
   }
 
   /** MinHash-LSH near-dup candidate pairs with exact-Jaccard verify.
@@ -72,8 +101,7 @@ object Dedup {
     // once, read from blocks. Reference-tracked, reclaimed by the
     // ContextCleaner when the result frame is dropped; persist() would
     // instead pin the plan in the CacheManager for the whole session.
-    val expl = documents
-      .select(col("doc_id"), explode(shingles(col("text"), shingleWidth)).as("s"))
+    val expl = shingleRows(documents, shingleWidth)
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
       .distinct() // shingle SET semantics
       .localCheckpoint(true)
@@ -219,8 +247,7 @@ object Dedup {
     // md5 band buckets keep every value replayable in ANSI SQL
     // same materialization points as minhashLsh: expl feeds 4 consumers,
     // banded0 feeds 3 (see the scan/exchange census note there)
-    val expl = documents
-      .select(col("doc_id"), explode(shingles(col("text"), shingleWidth)).as("s"))
+    val expl = shingleRows(documents, shingleWidth)
       .distinct() // shingle SET semantics
       .localCheckpoint(true)
     val sigCols = (0 until 12).map(j => min(md5(concat(lit(s"$j|"), col("s")))).as(s"m$j"))
