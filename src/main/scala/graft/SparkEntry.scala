@@ -231,6 +231,13 @@ object SparkEntry {
     // TF-IDF-style keywords: integer tf-over-df score, deterministic
     // top-3 per document — tf collapses the corpus before the df shuffle
     "q41_tfidf_topk" -> ((s, d) => CorpusOps.tfIdfTopK(t(s, d, "documents"))),
+    // composite Gopher-rule quality VERDICT: per-document reason
+    // bitmask (one bit per violated rule) + keep flag — thresholds are
+    // shared Scala constants embedded into the oracle SQL
+    "q42_quality_filter" -> ((s, d) => Curation.qualityFilter(t(s, d, "documents"))),
+    // cross-source near-duplication rollup over the q17 LSH pair graph:
+    // which source pairs duplicate each other (snapshot-overlap stats)
+    "q43_source_overlap" -> ((s, d) => Curation.sourceOverlap(t(s, d, "documents"))),
     // cross-engine-exact twin of the embedding-LSH near-dup CANDIDATE
     // path: md5-Rademacher hyperplane signs + integer projections →
     // bucket assignment, hot-bucket suppression, pair recovery AND the
@@ -374,6 +381,81 @@ object SparkEntry {
        |FROM cand JOIN sig sa ON sa.doc_id = a JOIN sig sb ON sb.doc_id = b
        |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= $threshold""".stripMargin
   }
+
+  /** DuckDB twin of q42: same rule thresholds (spliced from the shared
+    * Curation.Qf* constants), same integer arithmetic, same stopword
+    * containment test, same repetition stats as q29.
+    */
+  private def q42Sql: String = {
+    import Curation._
+    val stopArms = QfStopwords.map(w =>
+      s"(CASE WHEN contains(' ' || lower(text) || ' ', ' $w ') THEN 1 ELSE 0 END)").mkString(" + ")
+    val flagsExpr =
+      s"""(CASE WHEN n_words < $QfMinWords OR n_words > $QfMaxWords THEN $QfWordsBit ELSE 0 END)
+         |      + (CASE WHEN mwl < $QfMinMwlDeci OR mwl > $QfMaxMwlDeci THEN $QfMeanLenBit ELSE 0 END)
+         |      + (CASE WHEN stop_hits < $QfMinStopHits THEN $QfStopwordsBit ELSE 0 END)
+         |      + (CASE WHEN dup_word_bp >= $QfDupWordBpMax THEN $QfDupWordsBit ELSE 0 END)
+         |      + (CASE WHEN top_word_bp > $QfTopWordBpMax THEN $QfTopWordBit ELSE 0 END)
+         |      + (CASE WHEN top_bigram_bp > $QfTopBigramBpMax THEN $QfTopBigramBit ELSE 0 END)
+         |      + (CASE WHEN sym_bp > $QfSymbolBpMax THEN $QfSymbolsBit ELSE 0 END)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+       |  FROM documents
+       |), counts AS (
+       |  SELECT doc_id, len(words) AS nw, len(list_distinct(words)) AS dw FROM base
+       |), we AS (SELECT doc_id, unnest(words) AS w FROM base),
+       |tw AS (SELECT doc_id, max(n) AS mxw, sum(n) AS totw FROM (SELECT doc_id, w, count(*) AS n FROM we GROUP BY doc_id, w) GROUP BY doc_id),
+       |bge AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])) AS bg
+       |  FROM base WHERE len(words) >= 2
+       |),
+       |tb AS (SELECT doc_id, max(n) AS mxb, sum(n) AS totb FROM (SELECT doc_id, bg, count(*) AS n FROM bge GROUP BY doc_id, bg) GROUP BY doc_id),
+       |rep AS (
+       |  SELECT c.doc_id,
+       |    CAST(CASE WHEN nw > 0 THEN (nw - dw) * 10000 // nw ELSE 0 END AS BIGINT) AS dup_word_bp,
+       |    CAST(coalesce(mxw * 10000 // totw, 0) AS BIGINT) AS top_word_bp,
+       |    CAST(coalesce(mxb * 10000 // totb, 0) AS BIGINT) AS top_bigram_bp
+       |  FROM counts c LEFT JOIN tw USING (doc_id) LEFT JOIN tb USING (doc_id)
+       |), feat AS (
+       |  SELECT doc_id,
+       |    CAST(len(words) AS BIGINT) AS n_words,
+       |    CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS sum_len,
+       |    CAST($stopArms AS BIGINT) AS stop_hits,
+       |    CAST(len(regexp_extract_all(text, '$QfSymbolRe')) AS BIGINT) AS sym
+       |  FROM base
+       |), f2 AS (
+       |  SELECT doc_id, n_words,
+       |    CAST(CASE WHEN n_words > 0 THEN sum_len * 10 // n_words ELSE 0 END AS BIGINT) AS mwl,
+       |    stop_hits,
+       |    CAST(CASE WHEN n_words > 0 THEN sym * 10000 // n_words ELSE 0 END AS BIGINT) AS sym_bp
+       |  FROM feat
+       |), flagged AS (
+       |  SELECT f2.doc_id, n_words,
+       |    CAST($flagsExpr AS BIGINT) AS flags
+       |  FROM f2 JOIN rep ON rep.doc_id = f2.doc_id
+       |)
+       |SELECT doc_id, n_words, flags,
+       |  CAST(CASE WHEN flags = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM flagged""".stripMargin
+  }
+
+  /** DuckDB twin of q43: the q17 LSH pair SQL joined to the source
+    * projection, rolled up per unordered source pair. mean_jaccard_bp
+    * floors the (bit-identical, q17-hash-proven) rounded double into
+    * integer basis points before the integer-division mean.
+    */
+  private def q43Sql: String =
+    s"""WITH pairs AS (SELECT a, b, jaccard FROM (${minhashLshSql(width = 3, threshold = 0.5)}) q17),
+       |src AS (SELECT doc_id, source FROM documents),
+       |e AS (
+       |  SELECT least(sa.source, sb.source) AS s1, greatest(sa.source, sb.source) AS s2,
+       |    CASE WHEN sa.source = sb.source THEN 1 ELSE 0 END AS intra,
+       |    CAST(floor(jaccard * 10000) AS BIGINT) AS jbp
+       |  FROM pairs p JOIN src sa ON p.a = sa.doc_id JOIN src sb ON p.b = sb.doc_id
+       |)
+       |SELECT s1, s2, count(*) AS n_pairs, CAST(sum(intra) AS BIGINT) AS n_intra,
+       |  CAST(sum(jbp) // count(*) AS BIGINT) AS mean_jaccard_bp
+       |FROM e GROUP BY s1, s2""".stripMargin
 
   /** DuckDB twin of q21: md5-simhash pair recovery — 4×8-bit pigeonhole
     * chunk buckets, hot-chunk suppression (≤500), hamming ≤ 3 via
@@ -852,6 +934,8 @@ object SparkEntry {
     "q39_pack_chunks" -> q39Sql(),
     "q40_bigram_lm" -> q40Sql,
     "q41_tfidf_topk" -> q41Sql,
+    "q42_quality_filter" -> q42Sql,
+    "q43_source_overlap" -> q43Sql,
     "q38_dedup_rewrite" -> q38Sql(),
     "q36_url_canon" -> q36Sql,
     "q37_domain_stats" -> q37Sql,

@@ -404,6 +404,108 @@ object Curation {
         sum(col("hq")).cast("bigint").as("n_with_query"))
   }
 
+  /** Quality-filter rule bits and thresholds — public so the oracle SQL
+    * generator derives its CASE arms from the SAME constants the Spark
+    * plan embeds (one source of truth, the q36/q37 pattern). Thresholds
+    * are integer (basis points / deci-chars), tuned so each rule fires
+    * on a real minority of the synthetic corpus.
+    */
+  val QfWordsBit = 1L        // word count outside [QfMinWords, QfMaxWords]
+  val QfMeanLenBit = 2L      // mean word length outside [4.0, 5.2] chars
+  val QfStopwordsBit = 4L    // fewer than QfMinStopHits stopword types
+  val QfDupWordsBit = 8L     // bulk token repetition (1 - distinct/total)
+  val QfTopWordBit = 16L     // most-frequent-word share
+  val QfTopBigramBit = 32L   // most-frequent-bigram share (Gopher top-n-gram)
+  val QfSymbolsBit = 64L     // symbol runs ('#', '...') per word
+  val QfMinWords = 30
+  val QfMaxWords = 90
+  val QfMinMwlDeci = 40      // mean word length, deci-chars (40 = 4.0)
+  val QfMaxMwlDeci = 52
+  val QfMinStopHits = 2
+  val QfDupWordBpMax = 6500
+  val QfTopWordBpMax = 1400
+  val QfTopBigramBpMax = 900
+  val QfSymbolBpMax = 1000
+  val QfStopwords: Seq[String] = Seq("the", "a", "and")
+  val QfSymbolRe = "#|\\.\\.\\."
+
+  /** Composite document-quality FILTER — the verdict step (Gopher-rule
+    * style: word-count band, mean word length band, stopword floor,
+    * repetition ceilings, symbol ceiling) that real pipelines run over
+    * every signal the taggers produced. Emits a reason BITMASK (`flags`,
+    * one bit per violated rule) plus the `keep` verdict, so downstream
+    * mixing can attribute losses per rule instead of seeing one opaque
+    * boolean — the Dolma tagger/mixer contract.
+    *
+    * Scale shape: the projection rules (count/length/stopword/symbol)
+    * are shuffle-free codegen'd column work — mean word length comes
+    * from `length(regexp_replace(...))`, never a per-word lambda fold;
+    * the repetition rules reuse [[repetitionStats]] through one
+    * doc-keyed join. Integer thresholds throughout → DuckDB-exact.
+    */
+  def qualityFilter(documents: DataFrame): DataFrame = {
+    val words = filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "")
+    val nw = size(words).cast("bigint")
+    // total in-word chars without touching the words array: every
+    // [a-z0-9] char of the lowered text is in exactly one word
+    val sumLen = length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).cast("bigint")
+    val stop = TextOps.stopwordHits(col("text"), QfStopwords)
+    val sym = regexp_count(col("text"), lit(QfSymbolRe)).cast("bigint")
+    val base = documents
+      .select(
+        col("doc_id"), nw.as("n_words"), sumLen.as("sum_len"),
+        stop.cast("bigint").as("stop_hits"), sym.as("sym"))
+      .select(
+        col("doc_id"), col("n_words"),
+        expr("CAST(CASE WHEN n_words > 0 THEN sum_len * 10 div n_words ELSE 0 END AS BIGINT)").as("mwl"),
+        col("stop_hits"),
+        expr("CAST(CASE WHEN n_words > 0 THEN sym * 10000 div n_words ELSE 0 END AS BIGINT)").as("sym_bp"))
+    val rep = repetitionStats(documents)
+    val flags =
+      when(col("n_words") < QfMinWords || col("n_words") > QfMaxWords, lit(QfWordsBit)).otherwise(lit(0L)) +
+      when(col("mwl") < QfMinMwlDeci || col("mwl") > QfMaxMwlDeci, lit(QfMeanLenBit)).otherwise(lit(0L)) +
+      when(col("stop_hits") < QfMinStopHits, lit(QfStopwordsBit)).otherwise(lit(0L)) +
+      when(col("dup_word_bp") >= QfDupWordBpMax, lit(QfDupWordsBit)).otherwise(lit(0L)) +
+      when(col("top_word_bp") > QfTopWordBpMax, lit(QfTopWordBit)).otherwise(lit(0L)) +
+      when(col("top_bigram_bp") > QfTopBigramBpMax, lit(QfTopBigramBit)).otherwise(lit(0L)) +
+      when(col("sym_bp") > QfSymbolBpMax, lit(QfSymbolsBit)).otherwise(lit(0L))
+    base.join(rep, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), flags.cast("bigint").as("flags"))
+      .withColumn("keep", (col("flags") === 0).cast("bigint"))
+  }
+
+  /** Cross-source near-duplication rollup: which pairs of sources
+    * duplicate each other, from the MinHash-LSH near-dup pair graph.
+    * The operator behind snapshot-overlap curation decisions (drop a
+    * crawl snapshot that's 90% contained in another) — per unordered
+    * source pair: pair count, mean verified Jaccard (integer basis
+    * points), and how many near-dup pairs are INTRA-source vs cross.
+    *
+    * Scale shape: the pair table is the tiny output of the banded LSH
+    * join, so both source lookups are doc-keyed joins against a
+    * two-column corpus projection, then one groupBy over at most
+    * |sources|² rows.
+    */
+  def sourceOverlap(documents: DataFrame): DataFrame = {
+    val pairs = Dedup.minhashLshMd5(documents, threshold = 0.5)
+    val src = documents.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("a"), col("source").as("sa")), Seq("a"))
+      .join(src.select(col("doc_id").as("b"), col("source").as("sb")), Seq("b"))
+      .select(
+        least(col("sa"), col("sb")).as("s1"),
+        greatest(col("sa"), col("sb")).as("s2"),
+        (col("sa") === col("sb")).cast("bigint").as("intra"),
+        floor(col("jaccard") * 10000).cast("bigint").as("jbp"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("intra")).cast("bigint").as("n_intra"),
+        sum(col("jbp")).as("sum_jbp"))
+      .select(col("s1"), col("s2"), col("n_pairs"), col("n_intra"),
+        expr("CAST(sum_jbp div n_pairs AS BIGINT)").as("mean_jaccard_bp"))
+  }
+
   /** Deterministic stratified downsampling: keep a document iff its
     * md5-derived bucket (two hex nibbles of md5(doc_id) → [0, 100))
     * falls under its source's quota percentage. No RNG state — the

@@ -856,6 +856,52 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.keys.forall(_._2 <= 2L))
   }
 
+  test("quality filter: each Gopher rule sets its own reason bit; clean doc keeps") {
+    val s = spark
+    import s.implicits._
+    // 36 words: 30 distinct 5-letter + the*2 + a + and + 2 distinct
+    // 4-letter -> mwl = 1680/36 = 46 in [40,52]; 3 stopword types;
+    // top word "the" 2/36 = 555bp; all 35 bigrams distinct = 285bp
+    val clean = "the apple brick cloud dance eagle flame grape house igloo jolly koala " +
+      "lemon mango night ocean piano queen river stone the tiger under vivid whale " +
+      "xenon yacht zebra a amber blaze crisp dwell and gold mist"
+    val docs = Seq(
+      (1L, clean),
+      (2L, "the cat and dog"), // short: words + meanlen + topword + topbigram
+      (3L, Seq.fill(40)("buy").mkString(" ")), // spam: meanlen+stop+dup+topword+topbigram
+      (4L, clean + " # # # #"), // symbol rule alone: 4*10000/36 = 1111bp > 1000
+      (5L, "") // empty: words + meanlen + stopwords
+    ).toDF("doc_id", "text")
+    val out = Curation.qualityFilter(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((36L, 0L, 1L)), out(1L).toString)
+    assert(out(2L) == ((4L, 1L + 2L + 16L + 32L, 0L)), out(2L).toString)
+    assert(out(3L) == ((40L, 2L + 4L + 8L + 16L + 32L, 0L)), out(3L).toString)
+    assert(out(4L) == ((36L, 64L, 0L)), out(4L).toString)
+    assert(out(5L) == ((0L, 1L + 2L + 4L, 0L)), out(5L).toString)
+  }
+
+  test("source overlap: near-dup pairs roll up per unordered source pair, intra vs cross") {
+    val s = spark
+    import s.implicits._
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val t2 = "red orange yellow green blue indigo violet umber sepia ochre teal cyan"
+    val docs = Seq(
+      (1L, t1, "cc1"), (2L, t1, "cc1"), (3L, t1, "cc2"), // T1 clique spans sources
+      (4L, t2, "cc2"), (5L, t2, "cc2"), // T2 pair intra-cc2
+      (6L, "completely unrelated text about catalyst whole stage codegen", "cc3")
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // identical texts -> jaccard 1.0 -> 10000bp; clique (1,2,3) gives one
+    // intra-cc1 pair and two cross pairs; (4,5) one intra-cc2 pair
+    assert(out == Map(
+      ("cc1", "cc1") -> ((1L, 1L, 10000L)),
+      ("cc1", "cc2") -> ((2L, 0L, 10000L)),
+      ("cc2", "cc2") -> ((1L, 1L, 10000L))), out.toString)
+  }
+
   test("extraction plan prunes the parquet scan to url+html") {
     val s = spark
     import s.implicits._
