@@ -245,6 +245,10 @@ object SparkEntry {
     // oracles the kernel only; this oracles the whole bucket pipeline)
     "q28_embedding_lsh_md5" -> ((s, d) =>
       Similarity.embeddingNearDupMd5(t(s, d, "embeddings"))),
+    // SemDeDup: deterministic-medoid clustering + within-cluster
+    // rational-cosine prune — every stage (medoid pick, integer argmax
+    // assignment, greedy keep-first survivor rule) replays in DuckDB
+    "q44_semdedup" -> ((s, d) => Similarity.semDedupMd5(t(s, d, "embeddings"))),
     "q20_ntriples_escape" -> ((s, d) => {
       t(s, d, "documents").select(
         col("doc_id"),
@@ -545,6 +549,50 @@ object SparkEntry {
        |SELECT a, b, dot, n2a, n2b FROM dn
        |WHERE dot >= 0 AND CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) * ${den * den} >= CAST(n2a AS HUGEINT) * CAST(n2b AS HUGEINT) * ${num * num}""".stripMargin
   }
+
+  /** DuckDB twin of q44 (SemDeDup): same md5-medoid pick, same
+    * milli-unit sign-aware rational argmax (NOT EXISTS a strictly
+    * better medoid), same micro-unit rational prune threshold and
+    * greedy keep-first survivor rule.
+    */
+  private def q44Sql(k: Int = 8, num: Long = 2, den: Long = 5): String =
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS qv,
+       |    list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS mv
+       |  FROM embeddings
+       |), med AS (
+       |  SELECT vec_id AS med_id, mv AS medv FROM q
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k
+       |), scored AS (
+       |  SELECT q.vec_id, med_id,
+       |    CAST(list_sum(list_transform(range(1, len(mv)+1), i -> mv[i] * medv[i])) AS BIGINT) AS dt,
+       |    CAST(list_sum(list_transform(medv, x -> x * x)) AS BIGINT) AS m2
+       |  FROM q, med
+       |), assigned AS (
+       |  SELECT s1.vec_id, s1.med_id FROM scored s1
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM scored s2 WHERE s2.vec_id = s1.vec_id AND (
+       |      (s2.dt >= 0 AND s1.dt < 0) OR
+       |      (s2.dt >= 0 AND s1.dt >= 0 AND CAST(s2.dt AS HUGEINT) * s2.dt * s1.m2 > CAST(s1.dt AS HUGEINT) * s1.dt * s2.m2) OR
+       |      (s2.dt < 0 AND s1.dt < 0 AND CAST(s2.dt AS HUGEINT) * s2.dt * s1.m2 < CAST(s1.dt AS HUGEINT) * s1.dt * s2.m2) OR
+       |      ((s2.dt >= 0) = (s1.dt >= 0) AND CAST(s2.dt AS HUGEINT) * s2.dt * s1.m2 = CAST(s1.dt AS HUGEINT) * s1.dt * s2.m2 AND s2.med_id < s1.med_id)
+       |    )
+       |  )
+       |), dn AS (
+       |  SELECT pb.vec_id AS b,
+       |    CAST(list_sum(list_transform(range(1, len(qa.qv)+1), i -> qa.qv[i] * qb.qv[i])) AS BIGINT) AS dot,
+       |    CAST(list_sum(list_transform(qa.qv, x -> x * x)) AS BIGINT) AS n2a,
+       |    CAST(list_sum(list_transform(qb.qv, x -> x * x)) AS BIGINT) AS n2b
+       |  FROM assigned pa JOIN assigned pb ON pa.med_id = pb.med_id AND pa.vec_id < pb.vec_id
+       |  JOIN q qa ON qa.vec_id = pa.vec_id JOIN q qb ON qb.vec_id = pb.vec_id
+       |), dropped AS (
+       |  SELECT DISTINCT b FROM dn
+       |  WHERE dot >= 0 AND CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) * ${den * den} >= CAST(n2a AS HUGEINT) * CAST(n2b AS HUGEINT) * ${num * num}
+       |)
+       |SELECT a.vec_id, a.med_id AS cluster,
+       |  CAST(CASE WHEN d.b IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.b""".stripMargin
 
   /** Source quotas for the registered stratified-sample query: a spread
     * of keep-percentages across the synthetic sources (src0 → 10% …
@@ -947,6 +995,7 @@ object SparkEntry {
     "q30_stratified_sample" -> q30Sql,
     "q31_decontam" -> q31Sql,
     "q28_embedding_lsh_md5" -> q28Sql(),
+    "q44_semdedup" -> q44Sql(),
     "q16_simhash_md5" -> q16Sql,
     "q17_minhash_pairs_md5" -> minhashLshSql(width = 3, threshold = 0.5),
     // transitive-closure CC: the recursive CTE computes every label

@@ -318,6 +318,98 @@ object Similarity {
       .select(col("a"), col("b"), col("dot"), col("n2a"), col("n2b"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space coarsely, then prune near-duplicates
+    * WITHIN each cluster only — the cluster partition replaces the
+    * all-pairs product, the published scale recipe for embedding-level
+    * dedup of web corpora (k grows with the corpus so cluster sizes
+    * stay bounded; each cluster's pair join is then local to one
+    * shuffle partition).
+    *
+    * This is the cross-engine-exact variant (q44), every stage
+    * replayable in ANSI SQL — the q28 technique applied to clustering:
+    *
+    *   - the coarse quantizer is k deterministic MEDOIDS — the k
+    *     vectors with the lexicographically smallest
+    *     `md5(vec_id)` (a seedless uniform draw, engine-identical);
+    *     the production path would train MLlib KMeans ([[ivfCosine]])
+    *     — medoid assignment has the same join/broadcast shape;
+    *   - assignment is argmax-cosine over the k medoids in EXACT
+    *     integer arithmetic: milli-unit quantized dot products, the
+    *     doc-side norm cancels (common factor), and the medoid-side
+    *     comparison cos_i > cos_j replays rationally sign-aware as
+    *     dot_i²·|m_j|² vs dot_j²·|m_i|² (ties → smaller medoid id) via
+    *     a self anti-join ("no strictly better medoid exists") — k²
+    *     comparisons per doc, k tiny, no FP anywhere;
+    *   - the within-cluster prune is the q28 rational-threshold verify
+    *     (micro-unit [[graft.functions.IntVecDotNorms]]; cos ≥ num/den
+    *     ⇔ dot ≥ 0 ∧ den²·dot² ≥ num²·n2a·n2b in exact decimal);
+    *     a doc is dropped when a same-cluster, lower-id doc is within
+    *     the threshold (the greedy keep-first survivor rule of the
+    *     SemDeDup reference implementation).
+    *
+    * Output: one row per vector — (vec_id, cluster = medoid's vec_id,
+    * keep ∈ {0,1}).
+    */
+  def semDedupMd5(corpus: DataFrame, k: Int = 8, thresholdNum: Long = 2,
+                  thresholdDen: Long = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // micro-units for the prune threshold (q28 headroom analysis),
+    // milli-units for the argmax (dot² · norm² must fit decimal(38):
+    // milli keeps it ≤ ~1e22 at 64 dims)
+    val quant = corpus.select(col("vec_id"),
+        transform(col("embedding"), e => round(e.cast("double") * 1000000L).cast("bigint")).as("qv"),
+        transform(col("embedding"), e => round(e.cast("double") * 1000L).cast("bigint")).as("mv"))
+      .localCheckpoint(true) // 3 consumers: medoid pick, assignment, prune
+    val med = quant
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("med_id"), col("mv").as("medv"))
+    // corpus × k medoids: intentional bounded broadcast nested loop
+    // (the IVF-centroid shape); dnn = (dot, |doc|², |medoid|²)
+    val scored = quant.select(col("vec_id"), col("mv"))
+      .join(broadcast(med), lit(true))
+      .select(col("vec_id"), col("med_id"),
+        expr("int_vec_dot_norms(mv, medv)").as("dnn"))
+      .select(col("vec_id"), col("med_id"),
+        col("dnn").getItem(0).as("dt"), col("dnn").getItem(2).as("m2"))
+      .localCheckpoint(true) // both sides of the argmax anti-join
+    // rational sign-aware "medoid s2 strictly beats medoid s1 for this
+    // doc" — a strict total order, so exactly one row survives per doc
+    def sq(c: Column) = c.cast("decimal(19,0)") * c.cast("decimal(19,0)")
+    val s1 = scored.as("s1")
+    val s2 = scored.select(col("vec_id").as("v2"), col("med_id").as("med2"),
+      col("dt").as("dt2"), col("m2").as("m22"))
+    val l2 = sq(col("dt2")) * col("m2").cast("decimal(19,0)")
+    val r2 = sq(col("dt")) * col("m22").cast("decimal(19,0)")
+    val beats =
+      (col("dt2") >= 0 && col("dt") < 0) ||
+        (col("dt2") >= 0 && col("dt") >= 0 && l2 > r2) ||
+        (col("dt2") < 0 && col("dt") < 0 && l2 < r2) ||
+        ((col("dt2") >= 0) === (col("dt") >= 0) && l2 === r2 && col("med2") < col("med_id"))
+    val assigned = s1.join(s2, col("v2") === col("vec_id") && beats, "left_anti")
+      .select(col("vec_id"), col("med_id"))
+    // within-cluster prune: same-cluster ordered pairs through the
+    // micro-unit kernel; rational threshold; greedy keep-first
+    val pa = assigned.select(col("vec_id").as("a"), col("med_id"))
+    val pb = assigned.select(col("vec_id").as("b"), col("med_id"))
+    val dn = pa.join(pb, Seq("med_id")).where(col("a") < col("b"))
+      .join(quant.select(col("vec_id").as("a"), col("qv").as("qa")), Seq("a"))
+      .join(quant.select(col("vec_id").as("b"), col("qv").as("qb")), Seq("b"))
+      .select(col("b"), expr("int_vec_dot_norms(qa, qb)").as("dnn"))
+      .select(col("b"), col("dnn").getItem(0).as("dot"),
+        col("dnn").getItem(1).as("n2a"), col("dnn").getItem(2).as("n2b"))
+    val d = col("dot").cast("decimal(19,0)")
+    val dropped = dn.where(col("dot") >= 0 &&
+        d * d * lit(thresholdDen * thresholdDen) >=
+          col("n2a").cast("decimal(19,0)") * col("n2b").cast("decimal(19,0)") *
+            lit(thresholdNum * thresholdNum))
+      .select(col("b")).distinct()
+    assigned.join(dropped, col("vec_id") === col("b"), "left_outer")
+      .select(col("vec_id"), col("med_id").as("cluster"),
+        when(col("b").isNull, 1L).otherwise(0L).as("keep"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup by vector space):
     * LSH-bucketed, exact-cosine verified.
     */

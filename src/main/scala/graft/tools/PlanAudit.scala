@@ -13,7 +13,8 @@ object PlanAudit {
   // probe (bounded queries x tiny broadcast centroid table)
   // q27 joins a 40-row broadcast slice against itself on a<b — an
   // intentional bounded nested loop, same class as the ANN query sides
-  private val allowNestedLoop = Set("x_ann_brute", "q18_ann_brute_int", "x_ann_ivf", "q27_embedding_dot_norms")
+  private val allowNestedLoop = Set("x_ann_brute", "q18_ann_brute_int", "x_ann_ivf", "q27_embedding_dot_norms",
+    "q44_semdedup") // corpus × k broadcast medoids, the IVF-centroid shape
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -729,6 +729,31 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("semDedupMd5 assigns every vector one cluster and prunes a planted duplicate greedily") {
+    val s = spark
+    import s.implicits._
+    val dim = 16
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(j => math.sin(seed * 31 + j * 7).toFloat)
+    // vec 2 is a near-copy of vec 1 (cos ≈ 0.999); the rest are spread out
+    val planted = vec(1).zipWithIndex.map { case (v, j) => v + math.sin(j).toFloat * 0.02f }
+    val vecs = ((1L, vec(1), 0) +: (2L, planted, 0) +:
+      (3L to 60L).map(i => (i, vec(i.toInt * 13 + 5), 1))).toDF("vec_id", "embedding", "label")
+    val out = Similarity.semDedupMd5(vecs, k = 4, thresholdNum = 9, thresholdDen = 10).collect()
+    // exactly one row per vector (the argmax anti-join is a strict total order)
+    assert(out.length == 60, s"expected 60 rows, got ${out.length}")
+    assert(out.map(_.getAs[Long]("vec_id")).distinct.length == 60)
+    val byId = out.map(r => r.getAs[Long]("vec_id") ->
+      ((r.getAs[Long]("cluster"), r.getAs[Long]("keep")))).toMap
+    // near-identical vectors land in the same cluster; the lower id
+    // survives, the higher id is pruned (greedy keep-first)
+    assert(byId(1L)._1 == byId(2L)._1, s"planted pair split: ${byId(1L)} vs ${byId(2L)}")
+    assert(byId(1L)._2 == 1L && byId(2L)._2 == 0L, s"${byId(1L)} / ${byId(2L)}")
+    // clusters are medoid vec_ids drawn from the corpus
+    val ids = (1L to 60L).toSet
+    assert(out.map(_.getAs[Long]("cluster")).forall(ids.contains))
+  }
+
   test("IVF quantizer sample-training is deterministic and preserves brute-force agreement") {
     val s = spark
     import s.implicits._
