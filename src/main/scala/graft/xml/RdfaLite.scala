@@ -28,12 +28,21 @@ import scala.collection.mutable
   *     absolute-IRI values plus the documented plain-term subset of the
   *     XHTML vocabulary ([[XhtmlRelTerms]]); machinery rels
   *     (stylesheet, nofollow, preload, ... — [[MachineryRels]]) are
-  *     inert even under an ancestor `@vocab`; hanging `@rel` (object
-  *     supplied by later elements) is out of scope
+  *     inert even under an ancestor `@vocab`
   *   - `rev` — reverse link relations: same term expansion as `rel`,
   *     triple direction flipped (object-IRI → predicate → subject);
   *     `rel` and `rev` on one element emit both directions off the
-  *     same object; hanging `@rev` is out of scope like hanging `@rel`
+  *     same object
+  *   - HANGING `rel`/`rev` (Full RDFa incomplete triples): an
+  *     objectless `rel`/`rev` waits for descendants — each descendant
+  *     that explicitly establishes a subject (`about` anywhere;
+  *     `resource`, a `typeof` bnode, or a bare `href`/`src` on a
+  *     property- and rel-free element) completes the pending triples
+  *     with that subject (`<div rel="license"><a href=...>` — the
+  *     canonical real-world shape); completion consumes the hanging
+  *     state for that subtree only, so sibling subtrees each complete
+  *     their own copy; with no establishing descendant nothing is
+  *     emitted (RDFa 1.1, not the 1.0 eager-bnode rule)
   *   - `inlist` — collects the objects of `property`/`rel` into an
   *     RDF collection (rdf:first/rdf:rest/rdf:nil, fresh deterministic
   *     bnodes) instead of emitting independent triples; items from
@@ -254,8 +263,17 @@ object RdfaLite {
       val subject: Term,
       val vocab: String, // null allowed
       val prefixes: Map[String, String],
-      val lang: String // null allowed
+      val lang: String, // null allowed
+      // non-null: an ancestor's @rel/@rev had no object — the RDFa Core
+      // "incomplete triples", awaiting a descendant-established subject
+      val hang: Hanging = null
   )
+
+  /** A hanging `@rel`/`@rev` (RDFa Core incomplete triples): `subject`
+    * linked forward by `rels` / backward by `revs` to whatever subject
+    * a descendant establishes.
+    */
+  private final class Hanging(val subject: Term, val rels: Seq[Iri], val revs: Seq[Iri])
 
   private final class PendingLiteral(val subject: Term, val predicates: Seq[Iri],
       val lang: String, val datatype: String,
@@ -404,6 +422,19 @@ object RdfaLite {
         stack += sc; pending += pl; owners += pendingOwner
       }
 
+      // Full-RDFa incomplete triples: an ancestor's objectless
+      // @rel/@rev hangs until a descendant EXPLICITLY establishes a
+      // subject (@about anywhere; @resource / @typeof-bnode / bare
+      // @href/@src on a property- and rel-free element). Completion
+      // consumes the hanging state for that subtree only — each sibling
+      // subtree that establishes a subject completes its own copy, the
+      // RDFa Core repeated-completion behavior.
+      val parentHang = parent.hang
+      def complete(s: Term): Unit = if (parentHang != null && s != null) {
+        parentHang.rels.foreach(r => triples += Triple(parentHang.subject, r, s))
+        parentHang.revs.foreach(r => triples += Triple(s, r, parentHang.subject))
+      }
+
       if (relPreds.nonEmpty || revPreds.nonEmpty) {
         val objRef = if (resource != null) resource else if (href != null) href else src
         if (objRef != null) {
@@ -412,6 +443,9 @@ object RdfaLite {
           // TYPED RESOURCE — the object, per RDFa 1.1's typed-resource
           // rule; descendants inherit the object as their subject
           val s: Term = if (about != null) Iri(Iris.uriReference(about, base)) else parent.subject
+          // an @about here establishes a subject → completes any
+          // hanging ancestor @rel/@rev before this element's own links
+          val childHang = if (about != null) { complete(s); null } else parentHang
           val obj = Iri(Iris.uriReference(objRef, base))
           if (about != null) emitTypes(s) else emitTypes(obj)
           if (s != null) {
@@ -432,12 +466,12 @@ object RdfaLite {
                 if (inlist) preds.foreach(p => bufferFor(s, p, pendingOwner) += o)
                 else preds.foreach(p => triples += Triple(s, p, o))
               }
-              push(new Scope(obj, vocab, prefixes, lang), null)
+              push(new Scope(obj, vocab, prefixes, lang, childHang), null)
             } else {
               val bufs = if (inlist && s != null) preds.map(p => bufferFor(s, p, pendingOwner)) else null
-              push(new Scope(obj, vocab, prefixes, lang), new PendingLiteral(s, preds, lang, dt, bufs))
+              push(new Scope(obj, vocab, prefixes, lang, childHang), new PendingLiteral(s, preds, lang, dt, bufs))
             }
-          } else push(new Scope(obj, vocab, prefixes, lang), null)
+          } else push(new Scope(obj, vocab, prefixes, lang, childHang), null)
           return
         } else if (typeofAttr != null && about == null && propertyAttr == null) {
           // <x rel=... typeof=T>: inline typed object — the rel's
@@ -449,11 +483,11 @@ object RdfaLite {
             else relPreds.foreach(r => triples += Triple(parent.subject, r, obj))
             revPreds.foreach(r => triples += Triple(obj, r, parent.subject))
           }
-          push(new Scope(obj, vocab, prefixes, lang), null)
+          push(new Scope(obj, vocab, prefixes, lang, parentHang), null)
           return
         }
-        // hanging @rel/@rev (object supplied by later siblings/
-        // descendants) stays out of scope — fall through, inert
+        // hanging @rel/@rev: no object here — record the incomplete
+        // triples below (main branch) for descendants to complete
       }
 
       if (propertyAttr != null && typeofAttr != null && about == null) {
@@ -465,15 +499,44 @@ object RdfaLite {
           if (inlist) preds.foreach(p => bufferFor(parent.subject, p, pendingOwner) += obj)
           else preds.foreach(p => triples += Triple(parent.subject, p, obj))
         }
-        push(new Scope(obj, vocab, prefixes, lang), null)
+        push(new Scope(obj, vocab, prefixes, lang, parentHang), null)
         return
       }
 
+      // bare @href/@src on a property- and rel-free element establishes
+      // a subject ONLY under a hanging ancestor (`<div rel=license>
+      // <a href=...>` — the canonical completion shape); outside that
+      // context the plain-link behavior is unchanged from prior rounds
+      val hrefEstab: String =
+        if (parentHang != null && propertyAttr == null && resource == null &&
+          about == null && typeofAttr == null &&
+          relPreds.isEmpty && revPreds.isEmpty && (href != null || src != null))
+          (if (href != null) href else src)
+        else null
       val subject: Term =
         if (about != null) Iri(Iris.uriReference(about, base))
         else if (propertyAttr == null && resource != null) Iri(Iris.uriReference(resource, base))
         else if (typeofAttr != null && propertyAttr == null) freshBNode()
+        else if (hrefEstab != null) Iri(Iris.uriReference(hrefEstab, base))
         else parent.subject
+
+      // a subject this element itself establishes completes a hanging
+      // ancestor @rel/@rev; inherited subjects do not
+      val established: Term =
+        if (about != null ||
+          (propertyAttr == null && (resource != null || typeofAttr != null)) ||
+          hrefEstab != null) subject
+        else null
+      complete(established)
+      // this element's own objectless @rel/@rev opens a new hanging
+      // scope for its descendants (nearest hanging ancestor wins)
+      val ownHang: Hanging =
+        if ((relPreds.isEmpty && revPreds.isEmpty) || subject == null) null
+        else new Hanging(subject, relPreds, revPreds)
+      val childHang =
+        if (ownHang != null) ownHang
+        else if (established != null) null
+        else parentHang
 
       emitTypes(if (subject != null) subject else freshBNode())
 
@@ -487,7 +550,7 @@ object RdfaLite {
             if (inlist) preds.foreach(p => bufferFor(s, p, pendingOwner) += obj)
             else preds.foreach(p => triples += Triple(s, p, obj))
           }
-          push(new Scope(obj, vocab, prefixes, lang), null)
+          push(new Scope(obj, vocab, prefixes, lang, childHang), null)
         } else {
           // literal object: an expanded @datatype types it; @content
           // (the OpenGraph <meta property=... content=...> shape that
@@ -502,13 +565,13 @@ object RdfaLite {
               if (inlist) preds.foreach(p => bufferFor(s, p, pendingOwner) += o)
               else preds.foreach(p => triples += Triple(s, p, o))
             }
-            push(new Scope(subject, vocab, prefixes, lang), null)
+            push(new Scope(subject, vocab, prefixes, lang, childHang), null)
           } else {
             val bufs = if (inlist && s != null) preds.map(p => bufferFor(s, p, pendingOwner)) else null
-            push(new Scope(subject, vocab, prefixes, lang), new PendingLiteral(s, preds, lang, dt, bufs))
+            push(new Scope(subject, vocab, prefixes, lang, childHang), new PendingLiteral(s, preds, lang, dt, bufs))
           }
         }
-      } else push(new Scope(subject, vocab, prefixes, lang), null)
+      } else push(new Scope(subject, vocab, prefixes, lang, childHang), null)
     }
 
     override def characters(ch: Array[Char], start: Int, length: Int): Unit = {

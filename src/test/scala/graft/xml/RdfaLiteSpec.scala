@@ -190,6 +190,66 @@ class RdfaLiteSpec extends AnyFunSuite {
     ))
   }
 
+  test("hanging rel completes with descendant-established subjects: href, about, typeof bnode") {
+    val island =
+      """<div about="http://p/pg" prefix="dc: http://purl.org/dc/terms/" vocab="http://schema.org/">
+        |<div rel="dc:license"><a href="http://l/cc">CC</a></div>
+        |<div rel="dc:creator"><span about="http://p/me"><span property="name">Me</span></span></div>
+        |<div rel="dc:subject"><div typeof="Thing"><span property="name">T</span></div></div>
+        |<div rel="dc:relation"><span>no subject established here</span></div>
+        |</div>""".stripMargin
+    val ts = RdfaLite.parse(island, Some("http://p/pg")).toOption.get
+    val s = Iri("http://p/pg")
+    val dc = "http://purl.org/dc/terms/"
+    val b = ts.collect { case Triple(_, Iri(p), bb: BNode) if p == dc + "subject" => bb }.head
+    assert(ts.toSet == Set(
+      // bare href on a rel-free element completes the license
+      Triple(s, Iri(dc + "license"), Iri("http://l/cc")),
+      // about completes creator, and its own property hangs off it
+      Triple(s, Iri(dc + "creator"), Iri("http://p/me")),
+      Triple(Iri("http://p/me"), Iri(schema + "name"), Lit.plain("Me")),
+      // a typeof bnode completes subject
+      Triple(s, Iri(dc + "subject"), b),
+      Triple(b, Iri(Vocab.rdfType), Iri(schema + "Thing")),
+      Triple(b, Iri(schema + "name"), Lit.plain("T"))
+      // dc:relation has no establishing descendant → nothing emitted
+    ))
+  }
+
+  test("hanging rel completes once per establishing sibling; completion stops deeper re-completion") {
+    val island =
+      """<div about="http://p/g" prefix="dc: http://purl.org/dc/terms/">
+        |<div rel="dc:hasPart">
+        |<div about="http://p/a"><a href="http://deep/x">deeper link is NOT a part</a></div>
+        |<div about="http://p/b">b</div>
+        |</div>
+        |</div>""".stripMargin
+    val ts = RdfaLite.parse(island, Some("http://p/g")).toOption.get.toSet
+    val s = Iri("http://p/g")
+    val dc = "http://purl.org/dc/terms/"
+    assert(ts == Set(
+      Triple(s, Iri(dc + "hasPart"), Iri("http://p/a")),
+      Triple(s, Iri(dc + "hasPart"), Iri("http://p/b"))
+    ))
+  }
+
+  test("hanging rev completes reversed; machinery rels never hang; lenient path matches") {
+    val wellFormed =
+      """<div about="http://p/v" prefix="dc: http://purl.org/dc/terms/">
+        |<div rev="dc:isPartOf"><a href="http://whole/1">w</a></div>
+        |<div rel="nofollow"><a href="http://spam/x">inert</a></div>
+        |</div>""".stripMargin
+    val ts = RdfaLite.parse(wellFormed, Some("http://p/v")).toOption.get.toSet
+    assert(ts == Set(
+      Triple(Iri("http://whole/1"), Iri("http://purl.org/dc/terms/isPartOf"), Iri("http://p/v"))))
+    val malformed =
+      """<div about=http://p/v prefix="dc: http://purl.org/dc/terms/">
+        |<div rev=dc:isPartOf><a href=http://whole/1>w
+        |<div rel=nofollow><a href=http://spam/x>inert""".stripMargin
+    val tm = RdfaLite.parse(malformed, Some("http://p/v")).toOption.get.toSet
+    assert(tm == ts)
+  }
+
   test("inlist collects sibling property literals into one rdf collection in document order") {
     val island =
       """<p about="http://ex/book" prefix="dc: http://purl.org/dc/terms/">
