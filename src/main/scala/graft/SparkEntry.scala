@@ -231,6 +231,9 @@ object SparkEntry {
     // TF-IDF-style keywords: integer tf-over-df score, deterministic
     // top-3 per document — tf collapses the corpus before the df shuffle
     "q41_tfidf_topk" -> ((s, d) => CorpusOps.tfIdfTopK(t(s, d, "documents"))),
+    // DSIR importance scoring (hashed n-gram likelihood-ratio surrogate
+    // vs the deterministic target slice; broadcast bucket weights)
+    "q45_dsir_score" -> ((s, d) => CorpusOps.dsirScore(t(s, d, "documents"))),
     // composite Gopher-rule quality VERDICT: per-document reason
     // bitmask (one bit per violated rule) + keep flag — thresholds are
     // shared Scala constants embedded into the oracle SQL
@@ -963,6 +966,38 @@ object SparkEntry {
   /** DuckDB twin of q41: same tf rollup, same COUNT-window df, same
     * integer tf-over-df score and (score DESC, term) top-3 window.
     */
+  /** DuckDB twin of q45 (DSIR scoring): same md5-prefix feature
+    * hashing, same Laplace-smoothed integer ratio, same per-doc rollup.
+    */
+  private def q45Sql(targetModulus: Int = 37, hexLen: Int = 3): String =
+    s"""WITH base AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words,
+       |    doc_id % $targetModulus = 0 AS is_t
+       |  FROM documents
+       |), occ AS (
+       |  SELECT doc_id, is_t, unnest(list_concat(
+       |    list_transform(words, x -> substr(md5(x), 1, $hexLen)),
+       |    CASE WHEN len(words) >= 2
+       |      THEN list_transform(range(1, len(words)), i -> substr(md5(words[i] || ' ' || words[i+1]), 1, $hexLen))
+       |      ELSE CAST([] AS VARCHAR[]) END)) AS b
+       |  FROM base
+       |), buckets AS (
+       |  SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+       |    sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+       |  FROM occ GROUP BY b
+       |), ratio AS (
+       |  SELECT b, (ct + 1) * 1000000 // (cr + 1) AS r FROM buckets
+       |), perdoc AS (
+       |  SELECT doc_id, count(*) AS n_feats, sum(r) AS score_sum
+       |  FROM occ JOIN ratio USING (b) WHERE NOT is_t GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(n_feats, 0) AS BIGINT) AS n_feats,
+       |  CAST(coalesce(score_sum, 0) AS BIGINT) AS score_sum,
+       |  CAST(CASE WHEN coalesce(n_feats, 0) > 0 THEN score_sum // n_feats ELSE 0 END AS BIGINT) AS mean_ratio_x1e6
+       |FROM documents d LEFT JOIN perdoc USING (doc_id)
+       |WHERE d.doc_id % $targetModulus <> 0""".stripMargin
+
   private def q41Sql: String =
     """WITH we AS (
       |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
@@ -982,6 +1017,7 @@ object SparkEntry {
     "q39_pack_chunks" -> q39Sql(),
     "q40_bigram_lm" -> q40Sql,
     "q41_tfidf_topk" -> q41Sql,
+    "q45_dsir_score" -> q45Sql(),
     "q42_quality_filter" -> q42Sql,
     "q43_source_overlap" -> q43Sql,
     "q38_dedup_rewrite" -> q38Sql(),

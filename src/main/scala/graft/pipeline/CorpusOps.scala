@@ -94,6 +94,63 @@ object CorpusOps {
           .as("hapax_bp"))
   }
 
+  /** DSIR-style data selection scoring (Xie et al. 2023,
+    * arXiv:2302.03169 "Data Selection for Language Models via
+    * Importance Resampling"): score each raw document by how much its
+    * hashed n-gram features resemble a TARGET corpus relative to the
+    * raw corpus — the published recipe for picking pre-training data
+    * that matches a high-quality target distribution. Features are
+    * unigrams + word bigrams hashed into `16^bucketHexLen` buckets
+    * (feature hashing, exactly as in the paper); the target set is the
+    * deterministic `doc_id % targetModulus == 0` slice (the q31
+    * stand-in for a real curated target corpus).
+    *
+    * Cross-engine exactness: the per-bucket importance weight is an
+    * integer likelihood-ratio surrogate — Laplace-smoothed
+    * `(ct+1)·1e6 div (cr+1)` instead of the paper's
+    * `log p_T(f) − log p_R(f)` — the q41 technique (same per-feature
+    * ordering, no FP logarithm, so DuckDB replays bit-for-bit). A doc's
+    * score is the sum of its occurrences' bucket weights; `mean_ratio`
+    * normalizes by feature count so long docs don't win by length.
+    *
+    * Scale shape: bucket hashing happens INSIDE the once-per-row
+    * transform (the q34/q40 lesson — the Generate boundary
+    * materializes 3-hex bucket keys, never raw grams). The bucket
+    * table reduces map-side to ≤ 16^len rows (one tiny shuffle) and is
+    * BROADCAST back over the occurrence stream; the only corpus-sized
+    * shuffle carries map-side-combined per-doc partials. The explode
+    * is evaluated twice (bucket stats + scoring) — two passes over a
+    * cheap projection beat materializing the exploded corpus.
+    */
+  def dsirScore(documents: DataFrame, targetModulus: Int = 37,
+                bucketHexLen: Int = 3): DataFrame = {
+    require(bucketHexLen >= 1 && bucketHexLen <= 8, "bucket hex length in [1,8]")
+    val base = documents.select(col("doc_id"), wordsExpr.as("words"),
+      (col("doc_id") % targetModulus === 0).as("is_t"))
+    val w = col("words")
+    val uni = transform(w, x => substring(md5(x), 1, bucketHexLen))
+    val bi = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => substring(md5(concat(element_at(w, i), lit(" "), element_at(w, i + 1))), 1, bucketHexLen)))
+      .otherwise(array().cast("array<string>"))
+    val occ = base.select(col("doc_id"), col("is_t"), explode(concat(uni, bi)).as("b"))
+    val buckets = occ.groupBy(col("b")).agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("is_t"), 1L).otherwise(0L)).as("cr"))
+    val ratio = buckets.select(col("b"), expr("(ct + 1) * 1000000 div (cr + 1)").as("r"))
+    val perDoc = occ.where(!col("is_t"))
+      .join(broadcast(ratio), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("r")).as("score_sum"))
+    documents.where(col("doc_id") % targetModulus =!= 0).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).cast("bigint").as("n_feats"),
+        coalesce(col("score_sum"), lit(0L)).cast("bigint").as("score_sum"),
+        expr("CAST(CASE WHEN coalesce(n_feats, 0) > 0 THEN score_sum div n_feats ELSE 0 END AS BIGINT)")
+          .as("mean_ratio_x1e6"))
+  }
+
   /** TF-IDF-style keyword extraction: the top-`k` most
     * characteristic terms per document, scored by an integer tf-over-df
     * ratio (term frequency ×1e6 div document frequency — the same

@@ -729,6 +729,32 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dsirScore ranks target-like raw docs above off-target ones, integer-exact") {
+    val s = spark
+    import s.implicits._
+    // targetModulus = 5: docs 5,10,15 are the target slice, all about
+    // "quantum flux capacitors"; raw doc 1 shares that vocabulary, raw
+    // doc 2 is about something else entirely
+    val docs = Seq(
+      (5L, "quantum flux capacitor quantum flux"),
+      (10L, "flux capacitor array quantum energy"),
+      (15L, "quantum capacitor flux design"),
+      (1L, "quantum flux capacitor prototype"),
+      (2L, "banana smoothie recipe with yogurt"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.dsirScore(docs, targetModulus = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // only raw docs are scored
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // the target-like doc beats the off-target doc on mean ratio
+    assert(out(1L)._3 > out(2L)._3, s"${out(1L)} vs ${out(2L)}")
+    // empty doc: zero features, zero scores
+    assert(out(3L) == ((0L, 0L, 0L)))
+    // feature count = unigrams + bigrams
+    assert(out(1L)._1 == 4L + 3L)
+  }
+
   test("semDedupMd5 assigns every vector one cluster and prunes a planted duplicate greedily") {
     val s = spark
     import s.implicits._
