@@ -252,6 +252,12 @@ object SparkEntry {
     // rational-cosine prune — every stage (medoid pick, integer argmax
     // assignment, greedy keep-first survivor rule) replays in DuckDB
     "q44_semdedup" -> ((s, d) => Similarity.semDedupMd5(t(s, d, "embeddings"))),
+    // product-quantization ANN (ADC): md5-donor codebooks, integer
+    // argmin encoding, broadcast per-query LUT scoring
+    "q46_pq_adc" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.pqAdcMd5(emb, emb.where(col("vec_id") < 8))
+    }),
     "q20_ntriples_escape" -> ((s, d) => {
       t(s, d, "documents").select(
         col("doc_id"),
@@ -596,6 +602,48 @@ object SparkEntry {
        |SELECT a.vec_id, a.med_id AS cluster,
        |  CAST(CASE WHEN d.b IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.b""".stripMargin
+
+  /** DuckDB twin of q46 (PQ-ADC ANN): same md5-donor codebooks, same
+    * milli-unit integer argmin encoding (row_number tie-break on the
+    * code), same LUT partial-dot sums and top-k window.
+    */
+  private def q46Sql(m: Int = 4, cb: Int = 8, k: Int = 5, dim: Int = 64): String = {
+    val sub = dim / m
+    s"""WITH mv AS (
+       |  SELECT vec_id, list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS v
+       |  FROM embeddings
+       |), don AS (
+       |  SELECT v, CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) - 1 AS c
+       |  FROM mv ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $cb
+       |), js AS (SELECT CAST(unnest(range(0, $m)) AS INTEGER) AS j),
+       |cbk AS (
+       |  SELECT j, c, list_slice(v, j * $sub + 1, j * $sub + $sub) AS cw FROM don, js
+       |), csv AS (
+       |  SELECT vec_id, j, list_slice(v, j * $sub + 1, j * $sub + $sub) AS sv FROM mv, js
+       |), scored AS (
+       |  SELECT vec_id, j, c,
+       |    CAST(list_sum(list_transform(range(1, ${sub + 1}), i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) AS BIGINT) AS d2
+       |  FROM csv JOIN cbk USING (j)
+       |), codes AS (
+       |  SELECT vec_id, j, c FROM (
+       |    SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn FROM scored
+       |  ) WHERE rn = 1
+       |), lut AS (
+       |  SELECT mv.vec_id AS query_id, cbk.j, cbk.c,
+       |    CAST(list_sum(list_transform(range(1, ${sub + 1}), i -> mv.v[cbk.j * $sub + i] * cw[i])) AS BIGINT) AS pdot
+       |  FROM mv, cbk WHERE mv.vec_id < 8
+       |), adc AS (
+       |  SELECT query_id, vec_id, CAST(sum(pdot) AS BIGINT) AS adot
+       |  FROM codes JOIN lut USING (j, c)
+       |  WHERE vec_id <> query_id
+       |  GROUP BY query_id, vec_id
+       |)
+       |SELECT query_id, vec_id AS corpus_id, adot, rank FROM (
+       |  SELECT query_id, vec_id, adot,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adot DESC, vec_id) AS BIGINT) AS rank
+       |  FROM adc
+       |) WHERE rank <= $k""".stripMargin
+  }
 
   /** Source quotas for the registered stratified-sample query: a spread
     * of keep-percentages across the synthetic sources (src0 → 10% …
@@ -1032,6 +1080,7 @@ object SparkEntry {
     "q31_decontam" -> q31Sql,
     "q28_embedding_lsh_md5" -> q28Sql(),
     "q44_semdedup" -> q44Sql(),
+    "q46_pq_adc" -> q46Sql(),
     "q16_simhash_md5" -> q16Sql,
     "q17_minhash_pairs_md5" -> minhashLshSql(width = 3, threshold = 0.5),
     // transitive-closure CC: the recursive CTE computes every label

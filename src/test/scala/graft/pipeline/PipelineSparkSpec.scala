@@ -780,6 +780,39 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(_.getAs[Long]("cluster")).forall(ids.contains))
   }
 
+  test("pqAdcMd5 keeps clustered neighbors together and encodes deterministically") {
+    val s = spark
+    import s.implicits._
+    // three well-separated clusters in 16 dims (m=4 subspaces of 4):
+    // cluster c lives on axes {4c..4c+3}, so every subspace separates
+    val vecs = (0 until 90).map { i =>
+      val c = i % 3
+      val base = Array.tabulate(16)(j => (if (j / 4 == c) 5.0 else 0.0).toFloat)
+      val jitter = Array.tabulate(16)(j => (math.sin(i * 17 + j) * 0.3).toFloat)
+      (i.toLong, base.zip(jitter).map { case (a, b) => a + b }, c)
+    }.toDF("vec_id", "embedding", "label")
+    val queries = vecs.where($"vec_id" < 3)
+    // codebookSize 9: the deterministic md5 draw over these 90 ids
+    // needs 9 picks before every cluster donates a codeword
+    val out = Similarity.pqAdcMd5(vecs, queries, m = 4, codebookSize = 9, k = 5, dim = 16)
+      .collect()
+    // every query gets exactly k ranked neighbors, and all of them are
+    // from the query's own cluster (PQ codes preserve the separation)
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet == Set(0L, 1L, 2L))
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length == 5, s"query $q: ${rows.length} rows")
+      rows.foreach { r =>
+        val cid = r.getAs[Long]("corpus_id")
+        assert(cid % 3 == q % 3, s"query $q pulled cross-cluster neighbor $cid")
+      }
+    }
+    // deterministic: a second run yields the identical ranked set
+    val again = Similarity.pqAdcMd5(vecs, queries, m = 4, codebookSize = 9, k = 5, dim = 16)
+      .collect().map(_.toString).sorted
+    assert(again.sameElements(out.map(_.toString).sorted))
+  }
+
   test("IVF quantizer sample-training is deterministic and preserves brute-force agreement") {
     val s = spark
     import s.implicits._
