@@ -47,7 +47,8 @@ object Bench {
     "q35_normalize", "q36_url_canon", "q37_domain_stats", "q38_dedup_rewrite",
     "q39_pack_chunks", "q40_bigram_lm", "q41_tfidf_topk",
     "q42_quality_filter", "q43_source_overlap", "q44_semdedup", "q45_dsir_score",
-    "q46_pq_adc",
+    "q46_pq_adc", "q47_bm25_topk", "q48_hll_trigrams", "q49_asof_join",
+    "q50_sessionize",
     "x_bpe_train", "x_bpe_encode",
     "x_minhash_lsh_dedup", "x_ngram_jaccard_lsh", "x_simhash_dedup",
     "x_embedding_neardup", "x_ann_brute", "x_ann_lsh", "x_ann_ivf",

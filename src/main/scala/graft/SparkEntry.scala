@@ -258,6 +258,22 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       Similarity.pqAdcMd5(emb, emb.where(col("vec_id") < 8))
     }),
+    // BM25 sparse retrieval: integer-rational Okapi scoring, query
+    // slice vs corpus, top-5 per query — one corpus shuffle, q41-form
+    // df/dl windows, broadcast query terms and scalars
+    "q47_bm25_topk" -> ((s, d) => CorpusOps.bm25TopK(t(s, d, "documents"))),
+    // deterministic HyperLogLog over word-trigram shingles: md5-bucket
+    // registers, dyadic 2^40 fixed-point harmonic mean, exact-distinct
+    // companion column — the sketch the exact distinct replaces at scale
+    "q48_hll_trigrams" -> ((s, d) => CorpusOps.hllTrigramCardinality(t(s, d, "documents"))),
+    // temporal AS-OF join (click ← latest view at-or-before, per user):
+    // union + ordered window carry-forward, ONE user-key shuffle; the
+    // oracle is DuckDB's NATIVE ASOF JOIN — an independent
+    // implementation of the semantics, not a replay
+    "q49_asof_join" -> ((s, d) => EventOps.asofJoin(t(s, d, "events"))),
+    // gap-based sessionization: gaps-and-islands window + same-key
+    // rollup without a second exchange
+    "q50_sessionize" -> ((s, d) => EventOps.sessionize(t(s, d, "events"))),
     "q20_ntriples_escape" -> ((s, d) => {
       t(s, d, "documents").select(
         col("doc_id"),
@@ -1061,7 +1077,130 @@ object SparkEntry {
       |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM sc)
       |WHERE rank <= 3""".stripMargin
 
+  /** DuckDB twin of q47 (BM25): same tf rollup, same df/dl windows,
+    * same integer-rational idf and length normalization. Both engines
+    * parse `a div b * c div d` left-to-right, so the truncation points
+    * line up exactly.
+    */
+  private def q47Sql(qModulus: Int = 41, k: Int = 5): String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+       |  FROM documents WHERE doc_id % $qModulus <> 0
+       |), occ AS (
+       |  SELECT doc_id, unnest(words) AS term FROM corpus
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM occ GROUP BY doc_id, term
+       |), st AS (
+       |  SELECT *, sum(tf) OVER (PARTITION BY doc_id) AS dl,
+       |    count(*) OVER (PARTITION BY term) AS df
+       |  FROM tf
+       |), scal AS (
+       |  SELECT count(DISTINCT doc_id) AS n_docs, sum(tf) AS total_tokens FROM tf
+       |), qt AS (
+       |  SELECT DISTINCT doc_id AS qid, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+       |  FROM documents WHERE doc_id % $qModulus = 0
+       |), scored AS (
+       |  SELECT qid, st.doc_id, count(*) AS n_terms,
+       |    sum((2 * (n_docs - df) + 1) * 10000 // (2 * df + 1)
+       |        * tf * 22 * total_tokens
+       |        // (10 * total_tokens * tf + 3 * total_tokens + 9 * dl * n_docs)) AS score
+       |  FROM st JOIN qt USING (term) CROSS JOIN scal
+       |  GROUP BY qid, st.doc_id
+       |)
+       |SELECT qid, doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+       |  CAST(score AS BIGINT) AS score, CAST(rank AS BIGINT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank FROM scored)
+       |WHERE rank <= $k""".stripMargin
+
+  /** DuckDB twin of q48 (HLL): same md5 bucket/rho derivation via hex
+    * string ops, same dyadic 2^40 harmonic accumulation, same
+    * truncation order for the alpha correction.
+    */
+  private def q48Sql: String =
+    """WITH base AS (
+      |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+      |  FROM documents
+      |), tri AS (
+      |  SELECT unnest(CASE WHEN len(words) >= 3
+      |    THEN list_transform(range(1, len(words) - 1), i -> md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+      |    ELSE CAST([] AS VARCHAR[]) END) AS h
+      |  FROM base
+      |), reg AS (
+      |  SELECT substr(h, 1, 2) AS bucket,
+      |    CASE WHEN stripped = '' THEN 121
+      |         ELSE (30 - length(stripped)) * 4 + 1 +
+      |           CASE WHEN nib >= '8' THEN 0 WHEN nib >= '4' THEN 1 WHEN nib >= '2' THEN 2 ELSE 3 END
+      |    END AS rho, h
+      |  FROM (SELECT h, regexp_replace(substr(h, 3, 30), '^0+', '') AS stripped,
+      |          substr(regexp_replace(substr(h, 3, 30), '^0+', ''), 1, 1) AS nib FROM tri)
+      |), regs AS (
+      |  SELECT bucket, max(rho) AS max_rho, count(DISTINCT h) AS nd FROM reg GROUP BY bucket
+      |), acc AS (
+      |  SELECT count(*) AS n_buckets,
+      |    sum(CAST(1 AS BIGINT) << (40 - least(max_rho, 40))) AS denom_obs,
+      |    sum(nd) AS exact_distinct
+      |  FROM regs
+      |), fin AS (
+      |  SELECT n_buckets, denom_obs + (256 - n_buckets) * (CAST(1 AS BIGINT) << 40) AS denom_x2p40,
+      |    exact_distinct
+      |  FROM acc
+      |)
+      |SELECT CAST(n_buckets AS BIGINT) AS n_buckets,
+      |  CAST(denom_x2p40 AS BIGINT) AS denom_x2p40,
+      |  CAST((CAST(1 AS BIGINT) << 56) // denom_x2p40 AS BIGINT) AS est_raw,
+      |  CAST((CAST(1 AS BIGINT) << 56) // denom_x2p40 * 71827 // 100000 AS BIGINT) AS est_alpha,
+      |  CAST(exact_distinct AS BIGINT) AS exact_distinct
+      |FROM fin""".stripMargin
+
+  /** DuckDB twin of q49 — deliberately an INDEPENDENT implementation:
+    * DuckDB's native ASOF LEFT JOIN (greatest right ts <= left ts per
+    * key) against our union+window carry-forward. Deterministic
+    * because (user_id, ts) is unique in the synthetic events table.
+    */
+  private def q49Sql: String =
+    """WITH clicks AS (
+      |  SELECT event_id, user_id, ts, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'
+      |), views AS (
+      |  SELECT event_id, user_id, ts, epoch_us(ts) AS ts_us, value FROM events WHERE event_type = 'view'
+      |)
+      |SELECT c.event_id AS l_event_id, c.user_id AS user_id,
+      |  CAST(c.ts_us AS BIGINT) AS l_ts_us,
+      |  v.event_id AS r_event_id,
+      |  CAST(c.ts_us - v.ts_us AS BIGINT) AS lag_us,
+      |  v.value AS r_value
+      |FROM clicks c ASOF LEFT JOIN views v
+      |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin
+
+  /** DuckDB twin of q50 (sessionize): same lag → explicit-NULL break
+    * flag → running sum windows, same per-session rollup.
+    */
+  private def q50Sql(gapMinutes: Int = 240): String = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+       |), lagged AS (
+       |  SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e
+       |), flagged AS (
+       |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > $gapUs THEN 1 ELSE 0 END AS brk FROM lagged
+       |), sess AS (
+       |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM flagged
+       |)
+       |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(min(ts_us) AS BIGINT) AS start_us,
+       |  CAST(max(ts_us) AS BIGINT) AS end_us,
+       |  CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us,
+       |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+       |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+       |FROM sess GROUP BY user_id, session_idx""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q47_bm25_topk" -> q47Sql(),
+    "q48_hll_trigrams" -> q48Sql,
+    "q49_asof_join" -> q49Sql,
+    "q50_sessionize" -> q50Sql(),
     "q39_pack_chunks" -> q39Sql(),
     "q40_bigram_lm" -> q40Sql,
     "q41_tfidf_topk" -> q41Sql,

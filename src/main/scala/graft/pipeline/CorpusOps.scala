@@ -151,6 +151,119 @@ object CorpusOps {
           .as("mean_ratio_x1e6"))
   }
 
+  /** BM25 sparse retrieval: score every corpus document against each
+    * query document's term set and keep the top `k` per query
+    * (Robertson & Walker's Okapi BM25, k1=1.2 b=0.75). Queries are the
+    * deterministic `doc_id % qModulus == 0` slice; the corpus is the
+    * rest — the q31/q45 stand-in for a real query log.
+    *
+    * Cross-engine exactness: BM25's two FP pieces are replaced by
+    * rational integer forms with the SAME ordering — the idf becomes
+    * the scaled odds `(2(N-df)+1)·1e4 div (2df+1)` (the inner ratio of
+    * the Robertson-Sparck-Jones idf, monotone-equivalent for fixed N),
+    * and the length-normalized tf saturation is multiplied through by
+    * `10·TL` so `tf + 1.2·(0.25 + 0.75·dl·N/TL)` becomes the exact
+    * integer `10·TL·tf + 3·TL + 9·dl·N`. No logarithm, no division
+    * until the final `div`, so DuckDB replays bit-for-bit.
+    *
+    * Scale shape: ONE corpus-sized shuffle (the (doc,term) tf rollup,
+    * map-side combinable); df and dl are COUNT/SUM windows over the
+    * already-reduced tf table (the q41 form); the corpus scalars N/TL
+    * ride a broadcast single-row cross join; query terms broadcast;
+    * the (query,doc) rollup and top-k window touch only candidate
+    * pairs. The raw occurrence stream never crosses a shuffle.
+    */
+  def bm25TopK(documents: DataFrame, qModulus: Int = 41, k: Int = 5): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val corpus = documents.where(col("doc_id") % qModulus =!= 0)
+    val queries = documents.where(col("doc_id") % qModulus === 0)
+    val tf = corpus.select(col("doc_id"), explode(wordsExpr).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val withStats = tf
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    val scalars = tf.agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      sum(col("tf")).as("total_tokens"))
+    val qterms = queries.select(col("doc_id").as("qid"), explode(wordsExpr).as("term")).distinct()
+    val contrib = expr(
+      """(2 * (n_docs - df) + 1) * 10000 div (2 * df + 1)
+        | * tf * 22 * total_tokens
+        | div (10 * total_tokens * tf + 3 * total_tokens + 9 * dl * n_docs)""".stripMargin)
+    val scored = withStats
+      .join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(scalars))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(contrib).as("score"))
+    val byQ = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(byQ))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("doc_id"),
+        col("n_terms").cast("bigint").as("n_terms"),
+        col("score").cast("bigint").as("score"),
+        col("rank").cast("bigint").as("rank"))
+  }
+
+  /** Deterministic HyperLogLog cardinality sketch over the corpus's
+    * word-trigram shingles (Flajolet et al. 2007): m=256 registers
+    * keyed by the first md5 byte, register value = leading-zero-bit
+    * run of the remaining 120 hash bits + 1. Emits ONE row: observed
+    * register count, the harmonic denominator in exact 2^40 fixed
+    * point (unseen registers contribute 2^0 = full 2^40 weight), the
+    * raw harmonic estimate, the alpha_256-corrected estimate, and the
+    * exact distinct count for side-by-side verification.
+    *
+    * Cross-engine exactness: rho comes from string ops on the md5 hex
+    * (strip leading '0's, classify the first nonzero nibble by ASCII
+    * range — digits sort below 'a'-'f' in both engines), and the
+    * harmonic mean is dyadic: `2^(40-rho)` summed as exact integers
+    * (rho clamped to 40 — a >2^-40 probability event per item), so
+    * the estimate needs no FP anywhere. alpha_256 enters as the
+    * integer constant 71827e-5, applied AFTER the division in both
+    * engines (identical truncation).
+    *
+    * Scale shape: THE sketch pattern — the trigram stream collapses
+    * map-side to at most 256 (bucket, max rho) partials per task, so
+    * the only shuffle carries ≤256 rows per task regardless of input
+    * size; the exact-distinct companion column is the expensive thing
+    * the sketch replaces (kept here because the oracle wants the
+    * ground truth in the same row; drop it at 100 TB).
+    */
+  def hllTrigramCardinality(documents: DataFrame): DataFrame = {
+    val w = col("words")
+    val triExpr = when(size(w) >= 3,
+      transform(sequence(lit(1), size(w) - 2),
+        i => md5(concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+    val h = documents.select(wordsExpr.as("words"))
+      .select(explode(triExpr).as("h"))
+    val stripped = regexp_replace(substring(col("h"), 3, 30), "^0+", "")
+    val nib = substring(stripped, 1, 1)
+    val rho = when(length(stripped) === 0, lit(121))
+      .otherwise((lit(30) - length(stripped)) * 4 + lit(1) +
+        when(nib >= "8", 0).when(nib >= "4", 1).when(nib >= "2", 2).otherwise(3))
+    val regs = h
+      .select(substring(col("h"), 1, 2).as("bucket"), rho.as("rho"),
+        col("h"))
+      .groupBy(col("bucket"))
+      .agg(max(col("rho")).as("max_rho"), countDistinct(col("h")).as("nd"))
+    regs.agg(
+      count(lit(1)).as("n_buckets"),
+      sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(40 - least(max_rho, 40) AS INT)) AS BIGINT)"))
+        .as("denom_obs"),
+      sum(col("nd")).as("exact_distinct"))
+      .select(
+        col("n_buckets").cast("bigint").as("n_buckets"),
+        expr("CAST(denom_obs + (256 - n_buckets) * CAST(shiftleft(CAST(1 AS BIGINT), 40) AS BIGINT) AS BIGINT)")
+          .as("denom_x2p40"),
+        col("exact_distinct").cast("bigint").as("exact_distinct"))
+      .select(col("n_buckets"), col("denom_x2p40"),
+        expr("CAST(shiftleft(CAST(1 AS BIGINT), 56) div denom_x2p40 AS BIGINT)").as("est_raw"),
+        expr("CAST(shiftleft(CAST(1 AS BIGINT), 56) div denom_x2p40 * 71827 div 100000 AS BIGINT)")
+          .as("est_alpha"),
+        col("exact_distinct"))
+  }
+
   /** TF-IDF-style keyword extraction: the top-`k` most
     * characteristic terms per document, scored by an integer tf-over-df
     * ratio (term frequency ×1e6 div document frequency — the same

@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics operators Spark lacks as built-ins: the
+  * temporal AS-OF join and gap-based sessionization. Both are
+  * single-shuffle window formulations over the user-key partition —
+  * the scale-correct shape (a naive range join explodes into an
+  * O(clicks × views) inequality join; the window form sorts each
+  * user's timeline once).
+  *
+  * Cross-engine exactness: timestamps are carried as epoch
+  * microseconds (NTZ-epoch `timestampdiff` here, `epoch_us` in DuckDB
+  * — both the parquet INT64 micros value, no FP), and every column is
+  * integer arithmetic, so the DuckDB oracles replay value-for-value.
+  * The q49 oracle is deliberately NOT a replay of this window
+  * formulation: it uses DuckDB's native `ASOF JOIN` — an independent
+  * implementation of the same semantics — which the driver's
+  * (user_id, ts)-uniqueness of the synthetic events keeps
+  * deterministic.
+  */
+object EventOps {
+
+  /** Epoch micros of the parquet TIMESTAMP_NTZ `ts` column —
+    * timestampdiff from the NTZ epoch, so the value is the stored
+    * INT64 micros regardless of the session time zone (a
+    * `cast("timestamp")` would re-interpret NTZ in session-local time).
+    */
+  private def tsUs: Column =
+    expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+
+  /** AS-OF join: for every `leftType` event, the most recent
+    * `rightType` event of the same user at-or-before its timestamp
+    * (inclusive, the DuckDB/kdb+ convention), NULL columns when no
+    * prior match exists.
+    *
+    * Implementation: union the two sides into one stream tagged
+    * `is_l`, sort each user partition once by (ts, is_l, event_id) —
+    * right rows first at an equal timestamp so the match is inclusive
+    * — and carry the last non-null right-side attributes forward with
+    * `last(..., ignoreNulls)` over the running frame. ONE shuffle on
+    * user_id, no inequality join, no per-row probe.
+    *
+    * Scale shape: state per partition is one row of carried
+    * attributes; skewed users are bounded by their own event count
+    * (an ordered scan, never a cross product). At 100 TB this is the
+    * same plan — the union reads both inputs once and the sort is
+    * the single user-key exchange.
+    */
+  def asofJoin(events: DataFrame, leftType: String = "click",
+               rightType: String = "view"): DataFrame = {
+    val usec: Column = tsUs
+    val l = events.where(col("event_type") === leftType)
+      .select(col("user_id"), usec.as("ts_us"), col("event_id"), lit(1).as("is_l"),
+        lit(null).cast("bigint").as("r_id"), lit(null).cast("bigint").as("r_ts"),
+        lit(null).cast("double").as("r_val"))
+    val r = events.where(col("event_type") === rightType)
+      .select(col("user_id"), usec.as("ts_us"), col("event_id"), lit(0).as("is_l"),
+        col("event_id").as("r_id"), usec.as("r_ts"), col("value").as("r_val"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("is_l").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("m_id", last(col("r_id"), ignoreNulls = true).over(w))
+      .withColumn("m_ts", last(col("r_ts"), ignoreNulls = true).over(w))
+      .withColumn("m_val", last(col("r_val"), ignoreNulls = true).over(w))
+      .where(col("is_l") === 1)
+      .select(
+        col("event_id").as("l_event_id"),
+        col("user_id"),
+        col("ts_us").as("l_ts_us"),
+        col("m_id").as("r_event_id"),
+        (col("ts_us") - col("m_ts")).as("lag_us"),
+        col("m_val").as("r_value"))
+  }
+
+  /** Gap-based sessionization: a user's events split into sessions
+    * wherever the inter-event gap exceeds `gapMinutes`; emits one row
+    * per session with its span and per-type counts. The classic
+    * gaps-and-islands form: lag → break flag → running sum, all over
+    * ONE user-key window (the q34 lesson: the flag's CASE is an
+    * explicit IS NULL / ELSE 0, so NULL-lag semantics agree across
+    * engines), then a map-side-combinable groupBy on the derived
+    * (user, session) key.
+    *
+    * Scale shape: one shuffle total — the rollup reuses the window's
+    * user-hash partitioning, so Catalyst plans the groupBy without a
+    * second exchange. Session state never materializes; only the
+    * per-session aggregate rows survive.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 240): DataFrame = {
+    require(gapMinutes >= 1, "session gap must be >= 1 minute")
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us").asc, col("event_id").asc)
+    val flagged = events
+      .select(col("user_id"), col("event_id"), col("event_type"), tsUs.as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_clicks"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("start_us"), col("end_us"),
+        (col("end_us") - col("start_us")).as("duration_us"),
+        col("n_clicks"), col("n_purchases"))
+  }
+}

@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Contracts for the event-analytics operators (AS-OF join,
+  * sessionization) and the retrieval/sketch corpus operators (BM25,
+  * HLL): matching semantics on hand-built timelines, gap splitting,
+  * relevance ordering, and sketch accuracy against the exact count.
+  */
+class EventCorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test-eventops")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val epoch = LocalDateTime.of(1970, 1, 1, 0, 0, 0)
+
+  /** events rows: (event_id, seconds-since-epoch, user_id, type, value) */
+  private def events(rows: (Long, Long, Long, String, Double)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.map { case (id, sec, uid, ty, v) => (id, epoch.plusSeconds(sec), uid, ty, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.map { case (id, tx) => (id, tx, "src") }.toDF("doc_id", "text", "source")
+  }
+
+  test("asofJoin matches the latest view at-or-before each click, NULLs when none") {
+    val e = events(
+      (100L, 10L, 1L, "view", 1.5),
+      (101L, 30L, 1L, "view", 2.5),
+      (200L, 5L, 1L, "click", 0.0),  // before any view → NULL match
+      (201L, 10L, 1L, "click", 0.0), // same instant as view 100 → inclusive match
+      (202L, 40L, 1L, "click", 0.0), // latest prior is view 101
+      (300L, 50L, 2L, "click", 0.0), // user 2 has no views → NULL (cross-user isolation)
+      (400L, 1L, 2L, "purchase", 9.9)) // other types never match
+    val got = EventOps.asofJoin(e).collect()
+      .map(r => r.getAs[Long]("l_event_id") ->
+        (Option(r.getAs[java.lang.Long]("r_event_id")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("lag_us")).map(_.toLong),
+          Option(r.getAs[java.lang.Double]("r_value")).map(_.toDouble))).toMap
+    assert(got.keySet == Set(200L, 201L, 202L, 300L))
+    assert(got(200L) == ((None, None, None)))
+    assert(got(201L) == ((Some(100L), Some(0L), Some(1.5))))
+    assert(got(202L) == ((Some(101L), Some(10L * 1000000L), Some(2.5))))
+    assert(got(300L) == ((None, None, None)))
+  }
+
+  test("sessionize splits on gaps > threshold and rolls up per-type counts") {
+    val gapSec = 240L * 60L
+    val e = events(
+      (1L, 0L, 1L, "click", 0.0),
+      (2L, 600L, 1L, "purchase", 1.0),           // same session (10 min gap)
+      (3L, 600L + gapSec + 1L, 1L, "view", 0.0), // gap just over threshold → new session
+      (4L, 0L, 2L, "error", 0.0))                // separate user
+    val got = EventOps.sessionize(e).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("duration_us"),
+          r.getAs[Long]("n_clicks"), r.getAs[Long]("n_purchases"))).toMap
+    assert(got.keySet == Set((1L, 1L), (1L, 2L), (2L, 1L)))
+    assert(got((1L, 1L)) == ((2L, 600L * 1000000L, 1L, 1L)))
+    assert(got((1L, 2L)) == ((1L, 0L, 0L, 0L)))
+    assert(got((2L, 1L)) == ((1L, 0L, 0L, 0L)))
+    // a gap exactly AT the threshold does NOT split
+    val e2 = events((1L, 0L, 9L, "click", 0.0), (2L, gapSec, 9L, "click", 0.0))
+    val one = EventOps.sessionize(e2).where(col("user_id") === 9L).collect()
+    assert(one.length == 1 && one.head.getAs[Long]("n_events") == 2L)
+  }
+
+  test("asofJoin and sessionize plan exactly ONE shuffle each") {
+    // the docstring claims: union + window = one user-key exchange, and
+    // the sessionize rollup reuses the window's partitioning (groupBy
+    // keys are a superset of the hash keys) — pin both plan shapes
+    val e = events((1L, 0L, 1L, "click", 0.0), (2L, 5L, 1L, "view", 1.0))
+    def exchanges(df: DataFrame): Int =
+      "Exchange hashpartitioning".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    assert(exchanges(EventOps.asofJoin(e)) == 1)
+    assert(exchanges(EventOps.sessionize(e)) == 1)
+  }
+
+  test("bm25TopK ranks docs sharing rare query terms above common-term matches") {
+    // doc 0 (0 % 41 == 0) is the query: terms {rare, common}.
+    // Every corpus doc contains "common"; only doc 1 contains "rare".
+    val d = docs(
+      (0L, "rare common"),
+      (1L, "rare rare common filler1 filler2"),
+      (2L, "common filler3 filler4 filler5"),
+      (3L, "common filler6 filler7"),
+      (4L, "common filler8 filler9"))
+    val got = CorpusOps.bm25TopK(d, qModulus = 41, k = 3).collect()
+    assert(got.forall(_.getAs[Long]("qid") == 0L))
+    assert(got.length == 3) // 4 candidates, top-3 kept
+    val byRank = got.sortBy(_.getAs[Long]("rank"))
+    assert(byRank.head.getAs[Long]("doc_id") == 1L) // rare-term doc wins
+    assert(byRank.head.getAs[Long]("n_terms") == 2L) // matched both query terms
+    assert(byRank.head.getAs[Long]("score") > byRank(1).getAs[Long]("score"))
+    assert(got.forall(_.getAs[Long]("score") > 0L))
+    // ranks are 1..3 and deterministic ties break on doc_id
+    assert(byRank.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("hllTrigramCardinality: exact count is right, estimate lands near it") {
+    // doc i contributes exactly 2 distinct trigrams (a_i b_i c_i d_i),
+    // disjoint across docs → exact_distinct == 2 * nDocs
+    val n = 400
+    val d = docs((0L until n.toLong).map(i => (i, s"a$i b$i c$i d$i")): _*)
+    val row = CorpusOps.hllTrigramCardinality(d).collect().head
+    val exact = row.getAs[Long]("exact_distinct")
+    assert(exact == 2L * n)
+    val est = row.getAs[Long]("est_alpha")
+    // m=256 → ~6.5% standard error; 35% is a 5-sigma cushion
+    assert(est > exact * 0.65 && est < exact * 1.35, s"est=$est exact=$exact")
+    assert(row.getAs[Long]("n_buckets") <= 256L)
+    assert(row.getAs[Long]("denom_x2p40") > 0L)
+    // degenerate corpus: no trigram reaches 3 words → empty sketch
+    val empty = CorpusOps.hllTrigramCardinality(docs((1L, "one two"))).collect().head
+    assert(empty.getAs[Long]("exact_distinct") == 0L)
+    assert(empty.getAs[Long]("n_buckets") == 0L)
+  }
+}
