@@ -22,6 +22,13 @@ import scala.collection.mutable
   *     literal
   *   - `datatype` — types the literal object (CURIE/term-expanded;
   *     empty value forces the plain/lang form, RDFa Core precedence)
+  *   - `datetime` (HTML+RDFa 1.1) — supplies the literal lexical form
+  *     (beaten only by `content`) with the xsd datatype inferred from
+  *     its shape (duration/dateTime/date/time/gYearMonth/gYear, else
+  *     plain); a `time` element's TEXT content gets the same
+  *     inference; an explicit `datatype` (even empty) suppresses it
+  *   - `value` on a `data` element (HTML+RDFa 1.1) — supplies the
+  *     literal lexical form, below `content`/`datetime` in precedence
   *   - `resource` without `property` — sets the subject for descendants
   *   - `rel` — link relations with IRI objects from `resource`/`href`/
   *     `src` (or an inline `typeof` object): CURIE / vocab-term /
@@ -280,8 +287,39 @@ object RdfaLite {
       // non-null: @inlist literal — on completion the literal is
       // APPENDED to these list buffers (one per predicate) instead of
       // emitted as independent triples
-      val listBufs: Seq[mutable.ArrayBuffer[Term]] = null) {
+      val listBufs: Seq[mutable.ArrayBuffer[Term]] = null,
+      // true: a `time` element collecting text with no explicit
+      // @datatype — the datatype is inferred from the final lexical
+      // form at completion (HTML+RDFa 1.1 §3.1)
+      val inferDt: Boolean = false) {
     val text = new StringBuilder
+  }
+
+  // HTML+RDFa 1.1 datatype inference for @datetime / <time> text: the
+  // lexical form picks the xsd type; anything unrecognized stays a
+  // plain/lang literal. Anchored, most-specific-first.
+  private val DurationRe =
+    "^-?P(?=.*\\d)(?:\\d+Y)?(?:\\d+M)?(?:\\d+D)?(?:T(?:\\d+H)?(?:\\d+M)?(?:\\d+(?:\\.\\d+)?S)?)?$".r
+  private val DateTimeRe =
+    "^-?\\d{4,}-\\d{2}-\\d{2}T\\d{2}:\\d{2}(?::\\d{2}(?:\\.\\d+)?)?(?:Z|[+-]\\d{2}:\\d{2})?$".r
+  private val DateRe = "^-?\\d{4,}-\\d{2}-\\d{2}(?:Z|[+-]\\d{2}:\\d{2})?$".r
+  private val TimeRe = "^\\d{2}:\\d{2}(?::\\d{2}(?:\\.\\d+)?)?(?:Z|[+-]\\d{2}:\\d{2})?$".r
+  private val GYearMonthRe = "^-?\\d{4,}-\\d{2}$".r
+  private val GYearRe = "^-?\\d{4,}$".r
+
+  /** The inferred xsd datatype IRI for a @datetime/<time> lexical form,
+    * or null when no datetime shape matches (→ plain/lang literal).
+    * "P" alone is not a duration (the grammar requires a component).
+    */
+  private def inferDatatype(lex: String): String = {
+    val t = lex.trim
+    if (t.length > 1 && DurationRe.matches(t)) Vocab.xsdNs + "duration"
+    else if (DateTimeRe.matches(t)) Vocab.xsdNs + "dateTime"
+    else if (DateRe.matches(t)) Vocab.xsdNs + "date"
+    else if (TimeRe.matches(t)) Vocab.xsdNs + "time"
+    else if (GYearMonthRe.matches(t)) Vocab.xsdNs + "gYearMonth"
+    else if (GYearRe.matches(t)) Vocab.xsdNs + "gYear"
+    else null
   }
 
   /** Literal construction precedence (RDFa Core): an expanded
@@ -363,6 +401,27 @@ object RdfaLite {
       * machinery rels real pages are full of — expands to nothing and
       * emits nothing.
       */
+    /** Immediate (attribute-supplied) literal source, HTML+RDFa 1.1
+      * precedence: `@content` beats `@datetime` beats the `data`
+      * element's `@value` beats element text. Returns
+      * (lexical, datatype) when the literal is known at start-tag time,
+      * null when text content must be collected. An explicit
+      * `@datatype` (even "") suppresses @datetime's type inference.
+      */
+    private def literalNow(localName: String, attr: String => String,
+        dt: String, dtPresent: Boolean): (String, String) = {
+      val content = attr("content")
+      if (content != null) (content, dt)
+      else {
+        val datetime = attr("datetime")
+        if (datetime != null) (datetime, if (dtPresent) dt else inferDatatype(datetime))
+        else {
+          val value = if (localName.equalsIgnoreCase("data")) attr("value") else null
+          if (value != null) (value, dt) else null
+        }
+      }
+    }
+
     private def expandRel(term: String, scope: Scope): Option[String] =
       if (term != null && term.indexOf(':') < 0 && MachineryRels(term.toLowerCase)) None
       else expand(term, scope).orElse(
@@ -372,6 +431,15 @@ object RdfaLite {
     override def startElement(uri: String, localName: String, qName: String, attrs: Attributes): Unit = {
       val parent = if (stack.isEmpty) new Scope(null, null, Map.empty, null) else stack.last
       def attr(n: String): String = attrs.getValue(n)
+      // element name for the HTML-specific literal rules (time/data):
+      // the strict SAX parser is not namespace-aware, so localName is
+      // empty there — fall back to qName, prefix-stripped
+      val elemName: String = {
+        val n = if (localName != null && localName.nonEmpty) localName
+                else if (qName != null) qName else ""
+        val ci = n.indexOf(':')
+        if (ci >= 0) n.substring(ci + 1) else n
+      }
 
       var prefixes = parent.prefixes
       val prefixDecl = attr("prefix")
@@ -459,9 +527,9 @@ object RdfaLite {
             // @content / element text (RDFa Core attribute interaction)
             val dtAttr = attr("datatype")
             val dt = if (dtAttr == null || dtAttr.isEmpty) null else expand(dtAttr, scope0).orNull
-            val contentAttr = attr("content")
-            if (contentAttr != null) {
-              val o = mkLit(contentAttr, dt, lang)
+            val now = literalNow(elemName, attr, dt, dtAttr != null)
+            if (now != null) {
+              val o = mkLit(now._1, now._2, lang)
               if (s != null) {
                 if (inlist) preds.foreach(p => bufferFor(s, p, pendingOwner) += o)
                 else preds.foreach(p => triples += Triple(s, p, o))
@@ -469,7 +537,9 @@ object RdfaLite {
               push(new Scope(obj, vocab, prefixes, lang, childHang), null)
             } else {
               val bufs = if (inlist && s != null) preds.map(p => bufferFor(s, p, pendingOwner)) else null
-              push(new Scope(obj, vocab, prefixes, lang, childHang), new PendingLiteral(s, preds, lang, dt, bufs))
+              push(new Scope(obj, vocab, prefixes, lang, childHang),
+                new PendingLiteral(s, preds, lang, dt, bufs,
+                  elemName.equalsIgnoreCase("time") && dtAttr == null))
             }
           } else push(new Scope(obj, vocab, prefixes, lang, childHang), null)
           return
@@ -555,12 +625,13 @@ object RdfaLite {
           // literal object: an expanded @datatype types it; @content
           // (the OpenGraph <meta property=... content=...> shape that
           // dominates real-world RDFa) supplies the lexical form
-          // directly and beats element text
+          // directly and beats element text, then @datetime (with xsd
+          // type inference) and the data element's @value (HTML+RDFa)
           val dtAttr = attr("datatype")
           val dt = if (dtAttr == null || dtAttr.isEmpty) null else expand(dtAttr, scope0).orNull
-          val contentAttr = attr("content")
-          if (contentAttr != null) {
-            val o = mkLit(contentAttr, dt, lang)
+          val now = literalNow(elemName, attr, dt, dtAttr != null)
+          if (now != null) {
+            val o = mkLit(now._1, now._2, lang)
             if (s != null) {
               if (inlist) preds.foreach(p => bufferFor(s, p, pendingOwner) += o)
               else preds.foreach(p => triples += Triple(s, p, o))
@@ -568,7 +639,9 @@ object RdfaLite {
             push(new Scope(subject, vocab, prefixes, lang, childHang), null)
           } else {
             val bufs = if (inlist && s != null) preds.map(p => bufferFor(s, p, pendingOwner)) else null
-            push(new Scope(subject, vocab, prefixes, lang, childHang), new PendingLiteral(s, preds, lang, dt, bufs))
+            push(new Scope(subject, vocab, prefixes, lang, childHang),
+              new PendingLiteral(s, preds, lang, dt, bufs,
+                elemName.equalsIgnoreCase("time") && dtAttr == null))
           }
         }
       } else push(new Scope(subject, vocab, prefixes, lang, childHang), null)
@@ -587,7 +660,11 @@ object RdfaLite {
       stack.remove(stack.length - 1)
       val owned = owners.remove(owners.length - 1)
       if (p != null && p.subject != null) {
-        val o = mkLit(p.text.toString, p.datatype, p.lang)
+        val dt =
+          if (p.datatype != null) p.datatype
+          else if (p.inferDt) inferDatatype(p.text.toString)
+          else null
+        val o = mkLit(p.text.toString, dt, p.lang)
         if (p.listBufs != null) p.listBufs.foreach(_ += o)
         else p.predicates.foreach(pred => triples += Triple(p.subject, pred, o))
       }

@@ -392,6 +392,63 @@ class RdfaLiteSpec extends AnyFunSuite {
     assert(ts.exists(t => t.p == Iri(schema + "name")), ts.toString)
   }
 
+  test("datetime attribute supplies the literal with inferred xsd datatype; content still wins") {
+    val xsd = Vocab.xsdNs
+    val island =
+      """<div vocab="http://schema.org/" about="http://ex/s">
+        |<time property="datePublished" datetime="2024-03-01">March 1st</time>
+        |<time property="dateModified" datetime="2024-03-01T10:30:00Z">later</time>
+        |<span property="startTime" datetime="10:30">half ten</span>
+        |<time property="duration" datetime="PT1H30M">90 min</time>
+        |<time property="copyrightYear" datetime="2024">this year</time>
+        |<time property="temporal" datetime="2024-03">March</time>
+        |<time property="alternateName" datetime="not a date">whenever</time>
+        |<time property="name" content="override" datetime="2024-03-01">text</time>
+        |<time property="version" datetime="2024" datatype="">plain forced</time>
+        |</div>""".stripMargin
+    val ts = RdfaLite.parse(island, Some("http://ex/page")).toOption.get.toSet
+    val s = Iri("http://ex/s")
+    assert(ts == Set(
+      Triple(s, Iri(schema + "datePublished"), Lit.typed("2024-03-01", xsd + "date")),
+      Triple(s, Iri(schema + "dateModified"), Lit.typed("2024-03-01T10:30:00Z", xsd + "dateTime")),
+      // @datetime is honored on any element, per the attribute's RDFa rule
+      Triple(s, Iri(schema + "startTime"), Lit.typed("10:30", xsd + "time")),
+      Triple(s, Iri(schema + "duration"), Lit.typed("PT1H30M", xsd + "duration")),
+      Triple(s, Iri(schema + "copyrightYear"), Lit.typed("2024", xsd + "gYear")),
+      Triple(s, Iri(schema + "temporal"), Lit.typed("2024-03", xsd + "gYearMonth")),
+      // unrecognized lexical form → plain literal, lexical still from @datetime
+      Triple(s, Iri(schema + "alternateName"), Lit.plain("not a date")),
+      // @content beats @datetime
+      Triple(s, Iri(schema + "name"), Lit.plain("override")),
+      // explicit @datatype (even empty) suppresses inference
+      Triple(s, Iri(schema + "version"), Lit.plain("2024"))
+    ), ts.toString)
+  }
+
+  test("time element text content gets datatype inference; data element value supplies the literal") {
+    val xsd = Vocab.xsdNs
+    val island =
+      """<div vocab="http://schema.org/" about="http://ex/s">
+        |<time property="datePublished">2024-05-06</time>
+        |<time property="name">just words</time>
+        |<data property="sku" value="SKU-42">the answer</data>
+        |<span property="alternateName" value="ignored">span text</span>
+        |</div>""".stripMargin
+    val ts = RdfaLite.parse(island, Some("http://ex/page")).toOption.get.toSet
+    val s = Iri("http://ex/s")
+    assert(ts == Set(
+      Triple(s, Iri(schema + "datePublished"), Lit.typed("2024-05-06", xsd + "date")),
+      Triple(s, Iri(schema + "name"), Lit.plain("just words")),
+      // @value is a data-element rule; other elements keep their text
+      Triple(s, Iri(schema + "sku"), Lit.plain("SKU-42")),
+      Triple(s, Iri(schema + "alternateName"), Lit.plain("span text"))
+    ), ts.toString)
+    // lenient malformed path agrees
+    val malformed = island.replace("</time>\n<data", "\n<data") // unclosed <time>
+    val lenient = RdfaLite.parse(malformed, Some("http://ex/page")).toOption.get.toSet
+    assert(lenient.contains(Triple(s, Iri(schema + "sku"), Lit.plain("SKU-42"))), lenient.toString)
+  }
+
   test("extraction picks up both the RDF/XML and RDFa islands of a page") {
     import graft.pipeline.{Extract, SyntheticPages}
     val (rel, bytes) = SyntheticPages.fixtureFiles().find(_._1 == "xmlbase/test001.rdf").get
