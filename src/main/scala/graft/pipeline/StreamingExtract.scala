@@ -241,6 +241,43 @@ object StreamingExtract {
       }
   }
 
+  /** Streaming sessionization — the Structured Streaming twin of
+    * [[EventOps.sessionize]], built on Spark's NATIVE session_window
+    * (not custom flatMapGroupsWithState): the engine's session-window
+    * state store handles window merging, spill and expiry, and each
+    * session emits exactly once when the watermark passes its close
+    * (append mode) — the right primitive when the semantics fit, per
+    * the same preference order as batch (compose built-ins before
+    * custom state). Boundary note: session_window merges events with
+    * gap < gapMinutes where the batch gaps-and-islands keeps
+    * gap <= gapMinutes together — the two differ only at an
+    * exactly-equal gap.
+    *
+    * Input columns: (event_id bigint, ts timestamp, user_id bigint,
+    * event_type string). Output per CLOSED session: user_id,
+    * start/end epoch micros of the observed events, duration,
+    * n_events and per-type counts — same rollup columns as q50.
+    *
+    * Scale shape: one stateful exchange on user_id; state per open
+    * session is the aggregate row only (no event buffering), bounded
+    * by the watermark lateness.
+    */
+  def streamingSessionize(events: DataFrame, gapMinutes: Int = 240,
+                          lateness: scala.concurrent.duration.FiniteDuration =
+                            scala.concurrent.duration.Duration(10, "seconds")): DataFrame =
+    events
+      .withWatermark("ts", s"${lateness.toSeconds} seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_clicks"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+      .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"),
+        (col("end_us") - col("start_us")).as("duration_us"),
+        col("n_clicks"), col("n_purchases"))
+
   /** Wire a streaming page source to a parquet triple sink. */
   def start(pages: DataFrame, outDir: String, checkpointDir: String): StreamingQuery =
     triples(pages).writeStream

@@ -118,6 +118,34 @@ class EventCorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byRank.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("streaming sessionize merges within-gap events ACROSS micro-batches, emits on close") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = StreamingExtract.streamingSessionize(
+      mem.toDF().toDF("event_id", "ts", "user_id", "event_type"),
+      gapMinutes = 1)
+      .writeStream.format("memory").queryName("stream_sess").outputMode("append").start()
+    // batch 1: user 1 opens a session; batch 2 EXTENDS it across the
+    // micro-batch boundary (40s gap < 1 min), then a far-future event
+    // advances the watermark past the session close so it emits
+    mem.addData(Seq((1L, t(0), 1L, "click"), (2L, t(20), 1L, "view")))
+    q.processAllAvailable()
+    mem.addData(Seq((3L, t(60), 1L, "purchase")))
+    q.processAllAvailable()
+    mem.addData(Seq((9L, t(100000), 2L, "view")))
+    q.processAllAvailable()
+    q.stop()
+    val out = s.sql("SELECT * FROM stream_sess").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("duration_us"), r.getAs[Long]("n_clicks"), r.getAs[Long]("n_purchases")))
+    // user 1's three events are ONE session (cross-batch merge), 60s span
+    assert(out.toSet == Set((1L, 3L, 60L * 1000000L, 1L, 1L)), out.mkString(","))
+  }
+
   test("hllTrigramCardinality: exact count is right, estimate lands near it") {
     // doc i contributes exactly 2 distinct trigrams (a_i b_i c_i d_i),
     // disjoint across docs → exact_distinct == 2 * nDocs
