@@ -274,6 +274,31 @@ object SparkEntry {
     // gap-based sessionization: gaps-and-islands window + same-key
     // rollup without a second exchange
     "q50_sessionize" -> ((s, d) => EventOps.sessionize(t(s, d, "events"))),
+    // count-min sketch heavy hitters: d=4 × w=4096 md5-prefix buckets,
+    // sketch over the reduced tf table, broadcast min-over-rows
+    // estimate, sort-limit top-k
+    "q51_countmin_topk" -> ((s, d) => CorpusOps.countMinTopK(t(s, d, "documents"))),
+    // histogram quantile estimation: the percentile-at-scale pattern —
+    // ONE map-side-combinable groupBy into $100 price bins, then
+    // cumulative/total windows + conditional aggregation over the
+    // BOUNDED histogram (~1k rows; an exact percentile would sort the
+    // full corpus). p50/p90/p99 as bin lower bounds in integer cents.
+    "q52_price_quantiles" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val binW = 10000L // $100 bins, integer cents
+      val hist = t(s, d, "lineitem")
+        .select(expr(s"CAST(round(l_extendedprice * 100) AS BIGINT) div $binW").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      val wCum = w.orderBy(col("bin")).rowsBetween(w.unboundedPreceding, w.currentRow)
+      val wTot = w.partitionBy().rowsBetween(w.unboundedPreceding, w.unboundedFollowing)
+      def pLo(q: Int) =
+        (min(when(col("cum") * 100 >= col("total") * q, col("bin"))) * binW)
+          .cast("bigint").as(s"p${q}_lo_c")
+      hist
+        .withColumn("cum", sum(col("n")).over(wCum))
+        .withColumn("total", sum(col("n")).over(wTot))
+        .agg(max(col("total")).cast("bigint").as("total_n"), pLo(50), pLo(90), pLo(99))
+    }),
     "q20_ntriples_escape" -> ((s, d) => {
       t(s, d, "documents").select(
         col("doc_id"),
@@ -1196,7 +1221,53 @@ object SparkEntry {
        |FROM sess GROUP BY user_id, session_idx""".stripMargin
   }
 
+  /** DuckDB twin of q51 (count-min): same md5-prefix row-keyed
+    * buckets, same tf-first sketch accumulation, same min-over-rows
+    * estimate and (cm_est DESC, term) top-k total order.
+    */
+  private def q51Sql(depth: Int = 4, hexLen: Int = 3, k: Int = 10): String =
+    s"""WITH occ AS (
+       |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+       |  FROM documents
+       |), tf AS (
+       |  SELECT term, count(*) AS cnt FROM occ GROUP BY term
+       |), expanded AS (
+       |  SELECT term, cnt, r, substr(md5(CAST(r AS VARCHAR) || ':' || term), 1, $hexLen) AS bucket
+       |  FROM tf, range(0, $depth) t(r)
+       |), sketch AS (
+       |  SELECT r, bucket, sum(cnt) AS bcnt FROM expanded GROUP BY r, bucket
+       |), est AS (
+       |  SELECT term, max(cnt) AS exact, min(bcnt) AS cm_est
+       |  FROM expanded JOIN sketch USING (r, bucket) GROUP BY term
+       |)
+       |SELECT term, CAST(exact AS BIGINT) AS exact, CAST(cm_est AS BIGINT) AS cm_est,
+       |  CAST(cm_est - exact AS BIGINT) AS overestimate, CAST(rank AS BIGINT) AS rank
+       |FROM (SELECT *, row_number() OVER (ORDER BY cm_est DESC, term) AS rank FROM est)
+       |WHERE rank <= $k""".stripMargin
+
+  /** DuckDB twin of q52: same integer-cent binning (both engines'
+    * round() agrees on these data — the q1 idiom), same cumulative /
+    * total windows and threshold rule.
+    */
+  private def q52Sql: String =
+    """WITH h AS (
+      |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) // 10000 AS bin, count(*) AS n
+      |  FROM lineitem GROUP BY bin
+      |), c AS (
+      |  SELECT bin, n,
+      |    sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(n) OVER () AS total
+      |  FROM h
+      |)
+      |SELECT CAST(max(total) AS BIGINT) AS total_n,
+      |  CAST(min(CASE WHEN cum * 100 >= total * 50 THEN bin END) * 10000 AS BIGINT) AS p50_lo_c,
+      |  CAST(min(CASE WHEN cum * 100 >= total * 90 THEN bin END) * 10000 AS BIGINT) AS p90_lo_c,
+      |  CAST(min(CASE WHEN cum * 100 >= total * 99 THEN bin END) * 10000 AS BIGINT) AS p99_lo_c
+      |FROM c""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q52_price_quantiles" -> q52Sql,
+    "q51_countmin_topk" -> q51Sql(),
     "q47_bm25_topk" -> q47Sql(),
     "q48_hll_trigrams" -> q48Sql,
     "q49_asof_join" -> q49Sql,

@@ -264,6 +264,52 @@ object CorpusOps {
         col("exact_distinct"))
   }
 
+  /** Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    * estimate every term's corpus frequency through a d=4 × w=4096
+    * counter sketch and emit the top-`k` terms by estimate, with the
+    * exact count and the sketch's (always non-negative) overestimate
+    * side by side. Buckets are md5 hex prefixes keyed per row
+    * (`md5("<row>:" || term)`, 3 hex chars → 4096 string buckets — the
+    * q45 technique, no hex-to-int conversion either engine would do
+    * differently).
+    *
+    * Scale shape: counts are summed map-side into the (term, tf) table
+    * FIRST (one corpus shuffle — sum is associative, so sketching the
+    * reduced table is result-identical to sketching raw occurrences),
+    * then the ×d row expansion runs over distinct terms only; the
+    * sketch itself collapses to ≤ d·w rows and BROADCASTS back for the
+    * min-over-rows estimate. Nothing after the tf rollup touches
+    * corpus-sized data.
+    */
+  def countMinTopK(documents: DataFrame, depth: Int = 4, hexLen: Int = 3,
+                   k: Int = 10): DataFrame = {
+    require(depth >= 1 && depth <= 8, "depth in [1,8]")
+    require(hexLen >= 1 && hexLen <= 8, "bucket hex length in [1,8]")
+    val tf = documents.select(explode(wordsExpr).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val expanded = tf.select(col("term"), col("cnt"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("bucket",
+        substring(md5(concat(col("r").cast("string"), lit(":"), col("term"))), 1, hexLen))
+    val sketch = expanded.groupBy(col("r"), col("bucket")).agg(sum(col("cnt")).as("bcnt"))
+    val est = expanded.select(col("term"), col("cnt"), col("r"), col("bucket"))
+      .join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy(col("term"))
+      .agg(max(col("cnt")).as("exact"), min(col("bcnt")).as("cm_est"))
+    // global top-k via sort-limit (TakeOrderedAndProject: per-partition
+    // TopK then a k-row merge), NOT a row_number window — a global
+    // window would funnel the whole term table through one partition;
+    // the rank window below touches only the k surviving rows
+    val topK = est.orderBy(col("cm_est").desc, col("term").asc).limit(k)
+    topK.withColumn("rank",
+        row_number().over(Window.orderBy(col("cm_est").desc, col("term").asc)))
+      .select(col("term"),
+        col("exact").cast("bigint").as("exact"),
+        col("cm_est").cast("bigint").as("cm_est"),
+        (col("cm_est") - col("exact")).cast("bigint").as("overestimate"),
+        col("rank").cast("bigint").as("rank"))
+  }
+
   /** TF-IDF-style keyword extraction: the top-`k` most
     * characteristic terms per document, scored by an integer tf-over-df
     * ratio (term frequency ×1e6 div document frequency — the same

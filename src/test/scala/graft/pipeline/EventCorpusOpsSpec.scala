@@ -146,6 +146,20 @@ class EventCorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSet == Set((1L, 3L, 60L * 1000000L, 1L, 1L)), out.mkString(","))
   }
 
+  test("countMinTopK: planted heavy hitter ranks first, estimate never undercounts") {
+    val heavy = Array.fill(60)("alpha").mkString(" ")
+    val d = docs(
+      (1L, heavy), (2L, "beta beta gamma"), (3L, "gamma delta epsilon"),
+      (4L, "zeta eta theta iota"), (5L, "beta kappa"))
+    val got = CorpusOps.countMinTopK(d, k = 5).collect().sortBy(_.getAs[Long]("rank"))
+    assert(got.head.getAs[String]("term") == "alpha")
+    assert(got.head.getAs[Long]("exact") == 60L)
+    // count-min is one-sided: estimates only ever overcount
+    assert(got.forall(r => r.getAs[Long]("overestimate") >= 0L))
+    assert(got.forall(r => r.getAs[Long]("cm_est") >= r.getAs[Long]("exact")))
+    assert(got.map(_.getAs[Long]("rank")).toSeq == (1L to 5L))
+  }
+
   test("hllTrigramCardinality: exact count is right, estimate lands near it") {
     // doc i contributes exactly 2 distinct trigrams (a_i b_i c_i d_i),
     // disjoint across docs → exact_distinct == 2 * nDocs
