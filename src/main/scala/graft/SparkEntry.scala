@@ -274,6 +274,12 @@ object SparkEntry {
     // gap-based sessionization: gaps-and-islands window + same-key
     // rollup without a second exchange
     "q50_sessionize" -> ((s, d) => EventOps.sessionize(t(s, d, "events"))),
+    // funnel analysis: greedy ordered view→click→purchase conversion,
+    // per-stage user-keyed MIN aggregates chained by reduced joins
+    "q53_funnel" -> ((s, d) => EventOps.funnel(t(s, d, "events"))),
+    // cohort retention triangle: first-activity-day cohorts × whole-day
+    // offsets, exact integer epoch-day arithmetic
+    "q54_cohort_retention" -> ((s, d) => EventOps.cohortRetention(t(s, d, "events"))),
     // count-min sketch heavy hitters: d=4 × w=4096 md5-prefix buckets,
     // sketch over the reduced tf table, broadcast min-over-rows
     // estimate, sort-limit top-k
@@ -1265,7 +1271,47 @@ object SparkEntry {
       |  CAST(min(CASE WHEN cum * 100 >= total * 99 THEN bin END) * 10000 AS BIGINT) AS p99_lo_c
       |FROM c""".stripMargin
 
+  /** DuckDB twin of q53: same greedy per-stage MIN chain, same strict
+    * ordering rule and stage derivation.
+    */
+  private def q53Sql: String =
+    """WITH base AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+      |), t1 AS (
+      |  SELECT user_id, min(ts_us) AS t1_us FROM base WHERE event_type = 'view' GROUP BY user_id
+      |), t2 AS (
+      |  SELECT b.user_id, min(ts_us) AS t2_us FROM base b JOIN t1 USING (user_id)
+      |  WHERE event_type = 'click' AND ts_us > t1_us GROUP BY b.user_id
+      |), t3 AS (
+      |  SELECT b.user_id, min(ts_us) AS t3_us FROM base b JOIN t2 USING (user_id)
+      |  WHERE event_type = 'purchase' AND ts_us > t2_us GROUP BY b.user_id
+      |), u AS (
+      |  SELECT DISTINCT user_id FROM events
+      |)
+      |SELECT u.user_id, t1_us, t2_us, t3_us,
+      |  CAST(CASE WHEN t3_us IS NOT NULL THEN 3
+      |            WHEN t2_us IS NOT NULL THEN 2
+      |            WHEN t1_us IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+      |FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)""".stripMargin
+
+  /** DuckDB twin of q54: same (user, day)-distinct activity, same
+    * min-day cohorts and integer epoch-day offsets.
+    */
+  private def q54Sql: String =
+    """WITH activity AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+      |), f AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id
+      |)
+      |SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+      |  CAST(day - cohort_day AS BIGINT) AS day_offset,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM activity JOIN f USING (user_id)
+      |GROUP BY cohort_day, day - cohort_day""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q53_funnel" -> q53Sql,
+    "q54_cohort_retention" -> q54Sql,
     "q52_price_quantiles" -> q52Sql,
     "q51_countmin_topk" -> q51Sql(),
     "q47_bm25_topk" -> q47Sql(),

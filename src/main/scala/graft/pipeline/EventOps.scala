@@ -76,6 +76,68 @@ object EventOps {
         col("m_val").as("r_value"))
   }
 
+  /** Funnel analysis: per user, the GREEDY ordered conversion through
+    * view → click → purchase — earliest view, then earliest click
+    * strictly after it, then earliest purchase strictly after that —
+    * plus the stage reached (0-3). The greedy chain is the standard
+    * funnel semantics: if any ordered subsequence exists, the greedy
+    * one does (earliest-first never forfeits a later match).
+    *
+    * Scale shape: each stage is a per-(user,type) MIN aggregate —
+    * map-side combinable, user-keyed — chained by two user-key joins
+    * over the already-reduced per-user frames. No ordered scan of raw
+    * timelines, no window over the full event stream; AQE handles
+    * user-count skew. At 100 TB the three filtered aggregates are the
+    * only corpus-sized passes.
+    */
+  def funnel(events: DataFrame, steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.size == 3, "funnel expects exactly three step types")
+    val base = events.select(col("user_id"), col("event_type"), tsUs.as("ts_us"))
+    def stageMin(ty: String, after: DataFrame, afterCol: String, out: String): DataFrame = {
+      val s = base.where(col("event_type") === ty)
+      (if (after == null) s else
+        s.join(after.select(col("user_id"), col(afterCol)), Seq("user_id"))
+          .where(col("ts_us") > col(afterCol)))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as(out))
+    }
+    val t1 = stageMin(steps(0), null, null, "t1_us")
+    val t2 = stageMin(steps(1), t1, "t1_us", "t2_us")
+    val t3 = stageMin(steps(2), t2, "t2_us", "t3_us")
+    events.select(col("user_id")).distinct()
+      .join(t1, Seq("user_id"), "left")
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"),
+        (when(col("t3_us").isNotNull, 3)
+          .when(col("t2_us").isNotNull, 2)
+          .when(col("t1_us").isNotNull, 1)
+          .otherwise(0)).cast("bigint").as("stage"))
+  }
+
+  /** Cohort retention: users grouped by their first-activity day (the
+    * cohort), counted per whole-day offset of later activity — the
+    * classic retention triangle, in exact integer epoch-day
+    * arithmetic. Emits (cohort_day, day_offset, n_users) with
+    * offset 0 = the cohort's own size.
+    *
+    * Scale shape: first-activity day is one user-keyed MIN aggregate;
+    * the activity join is user-keyed over (user, day)-distinct rows
+    * (map-side-combinable distinct first, so the join never sees raw
+    * events); the final rollup keys on (cohort, offset) — bounded by
+    * days², tiny. Three shuffles, none over raw occurrences twice.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    // integer div, not Column./ (which is FP division)
+    val day = expr(
+      "CAST(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400000000 AS BIGINT)")
+    val activity = events.select(col("user_id"), day.as("day")).distinct()
+    val first = activity.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    activity.join(first, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("cohort_day"), col("day_offset"), col("n_users"))
+  }
+
   /** Gap-based sessionization: a user's events split into sessions
     * wherever the inter-event gap exceeds `gapMinutes`; emits one row
     * per session with its span and per-type counts. The classic

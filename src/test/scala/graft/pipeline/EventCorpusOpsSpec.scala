@@ -146,6 +146,41 @@ class EventCorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSet == Set((1L, 3L, 60L * 1000000L, 1L, 1L)), out.mkString(","))
   }
 
+  test("funnel: greedy ordered conversion; out-of-order steps do not count") {
+    val e = events(
+      // user 1 converts fully — but only via the ordered chain:
+      // click@5 precedes the first view and must not count as stage 2
+      (1L, 10L, 1L, "view", 0.0), (2L, 5L, 1L, "click", 0.0),
+      (3L, 20L, 1L, "click", 0.0), (4L, 15L, 1L, "purchase", 0.0),
+      (5L, 30L, 1L, "purchase", 0.0),
+      // user 2: click only, never viewed → stage 0
+      (6L, 5L, 2L, "click", 0.0),
+      // user 3: view then purchase but no click between → stage 1
+      (7L, 10L, 3L, "view", 0.0), (8L, 20L, 3L, "purchase", 0.0))
+    val got = EventOps.funnel(e).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (Option(r.getAs[java.lang.Long]("t1_us")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("t2_us")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("t3_us")).map(_.toLong),
+          r.getAs[Long]("stage"))).toMap
+    val M = 1000000L
+    assert(got(1L) == ((Some(10L * M), Some(20L * M), Some(30L * M), 3L)))
+    assert(got(2L) == ((None, None, None, 0L)))
+    assert(got(3L) == ((Some(10L * M), None, None, 1L)))
+  }
+
+  test("cohortRetention: min-day cohorts, whole-day offsets, same-day dedup") {
+    val day = 86400L
+    val e = events(
+      (1L, 0L, 1L, "view", 0.0), (2L, 2 * day + 100L, 1L, "click", 0.0),
+      (3L, 2 * day, 2L, "view", 0.0),
+      (4L, 10L, 3L, "view", 0.0), (5L, 20L, 3L, "view", 0.0)) // same day twice → one row
+    val got = EventOps.cohortRetention(e).collect()
+      .map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("day_offset")) -> r.getAs[Long]("n_users"))
+      .toMap
+    assert(got == Map((0L, 0L) -> 2L, (0L, 2L) -> 1L, (2L, 0L) -> 1L), got.toString)
+  }
+
   test("countMinTopK: planted heavy hitter ranks first, estimate never undercounts") {
     val heavy = Array.fill(60)("alpha").mkString(" ")
     val d = docs(
