@@ -177,6 +177,13 @@ object CorpusOps {
     require(k >= 1, "k must be >= 1")
     val corpus = documents.where(col("doc_id") % qModulus =!= 0)
     val queries = documents.where(col("doc_id") % qModulus === 0)
+    // NOTE (measured, sf0.1): ~7s warm, dominated by the candidate
+    // join+rollup — the synthetic 31-word vocabulary makes EVERY query
+    // term match nearly every doc (~18M joined rows for ~600k
+    // candidate pairs), the retrieval analogue of the embedding
+    // fat-bucket regime; a real vocabulary's posting lists are sparse.
+    // A/B'd: eager-checkpointing tf (it is consumed twice) does NOT
+    // help (7.4s vs 7.1s) — the double scan is not the bottleneck.
     val tf = corpus.select(col("doc_id"), explode(wordsExpr).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val withStats = tf
