@@ -364,6 +364,20 @@ object SparkEntry {
       val triples = Extract.run(pages).flatMap(_.triple).toDF()
       KgPipeline.linkMentions(pages.toDF(), KgPipeline.entityAliases(triples))
     }),
+    // WARC round-trip: synthesize a Common-Crawl-layout shard (one
+    // gzip member per response record) from the fixture pages, read it
+    // back through the WARC source, extract — the real web-crawl
+    // ingestion path end-to-end (fixture set is bounded; the collect
+    // is generator-side only, never part of the read path)
+    "x_warc_source" -> ((s, _) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_warc_q")
+      val shard = dir.resolve("shard.warc.gz").toString
+      val pages = SyntheticPages.pages(s, copies = 1, numPartitions = 2).collect()
+      graft.sources.WarcSource.writeShardFile(
+        shard, pages.iterator.map(p => (p.url, p.warc_ts, p.html)))
+      Extract.run(graft.sources.WarcSource.pages(s, shard)).flatMap(_.triple).toDF()
+    }),
     "x_rdfxml_file_source" -> ((s, _) =>
       graft.sources.RdfSources.rdfXmlFiles(
         s, "/root/reference/test/data/w3c-rdf-1.1-xml-test-suite/xmlbase/*.rdf").toDF()),
