@@ -274,6 +274,9 @@ object SparkEntry {
     // gap-based sessionization: gaps-and-islands window + same-key
     // rollup without a second exchange
     "q50_sessionize" -> ((s, d) => EventOps.sessionize(t(s, d, "events"))),
+    // temperature-resampling mixture weights: per-source token counts
+    // → floor(sqrt) weights → ppm shares (τ=2 source re-balancing)
+    "q55_temperature_mix" -> ((s, d) => CorpusOps.temperatureMix(t(s, d, "documents"))),
     // funnel analysis: greedy ordered view→click→purchase conversion,
     // per-stage user-keyed MIN aggregates chained by reduced joins
     "q53_funnel" -> ((s, d) => EventOps.funnel(t(s, d, "events"))),
@@ -1323,7 +1326,25 @@ object SparkEntry {
       |FROM activity JOIN f USING (user_id)
       |GROUP BY cohort_day, day - cohort_day""".stripMargin
 
+  /** DuckDB twin of q55: same whitespace token counts (the q9 twin
+    * expression), same floor(sqrt) weight — IEEE sqrt of an exactly-
+    * representable bigint is identical in both engines — same ppm div.
+    */
+  private def q55Sql: String =
+    s"""WITH s AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    sum(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS n_tokens
+       |  FROM documents GROUP BY source
+       |), w AS (
+       |  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w FROM s
+       |)
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens, w,
+       |  CAST(w * 1000000 // sum(w) OVER () AS BIGINT) AS share_ppm
+       |FROM w""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q55_temperature_mix" -> q55Sql,
     "q53_funnel" -> q53Sql,
     "q54_cohort_retention" -> q54Sql,
     "q52_price_quantiles" -> q52Sql,

@@ -271,6 +271,39 @@ object CorpusOps {
         col("exact_distinct"))
   }
 
+  /** Temperature-resampling mixture weights: per-source sampling
+    * shares proportional to `tokens^(1/2)` — the standard multilingual
+    * / multi-source re-balancing (temperature τ=2: big sources get
+    * down-weighted, small ones up-weighted, exponents between 1 and 0
+    * interpolate between natural and uniform mixing). Emits per
+    * source its doc/token counts, the integer sqrt weight and the
+    * share in ppm.
+    *
+    * Cross-engine exactness: the only non-integer step is
+    * `floor(sqrt(n))` — IEEE-754 sqrt is correctly rounded and n is
+    * exactly representable below 2^52, so both engines floor the SAME
+    * double; everything after is integer (shares in ppm via div).
+    *
+    * Scale shape: one map-side-combinable groupBy to per-source
+    * counts; the share denominator is a window over the tiny source
+    * table. Nothing corpus-sized past the rollup.
+    */
+  def temperatureMix(documents: DataFrame): DataFrame = {
+    val perSource = documents
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text"))).as("n_tokens"))
+      .withColumn("w", floor(sqrt(col("n_tokens").cast("double"))).cast("bigint"))
+    val wTot = Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perSource
+      .withColumn("w_total", sum(col("w")).over(wTot))
+      .select(col("source"),
+        col("n_docs").cast("bigint").as("n_docs"),
+        col("n_tokens").cast("bigint").as("n_tokens"),
+        col("w"),
+        expr("CAST(w * 1000000 div w_total AS BIGINT)").as("share_ppm"))
+  }
+
   /** Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005):
     * estimate every term's corpus frequency through a d=4 × w=4096
     * counter sketch and emit the top-`k` terms by estimate, with the

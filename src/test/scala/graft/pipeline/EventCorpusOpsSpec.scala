@@ -181,6 +181,21 @@ class EventCorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map((0L, 0L) -> 2L, (0L, 2L) -> 1L, (2L, 0L) -> 1L), got.toString)
   }
 
+  test("temperatureMix: sqrt weights compress source imbalance; shares sum to ~1e6") {
+    val s = spark
+    import s.implicits._
+    // source a: 400 tokens, source b: 100 → weights 20/10 → shares 2:1
+    // (natural mixing would be 4:1 — the sqrt compresses the ratio)
+    val d = Seq(
+      (1L, Array.fill(400)("w").mkString(" "), "a"),
+      (2L, Array.fill(100)("w").mkString(" "), "b")).toDF("doc_id", "text", "source")
+    val got = CorpusOps.temperatureMix(d).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("w"), r.getAs[Long]("share_ppm"))).toMap
+    assert(got("a") == ((400L, 20L, 666666L)))
+    assert(got("b") == ((100L, 10L, 333333L)))
+  }
+
   test("countMinTopK: planted heavy hitter ranks first, estimate never undercounts") {
     val heavy = Array.fill(60)("alpha").mkString(" ")
     val d = docs(
