@@ -274,6 +274,24 @@ object SparkEntry {
     // gap-based sessionization: gaps-and-islands window + same-key
     // rollup without a second exchange
     "q50_sessionize" -> ((s, d) => EventOps.sessionize(t(s, d, "events"))),
+    // integer-exact PageRank over the customer–supplier bipartite
+    // graph (orders⋈lineitem, both directions): 5 fixed iterations of
+    // r' = 150000 + 85·Σ(r div deg) div 100, top-20 by final rank —
+    // replayed value-exact in DuckDB via unrolled CTEs
+    "q56_pagerank" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      val pairs = orders.join(li, orders("o_orderkey") === li("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      GraphOps.pageRank(edges)
+        .select(col("node"),
+          when(col("node") % 2 === 0, "cust").otherwise("supp").as("kind"),
+          expr("CAST(node div 2 AS BIGINT)").as("ent_key"),
+          col("r"), col("rank"))
+    }),
     // temperature-resampling mixture weights: per-source token counts
     // → floor(sqrt) weights → ppm shares (τ=2 source re-balancing)
     "q55_temperature_mix" -> ((s, d) => CorpusOps.temperatureMix(t(s, d, "documents"))),
@@ -1343,7 +1361,38 @@ object SparkEntry {
        |  CAST(w * 1000000 // sum(w) OVER () AS BIGINT) AS share_ppm
        |FROM w""".stripMargin
 
+  /** DuckDB twin of q56 (PageRank): same edge/degree derivation, the
+    * same fixed iterations UNROLLED as CTEs (r0..rN), identical
+    * truncating integer arithmetic at every step.
+    */
+  private def q56Sql(iters: Int = 5, k: Int = 20): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node, CAST(150000 + 85 * sum(r${i - 1}.r // e.deg) // 100 AS BIGINT) AS r
+         |  FROM ed e JOIN r${i - 1} ON r${i - 1}.node = e.src GROUP BY e.dst
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |), edges AS (
+       |  SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b AS src, a AS dst FROM pairs
+       |), deg AS (
+       |  SELECT src, count(*) AS deg FROM edges GROUP BY src
+       |), ed AS (
+       |  SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)
+       |), r0 AS (
+       |  SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS r FROM edges
+       |), $iterCtes
+       |SELECT node,
+       |  CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,
+       |  CAST(node // 2 AS BIGINT) AS ent_key, r, CAST(rank AS BIGINT) AS rank
+       |FROM (SELECT *, row_number() OVER (ORDER BY r DESC, node) AS rank FROM r$iters)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q56_pagerank" -> q56Sql(),
     "q55_temperature_mix" -> q55Sql,
     "q53_funnel" -> q53Sql,
     "q54_cohort_retention" -> q54Sql,

@@ -181,6 +181,22 @@ class EventCorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map((0L, 0L) -> 2L, (0L, 2L) -> 1L, (2L, 0L) -> 1L), got.toString)
   }
 
+  test("pageRank: hand-computed integer fixpoint steps on a 3-node star") {
+    val s = spark
+    import s.implicits._
+    // 0 <-> 1, 0 <-> 2: deg(0)=2, deg(1)=deg(2)=1
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 0L), (2L, 0L)).toDF("src", "dst")
+    // r1(0) = 150000 + 85*(1e6 + 1e6) div 100          = 1850000
+    // r1(1) = r1(2) = 150000 + 85*(1e6 div 2) div 100  = 575000
+    // r2(0) = 150000 + 85*(575000+575000) div 100      = 1127500
+    // r2(1) = 150000 + 85*(1850000 div 2) div 100      = 936250
+    val got = GraphOps.pageRank(edges, iters = 2, k = 3).collect()
+      .map(r => r.getAs[Long]("node") -> (r.getAs[Long]("r"), r.getAs[Long]("rank"))).toMap
+    assert(got(0L) == ((1127500L, 1L)))
+    assert(got(1L) == ((936250L, 2L))) // rank tie with node 2 breaks on node id
+    assert(got(2L) == ((936250L, 3L)))
+  }
+
   test("temperatureMix: sqrt weights compress source imbalance; shares sum to ~1e6") {
     val s = spark
     import s.implicits._
