@@ -274,6 +274,10 @@ object SparkEntry {
     // gap-based sessionization: gaps-and-islands window + same-key
     // rollup without a second exchange
     "q50_sessionize" -> ((s, d) => EventOps.sessionize(t(s, d, "events"))),
+    // RAG-style sliding-window chunking: token-offset chunks with
+    // overlap (window 32 / stride 24 — small enough that the synthetic
+    // docs actually split), shuffle-free explode
+    "q57_chunk_sliding" -> ((s, d) => CorpusOps.chunkSliding(t(s, d, "documents"), window = 32, stride = 24)),
     // integer-exact PageRank over the customer–supplier bipartite
     // graph (orders⋈lineitem, both directions): 5 fixed iterations of
     // r' = 150000 + 85·Σ(r div deg) div 100, top-20 by final rank —
@@ -1391,7 +1395,31 @@ object SparkEntry {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** DuckDB twin of q57: same integer chunk-count ceil, same 1-based
+    * list slice bounds, same single-space re-join.
+    */
+  private def q57Sql(window: Int = 128, stride: Int = 96): String =
+    s"""WITH base AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+       |  FROM documents
+       |), sized AS (
+       |  SELECT doc_id, words, len(words) AS n FROM base WHERE len(words) > 0
+       |), idx AS (
+       |  SELECT doc_id, words, n,
+       |    unnest(range(0, CASE WHEN n <= $window THEN 1
+       |                         ELSE (n - $window + $stride - 1) // $stride + 1 END)) AS chunk_idx
+       |  FROM sized
+       |)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(chunk_idx * $stride AS BIGINT) AS start_tok,
+       |  CAST(least(chunk_idx * $stride + $window, n) AS BIGINT) AS end_tok,
+       |  CAST(least(chunk_idx * $stride + $window, n) - chunk_idx * $stride AS BIGINT) AS n_tokens,
+       |  array_to_string(list_slice(words, chunk_idx * $stride + 1,
+       |    least(chunk_idx * $stride + $window, n)), ' ') AS chunk_text
+       |FROM idx""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q57_chunk_sliding" -> q57Sql(window = 32, stride = 24),
     "q56_pagerank" -> q56Sql(),
     "q55_temperature_mix" -> q55Sql,
     "q53_funnel" -> q53Sql,

@@ -271,6 +271,41 @@ object CorpusOps {
         col("exact_distinct"))
   }
 
+  /** Sliding-window chunking with overlap — the retrieval-indexing
+    * (RAG) complement of q39's training-side packing: each document
+    * yields ceil((n-window)/stride)+1 chunks of `window` tokens
+    * advancing by `stride` (overlap = window-stride tokens), the last
+    * chunk clamped to the document end. Emits per chunk its token
+    * span and the chunk text (the token slice re-joined with single
+    * spaces — the engine-exact definition; offsets are the contract,
+    * the text is a convenience).
+    *
+    * Scale shape: one explode of per-doc chunk indices (output is
+    * chunk-proportional, the point of the operator); the token array
+    * is computed once per row and sliced per chunk inside the same
+    * projection — no shuffle at all, embarrassingly parallel.
+    */
+  def chunkSliding(documents: DataFrame, window: Int = 128, stride: Int = 96): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      "need 1 <= stride <= window")
+    val base = documents.select(col("doc_id"), wordsExpr.as("words"))
+      .withColumn("n", size(col("words")))
+      .where(col("n") > 0)
+    // integer ceil: ceil((n-window)/stride) = (n-window+stride-1) div stride
+    val nChunks = when(col("n") <= window, lit(1))
+      .otherwise(expr(s"CAST((n - $window + $stride - 1) div $stride AS INT) + 1"))
+    base
+      .withColumn("chunk_idx", explode(sequence(lit(0), nChunks - 1)))
+      .select(col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+        expr(s"CAST(chunk_idx * $stride AS BIGINT)").as("start_tok"),
+        expr(s"CAST(least(chunk_idx * $stride + $window, n) AS BIGINT)").as("end_tok"),
+        expr(s"CAST(least(chunk_idx * $stride + $window, n) - chunk_idx * $stride AS BIGINT)")
+          .as("n_tokens"),
+        expr(s"array_join(slice(words, chunk_idx * $stride + 1, " +
+          s"least(chunk_idx * $stride + $window, n) - chunk_idx * $stride), ' ')")
+          .as("chunk_text"))
+  }
+
   /** Temperature-resampling mixture weights: per-source sampling
     * shares proportional to `tokens^(1/2)` — the standard multilingual
     * / multi-source re-balancing (temperature τ=2: big sources get

@@ -181,6 +181,22 @@ class EventCorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map((0L, 0L) -> 2L, (0L, 2L) -> 1L, (2L, 0L) -> 1L), got.toString)
   }
 
+  test("chunkSliding: overlapping token windows, clamped tail, single-chunk and empty docs") {
+    val d = docs(
+      (1L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"), // 10 tokens → 3 chunks at 4/3
+      (2L, "a b"),                            // fits one window
+      (3L, ""))                               // no tokens → no rows
+    val got = CorpusOps.chunkSliding(d, window = 4, stride = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx")) ->
+        (r.getAs[Long]("start_tok"), r.getAs[Long]("end_tok"), r.getAs[String]("chunk_text")))
+      .toMap
+    assert(got.keySet == Set((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L)))
+    assert(got((1L, 0L)) == ((0L, 4L, "w0 w1 w2 w3")))
+    assert(got((1L, 1L)) == ((3L, 7L, "w3 w4 w5 w6"))) // 1-token overlap
+    assert(got((1L, 2L)) == ((6L, 10L, "w6 w7 w8 w9"))) // clamped tail
+    assert(got((2L, 0L)) == ((0L, 2L, "a b")))
+  }
+
   test("pageRank: hand-computed integer fixpoint steps on a 3-node star") {
     val s = spark
     import s.implicits._
