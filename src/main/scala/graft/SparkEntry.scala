@@ -274,6 +274,9 @@ object SparkEntry {
     // gap-based sessionization: gaps-and-islands window + same-key
     // rollup without a second exchange
     "q50_sessionize" -> ((s, d) => EventOps.sessionize(t(s, d, "events"))),
+    // grouped HLL: one register set per source — the mergeable-state
+    // property that makes the sketch a 100-TB primitive
+    "q58_hll_by_source" -> ((s, d) => CorpusOps.hllTrigramsBySource(t(s, d, "documents"))),
     // RAG-style sliding-window chunking: token-offset chunks with
     // overlap (window 32 / stride 24 — small enough that the synthetic
     // docs actually split), shuffle-free explode
@@ -1186,6 +1189,45 @@ object SparkEntry {
     * string ops, same dyadic 2^40 harmonic accumulation, same
     * truncation order for the alpha correction.
     */
+  /** DuckDB twin of q58: q48's sketch with `source` added to both
+    * group-bys — same register derivation per group.
+    */
+  private def q58Sql: String =
+    """WITH base AS (
+      |  SELECT source, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+      |  FROM documents
+      |), tri AS (
+      |  SELECT source, unnest(CASE WHEN len(words) >= 3
+      |    THEN list_transform(range(1, len(words) - 1), i -> md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+      |    ELSE CAST([] AS VARCHAR[]) END) AS h
+      |  FROM base
+      |), reg AS (
+      |  SELECT source, substr(h, 1, 2) AS bucket,
+      |    CASE WHEN stripped = '' THEN 121
+      |         ELSE (30 - length(stripped)) * 4 + 1 +
+      |           CASE WHEN nib >= '8' THEN 0 WHEN nib >= '4' THEN 1 WHEN nib >= '2' THEN 2 ELSE 3 END
+      |    END AS rho, h
+      |  FROM (SELECT source, h, regexp_replace(substr(h, 3, 30), '^0+', '') AS stripped,
+      |          substr(regexp_replace(substr(h, 3, 30), '^0+', ''), 1, 1) AS nib FROM tri)
+      |), regs AS (
+      |  SELECT source, bucket, max(rho) AS max_rho, count(DISTINCT h) AS nd FROM reg GROUP BY source, bucket
+      |), acc AS (
+      |  SELECT source, count(*) AS n_buckets,
+      |    sum(CAST(1 AS BIGINT) << (40 - least(max_rho, 40))) AS denom_obs,
+      |    sum(nd) AS exact_distinct
+      |  FROM regs GROUP BY source
+      |), fin AS (
+      |  SELECT source, n_buckets, denom_obs + (256 - n_buckets) * (CAST(1 AS BIGINT) << 40) AS denom_x2p40,
+      |    exact_distinct
+      |  FROM acc
+      |)
+      |SELECT source, CAST(n_buckets AS BIGINT) AS n_buckets,
+      |  CAST(denom_x2p40 AS BIGINT) AS denom_x2p40,
+      |  CAST((CAST(1 AS BIGINT) << 56) // denom_x2p40 AS BIGINT) AS est_raw,
+      |  CAST((CAST(1 AS BIGINT) << 56) // denom_x2p40 * 71827 // 100000 AS BIGINT) AS est_alpha,
+      |  CAST(exact_distinct AS BIGINT) AS exact_distinct
+      |FROM fin""".stripMargin
+
   private def q48Sql: String =
     """WITH base AS (
       |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
@@ -1420,6 +1462,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q57_chunk_sliding" -> q57Sql(window = 32, stride = 24),
+    "q58_hll_by_source" -> q58Sql,
     "q56_pagerank" -> q56Sql(),
     "q55_temperature_mix" -> q55Sql,
     "q53_funnel" -> q53Sql,

@@ -236,40 +236,60 @@ object CorpusOps {
     * the sketch replaces (kept here because the oracle wants the
     * ground truth in the same row; drop it at 100 TB).
     */
-  def hllTrigramCardinality(documents: DataFrame): DataFrame = {
+  def hllTrigramCardinality(documents: DataFrame): DataFrame =
+    hllFinalize(hllRegisters(documents, Seq.empty).groupBy())
+      .select(col("n_buckets"), col("denom_x2p40"), col("est_raw"),
+        col("est_alpha"), col("exact_distinct"))
+
+  /** Per-source HLL — the same sketch GROUPED by `source`, one
+    * register set per group: the mergeable-state property that makes
+    * HLL the 100-TB primitive (per-partition partial registers combine
+    * by max, per-group or globally, in one map-side-combinable pass).
+    */
+  def hllTrigramsBySource(documents: DataFrame): DataFrame =
+    hllFinalize(hllRegisters(documents, Seq("source")).groupBy(col("source")))
+      .select(col("source"), col("n_buckets"), col("denom_x2p40"),
+        col("est_raw"), col("est_alpha"), col("exact_distinct"))
+
+  /** md5 trigram stream → (group?, bucket, max rho, per-bucket exact
+    * distinct) registers.
+    */
+  private def hllRegisters(documents: DataFrame, groupCols: Seq[String]): DataFrame = {
     val w = col("words")
     val triExpr = when(size(w) >= 3,
       transform(sequence(lit(1), size(w) - 2),
         i => md5(concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
       .otherwise(array().cast("array<string>"))
-    val h = documents.select(wordsExpr.as("words"))
-      .select(explode(triExpr).as("h"))
+    val gc = groupCols.map(col)
+    val h = documents.select(gc :+ wordsExpr.as("words"): _*)
+      .select(gc :+ explode(triExpr).as("h"): _*)
     val stripped = regexp_replace(substring(col("h"), 3, 30), "^0+", "")
     val nib = substring(stripped, 1, 1)
     val rho = when(length(stripped) === 0, lit(121))
       .otherwise((lit(30) - length(stripped)) * 4 + lit(1) +
         when(nib >= "8", 0).when(nib >= "4", 1).when(nib >= "2", 2).otherwise(3))
-    val regs = h
-      .select(substring(col("h"), 1, 2).as("bucket"), rho.as("rho"),
-        col("h"))
-      .groupBy(col("bucket"))
+    h.select(gc ++ Seq(substring(col("h"), 1, 2).as("bucket"), rho.as("rho"), col("h")): _*)
+      .groupBy(gc :+ col("bucket"): _*)
       .agg(max(col("rho")).as("max_rho"), countDistinct(col("h")).as("nd"))
-    regs.agg(
-      count(lit(1)).as("n_buckets"),
+  }
+
+  /** Registers → (n_buckets, dyadic harmonic denominator, raw and
+    * alpha-corrected estimates, exact distinct) per group.
+    */
+  private def hllFinalize(grouped: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+    grouped.agg(
+      count(lit(1)).as("n_buckets_raw"),
       sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(40 - least(max_rho, 40) AS INT)) AS BIGINT)"))
         .as("denom_obs"),
-      sum(col("nd")).as("exact_distinct"))
-      .select(
-        col("n_buckets").cast("bigint").as("n_buckets"),
-        expr("CAST(denom_obs + (256 - n_buckets) * CAST(shiftleft(CAST(1 AS BIGINT), 40) AS BIGINT) AS BIGINT)")
-          .as("denom_x2p40"),
-        col("exact_distinct").cast("bigint").as("exact_distinct"))
-      .select(col("n_buckets"), col("denom_x2p40"),
-        expr("CAST(shiftleft(CAST(1 AS BIGINT), 56) div denom_x2p40 AS BIGINT)").as("est_raw"),
-        expr("CAST(shiftleft(CAST(1 AS BIGINT), 56) div denom_x2p40 * 71827 div 100000 AS BIGINT)")
-          .as("est_alpha"),
-        col("exact_distinct"))
-  }
+      sum(col("nd")).as("exact_distinct_raw"))
+      .withColumn("n_buckets", col("n_buckets_raw").cast("bigint"))
+      .withColumn("denom_x2p40",
+        expr("CAST(denom_obs + (256 - n_buckets) * CAST(shiftleft(CAST(1 AS BIGINT), 40) AS BIGINT) AS BIGINT)"))
+      .withColumn("exact_distinct", col("exact_distinct_raw").cast("bigint"))
+      .withColumn("est_raw",
+        expr("CAST(shiftleft(CAST(1 AS BIGINT), 56) div denom_x2p40 AS BIGINT)"))
+      .withColumn("est_alpha",
+        expr("CAST(shiftleft(CAST(1 AS BIGINT), 56) div denom_x2p40 * 71827 div 100000 AS BIGINT)"))
 
   /** Sliding-window chunking with overlap — the retrieval-indexing
     * (RAG) complement of q39's training-side packing: each document
