@@ -241,6 +241,62 @@ object StreamingExtract {
       }
   }
 
+  /** Streaming funnel — the online twin of [[EventOps.funnel]]: per
+    * user, custom state tracks the conversion stage reached (one
+    * (stage, last_ts) pair per user — bounded, TTL-expired), and a row
+    * (user_id, stage, ts_us) is emitted the moment a user ADVANCES a
+    * stage. Within a micro-batch, arrivals replay in event-time order;
+    * the greedy chain rule matches batch (each stage strictly after
+    * the previous). Semantics caveat, documented: an event arriving in
+    * a LATER micro-batch but with an EARLIER timestamp than the
+    * current state cannot retroactively rebuild the chain — streaming
+    * funnels are prefix-greedy over arrival order, exact when sources
+    * deliver per-user events in order (the Kafka-per-key contract).
+    *
+    * Input columns: (event_id bigint, ts timestamp, user_id bigint,
+    * event_type string).
+    */
+  def streamingFunnel(events: DataFrame,
+                      steps: Seq[String] = Seq("view", "click", "purchase"),
+                      stateTtl: scala.concurrent.duration.FiniteDuration =
+                        scala.concurrent.duration.Duration(1, "hour")): Dataset[(Long, Int, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ttlMs = stateTtl.toMillis
+    val stepIdx = steps.zipWithIndex.toMap
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .withWatermark("ts", s"${stateTtl.toSeconds} seconds")
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[(Int, Long), (Long, Int, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[(Int, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toArray.sortBy(r => (r._2.getTime, r._1))
+            if (batch.isEmpty) Iterator.empty
+            else {
+              var (stage, lastUs) = state.getOption.getOrElse((0, Long.MinValue))
+              val out = List.newBuilder[(Long, Int, Long)]
+              batch.foreach { case (_, ts, _, ty) =>
+                val us = ts.getTime * 1000L
+                if (stage < steps.length && stepIdx.get(ty).contains(stage) &&
+                  (stage == 0 || us > lastUs)) {
+                  stage += 1
+                  lastUs = us
+                  out += ((userId, stage, us))
+                }
+              }
+              state.update((stage, lastUs))
+              val maxTs = batch.iterator.map(_._2.getTime).max
+              state.setTimeoutTimestamp(math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
+              out.result().iterator
+            }
+          }
+      }
+  }
+
   /** Streaming sessionization — the Structured Streaming twin of
     * [[EventOps.sessionize]], built on Spark's NATIVE session_window
     * (not custom flatMapGroupsWithState): the engine's session-window

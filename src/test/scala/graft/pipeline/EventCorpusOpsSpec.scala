@@ -118,6 +118,31 @@ class EventCorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byRank.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("streaming funnel advances stages across micro-batches, ignores out-of-order regressions") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = StreamingExtract.streamingFunnel(
+      mem.toDF().toDF("event_id", "ts", "user_id", "event_type"))
+      .toDF("user_id", "stage", "ts_us")
+      .writeStream.format("memory").queryName("stream_funnel").outputMode("append").start()
+    // batch 1: user 1 views (stage 1); a click BEFORE any view must not advance
+    mem.addData(Seq((1L, t(5), 1L, "click"), (2L, t(10), 1L, "view")))
+    q.processAllAvailable()
+    // batch 2: click after the view advances to 2; purchase before the
+    // click (t=15 < t=20, same batch replay order) is skipped; a later
+    // purchase completes stage 3
+    mem.addData(Seq((3L, t(20), 1L, "click"), (4L, t(15), 1L, "purchase"), (5L, t(30), 1L, "purchase")))
+    q.processAllAvailable()
+    q.stop()
+    val out = s.sql("SELECT user_id, stage, ts_us FROM stream_funnel").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("stage"), r.getAs[Long]("ts_us"))).toSet
+    assert(out == Set((1L, 1, 10L * 1000000L), (1L, 2, 20L * 1000000L), (1L, 3, 30L * 1000000L)), out.toString)
+  }
+
   test("streaming sessionize merges within-gap events ACROSS micro-batches, emits on close") {
     val s = spark
     import s.implicits._
