@@ -49,7 +49,9 @@ import scala.collection.mutable
   *     canonical real-world shape); completion consumes the hanging
   *     state for that subtree only, so sibling subtrees each complete
   *     their own copy; with no establishing descendant nothing is
-  *     emitted (RDFa 1.1, not the 1.0 eager-bnode rule)
+  *     emitted (RDFa 1.1, not the 1.0 eager-bnode rule); a hanging
+  *     `rel` carrying `inlist` collects its completing subjects into
+  *     ONE rdf:List per predicate instead of direct triples
   *   - `inlist` — collects the objects of `property`/`rel` into an
   *     RDF collection (rdf:first/rdf:rest/rdf:nil, fresh deterministic
   *     bnodes) instead of emitting independent triples; items from
@@ -280,7 +282,11 @@ object RdfaLite {
     * linked forward by `rels` / backward by `revs` to whatever subject
     * a descendant establishes.
     */
-  private final class Hanging(val subject: Term, val rels: Seq[Iri], val revs: Seq[Iri])
+  private final class Hanging(val subject: Term, val rels: Seq[Iri], val revs: Seq[Iri],
+      // true: the hanging @rel carried @inlist — completing subjects
+      // collect into ONE rdf:List per (subject, rel) instead of
+      // independent triples (@rev is never list-collected)
+      val inlist: Boolean = false)
 
   private final class PendingLiteral(val subject: Term, val predicates: Seq[Iri],
       val lang: String, val datatype: String,
@@ -499,7 +505,10 @@ object RdfaLite {
       // RDFa Core repeated-completion behavior.
       val parentHang = parent.hang
       def complete(s: Term): Unit = if (parentHang != null && s != null) {
-        parentHang.rels.foreach(r => triples += Triple(parentHang.subject, r, s))
+        if (parentHang.inlist)
+          parentHang.rels.foreach(r => bufferFor(parentHang.subject, r, pendingOwner) += s)
+        else
+          parentHang.rels.foreach(r => triples += Triple(parentHang.subject, r, s))
         parentHang.revs.foreach(r => triples += Triple(s, r, parentHang.subject))
       }
 
@@ -602,7 +611,7 @@ object RdfaLite {
       // scope for its descendants (nearest hanging ancestor wins)
       val ownHang: Hanging =
         if ((relPreds.isEmpty && revPreds.isEmpty) || subject == null) null
-        else new Hanging(subject, relPreds, revPreds)
+        else new Hanging(subject, relPreds, revPreds, inlist)
       val childHang =
         if (ownHang != null) ownHang
         else if (established != null) null

@@ -392,6 +392,34 @@ class RdfaLiteSpec extends AnyFunSuite {
     assert(ts.exists(t => t.p == Iri(schema + "name")), ts.toString)
   }
 
+  test("inlist on a hanging rel collects completing descendants into one rdf list") {
+    val island =
+      """<div vocab="http://schema.org/" prefix="ex: http://ex.example/v#">
+        |<div about="http://ex/s" rel="ex:items" inlist="">
+        |<a href="http://ex/x">x</a>
+        |<a href="http://ex/y">y</a>
+        |</div>
+        |</div>""".stripMargin
+    val ts = RdfaLite.parse(island, Some("http://ex/page")).toOption.get
+    val s = Iri("http://ex/s")
+    val p = Iri("http://ex.example/v#items")
+    val heads = ts.filter(t => t.s == s && t.p == p)
+    assert(heads.size == 1, ts.mkString("\n")) // ONE list, not two direct triples
+    def follow(node: Term): List[Term] = node match {
+      case Iri(Vocab.rdfNil) => Nil
+      case b =>
+        val first = ts.find(t => t.s == b && t.p == Iri(Vocab.rdfFirst)).get.o
+        val rest = ts.find(t => t.s == b && t.p == Iri(Vocab.rdfRest)).get.o
+        first :: follow(rest)
+    }
+    assert(follow(heads.head.o) == List(Iri("http://ex/x"), Iri("http://ex/y")))
+    // hanging rel with @inlist and NO establishing descendant emits nothing
+    val empty = RdfaLite.parse(
+      """<div vocab="http://schema.org/" about="http://ex/s" rel="items" inlist=""><span>t</span></div>""",
+      Some("http://ex/page")).toOption.get
+    assert(empty.isEmpty, empty.toString)
+  }
+
   test("datetime attribute supplies the literal with inferred xsd datatype; content still wins") {
     val xsd = Vocab.xsdNs
     val island =
