@@ -277,6 +277,11 @@ object SparkEntry {
     // grouped HLL: one register set per source — the mergeable-state
     // property that makes the sketch a 100-TB primitive
     "q58_hll_by_source" -> ((s, d) => CorpusOps.hllTrigramsBySource(t(s, d, "documents"))),
+    // EXACT Jaccard self-join via prefix filtering (AllPairs/PPJoin):
+    // the deterministic complement to the minhash paths — finds EVERY
+    // pair with trigram-set Jaccard >= 1/2, no all-pairs product, no
+    // LSH miss probability. Rational threshold, integer candidate math.
+    "q59_jaccard_prefix_join" -> ((s, d) => Dedup.jaccardPrefixJoin(t(s, d, "documents"))),
     // RAG-style sliding-window chunking: token-offset chunks with
     // overlap (window 32 / stride 24 — small enough that the synthetic
     // docs actually split), shuffle-free explode
@@ -1189,6 +1194,36 @@ object SparkEntry {
     * string ops, same dyadic 2^40 harmonic accumulation, same
     * truncation order for the alpha correction.
     */
+  /** DuckDB twin of q59: the brute-force quadratic trigram-set Jaccard
+    * join — an INDEPENDENT computation of the same pair set the Spark
+    * side finds via prefix filtering (candidate generation is provably
+    * lossless, so exact equality is the completeness proof, not a
+    * replay). Same rational threshold form (tDen*ic >= tNum*(sa+sb-ic),
+    * all BIGINT); quadratic is fine at the sf0.01 gate scale.
+    */
+  private def q59Sql(width: Int = 3, tNum: Int = 1, tDen: Int = 2): String = {
+    val w1 = width - 1
+    s"""WITH w0 AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+       |  FROM documents
+       |), sh0 AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_filter(
+       |      list_transform(range(1, greatest(len(words)-$w1, 1)+1), i -> array_to_string(words[i:i+$w1], ' ')),
+       |      s -> s <> '')) AS sh
+       |  FROM w0 WHERE len(words) > 0
+       |), g AS (SELECT doc_id, unnest(sh) AS s FROM sh0 WHERE len(sh) > 0),
+       |sizes AS (SELECT doc_id, len(sh) AS sz FROM sh0 WHERE len(sh) > 0),
+       |inter AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS ic
+       |  FROM g l JOIN g r ON l.s = r.s AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT a, b, round(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 4) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+       |WHERE $tDen * ic >= $tNum * (sa.sz + sb.sz - ic)""".stripMargin
+  }
+
   /** DuckDB twin of q58: q48's sketch with `source` added to both
     * group-bys — same register derivation per group.
     */
@@ -1463,6 +1498,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q57_chunk_sliding" -> q57Sql(window = 32, stride = 24),
     "q58_hll_by_source" -> q58Sql,
+    "q59_jaccard_prefix_join" -> q59Sql(),
     "q56_pagerank" -> q56Sql(),
     "q55_temperature_mix" -> q55Sql,
     "q53_funnel" -> q53Sql,

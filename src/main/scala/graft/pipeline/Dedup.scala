@@ -308,4 +308,72 @@ object Dedup {
         round(col("inter").cast("double") / (col("sza") + col("szb") - col("inter")), 4).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
+
+  /** EXACT set-similarity self-join via prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    * WWW'08): every pair with shingle-set Jaccard >= tNum/tDen, with no
+    * approximation and no all-pairs product. This is the exact
+    * complement to the [[minhashLsh]] probabilistic path: LSH can miss
+    * pairs; this cannot, by the prefix pigeonhole argument below.
+    *
+    * Candidate generation: order each document's shingles rarest-first
+    * (global document frequency, ties by the shingle string — any
+    * consistent total order is correct; rare-first makes prefixes
+    * selective) and emit only the first `sz - ceil(t*sz) + 1` shingles
+    * as join keys. If J(x,y) >= t then the intersection has at least
+    * ceil(t*max(sx,sy)) elements, so x and y must share a shingle
+    * inside both prefixes — joining prefixes on the shingle finds every
+    * qualifying pair. A size filter (t*sx <= sy <= sx/t, kept in exact
+    * integer cross-multiplied form) prunes the rest of the bucket.
+    *
+    * 100 TB shape: no global rank — the rare-first position is a
+    * per-document row_number (one doc_id-partitioned window after one
+    * equi-join with the document-frequency table); the self-join runs
+    * on the PREFIX rows only (~ (1-t)·|corpus shingles|) carrying ids +
+    * two ints; pairs are deduped before the verify joins (the q17
+    * discipline). Threshold is a rational tNum/tDen compared by integer
+    * cross-multiplication — no FP in candidate math.
+    */
+  def jaccardPrefixJoin(documents: DataFrame, tNum: Int = 1, tDen: Int = 2,
+                        shingleWidth: Int = 3): DataFrame = {
+    require(tNum > 0 && tDen >= tNum, "threshold must be in (0,1]")
+    import org.apache.spark.sql.expressions.Window
+    // expl feeds the df-count, the ranked window AND both verify sides:
+    // materialize once (the LSH-family eager-checkpoint rule)
+    val expl = shingleRows(documents, shingleWidth)
+      .distinct() // shingle SET semantics
+      .localCheckpoint(true)
+    val dfreq = expl.groupBy(col("s")).agg(count(lit(1)).as("c"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val ranked = expl.join(dfreq, Seq("s"))
+      .select(col("doc_id"), col("s"),
+        row_number().over(byDoc.orderBy(col("c"), col("s"))).as("pos"),
+        count(lit(1)).over(byDoc).as("sz"))
+    // minimum overlap ceil(t*sz) = (tNum*sz + tDen - 1) div tDen, all integer
+    val minOv = (lit(tNum) * col("sz") + lit(tDen - 1)).divide(lit(tDen)).cast("long")
+    val prefix = ranked
+      .where(col("pos") <= col("sz") - minOv + lit(1))
+      .select(col("doc_id"), col("s"), col("sz"))
+    val candIds = prefix.select(col("s"), col("doc_id").as("a"), col("sz").as("sza"))
+      .join(prefix.select(col("s"), col("doc_id").as("b"), col("sz").as("szb")), Seq("s"))
+      .where(col("a") < col("b") &&
+        lit(tDen) * col("szb") >= lit(tNum) * col("sza") &&
+        lit(tDen) * col("sza") >= lit(tNum) * col("szb"))
+      .select(col("a"), col("b"))
+      .distinct()
+    val sizes = expl.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = candIds
+      .join(expl.select(col("doc_id").as("a"), col("s")), Seq("a"))
+      .join(expl.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("ic"))
+    // exact rational threshold: ic/(sza+szb-ic) >= tNum/tDen
+    //   <=> tDen*ic >= tNum*(sza+szb-ic), all BIGINT
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+      .where(lit(tDen) * col("ic") >= lit(tNum) * (col("sza") + col("szb") - col("ic")))
+      .select(col("a"), col("b"),
+        round(col("ic").cast("double") / (col("sza") + col("szb") - col("ic")), 4).as("jaccard"))
+  }
 }

@@ -86,6 +86,36 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.exists(r => r.getAs[Long]("b") == 3L || r.getAs[Long]("a") == 3L))
   }
 
+  test("jaccard prefix join equals brute-force trigram Jaccard exactly (completeness)") {
+    // same trigram semantics as Dedup.shingleRows, computed independently
+    def tris(text: String): Set[String] = {
+      val ws = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val n = math.max(ws.length - 2, 1)
+      (0 until n).map(i => ws.slice(i, i + 3).mkString(" ")).filter(_.nonEmpty).toSet
+    }
+    // chains of heavily-overlapping docs (neighbors qualify), plus a
+    // short doc (single sub-width shingle) and noise that must not pair
+    val rows = (1 to 24).map { i =>
+      (i.toLong, (i to i + 20).map(k => s"w${k / 3}").mkString(" "), "s")
+    } ++ Seq(
+      (40L, "tiny doc", "s"), (41L, "tiny doc", "s"),
+      (42L, (500 to 540).map(k => s"z$k").mkString(" "), "s"))
+    val d = docs(rows: _*)
+    val sets = rows.map { case (id, text, _) => id -> tris(text) }.filter(_._2.nonEmpty).toMap
+    val expected = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      ic = (sets(a) & sets(b)).size
+      un = sets(a).size + sets(b).size - ic
+      if ic * 2 >= un
+    } yield (a, b) -> ic.toDouble / un).toMap
+    assert(expected.nonEmpty)
+    val got = Dedup.jaccardPrefixJoin(d).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r.getAs[Double]("jaccard")).toMap
+    assert(got.keySet == expected.keySet,
+      s"missing=${expected.keySet -- got.keySet} extra=${got.keySet -- expected.keySet}")
+    expected.foreach { case (k, j) => assert(math.abs(got(k) - j) < 1e-4, s"$k: ${got(k)} vs $j") }
+  }
+
   test("simhash finds a planted near-duplicate and separates noise") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 58).map(i => s"tok$i").mkString(" ") + " xq yq"
