@@ -50,7 +50,9 @@ object Bench {
     "q46_pq_adc", "q47_bm25_topk", "q48_hll_trigrams", "q49_asof_join",
     "q50_sessionize", "q51_countmin_topk", "q52_price_quantiles",
     "q53_funnel", "q54_cohort_retention", "q55_temperature_mix", "q56_pagerank", "q57_chunk_sliding", "q58_hll_by_source",
-    "q59_jaccard_prefix_join",
+    "q59_jaccard_prefix_join", "q60_triangle_count", "q61_bloom_prune",
+    "q62_pmi_cooccur", "q63_salted_agg", "q64_clustering_coeff",
+    "q65_incremental_neardup",
     "x_bpe_train", "x_bpe_encode",
     "x_minhash_lsh_dedup", "x_ngram_jaccard_lsh", "x_simhash_dedup",
     "x_embedding_neardup", "x_ann_brute", "x_ann_lsh", "x_ann_ivf",

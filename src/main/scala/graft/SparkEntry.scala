@@ -282,6 +282,46 @@ object SparkEntry {
     // pair with trigram-set Jaccard >= 1/2, no all-pairs product, no
     // LSH miss probability. Rational threshold, integer candidate math.
     "q59_jaccard_prefix_join" -> ((s, d) => Dedup.jaccardPrefixJoin(t(s, d, "documents"))),
+    // per-node triangle counts on the word-set near-dup graph (the q22
+    // pair set): degree-oriented wedge enumeration — each triangle
+    // found exactly once at its minimum-(deg,node) corner, join work
+    // arboricity-bounded. Oracle is the INDEPENDENT classic a<b<c
+    // triple self-join, not a replay of the orientation.
+    "q60_triangle_count" -> ((s, d) =>
+      GraphOps.triangles(
+        Dedup.minhashLshMd5(t(s, d, "documents"), threshold = 0.5, shingleWidth = 1)
+          .select(col("a"), col("b")))),
+    // Bloom-filter semi-join pruning audit: md5-prefix partitioned
+    // bloom (k=4 × 256-bucket slices) built from one brand's part keys,
+    // probed by lineitem's distinct partkeys; output = the
+    // (bloom_pass, is_member) confusion cells — false positives
+    // observable, the pass=0/member=1 cell provably absent
+    "q61_bloom_prune" -> ((s, d) =>
+      BloomOps.semiJoinAudit(
+        t(s, d, "part").where(col("p_brand") === "Brand#12"), "p_partkey",
+        t(s, d, "lineitem"), "l_partkey")
+        .groupBy(col("bloom_pass"), col("is_member"))
+        .agg(count(lit(1)).cast("bigint").as("n_keys"))),
+    // vocabulary-capped document-level PMI co-occurrence in integer ppm
+    "q62_pmi_cooccur" -> ((s, d) => CorpusOps.pmiCooccur(t(s, d, "documents"))),
+    // salted two-phase aggregation over the 5-key skewed event_type —
+    // oracle is the PLAIN group-by (salting must be value-invisible)
+    "q63_salted_agg" -> ((s, d) => EventOps.saltedTypeStats(t(s, d, "events"))),
+    // per-node local clustering coefficient (integer ppm) on the same
+    // near-dup graph as q60: shared canonical edge set + degree table,
+    // lcc = 2·tri div (d·(d−1)); degree-1 and triangle-free nodes kept
+    "q64_clustering_coeff" -> ((s, d) =>
+      GraphOps.clusteringCoeff(
+        Dedup.minhashLshMd5(t(s, d, "documents"), threshold = 0.5, shingleWidth = 1)
+          .select(col("a"), col("b")))),
+    // incremental near-dup: the crawl-refresh shape — NEW batch
+    // (doc_id ≡ 0 mod 4) probed against the EXISTING corpus's band
+    // index; old×old and new×new pairs never materialize. Oracle =
+    // the full q22 pair set with a one-line batch-parity filter (the
+    // equivalence the candidate topology must preserve).
+    "q65_incremental_neardup" -> ((s, d) =>
+      Dedup.minhashLshMd5Incremental(t(s, d, "documents"),
+        id => pmod(id, lit(4L)) === 0L, threshold = 0.5, shingleWidth = 1)),
     // RAG-style sliding-window chunking: token-offset chunks with
     // overlap (window 32 / stride 24 — small enough that the synthetic
     // docs actually split), shuffle-free explode
@@ -1495,7 +1535,115 @@ object SparkEntry {
        |    least(chunk_idx * $stride + $window, n)), ' ') AS chunk_text
        |FROM idx""".stripMargin
 
+  /** DuckDB twin of q60 — deliberately NOT a replay of the Spark
+    * side's degree orientation: the classic a<b<c triple self-join
+    * over the same (a<b)-normalized edge set counts each triangle once
+    * via id order alone, an independent formulation of the same count.
+    */
+  private def q60Sql: String =
+    s"""WITH e AS (SELECT a, b FROM (${minhashLshSql(width = 1, threshold = 0.5)}) q22),
+       |tri AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+       |)
+       |SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+       |FROM (SELECT unnest([x, y, z]) AS node FROM tri) corners
+       |GROUP BY node""".stripMargin
+
+  /** DuckDB twin of q64 — the q60 independent triple-self-join count
+    * plus a degree census, folded into the same truncating-integer ppm
+    * ratio (`//` floor-div == Spark `div` on the non-negative inputs).
+    */
+  private def q64Sql: String =
+    s"""WITH e AS (SELECT a, b FROM (${minhashLshSql(width = 1, threshold = 0.5)}) q22),
+       |deg AS (
+       |  SELECT node, count(*) AS d
+       |  FROM (SELECT unnest([a, b]) AS node FROM e) ends GROUP BY node
+       |),
+       |tri AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+       |),
+       |tc AS (
+       |  SELECT node, count(*) AS n_tri
+       |  FROM (SELECT unnest([x, y, z]) AS node FROM tri) corners GROUP BY node
+       |)
+       |SELECT node, CAST(d AS BIGINT) AS degree,
+       |  CAST(coalesce(n_tri, 0) AS BIGINT) AS n_tri,
+       |  CAST(CASE WHEN d >= 2
+       |    THEN 2 * coalesce(n_tri, 0) * 1000000 // (d * (d - 1))
+       |    ELSE 0 END AS BIGINT) AS lcc_ppm
+       |FROM deg LEFT JOIN tc USING (node)""".stripMargin
+
+  /** DuckDB twin of q65: the full q22 pair set restricted to pairs
+    * with exactly one endpoint in the new batch (doc_id ≡ 0 mod 4) —
+    * the value-equivalence contract of the incremental candidate
+    * topology (banding + suppression + verify are shared code).
+    */
+  private def q65Sql: String =
+    s"""SELECT a, b, jaccard
+       |FROM (${minhashLshSql(width = 1, threshold = 0.5)}) q22
+       |WHERE (a % 4 = 0) <> (b % 4 = 0)""".stripMargin
+
+  /** DuckDB twin of q61: same k md5-prefix bit slices (string buckets,
+    * the q45/q48/q51 rule), same brand build set, same confusion-cell
+    * rollup.
+    */
+  private def q61Sql(k: Int = 4, hexLen: Int = 2, brand: String = "Brand#12"): String = {
+    def bitsOf(keyExpr: String) = (0 until k).map(i =>
+      s"'$i:' || substr(md5('$i|' || CAST($keyExpr AS VARCHAR)), 1, $hexLen)").mkString(", ")
+    s"""WITH bkey AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS key FROM part WHERE p_brand = '$brand'),
+       |bset AS (SELECT DISTINCT bit FROM (SELECT unnest([${bitsOf("key")}]) AS bit FROM bkey) bb),
+       |pk AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS key FROM lineitem),
+       |pb AS (SELECT key, unnest([${bitsOf("key")}]) AS bit FROM pk),
+       |hits AS (SELECT key, count(*) AS nb FROM pb JOIN bset USING (bit) GROUP BY key)
+       |SELECT CAST(CASE WHEN coalesce(nb, 0) = $k THEN 1 ELSE 0 END AS BIGINT) AS bloom_pass,
+       |  CAST(CASE WHEN b.key IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_member,
+       |  CAST(count(*) AS BIGINT) AS n_keys
+       |FROM pk LEFT JOIN hits USING (key) LEFT JOIN bkey b USING (key)
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** DuckDB twin of q62: same distinct word sets, same (cnt DESC, w)
+    * vocabulary cut, same integer ppm ratio.
+    */
+  private def q62Sql(vocabTop: Int = 64, minPair: Int = 5): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS w
+       |  FROM documents
+       |),
+       |cw AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+       |vocab AS (SELECT w, cnt FROM cw ORDER BY cnt DESC, w LIMIT $vocabTop),
+       |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+       |tv AS (SELECT t.doc_id, t.w FROM toks t JOIN vocab v USING (w)),
+       |pr AS (
+       |  SELECT l.w AS wa, r.w AS wb, count(*) AS n_ab
+       |  FROM tv l JOIN tv r ON l.doc_id = r.doc_id AND l.w < r.w
+       |  GROUP BY 1, 2 HAVING count(*) >= $minPair
+       |)
+       |SELECT wa, wb, CAST(n_ab AS BIGINT) AS n_ab,
+       |  CAST(va.cnt AS BIGINT) AS n_a, CAST(vb.cnt AS BIGINT) AS n_b,
+       |  CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_ab * n_docs * 1000000 // (va.cnt * vb.cnt) AS BIGINT) AS pmi_ratio_ppm
+       |FROM pr JOIN vocab va ON va.w = pr.wa JOIN vocab vb ON vb.w = pr.wb, nd""".stripMargin
+
+  /** DuckDB twin of q63 is the PLAIN group-by — the whole point of the
+    * salted two-phase plan is that the salt cancels exactly.
+    */
+  private def q63Sql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+      |  CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_value_c,
+      |  CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_value_c
+      |FROM events GROUP BY event_type""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q60_triangle_count" -> q60Sql,
+    "q61_bloom_prune" -> q61Sql(),
+    "q62_pmi_cooccur" -> q62Sql(),
+    "q63_salted_agg" -> q63Sql,
+    "q64_clustering_coeff" -> q64Sql,
+    "q65_incremental_neardup" -> q65Sql,
     "q57_chunk_sliding" -> q57Sql(window = 32, stride = 24),
     "q58_hll_by_source" -> q58Sql,
     "q59_jaccard_prefix_join" -> q59Sql(),

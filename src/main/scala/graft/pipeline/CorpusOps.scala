@@ -16,6 +16,47 @@ object CorpusOps {
   private def wordsExpr: Column =
     filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "")
 
+  /** Vocabulary-capped PMI co-occurrence — the collocation/association
+    * statistic behind phrase mining and topic audits: for word pairs
+    * (a, b) of the top-`vocabTop` vocabulary, the document-level
+    * pointwise mutual information RATIO `p(a,b)/(p(a)·p(b)) =
+    * n_ab·N / (n_a·n_b)` in integer ppm — the monotone core of PMI
+    * with the log dropped (the q47 discipline: never put an FP
+    * transcendental in an oracle-checked value; rank order is
+    * preserved).
+    *
+    * Scale shape: the quadratic step runs ONLY on the vocabulary-capped
+    * token stream — the broadcast top-V semi-join gates the per-doc
+    * self-join to ≤ C(V,2) pairs per document, the standard co-occurrence
+    * recipe (an unguarded doc-term self-join is quadratic in document
+    * length). One corpus shuffle for the distinct (doc, word) stream
+    * (materialized once — it feeds the vocab census, the scalar row and
+    * both pair legs), one for the pair rollup; N rides a 1-row broadcast
+    * cross join. n_ab·N·1e6 stays in BIGINT up to ~3·10^9-doc corpora;
+    * beyond that widen to decimal.
+    */
+  def pmiCooccur(documents: DataFrame, vocabTop: Int = 64, minPair: Long = 5): DataFrame = {
+    require(vocabTop >= 2, "vocabulary cap must be >= 2")
+    val toks = documents
+      .select(col("doc_id"), explode(Dedup.wordSet(col("text"))).as("w"))
+      .localCheckpoint(true) // vocab census + scalars + both pair legs
+    val cw = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val vocab = cw.orderBy(col("cnt").desc, col("w").asc).limit(vocabTop)
+    val scalars = toks.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val tv = toks.join(broadcast(vocab.select(col("w"))), Seq("w"))
+    val pairs = tv.select(col("doc_id"), col("w").as("wa"))
+      .join(tv.select(col("doc_id"), col("w").as("wb")), Seq("doc_id"))
+      .where(col("wa") < col("wb"))
+      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minPair)
+    pairs // marginals come from the bounded vocab table, never all of cw
+      .join(broadcast(vocab.select(col("w").as("wa"), col("cnt").as("n_a"))), Seq("wa"))
+      .join(broadcast(vocab.select(col("w").as("wb"), col("cnt").as("n_b"))), Seq("wb"))
+      .crossJoin(broadcast(scalars))
+      .select(col("wa"), col("wb"), col("n_ab"), col("n_a"), col("n_b"), col("n_docs"),
+        expr("n_ab * n_docs * 1000000 div (n_a * n_b)").as("pmi_ratio_ppm"))
+  }
+
   /** Sequence packing — concat-and-chunk: documents are laid out
     * end-to-end in deterministic (source, doc_id) order, one EOS token
     * appended per document, and the stream is cut into fixed

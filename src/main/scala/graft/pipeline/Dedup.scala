@@ -247,9 +247,66 @@ object Dedup {
     // md5 band buckets keep every value replayable in ANSI SQL
     // same materialization points as minhashLsh: expl feeds 4 consumers,
     // banded0 feeds 3 (see the scan/exchange census note there)
-    val expl = shingleRows(documents, shingleWidth)
+    val expl = md5ShingleSet(documents, shingleWidth)
+    val banded = md5BandedSuppressed(expl, maxBucket)
+    val candIds = banded.select(col("band"), col("bucket"), col("doc_id").as("a"))
+      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("b")), Seq("band", "bucket"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+    md5JaccardVerify(candIds, expl, threshold)
+  }
+
+  /** Incremental near-dup — dedup a NEW batch against the EXISTING
+    * corpus, the production crawl-refresh shape: candidate pairs come
+    * only from old×new band-bucket collisions, never old×old or
+    * new×new (those were settled when the old corpus was deduped).
+    * Banding, hot-bucket suppression (counted over the FULL bucket,
+    * old+new — a bucket hot in the union is hot for the probe too) and
+    * the Jaccard verify are byte-identical to [[minhashLshMd5]], so the
+    * result is value-exactly the full pair set restricted to
+    * cross-batch pairs — which is the DuckDB oracle (q22's SQL plus a
+    * one-line batch-parity filter).
+    *
+    * Scale shape: at 100 TB the old side's (band, bucket, doc_id) index
+    * is a precomputed bucketed table — only the new batch pays the
+    * shingle/signature cost per refresh, and the candidate join is
+    * new-batch-sized, not corpus-sized. Here both sides derive from one
+    * pass over the union (the sandbox has no persisted index), but the
+    * join topology is already the incremental one.
+    *
+    * `isNew` maps the doc_id column to the batch predicate — a pure
+    * function of doc_id so it evaluates in-projection on both legs
+    * without a membership join.
+    */
+  def minhashLshMd5Incremental(documents: DataFrame, isNew: Column => Column,
+                               threshold: Double = 0.5, maxBucket: Int = 200,
+                               shingleWidth: Int = 3): DataFrame = {
+    val expl = md5ShingleSet(documents, shingleWidth)
+    val banded = md5BandedSuppressed(expl, maxBucket)
+    val oldSide = banded.where(!isNew(col("doc_id")))
+      .select(col("band"), col("bucket"), col("doc_id").as("o"))
+    val newSide = banded.where(isNew(col("doc_id")))
+      .select(col("band"), col("bucket"), col("doc_id").as("n"))
+    val candIds = oldSide.join(newSide, Seq("band", "bucket"))
+      .select(least(col("o"), col("n")).as("a"), greatest(col("o"), col("n")).as("b"))
+      .distinct()
+    md5JaccardVerify(candIds, expl, threshold)
+  }
+
+  /** Distinct (doc_id, shingle) rows, eagerly materialized — feeds the
+    * signature census, both verify legs and the size census (see the
+    * scan/exchange note on [[minhashLsh]]).
+    */
+  private def md5ShingleSet(documents: DataFrame, shingleWidth: Int): DataFrame =
+    shingleRows(documents, shingleWidth)
       .distinct() // shingle SET semantics
       .localCheckpoint(true)
+
+  /** (doc_id, band, bucket) rows after hot-bucket suppression —
+    * 12 md5-minima signatures in 4 bands of 3, buckets as md5 strings.
+    */
+  private def md5BandedSuppressed(expl: DataFrame, maxBucket: Int): DataFrame = {
     val sigCols = (0 until 12).map(j => min(md5(concat(lit(s"$j|"), col("s")))).as(s"m$j"))
     val sig = expl.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     val bucketCols = (0 until 4).map(b =>
@@ -261,12 +318,14 @@ object Dedup {
     val hot = banded0.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
       .select(col("band"), col("bucket"))
-    val banded = banded0.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
-    val candIds = banded.select(col("band"), col("bucket"), col("doc_id").as("a"))
-      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("b")), Seq("band", "bucket"))
-      .where(col("a") < col("b"))
-      .select(col("a"), col("b"))
-      .distinct()
+    banded0.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+  }
+
+  /** Exact set-Jaccard verify over candidate id pairs: relational
+    * intersection counts against the materialized shingle rows, sizes
+    * from the same frame — verify-once-per-pair, id-only transport.
+    */
+  private def md5JaccardVerify(candIds: DataFrame, expl: DataFrame, threshold: Double): DataFrame = {
     val sizes = expl.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = candIds
       .join(expl.select(col("doc_id").as("a"), col("s")), Seq("a"))

@@ -175,4 +175,36 @@ object EventOps {
         (col("end_us") - col("start_us")).as("duration_us"),
         col("n_clicks"), col("n_purchases"))
   }
+
+  /** Salted two-phase aggregation — the heavy-hitter skew guard for
+    * low-cardinality group keys: pre-aggregate on (key, salt) so a
+    * celebrity key's rows land on `salts` reducers instead of one,
+    * then fold the salted partials on the key alone. Salting is
+    * semantically invisible (sums/counts are associative-commutative;
+    * the salt column cancels), so the oracle is the PLAIN group-by —
+    * the value-exact proof that the skew-proof plan computes the same
+    * result.
+    *
+    * The events table's 5 event types over ~60k rows are exactly the
+    * shape that melts a naive groupBy at 100 TB: five reducers, each
+    * eating 20 TB. Phase 1 is map-side combinable on (key, salt);
+    * phase 2 touches `keys × salts` rows. Values quantized to integer
+    * cents per row before ANY sum (the q1 rule: FP summation order is
+    * partition-dependent).
+    */
+  def saltedTypeStats(events: DataFrame, salts: Int = 16): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
+    val cents = round(col("value") * 100).cast("bigint")
+    events
+      .select(col("event_type"), cents.as("v"),
+        pmod(xxhash64(col("event_id")), lit(salts.toLong)).as("salt"))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).cast("bigint").as("n_events"),
+        sum(col("sv")).cast("bigint").as("sum_value_c"),
+        min(col("mn")).cast("bigint").as("min_value_c"),
+        max(col("mx")).cast("bigint").as("max_value_c"))
+  }
 }

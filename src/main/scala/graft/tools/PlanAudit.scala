@@ -15,10 +15,12 @@ object PlanAudit {
   // intentional bounded nested loop, same class as the ANN query sides
   private val allowNestedLoop = Set("x_ann_brute", "q18_ann_brute_int", "x_ann_ivf", "q27_embedding_dot_norms",
     "q44_semdedup", // corpus × k broadcast medoids, the IVF-centroid shape
-    "q47_bm25_topk") // tf table × ONE-row broadcast corpus-scalar frame
+    "q47_bm25_topk", // tf table × ONE-row broadcast corpus-scalar frame
                      // (N, total tokens) — the scale-correct way to
                      // attach global constants (an unpartitioned window
                      // would funnel the tf table through one partition)
+    "q62_pmi_cooccur") // same 1-row scalar-frame shape: the bounded
+                       // pair table × broadcast(n_docs)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -285,4 +285,122 @@ class EventCorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(empty.getAs[Long]("exact_distinct") == 0L)
     assert(empty.getAs[Long]("n_buckets") == 0L)
   }
+
+  private def edges(rows: (Long, Long)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("a", "b")
+  }
+
+  test("triangles: hand graph — K4 minus an edge, plus a pendant and an isolated edge") {
+    // 1-2, 1-3, 2-3, 2-4, 3-4 (K4 minus 1-4): triangles {1,2,3} and
+    // {2,3,4}; pendant 4-5 and edge 6-7 contribute none. Edge input
+    // deliberately unnormalized: duplicates and both orientations.
+    val e = edges((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (6L, 7L), (2L, 1L), (1L, 2L), (5L, 5L))
+    val got = GraphOps.triangles(e).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("n_tri")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("triangles: clique count is exact — C(k,3) per corner on K5") {
+    val k = 5
+    val e = edges((for (i <- 1 to k; j <- i + 1 to k) yield (i.toLong, j.toLong)): _*)
+    val got = GraphOps.triangles(e).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("n_tri")).toMap
+    // each vertex of K5 sits on C(4,2) = 6 triangles
+    assert(got == (1 to k).map(i => i.toLong -> 6L).toMap)
+  }
+
+  test("clusteringCoeff: ppm ratios on the hand graph; degree-1 and triangle-free nodes kept") {
+    // K4 minus 1-4 plus pendant 4-5: deg = (1:2, 2:3, 3:3, 4:3, 5:1);
+    // triangles {1,2,3} and {2,3,4}; lcc = 2·tri·1e6 div (d·(d−1))
+    val e = edges((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val got = GraphOps.clusteringCoeff(e).collect()
+      .map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("n_tri"), r.getAs[Long]("lcc_ppm")))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 1000000L)),
+      2L -> ((3L, 2L, 666666L)),
+      3L -> ((3L, 2L, 666666L)),
+      4L -> ((3L, 1L, 333333L)),
+      5L -> ((1L, 0L, 0L))))
+  }
+
+  test("bloomSemiJoinAudit: no false negatives, members all pass, FPs only overshoot") {
+    val s = spark
+    import s.implicits._
+    val build = (1L to 40L).map(i => i * 7L).toDF("k")
+    val probe = (1L to 500L).toDF("k")
+    val got = BloomOps.semiJoinAudit(build, "k", probe, "k", k = 4, hexLen = 1).collect()
+      .map(r => r.getAs[Long]("key") ->
+        (r.getAs[Long]("bloom_pass"), r.getAs[Long]("is_member"))).toMap
+    assert(got.size == 500)
+    // every true member passes (the bloom guarantee)
+    assert(got.filter(_._2._2 == 1L).forall(_._2._1 == 1L))
+    val members = got.count(_._2._2 == 1L)
+    assert(members == 40L) // 7,14,...,280 all within probe range
+    // hexLen=1 → 4 slices of 16 bits each, 40 keys → high fill: false
+    // positives must exist, but the filter still rejects something
+    val fps = got.count(kv => kv._2._1 == 1L && kv._2._2 == 0L)
+    val rejected = got.count(_._2._1 == 0L)
+    assert(fps > 0, "expected observable false positives at hexLen=1")
+    assert(rejected > 0, "filter rejected nothing — degenerate saturation")
+  }
+
+  test("pmiCooccur: hand-computed ratios, vocab cap gates pairs, minPair prunes") {
+    // a+b co-occur in all 4 docs; a+c only in doc 1; N=4
+    val d = docs((1L, "a b c"), (2L, "a b"), (3L, "a b"), (4L, "b a"))
+    val got = CorpusOps.pmiCooccur(d, vocabTop = 64, minPair = 1).collect()
+      .map(r => (r.getAs[String]("wa"), r.getAs[String]("wb")) ->
+        (r.getAs[Long]("n_ab"), r.getAs[Long]("pmi_ratio_ppm"))).toMap
+    // (a,b): 4*4*1e6/(4*4) = 1e6 (independence); (a,c): 1*4*1e6/(4*1)
+    assert(got(("a", "b")) == ((4L, 1000000L)))
+    assert(got(("a", "c")) == ((1L, 1000000L)))
+    assert(got(("b", "c")) == ((1L, 1000000L)))
+    // minPair prunes singletons
+    val pruned = CorpusOps.pmiCooccur(d, vocabTop = 64, minPair = 2).collect()
+    assert(pruned.map(r => (r.getAs[String]("wa"), r.getAs[String]("wb"))).toSet ==
+      Set(("a", "b")))
+    // vocab cap of 2 keeps only the top-2 words (a and b, 4 docs each)
+    val capped = CorpusOps.pmiCooccur(d, vocabTop = 2, minPair = 1).collect()
+    assert(capped.map(r => (r.getAs[String]("wa"), r.getAs[String]("wb"))).toSet ==
+      Set(("a", "b")))
+  }
+
+  test("minhashLshMd5Incremental == full pair set filtered to cross-batch pairs") {
+    // new batch = doc_id ≡ 0 mod 4: doc 4 is an exact recrawl of old
+    // doc 1 (must surface); 8≡12 is a new-new dup and 2≡6 an old-old
+    // dup (both settled elsewhere — must NOT surface)
+    val d = docs(
+      (1L, "alpha beta gamma delta"), (4L, "alpha beta gamma delta"),
+      (8L, "zeta eta theta iota"), (12L, "zeta eta theta iota"),
+      (2L, "omicron pi rho sigma"), (6L, "omicron pi rho sigma"),
+      (3L, "unrelated words entirely"), (5L, "different content again"))
+    val isNew = (id: org.apache.spark.sql.Column) => pmod(id, lit(4L)) === 0L
+    def pairs(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Double]("jaccard"))).toSet
+    val full = pairs(Dedup.minhashLshMd5(d, threshold = 0.5, shingleWidth = 1))
+    val cross = full.filter(p => (p._1 % 4 == 0) != (p._2 % 4 == 0))
+    val inc = pairs(Dedup.minhashLshMd5Incremental(d, isNew, threshold = 0.5, shingleWidth = 1))
+    assert(inc == cross)
+    assert(inc.contains((1L, 4L, 1.0)), "exact cross-batch recrawl must surface")
+    assert(!inc.exists(p => Set(p._1, p._2) == Set(8L, 12L)), "new-new pair must not surface")
+    assert(!inc.exists(p => Set(p._1, p._2) == Set(2L, 6L)), "old-old pair must not surface")
+  }
+
+  test("saltedTypeStats: salt count never changes the result (associativity proof)") {
+    val e = events(
+      (1L, 0L, 1L, "click", 1.25), (2L, 10L, 1L, "click", 2.75),
+      (3L, 20L, 2L, "click", -0.5), (4L, 30L, 2L, "view", 7.0),
+      (5L, 40L, 3L, "view", 0.01))
+    def snap(salts: Int) = EventOps.saltedTypeStats(e, salts).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("sum_value_c"),
+          r.getAs[Long]("min_value_c"), r.getAs[Long]("max_value_c"))).toMap
+    val one = snap(1) // salts=1 degenerates to the plain group-by
+    assert(one("click") == ((3L, 350L, -50L, 275L)))
+    assert(one("view") == ((2L, 701L, 1L, 700L)))
+    assert(snap(16) == one && snap(7) == one)
+  }
 }
