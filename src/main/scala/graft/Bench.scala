@@ -52,7 +52,7 @@ object Bench {
     "q53_funnel", "q54_cohort_retention", "q55_temperature_mix", "q56_pagerank", "q57_chunk_sliding", "q58_hll_by_source",
     "q59_jaccard_prefix_join", "q60_triangle_count", "q61_bloom_prune",
     "q62_pmi_cooccur", "q63_salted_agg", "q64_clustering_coeff",
-    "q65_incremental_neardup",
+    "q65_incremental_neardup", "q66_leakage_split", "q67_budget_sample",
     "x_bpe_train", "x_bpe_encode",
     "x_minhash_lsh_dedup", "x_ngram_jaccard_lsh", "x_simhash_dedup",
     "x_embedding_neardup", "x_ann_brute", "x_ann_lsh", "x_ann_ivf",

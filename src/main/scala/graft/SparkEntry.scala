@@ -322,6 +322,21 @@ object SparkEntry {
     "q65_incremental_neardup" -> ((s, d) =>
       Dedup.minhashLshMd5Incremental(t(s, d, "documents"),
         id => pmod(id, lit(4L)) === 0L, threshold = 0.5, shingleWidth = 1)),
+    // leakage-safe train/val split: split key = near-dup CLUSTER (the
+    // q22 graph's connected component), so near-dups never straddle
+    // the split; md5-hex cluster assignment, 75/25. Oracle replays the
+    // components via the q26-style recursive transitive-closure CTE.
+    "q66_leakage_split" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashLshMd5(docs, threshold = 0.5, shingleWidth = 1)
+        .select(col("a"), col("b"))
+      CorpusOps.leakageSplit(docs, KgPipeline.connectedComponents(pairs))
+    }),
+    // token-budget subsampling: q55's temperature shares turned into an
+    // actual corpus cut — per-source quotas, md5-shuffled greedy prefix
+    // budget 12000 tokens ≈ 44% of the sf0.01 corpus (27k tokens) and
+    // ~4% of sf0.1 — selective at every test scale
+    "q67_budget_sample" -> ((s, d) => CorpusOps.budgetSample(t(s, d, "documents"), 12000L)),
     // RAG-style sliding-window chunking: token-offset chunks with
     // overlap (window 32 / stride 24 — small enough that the synthetic
     // docs actually split), shuffle-free explode
@@ -1585,6 +1600,48 @@ object SparkEntry {
        |FROM (${minhashLshSql(width = 1, threshold = 0.5)}) q22
        |WHERE (a % 4 = 0) <> (b % 4 = 0)""".stripMargin
 
+  /** DuckDB twin of q66: q26-style recursive transitive-closure min
+    * over the q22 (width-1) pair graph, singletons labeled by their
+    * own id, then the identical md5-hex split rule.
+    */
+  private def q66Sql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT a, b FROM (${minhashLshSql(width = 1, threshold = 0.5)}) q22),
+       |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS node FROM edges),
+       |reach AS (
+       |  SELECT node, node AS lab FROM nodes
+       |  UNION
+       |  SELECT e.b AS node, r.lab FROM edges e JOIN reach r ON e.a = r.node
+       |),
+       |cc AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(cc.component, d.doc_id) AS BIGINT) AS cluster,
+       |  CASE WHEN substr(md5('split|' ||
+       |      CAST(coalesce(cc.component, d.doc_id) AS VARCHAR)), 1, 1) < 'c'
+       |    THEN 'train' ELSE 'val' END AS split
+       |FROM documents d LEFT JOIN cc ON cc.node = d.doc_id""".stripMargin
+
+  /** DuckDB twin of q67: q55's mix CTE verbatim, the same md5 shuffle
+    * key, the same source-partitioned running sum (unique ordering key
+    * ⇒ RANGE default == ROWS in both engines), the same integer quota.
+    */
+  private def q67Sql(budget: Long = 12000L): String =
+    s"""WITH mix AS (${q55Sql}),
+       |toks AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tok,
+       |    md5('bs|' || CAST(doc_id AS VARCHAR)) AS ord
+       |  FROM documents
+       |),
+       |c AS (
+       |  SELECT source, doc_id, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY source ORDER BY ord, doc_id) AS cum
+       |  FROM toks
+       |)
+       |SELECT c.source, c.doc_id, c.n_tok, CAST(c.cum AS BIGINT) AS cum_tokens
+       |FROM c JOIN mix USING (source)
+       |WHERE c.cum <= share_ppm * $budget // 1000000""".stripMargin
+
   /** DuckDB twin of q61: same k md5-prefix bit slices (string buckets,
     * the q45/q48/q51 rule), same brand build set, same confusion-cell
     * rollup.
@@ -1644,6 +1701,8 @@ object SparkEntry {
     "q63_salted_agg" -> q63Sql,
     "q64_clustering_coeff" -> q64Sql,
     "q65_incremental_neardup" -> q65Sql,
+    "q66_leakage_split" -> q66Sql,
+    "q67_budget_sample" -> q67Sql(),
     "q57_chunk_sliding" -> q57Sql(window = 32, stride = 24),
     "q58_hll_by_source" -> q58Sql,
     "q59_jaccard_prefix_join" -> q59Sql(),

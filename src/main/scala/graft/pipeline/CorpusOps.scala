@@ -57,6 +57,33 @@ object CorpusOps {
         expr("n_ab * n_docs * 1000000 div (n_a * n_b)").as("pmi_ratio_ppm"))
   }
 
+  /** Leakage-safe train/val split — the post-dedup split recipe: the
+    * split key is the document's near-dup CLUSTER (connected component
+    * of the near-dup graph), not the document, so near-duplicates can
+    * never straddle train and val (the classic eval-contamination
+    * bug: a val doc whose near-twin sits in train). Docs on no pair
+    * cluster as themselves. Assignment is md5("split|" + cluster)
+    * first hex digit < 'c' → train (12/16 = 75%), else val —
+    * deterministic, engine-exact (hex prefixes stay STRINGS, the
+    * q45/q48 rule), and stable under corpus growth: a cluster's split
+    * never changes when unrelated docs arrive.
+    *
+    * Scale shape: one key-partitioned left join of the corpus id
+    * stream against the (cluster-member-sized) component table; the
+    * hash assignment is a projection. By construction the audit query
+    * "near-dup pairs crossing the split" returns zero rows — asserted
+    * in the spec, not recomputed here.
+    */
+  def leakageSplit(documents: DataFrame, components: DataFrame): DataFrame = {
+    val labeled = documents.select(col("doc_id"))
+      .join(components.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).cast("bigint").as("cluster"))
+    labeled.select(col("doc_id"), col("cluster"),
+      when(substring(md5(concat(lit("split|"), col("cluster").cast("string"))), 1, 1) < "c",
+        "train").otherwise("val").as("split"))
+  }
+
   /** Sequence packing — concat-and-chunk: documents are laid out
     * end-to-end in deterministic (source, doc_id) order, one EOS token
     * appended per document, and the stream is cut into fixed
@@ -398,6 +425,35 @@ object CorpusOps {
         col("n_tokens").cast("bigint").as("n_tokens"),
         col("w"),
         expr("CAST(w * 1000000 div w_total AS BIGINT)").as("share_ppm"))
+  }
+
+  /** Token-budget subsampling — the "sample down to N tokens" step
+    * that turns [[temperatureMix]]'s shares into an actual corpus cut:
+    * each source gets a quota of `share_ppm·budget div 1e6` tokens and
+    * admits its documents in deterministic md5-shuffled order (crawl
+    * order would bias the sample toward early ids) while the running
+    * token sum stays within quota — a greedy prefix, no FP beyond
+    * q55's one sanctioned floor(sqrt), no randomness.
+    *
+    * Scale shape: the quota table is sources-sized (broadcast); the
+    * running sum is ONE source-partitioned ordered window — the corpus
+    * never funnels through a single partition. The (ord, doc_id)
+    * ordering key is unique, so RANGE-frame (both engines' default)
+    * equals ROWS-frame and the cumulative sums replay exactly.
+    */
+  def budgetSample(documents: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 1, "budget must be >= 1 token")
+    val quotas = temperatureMix(documents)
+      .select(col("source"), expr(s"share_ppm * $budgetTokens div 1000000").as("quota"))
+    val toks = documents.select(col("source"), col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("bigint").as("n_tok"),
+      md5(concat(lit("bs|"), col("doc_id").cast("string"))).as("ord"))
+    val w = Window.partitionBy(col("source")).orderBy(col("ord"), col("doc_id"))
+    toks.withColumn("cum", sum(col("n_tok")).over(w))
+      .join(broadcast(quotas), Seq("source"))
+      .where(col("cum") <= col("quota"))
+      .select(col("source"), col("doc_id"), col("n_tok"),
+        col("cum").cast("bigint").as("cum_tokens"))
   }
 
   /** Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005):

@@ -389,6 +389,52 @@ class EventCorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!inc.exists(p => Set(p._1, p._2) == Set(2L, 6L)), "old-old pair must not surface")
   }
 
+  test("leakageSplit: cluster members never straddle the split; singletons self-cluster") {
+    val d = docs(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "alpha beta gamma delta"),
+      (10L, "totally different content one"), (11L, "second unrelated text here"),
+      (12L, "third unique document body"), (13L, "fourth standalone thing"),
+      (14L, "fifth loner paragraph"), (15L, "sixth loner text"), (16L, "seventh loner words"))
+    val pairs = Dedup.minhashLshMd5(d, threshold = 0.5, shingleWidth = 1)
+      .select(col("a"), col("b"))
+    val split = CorpusOps.leakageSplit(d, KgPipeline.connectedComponents(pairs))
+    val rows = split.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("cluster"), r.getAs[String]("split")))).toMap
+    assert(rows.size == 10)
+    // the exact-dup trio clusters under its min id and shares one split
+    assert(Seq(1L, 2L, 3L).forall(i => rows(i)._1 == 1L))
+    assert(Seq(1L, 2L, 3L).map(rows(_)._2).toSet.size == 1)
+    // singletons cluster as themselves
+    assert((10L to 16L).forall(i => rows(i)._1 == i))
+    // the leakage audit: no near-dup pair crosses the split
+    val p = pairs.collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    assert(p.nonEmpty && p.forall { case (a, b) => rows(a)._2 == rows(b)._2 })
+    // both splits populated on this corpus (8 clusters, md5-assigned)
+    assert(rows.values.map(_._2).toSet == Set("train", "val"))
+  }
+
+  test("budgetSample: integer quotas honored, greedy prefix per source, deterministic") {
+    val s = spark
+    import s.implicits._
+    // source a: 3×4 tokens (w=3), source b: 2×8 tokens (w=4) →
+    // shares 428571/571428 ppm; budget 20 → quotas 8 and 11 tokens →
+    // a admits 2 docs (cum 4, 8), b admits 1 (cum 8; 16 > 11)
+    val d = Seq(
+      (1L, "w w w w", "a"), (2L, "w w w w", "a"), (3L, "w w w w", "a"),
+      (11L, "w w w w w w w w", "b"), (12L, "w w w w w w w w", "b"))
+      .toDF("doc_id", "text", "source")
+    def snap() = CorpusOps.budgetSample(d, 20L).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tok"), r.getAs[Long]("cum_tokens"))).toSet
+    val got = snap()
+    assert(got.count(_._1 == "a") == 2 && got.count(_._1 == "b") == 1)
+    assert(got.filter(_._1 == "a").map(_._4) == Set(4L, 8L))
+    assert(got.filter(_._1 == "b").map(_._4) == Set(8L))
+    assert(got.toSeq.map(_._3).sum <= 20L)
+    assert(snap() == got) // md5 order ⇒ rerun-identical
+  }
+
   test("saltedTypeStats: salt count never changes the result (associativity proof)") {
     val e = events(
       (1L, 0L, 1L, "click", 1.25), (2L, 10L, 1L, "click", 2.75),
