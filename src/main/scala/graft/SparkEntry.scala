@@ -337,6 +337,11 @@ object SparkEntry {
     // budget 12000 tokens ≈ 44% of the sf0.01 corpus (27k tokens) and
     // ~4% of sf0.1 — selective at every test scale
     "q67_budget_sample" -> ((s, d) => CorpusOps.budgetSample(t(s, d, "documents"), 12000L)),
+    // deterministic integer k-means over the embedding corpus: Lloyd's
+    // with fixed rounds, md5-seeded centroids, milli-unit squared-L2
+    // off the codegen kernel; the oracle unrolls the rounds as CTEs
+    // (the q56 technique applied to vectors)
+    "q68_kmeans_int" -> ((s, d) => Similarity.kmeansInt(t(s, d, "embeddings"), k = 4, iters = 3)),
     // RAG-style sliding-window chunking: token-offset chunks with
     // overlap (window 32 / stride 24 — small enough that the synthetic
     // docs actually split), shuffle-free explode
@@ -1642,6 +1647,55 @@ object SparkEntry {
        |FROM c JOIN mix USING (source)
        |WHERE c.cum <= share_ppm * $budget // 1000000""".stripMargin
 
+  /** DuckDB twin of q68: Lloyd rounds unrolled as CTEs (the q56
+    * technique). Same milli-unit quantization, same md5-seed draw and
+    * c = 0..k−1 numbering, same argmin tie-break (d2, c), and the same
+    * offset-shifted integer mean `(sum + n·2²¹) // n − 2²¹` — the
+    * numerator is non-negative, where DuckDB `//` == Spark `div`.
+    * Empty clusters keep the previous centroid via the same left-join
+    * coalesce.
+    */
+  private def q68Sql(k: Int = 4, iters: Int = 3, dim: Int = 64): String = {
+    val off = 1L << 21
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH mv AS (
+         |  SELECT vec_id, list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS v
+         |  FROM embeddings
+         |),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) - 1 AS c,
+         |         v AS cv
+         |  FROM (SELECT * FROM mv ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k)
+         |)""".stripMargin)
+    for (r <- 1 to iters) {
+      sb.append(
+        s""",
+           |a$r AS (
+           |  SELECT vec_id, c, d2 FROM (
+           |    SELECT vec_id, c, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM (
+           |      SELECT mv.vec_id, c${r - 1}.c,
+           |        CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS BIGINT) AS d2
+           |      FROM mv, c${r - 1}) dd) rr WHERE rn = 1
+           |)""".stripMargin)
+      if (r < iters) sb.append(
+        s""",
+           |c$r AS (
+           |  SELECT c${r - 1}.c, CASE WHEN m.c IS NULL THEN c${r - 1}.cv ELSE m.cv END AS cv
+           |  FROM c${r - 1} LEFT JOIN (
+           |    SELECT c, list(mval ORDER BY i) AS cv FROM (
+           |      SELECT a$r.c, i,
+           |        CAST((sum(v[i]) + count(*) * $off) // count(*) - $off AS BIGINT) AS mval
+           |      FROM a$r JOIN mv USING (vec_id)
+           |      CROSS JOIN (SELECT CAST(unnest(range(1, ${dim + 1})) AS INTEGER) AS i) dims
+           |      GROUP BY a$r.c, i) gm GROUP BY c) m ON m.c = c${r - 1}.c
+           |)""".stripMargin)
+    }
+    sb.append(s"""
+       |SELECT vec_id, c AS cluster, d2 FROM a$iters""".stripMargin)
+    sb.toString
+  }
+
   /** DuckDB twin of q61: same k md5-prefix bit slices (string buckets,
     * the q45/q48/q51 rule), same brand build set, same confusion-cell
     * rollup.
@@ -1703,6 +1757,7 @@ object SparkEntry {
     "q65_incremental_neardup" -> q65Sql,
     "q66_leakage_split" -> q66Sql,
     "q67_budget_sample" -> q67Sql(),
+    "q68_kmeans_int" -> q68Sql(),
     "q57_chunk_sliding" -> q57Sql(window = 32, stride = 24),
     "q58_hll_by_source" -> q58Sql,
     "q59_jaccard_prefix_join" -> q59Sql(),

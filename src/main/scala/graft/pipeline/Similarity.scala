@@ -479,6 +479,91 @@ object Similarity {
         col("adot").cast("bigint").as("adot"), col("rank"))
   }
 
+  /** Deterministic integer k-means (Lloyd's algorithm, fixed round
+    * count) — the embedding-clustering primitive underneath IVF list
+    * assignment, SemDeDup-style coarse partitioning and corpus
+    * bucketing, in a form every stage of which replays value-exact in
+    * ANSI SQL (q68, the q56-PageRank unrolled-iteration technique
+    * applied to vectors):
+    *
+    *   - vectors quantize ONCE to milli-unit integers (the q44/q46
+    *     headroom analysis: per-dim (v−c)² ≤ ~1.6e7, ×dims fits bigint
+    *     with 9 orders of slack);
+    *   - seeds are the k md5-smallest vectors (the q44/q46
+    *     deterministic donor draw), c = 0..k−1 in that order;
+    *   - ASSIGN is argmin squared-L2 over the k centroids off the
+    *     codegen'd [[graft.functions.IntVecDotNorms]] kernel
+    *     (d² = |v|² + |c|² − 2·v·c, the q46 identity), ties → the
+    *     smaller centroid id, via a per-vector row_number window —
+    *     corpus × k broadcast rows, the bounded IVF-centroid probe
+    *     shape;
+    *   - RECOMPUTE is the per-(cluster, dim) integer mean. Floor
+    *     division diverges between engines on negative sums (Spark
+    *     `div` truncates toward zero, DuckDB `//` floors), so the mean
+    *     is computed as `(sum + n·OFF) div n − OFF` with OFF = 2²¹ —
+    *     the shifted numerator is provably non-negative (|milli-unit
+    *     component| < OFF), where the two operators agree. A cluster
+    *     that loses all members keeps its previous centroid (both
+    *     engines: left-join coalesce), so k never silently shrinks.
+    *
+    * Each round's centroid frame is k rows — eagerly localCheckpointed
+    * (the connected-components pattern) so iteration lineage stays
+    * flat and the quantized corpus is scanned, not recomputed, per
+    * round. No driver-side collection anywhere; rounds are FIXED (the
+    * production setting for corpus bucketing — IVF quality needs few
+    * Lloyd rounds, and a fixed count is what an unrolled SQL replay
+    * can express).
+    *
+    * Output: one row per vector — (vec_id, cluster, d2) where d2 is
+    * the squared distance to the final centroid (assignment round
+    * `iters`, centroids recomputed `iters−1` times).
+    */
+  def kmeansInt(corpus: DataFrame, k: Int = 4, iters: Int = 3): DataFrame = {
+    require(k >= 1 && iters >= 1)
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val Off = 1L << 21 // > any |milli-unit coordinate|; keeps mean numerators non-negative
+    val mv = corpus.select(col("vec_id"),
+        transform(col("embedding"), e => round(e.cast("double") * 1000L).cast("bigint")).as("v"))
+      .localCheckpoint(true) // consumed by every round's assign + recompute
+    val mdOrder = Seq(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+    // unpartitioned row_number over the already-limited k-row frame
+    // (constant-sized, the q46 donor idiom)
+    var cents = mv.orderBy(mdOrder: _*).limit(k)
+      .withColumn("c", (row_number().over(Window.orderBy(mdOrder: _*)) - 1).cast("bigint"))
+      .select(col("c"), col("v").as("cv"))
+      .localCheckpoint(true)
+    def assign(c: DataFrame): DataFrame = {
+      val scored = mv.join(broadcast(c), lit(true))
+        .select(col("vec_id"), col("c"),
+          expr("int_vec_dot_norms(v, cv)").as("dnn"))
+        .select(col("vec_id"), col("c"),
+          (col("dnn").getItem(1) + col("dnn").getItem(2) - lit(2L) * col("dnn").getItem(0)).as("d2"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c"))
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("vec_id"), col("c"), col("d2"))
+    }
+    for (_ <- 1 until iters) {
+      val a = assign(cents)
+      // per-(cluster, dim) integer mean: one map-side-combinable
+      // groupBy over the exploded (c, i, val) stream, re-packed per
+      // cluster by sorting on the dim index (the dedupRewrite idiom)
+      val means = a.join(mv, Seq("vec_id"))
+        .select(col("c"), posexplode(col("v")).as(Seq("p0", "x")))
+        .groupBy(col("c"), (col("p0") + 1).as("i"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .select(col("c"), col("i"),
+          expr(s"(s + n * ${Off}L) div n - ${Off}L").as("m"))
+        .groupBy(col("c"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          x => x.getField("m")).as("mcv"))
+      cents = cents.join(means, Seq("c"), "left_outer")
+        .select(col("c"), coalesce(col("mcv"), col("cv")).as("cv"))
+        .localCheckpoint(true)
+    }
+    assign(cents).select(col("vec_id"), col("c").as("cluster"), col("d2"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup by vector space):
     * LSH-bucketed, exact-cosine verified.
     */

@@ -334,6 +334,50 @@ object StreamingExtract {
         (col("end_us") - col("start_us")).as("duration_us"),
         col("n_clicks"), col("n_purchases"))
 
+  /** Watermarked stream-stream INNER join — the click→view attribution
+    * shape (each click joined to the same user's views in the
+    * preceding `windowMinutes`), the one Structured Streaming join
+    * capability the batch operators can't emulate incrementally.
+    * Built on the engine's native stream-stream join: BOTH sides carry
+    * a watermark and the join predicate carries a two-sided event-time
+    * range, which is exactly what the state store needs to EVICT
+    * buffered rows — a view row is dropped once the click-side
+    * watermark passes `view_ts + windowMinutes`, so state is bounded
+    * by (rate × window), not by stream length.
+    *
+    * Input: two event frames with (event_id, ts, user_id) — callers
+    * pre-filter event_type (e.g. views vs clicks). Output per matched
+    * pair: user_id, click_id, view_id, click/view epoch micros and the
+    * gap — micros via the NTZ rule (never session-tz timestamps).
+    *
+    * Scale shape: one user-keyed stateful exchange per side (the
+    * stream-stream join co-partitions both on the equi-key);
+    * evictable range state as above. The batch twin is the same join
+    * expressed statically — pinned equal by test.
+    */
+  def streamingAttribution(views: DataFrame, clicks: DataFrame,
+                           windowMinutes: Int = 30,
+                           lateness: scala.concurrent.duration.FiniteDuration =
+                             scala.concurrent.duration.Duration(10, "seconds")): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("ts").as("view_ts"),
+        col("user_id").as("v_user_id"))
+      .withWatermark("view_ts", s"${lateness.toSeconds} seconds")
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+        col("user_id"))
+      .withWatermark("click_ts", s"${lateness.toSeconds} seconds")
+    c.join(v,
+        col("user_id") === col("v_user_id") &&
+          col("view_ts") <= col("click_ts") &&
+          col("view_ts") >= col("click_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+        "inner")
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("view_ts")).as("view_us"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+  }
+
   /** Wire a streaming page source to a parquet triple sink. */
   def start(pages: DataFrame, outDir: String, checkpointDir: String): StreamingQuery =
     triples(pages).writeStream

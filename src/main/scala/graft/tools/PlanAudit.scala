@@ -19,8 +19,10 @@ object PlanAudit {
                      // (N, total tokens) — the scale-correct way to
                      // attach global constants (an unpartitioned window
                      // would funnel the tf table through one partition)
-    "q62_pmi_cooccur") // same 1-row scalar-frame shape: the bounded
+    "q62_pmi_cooccur", // same 1-row scalar-frame shape: the bounded
                        // pair table × broadcast(n_docs)
+    "q68_kmeans_int")  // corpus × k broadcast centroids per Lloyd
+                       // round — the IVF-centroid bounded probe shape
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

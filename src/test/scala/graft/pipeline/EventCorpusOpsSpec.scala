@@ -171,6 +171,57 @@ class EventCorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSet == Set((1L, 3L, 60L * 1000000L, 1L, 1L)), out.mkString(","))
   }
 
+  test("streamingAttribution: stream-stream join matches the batch twin across micro-batches") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // base offset keeps event times off epoch 0 — a ts equal to the
+    // initial watermark (0) is dropped as late by the join state store
+    val B = 10000L
+    val viewRows = Seq( // (event_id, ts, user_id)
+      (1L, t(B), 1L), // matched by clicks at +60 and +900
+      (2L, t(B + 100), 2L), // matched cross-micro-batch by click 14 at +200
+      (3L, t(B), 3L)) // its only click (+3000 = 50 min later) is outside the 30-min window
+    val clickRows = Seq(
+      (10L, t(B + 60), 1L), (11L, t(B + 900), 1L),
+      (12L, t(B + 30), 2L), // click BEFORE user 2's view → excluded
+      (13L, t(B + 3000), 3L), // outside the attribution window → excluded
+      (14L, t(B + 200), 2L)) // 100s after user 2's view → matched
+    val vMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val cMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val q = StreamingExtract.streamingAttribution(
+        vMem.toDF().toDF("event_id", "ts", "user_id"),
+        cMem.toDF().toDF("event_id", "ts", "user_id"))
+      .writeStream.format("memory").queryName("stream_attr").outputMode("append").start()
+    // batch 1: user 1 + user 3 views, user 1's first click, user 2's too-early click
+    vMem.addData(Seq(viewRows(0), viewRows(2)))
+    cMem.addData(Seq(clickRows(0), clickRows(2)))
+    q.processAllAvailable()
+    // batch 2: user 2's view; its matching click arrives only in batch 3
+    // — the match must happen ACROSS micro-batches from buffered state
+    vMem.addData(Seq(viewRows(1)))
+    q.processAllAvailable()
+    cMem.addData(Seq(clickRows(1), clickRows(3), clickRows(4)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("SELECT * FROM stream_attr").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("click_id"),
+        r.getAs[Long]("view_id"), r.getAs[Long]("gap_us"))).toSet
+    // the batch twin: the same operator over the full static frames
+    val vb = viewRows.toDF("event_id", "ts", "user_id")
+    val cb = clickRows.toDF("event_id", "ts", "user_id")
+    val batch = StreamingExtract.streamingAttribution(vb, cb).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("click_id"),
+        r.getAs[Long]("view_id"), r.getAs[Long]("gap_us"))).toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    val M = 1000000L
+    assert(batch == Set(
+      (1L, 10L, 1L, 60L * M), (1L, 11L, 1L, 900L * M), (2L, 14L, 2L, 100L * M)),
+      batch.toString)
+  }
+
   test("funnel: greedy ordered conversion; out-of-order steps do not count") {
     val e = events(
       // user 1 converts fully — but only via the ordered chain:

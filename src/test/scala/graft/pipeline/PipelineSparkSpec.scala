@@ -810,6 +810,41 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(_.getAs[Long]("cluster")).forall(ids.contains))
   }
 
+  test("kmeansInt separates planted clusters, deterministically, one row per vector") {
+    val s = spark
+    import s.implicits._
+    val dim = 16
+    // two tight planted groups on disjoint axes
+    def member(group: Int, i: Int): Array[Float] =
+      Array.tabulate(dim)(j => ((if (j / 8 == group) 4.0 else 0.0) + math.sin(i * 11 + j) * 0.1).toFloat)
+    val vecs = (0 until 40).map(i => (i.toLong, member(i % 2, i), i % 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.kmeansInt(vecs, k = 2, iters = 3).collect()
+    assert(out.length == 40)
+    assert(out.map(_.getAs[Long]("vec_id")).distinct.length == 40)
+    val byGroup = out.groupBy(_.getAs[Long]("vec_id") % 2)
+      .map { case (g, rows) => g -> rows.map(_.getAs[Long]("cluster")).toSet }
+    // each planted group maps to exactly one cluster, and they differ
+    assert(byGroup(0L).size == 1 && byGroup(1L).size == 1 && byGroup(0L) != byGroup(1L),
+      s"cluster split: $byGroup")
+    // deterministic: a second run yields the identical row set (incl. d2)
+    val again = Similarity.kmeansInt(vecs, k = 2, iters = 3).collect()
+    assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("kmeansInt keeps an emptied cluster's centroid instead of shrinking k") {
+    val s = spark
+    import s.implicits._
+    // all points identical: every vector ties to centroid 0 (tie-break
+    // on c), cluster 1 goes empty and must survive the recompute
+    val same = Array.tabulate(8)(j => (j + 1).toFloat / 10)
+    val vecs = (0L to 9L).map(i => (i, same, 0)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.kmeansInt(vecs, k = 2, iters = 3).collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getAs[Long]("cluster") == 0L))
+    assert(out.forall(_.getAs[Long]("d2") == 0L))
+  }
+
   test("pqAdcMd5 keeps clustered neighbors together and encodes deterministically") {
     val s = spark
     import s.implicits._
