@@ -342,6 +342,17 @@ object SparkEntry {
     // off the codegen kernel; the oracle unrolls the rounds as CTEs
     // (the q56 technique applied to vectors)
     "q68_kmeans_int" -> ((s, d) => Similarity.kmeansInt(t(s, d, "embeddings"), k = 4, iters = 3)),
+    // multi-source BFS hop distance over the q22 near-dup graph:
+    // distance from the src0 document set, capped at 3 hops — the
+    // link-distance / blast-radius primitive; oracle is a hop-capped
+    // recursive CTE (q66's shape) with a min fold
+    "q69_hop_distance" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashLshMd5(docs, threshold = 0.5, shingleWidth = 1)
+        .select(col("a"), col("b"))
+      val seeds = docs.where(col("source") === "src0").select(col("doc_id").as("node"))
+      GraphOps.hopDistance(pairs, seeds, maxHops = 3)
+    }),
     // RAG-style sliding-window chunking: token-offset chunks with
     // overlap (window 32 / stride 24 — small enough that the synthetic
     // docs actually split), shuffle-free explode
@@ -1696,6 +1707,23 @@ object SparkEntry {
     sb.toString
   }
 
+  /** DuckDB twin of q69: q66's recursive-CTE shape, hop-capped (the
+    * UNION dedups (node, d) rows, so cycles terminate at the cap),
+    * then the same min fold; isolated src0 seeds stay at dist 0 via
+    * the seed anchor row.
+    */
+  private def q69Sql(maxHops: Int = 3, seedSource: String = "src0"): String =
+    s"""WITH RECURSIVE pairs AS (SELECT a, b FROM (${minhashLshSql(width = 1, threshold = 0.5)}) q22),
+       |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+       |seeds AS (SELECT DISTINCT doc_id AS node FROM documents WHERE source = '$seedSource'),
+       |walk AS (
+       |  SELECT node, 0 AS d FROM seeds
+       |  UNION
+       |  SELECT e.b AS node, w.d + 1 AS d FROM edges e JOIN walk w ON e.a = w.node WHERE w.d < $maxHops
+       |)
+       |SELECT CAST(node AS BIGINT) AS node, CAST(min(d) AS BIGINT) AS dist
+       |FROM walk GROUP BY node""".stripMargin
+
   /** DuckDB twin of q61: same k md5-prefix bit slices (string buckets,
     * the q45/q48/q51 rule), same brand build set, same confusion-cell
     * rollup.
@@ -1758,6 +1786,7 @@ object SparkEntry {
     "q66_leakage_split" -> q66Sql,
     "q67_budget_sample" -> q67Sql(),
     "q68_kmeans_int" -> q68Sql(),
+    "q69_hop_distance" -> q69Sql(),
     "q57_chunk_sliding" -> q57Sql(window = 32, stride = 24),
     "q58_hll_by_source" -> q58Sql,
     "q59_jaccard_prefix_join" -> q59Sql(),

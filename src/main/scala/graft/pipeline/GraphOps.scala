@@ -103,6 +103,48 @@ object GraphOps {
       .groupBy(col("node")).agg(count(lit(1)).cast("bigint").as("n_tri"))
   }
 
+  /** Multi-source BFS hop distance, capped at `maxHops` — the
+    * reachability/link-distance primitive (distance-to-seed-set
+    * features, contamination blast radius around flagged documents,
+    * crawl-frontier depth) that CC (no distances) and PageRank
+    * (stationary weights) don't express.
+    *
+    * Exact BFS frontier discipline: after each round's min-fold a
+    * node's dist is its true hop count, so `dist == r−1` selects
+    * precisely the nodes FIRST reached last round — each node expands
+    * once, total join work is O(edges · 1) across all rounds, not
+    * O(edges · rounds). Rounds are FIXED (the q56/q68 unrolled-replay
+    * discipline; a hop cap is also what the feature semantics want),
+    * each round one frontier⋈edges equi-join plus a min groupBy, the
+    * doubled edge list materialized ONCE and the dist frame
+    * checkpointed per round (bounded lineage, the q26 lesson).
+    *
+    * Input: (a, b) undirected unique pairs + a (node) seed frame.
+    * Output: (node, dist ≤ maxHops) for every reached node; seeds not
+    * in the graph report dist 0 (isolated seeds are still "at" the
+    * seed set). Oracle twin: hop-capped recursive CTE (q66's shape)
+    * with a min fold.
+    */
+  def hopDistance(pairs: DataFrame, seeds: DataFrame, maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 20, "maxHops in [1,20]")
+    val e = canonEdges(pairs)
+    val edges = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(true) // consumed every round
+    var dist = seeds.select(col("node").cast("bigint").as("node"), lit(0L).as("dist"))
+      .distinct().localCheckpoint(true)
+    for (r <- 1 to maxHops) {
+      val frontier = dist.where(col("dist") === lit(r - 1).cast("bigint"))
+      val next = frontier
+        .join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), lit(r.toLong).as("dist"))
+      dist = dist.unionByName(next)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
   /** Integer-exact PageRank: ranks start at 1e6 micro-units per node;
     * each iteration is `r' = 150000 + 85 * S div 100` with
     * `S = Σ_in (r div out_deg)` — damping 0.85 with every division a

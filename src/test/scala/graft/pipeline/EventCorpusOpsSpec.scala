@@ -363,6 +363,26 @@ class EventCorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == (1 to k).map(i => i.toLong -> 6L).toMap)
   }
 
+  test("hopDistance: BFS min over multiple seeds, hop cap truncates, isolated seed stays 0") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3-4-5-6 plus a cycle 7-8-9-7 touching 4 (via 4-7);
+    // seeds {1, 9}; isolated seed 100 has no edges at all
+    val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (7L, 8L), (8L, 9L), (9L, 7L), (4L, 7L))
+    val seeds = Seq(1L, 9L, 100L).toDF("node")
+    val got = GraphOps.hopDistance(e, seeds, maxHops = 3).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    // from 1: 2→1, 3→2, 4→3; from 9: 7→1, 8→1, 4→2, 3→3(via 4), 5→3;
+    // min fold: 4 = min(3, 2) = 2; 3 = min(2, 3) = 2; node 6 is 4 hops
+    // from either seed → truncated by the cap; 100 stays at 0
+    assert(got == Map(
+      1L -> 0L, 9L -> 0L, 100L -> 0L,
+      2L -> 1L, 7L -> 1L, 8L -> 1L,
+      3L -> 2L, 4L -> 2L,
+      5L -> 3L), got.toString)
+  }
+
   test("clusteringCoeff: ppm ratios on the hand graph; degree-1 and triangle-free nodes kept") {
     // K4 minus 1-4 plus pendant 4-5: deg = (1:2, 2:3, 3:3, 4:3, 5:1);
     // triangles {1,2,3} and {2,3,4}; lcc = 2·tri·1e6 div (d·(d−1))
