@@ -53,6 +53,7 @@ object Bench {
     "q59_jaccard_prefix_join", "q60_triangle_count", "q61_bloom_prune",
     "q62_pmi_cooccur", "q63_salted_agg", "q64_clustering_coeff",
     "q65_incremental_neardup", "q66_leakage_split", "q67_budget_sample",
+    "q68_kmeans_int", "q69_hop_distance",
     "x_bpe_train", "x_bpe_encode",
     "x_minhash_lsh_dedup", "x_ngram_jaccard_lsh", "x_simhash_dedup",
     "x_embedding_neardup", "x_ann_brute", "x_ann_lsh", "x_ann_ivf",
@@ -329,6 +330,22 @@ object Bench {
       if (ts.isEmpty) Double.MaxValue else ts.map(_.canary).min
     def bestQuad(ts: Seq[Trial]): Double =
       if (ts.isEmpty) Double.MaxValue else ts.map(_.quad).min
+    // ABSOLUTE canary anchor, read early so it can gate PER TRIAL (see
+    // below) as well as per session (round-3 verdict #1b).
+    val anchorMargin = sys.env.getOrElse("SPARK_GRAFT_CANARY_ANCHOR_MARGIN", "1.3").toDouble
+    val anchor: Option[Double] =
+      try {
+        val p = Paths.get("BENCH", "canary_anchor.txt")
+        if (Files.exists(p)) Some(Files.readString(p).trim.toDouble) else None
+      } catch { case _: Exception => None }
+    // per-trial absolute cap: the relative session-best gates are blind
+    // when a config completes only ONE trial (it gates against itself and
+    // is trivially "clean" — exactly how a 0.175 s-canary 4N trial shipped
+    // a polluted 0.619 efficiency in round 4). Clean-host 1-thread
+    // canaries are reproducibly 0.107-0.131 s across five sessions and
+    // BOTH configs (the 4N structural offset is a few %), so one absolute
+    // cap applies per trial regardless of how many siblings completed.
+    val canaryCap: Double = anchor.map(_ * anchorMargin).getOrElse(Double.MaxValue)
     // gating is PER CONFIG: the 4N canaries run concurrently (4 pinned
     // single-thread parses), which costs a structural few % vs the solo
     // N canary — comparing each config to its own best keeps that
@@ -338,7 +355,7 @@ object Bench {
     // 16-core measurement.
     def isClean(t: Trial, all: Seq[Trial]): Boolean =
       t.steal <= maxStealPct && t.canary <= bestCanary(all) * canaryMargin &&
-        t.quad <= bestQuad(all) * quadMargin
+        t.quad <= bestQuad(all) * quadMargin && t.canary <= canaryCap
     def cleanOf(all: Seq[Trial]): Seq[Trial] = all.filter(isClean(_, all.toSeq)).toSeq
 
     var attempts = 0
@@ -409,14 +426,9 @@ object Bench {
     // ABSOLUTE canary anchor (round-3 verdict #1b): per-config relative
     // gating is blind to a session that is polluted THROUGHOUT — every
     // trial slow by the same factor gates itself clean. The clean-host
-    // 1-thread canary is reproducible across sessions (0.108-0.128s over
-    // three rounds), so a committed anchor catches the all-polluted case.
-    val anchorMargin = sys.env.getOrElse("SPARK_GRAFT_CANARY_ANCHOR_MARGIN", "1.3").toDouble
-    val anchor: Option[Double] =
-      try {
-        val p = Paths.get("BENCH", "canary_anchor.txt")
-        if (Files.exists(p)) Some(Files.readString(p).trim.toDouble) else None
-      } catch { case _: Exception => None }
+    // 1-thread canary is reproducible across sessions (0.108-0.131s over
+    // four rounds), so the committed anchor catches the all-polluted case
+    // at session level (here) and per trial (isClean's canaryCap above).
     val sessionBestCanary: Option[Double] = {
       val cs = (nAll ++ qAll).map(_.canary).filter(_ > 0)
       if (cs.isEmpty) None else Some(cs.min)
