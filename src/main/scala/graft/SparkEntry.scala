@@ -228,6 +228,10 @@ object SparkEntry {
     // shuffle over the md5'd occurrence stream) → per-doc mean frequency
     // + hapax share — the CCNet-style frequency-prior quality signal
     "q40_bigram_lm" -> ((s, d) => CorpusOps.bigramLm(t(s, d, "documents"))),
+    // unigram-LM surprisal in WHOLE BITS: floor(log2(N/cnt)) is exact
+    // integer both engines (length(bin(N div cnt)) - 1) — the log-scale
+    // perplexity-filter signal with zero FP in the oracle output
+    "q70_surprisal_bits" -> ((s, d) => CorpusOps.surprisalBits(t(s, d, "documents"))),
     // TF-IDF-style keywords: integer tf-over-df score, deterministic
     // top-3 per document — tf collapses the corpus before the df shuffle
     "q41_tfidf_topk" -> ((s, d) => CorpusOps.tfIdfTopK(t(s, d, "documents"))),
@@ -1176,6 +1180,37 @@ object SparkEntry {
       |  CAST(CASE WHEN coalesce(nbg, 0) > 0 THEN hapax * 10000 // nbg ELSE 0 END AS BIGINT) AS hapax_bp
       |FROM documents d LEFT JOIN perdoc USING (doc_id)""".stripMargin
 
+  /** DuckDB twin of q70: same unigram census, same exact integer
+    * floor(log2) via length(bin(·)) − 1 — DuckDB's bin() and the JVM's
+    * Long.toBinaryString both render positive integers without leading
+    * zeros. n_total is HUGEINT under DuckDB's sum, so the quotient is
+    * cast back to BIGINT before bin().
+    */
+  private def q70Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+      |  FROM documents
+      |), occ AS (
+      |  SELECT doc_id, unnest(words) AS w FROM base
+      |), freq AS (
+      |  SELECT w, count(*) AS cnt FROM occ GROUP BY w
+      |), scal AS (
+      |  SELECT sum(cnt) AS n_total FROM freq
+      |), kw AS (
+      |  SELECT w, CAST(length(bin(CAST(n_total // cnt AS BIGINT))) - 1 AS BIGINT) AS k
+      |  FROM freq, scal
+      |), tf AS (
+      |  SELECT doc_id, w, count(*) AS c_dw FROM occ GROUP BY doc_id, w
+      |), perdoc AS (
+      |  SELECT doc_id, sum(c_dw) AS ntok, sum(c_dw * k) AS bits
+      |  FROM tf JOIN kw USING (w) GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(ntok, 0) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(bits, 0) AS BIGINT) AS surprisal_bits,
+      |  CAST(CASE WHEN coalesce(ntok, 0) > 0 THEN bits * 100 // ntok ELSE 0 END AS BIGINT) AS mean_centibits
+      |FROM documents d LEFT JOIN perdoc USING (doc_id)""".stripMargin
+
   /** DuckDB twin of q41: same tf rollup, same COUNT-window df, same
     * integer tf-over-df score and (score DESC, term) top-3 window.
     */
@@ -1802,6 +1837,7 @@ object SparkEntry {
     "q50_sessionize" -> q50Sql(),
     "q39_pack_chunks" -> q39Sql(),
     "q40_bigram_lm" -> q40Sql,
+    "q70_surprisal_bits" -> q70Sql,
     "q41_tfidf_topk" -> q41Sql,
     "q45_dsir_score" -> q45Sql(),
     "q42_quality_filter" -> q42Sql,

@@ -162,6 +162,57 @@ object CorpusOps {
           .as("hapax_bp"))
   }
 
+  /** Unigram-LM surprisal quality scoring — the information-theoretic
+    * half of a CCNet-style perplexity filter: score each document by
+    * the summed Shannon surprisal of its tokens under the corpus's own
+    * unigram model, `−log2 p(w) = log2(N / cnt_w)`. Fluent prose leans
+    * on common words (low mean surprisal); mojibake, id dumps and
+    * hapax-heavy noise score high. Complements q40 (mean bigram
+    * FREQUENCY — a linear-scale signal) with the log-scale per-token
+    * information content real perplexity filters threshold on.
+    *
+    * Cross-engine exactness: surprisal is quantized to WHOLE BITS,
+    * which needs no FP at all — `floor(log2(N / c))` equals
+    * `floor(log2(N div c))` (flooring a real x ≥ 1 cannot cross a
+    * power of two, since 2^k is an integer and x ≥ 2^k implies
+    * floor(x) ≥ 2^k), and `floor(log2(m)) = length(bin(m)) − 1` where
+    * both engines' `bin()` renders a positive BIGINT without leading
+    * zeros (Long.toBinaryString == DuckDB bin). Per-doc mean is the
+    * usual truncating `div` on non-negative integers ×100.
+    *
+    * Scale shape: the exploded token stream feeds two map-side-
+    * combinable groupBys — the vocab census (vocab-sized output) and
+    * the per-(doc, word) tf table (the q41 shape: tf collapses the
+    * corpus BEFORE any join, so the bits join touches distinct
+    * (doc, word) pairs, never raw occurrences). N rides a 1-row
+    * broadcast cross join onto the vocab-sized frame only; per-word
+    * bits are computed there (vocab-sized arithmetic) and joined back
+    * unhinted — AQE broadcasts a small vocab, shuffles a web-scale
+    * one. Explode is evaluated twice (census + tf) — the q45 call:
+    * two passes over a cheap projection beat materializing the
+    * exploded corpus.
+    */
+  def surprisalBits(documents: DataFrame): DataFrame = {
+    val occ = documents.select(col("doc_id"), explode(wordsExpr).as("w"))
+    val freq = occ.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val scalars = freq.agg(sum(col("cnt")).as("n_total"))
+    val kw = freq.crossJoin(broadcast(scalars))
+      .select(col("w"),
+        (length(bin(expr("n_total div cnt"))) - 1).cast("bigint").as("k"))
+    val tf = occ.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c_dw"))
+    val perDoc = tf.join(kw, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c_dw")).as("ntok"), sum(col("c_dw") * col("k")).as("bits"))
+    documents.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("ntok"), lit(0L)).cast("bigint").as("n_tokens"),
+        coalesce(col("bits"), lit(0L)).cast("bigint").as("surprisal_bits"),
+        expr("CAST(CASE WHEN coalesce(ntok, 0) > 0 THEN bits * 100 div ntok ELSE 0 END AS BIGINT)")
+          .as("mean_centibits"))
+  }
+
   /** DSIR-style data selection scoring (Xie et al. 2023,
     * arXiv:2302.03169 "Data Selection for Language Models via
     * Importance Resampling"): score each raw document by how much its

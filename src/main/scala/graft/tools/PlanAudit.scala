@@ -21,6 +21,8 @@ object PlanAudit {
                      // would funnel the tf table through one partition)
     "q62_pmi_cooccur", // same 1-row scalar-frame shape: the bounded
                        // pair table × broadcast(n_docs)
+    "q70_surprisal_bits", // vocab-sized freq table × 1-row broadcast
+                          // corpus-total frame (the q47/q62 shape)
     "q68_kmeans_int")  // corpus × k broadcast centroids per Lloyd
                        // round — the IVF-centroid bounded probe shape
 

@@ -980,6 +980,28 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L) == ((0L, 0L, 0L, 0L)), out(4L).toString)
   }
 
+  test("surprisal bits: exact floor(log2(N/cnt)) per token, integer mean, empty docs zero") {
+    val s = spark
+    import s.implicits._
+    // corpus: "the" x8, "rare" x1, "mid" x3, "x9" x4 -> N = 16
+    // k(the) = floor(log2(16/8)) = 1; k(mid) = floor(log2(16 div 3 = 5)) = 2
+    // k(x9) = floor(log2(4)) = 2; k(rare) = floor(log2(16)) = 4
+    val d = Seq(
+      (1L, "the the the the mid x9 x9 rare"),   // bits = 4*1 + 2 + 2*2 + 4 = 14, ntok 8
+      (2L, "the the the the mid mid x9 x9"),    // bits = 4*1 + 2*2 + 2*2 = 12, ntok 8
+      (3L, ""),                                  // no tokens
+      (4L, "!!!")                                // tokenizes to nothing
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.surprisalBits(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // (n_tokens, surprisal_bits, mean_centibits)
+    assert(out(1L) == ((8L, 14L, 175L)), out(1L).toString)
+    assert(out(2L) == ((8L, 12L, 150L)), out(2L).toString)
+    assert(out(3L) == ((0L, 0L, 0L)), out(3L).toString)
+    assert(out(4L) == ((0L, 0L, 0L)), out(4L).toString)
+  }
+
   test("tf-idf top-k: integer tf-over-df scores, deterministic ties, k bound") {
     val s = spark
     import s.implicits._
