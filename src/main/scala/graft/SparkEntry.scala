@@ -371,6 +371,7 @@ object SparkEntry {
       val pairs = orders.join(li, orders("o_orderkey") === li("l_orderkey"))
         .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
+        .localCheckpoint(true) // both union legs read this join
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
       GraphOps.pageRank(edges)

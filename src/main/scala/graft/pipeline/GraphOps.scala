@@ -166,8 +166,15 @@ object GraphOps {
     */
   def pageRank(edges0: DataFrame, iters: Int = 5, k: Int = 20): DataFrame = {
     require(iters >= 1 && iters <= 20, "iterations in [1,20]")
+    // edges feeds THREE consumers (deg census, the withDeg join leg,
+    // the initial rank seed) and its lineage is typically an expensive
+    // upstream join — checkpoint once or that subtree runs 3x before
+    // the first iteration (the q26 lesson, same failure measured here:
+    // q56 warm 9.8s -> 7.0s at sf0.1 from this line, -> 4.3s once the
+    // caller also materializes its two-leg direction union input)
     val edges = edges0.select(col("src").cast("bigint").as("src"),
       col("dst").cast("bigint").as("dst")).distinct()
+      .localCheckpoint(true)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val withDeg = edges.join(deg, Seq("src")).localCheckpoint(true)
     var ranks = edges.select(col("src").as("node")).distinct()
