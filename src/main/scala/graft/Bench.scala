@@ -346,6 +346,19 @@ object Bench {
     // BOTH configs (the 4N structural offset is a few %), so one absolute
     // cap applies per trial regardless of how many siblings completed.
     val canaryCap: Double = anchor.map(_ * anchorMargin).getOrElse(Double.MaxValue)
+    // same per-trial absolute cap for the 4-THREAD canary: a pure
+    // bandwidth co-tenant leaves the 1-thread canary healthy and only
+    // inflates the quad one — with a single completed trial the relative
+    // quad gate compares it against itself, the exact lone-trial hole
+    // the 1-thread cap closes above. Clean-host quad canaries read
+    // 0.130-0.144 s (committed quad_anchor.txt), structurally a few %
+    // above the 1-thread value.
+    val quadAnchor: Option[Double] =
+      try {
+        val p = Paths.get("BENCH", "quad_anchor.txt")
+        if (Files.exists(p)) Some(Files.readString(p).trim.toDouble) else None
+      } catch { case _: Exception => None }
+    val quadCap: Double = quadAnchor.map(_ * anchorMargin).getOrElse(Double.MaxValue)
     // gating is PER CONFIG: the 4N canaries run concurrently (4 pinned
     // single-thread parses), which costs a structural few % vs the solo
     // N canary — comparing each config to its own best keeps that
@@ -355,7 +368,8 @@ object Bench {
     // 16-core measurement.
     def isClean(t: Trial, all: Seq[Trial]): Boolean =
       t.steal <= maxStealPct && t.canary <= bestCanary(all) * canaryMargin &&
-        t.quad <= bestQuad(all) * quadMargin && t.canary <= canaryCap
+        t.quad <= bestQuad(all) * quadMargin && t.canary <= canaryCap &&
+        t.quad <= quadCap
     def cleanOf(all: Seq[Trial]): Seq[Trial] = all.filter(isClean(_, all.toSeq)).toSeq
 
     var attempts = 0
