@@ -232,6 +232,14 @@ object SparkEntry {
     // integer both engines (length(bin(N div cnt)) - 1) — the log-scale
     // perplexity-filter signal with zero FP in the oracle output
     "q70_surprisal_bits" -> ((s, d) => CorpusOps.surprisalBits(t(s, d, "documents"))),
+    // k-core of the q22 near-dup graph: iterative peeling to a
+    // fixpoint (capped; non-convergence throws, the q26 rule) — the
+    // density floor separating real clusters from incidental chains.
+    // Oracle unrolls the peel cap as CTEs (rounds past the fixpoint
+    // are identities, so the unroll is exact)
+    "q71_kcore" -> ((s, d) => GraphOps.kCore(
+      Dedup.minhashLshMd5(t(s, d, "documents"), threshold = 0.5, shingleWidth = 1)
+        .select(col("a"), col("b")), k = 2, maxRounds = 8)),
     // TF-IDF-style keywords: integer tf-over-df score, deterministic
     // top-3 per document — tf collapses the corpus before the df shuffle
     "q41_tfidf_topk" -> ((s, d) => CorpusOps.tfIdfTopK(t(s, d, "documents"))),
@@ -1212,6 +1220,39 @@ object SparkEntry {
       |  CAST(CASE WHEN coalesce(ntok, 0) > 0 THEN bits * 100 // ntok ELSE 0 END AS BIGINT) AS mean_centibits
       |FROM documents d LEFT JOIN perdoc USING (doc_id)""".stripMargin
 
+  /** DuckDB twin of q71 (k-core): same q22 pair graph, the peel cap
+    * unrolled as CTEs — each round keeps nodes whose degree within the
+    * previous round's set is ≥ k. Peeling is monotone, so rounds past
+    * the Spark side's fixpoint are identities and the fixed unroll is
+    * exact (the Spark side THROWS if the cap is ever too small, so a
+    * silent divergence is impossible).
+    */
+  private def q71Sql(k: Int = 2, rounds: Int = 8): String = {
+    // every CTE is MATERIALIZED: each peel round references the
+    // previous one TWICE, so DuckDB's default inlining would expand
+    // the upstream minhash pipeline 2^rounds times (measured: q71
+    // never finishes un-hinted; 0.8s materialized at sf0.01)
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH pairs AS MATERIALIZED (SELECT a, b FROM (${minhashLshSql(width = 1, threshold = 0.5)}) q22),
+         |e0 AS MATERIALIZED (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM pairs WHERE a <> b),
+         |edges AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v AS src, u AS dst FROM e0),
+         |n0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges)""".stripMargin)
+    for (r <- 1 to rounds) sb.append(
+      s""",
+         |n$r AS MATERIALIZED (
+         |  SELECT e.src AS node FROM edges e
+         |  JOIN n${r - 1} a ON a.node = e.src JOIN n${r - 1} b ON b.node = e.dst
+         |  GROUP BY e.src HAVING count(*) >= $k
+         |)""".stripMargin)
+    sb.append(
+      s"""
+         |SELECT CAST(e.src AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM edges e JOIN n$rounds a ON a.node = e.src JOIN n$rounds b ON b.node = e.dst
+         |GROUP BY e.src""".stripMargin)
+    sb.toString
+  }
+
   /** DuckDB twin of q41: same tf rollup, same COUNT-window df, same
     * integer tf-over-df score and (score DESC, term) top-3 window.
     */
@@ -1839,6 +1880,7 @@ object SparkEntry {
     "q39_pack_chunks" -> q39Sql(),
     "q40_bigram_lm" -> q40Sql,
     "q70_surprisal_bits" -> q70Sql,
+    "q71_kcore" -> q71Sql(),
     "q41_tfidf_topk" -> q41Sql,
     "q45_dsir_score" -> q45Sql(),
     "q42_quality_filter" -> q42Sql,

@@ -145,6 +145,65 @@ object GraphOps {
     dist
   }
 
+  /** k-core: the maximal subgraph in which every node keeps degree
+    * ≥ k — the density floor that separates "real" near-dup clusters
+    * from incidental chains and stars (a k-core survives losing any
+    * single edge; a chain does not), the standard prefilter before
+    * community detection or cluster-representative election.
+    *
+    * Iterative peeling: each round drops every node whose degree
+    * WITHIN the surviving set is < k, until a fixpoint. Rounds are
+    * capped and non-convergence THROWS (the q26 rule — never ship a
+    * half-peeled set into an oracle-gated result); the DuckDB oracle
+    * unrolls the full cap as CTEs, sound because peeling is monotone
+    * and rounds past the fixpoint are identities.
+    *
+    * Scale shape: the doubled edge list is materialized once and each
+    * round is one edges⋈alive⋈alive equi-join + a map-side-combinable
+    * HAVING groupBy on a node-sized frame; the alive set only shrinks.
+    * Per-round checkpoint keeps lineage flat (the q26 lesson);
+    * convergence = node-count equality, valid because peeling only
+    * removes.
+    *
+    * Input: (a, b) undirected unique pairs. Output: (node, core_deg)
+    * for surviving nodes, core_deg = degree inside the k-core.
+    */
+  def kCore(pairs: DataFrame, k: Int = 2, maxRounds: Int = 8): DataFrame = {
+    require(k >= 1 && k <= 64, "k in [1,64]")
+    val e = canonEdges(pairs)
+    val edges = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(true) // consumed every round
+    var alive = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    var n = alive.count()
+    var converged = false
+    var r = 0
+    while (r < maxRounds && !converged) {
+      val next = edges
+        .join(alive.select(col("node").as("src")), Seq("src"))
+        .join(alive.select(col("node").as("dst")), Seq("dst"))
+        .groupBy(col("src")).agg(count(lit(1)).as("dw"))
+        .where(col("dw") >= k)
+        .select(col("src").as("node"))
+        .localCheckpoint(true)
+      val m = next.count()
+      converged = m == n // peeling only removes: equal count == equal set
+      alive = next
+      n = m
+      r += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore(k=$k) did not converge in $maxRounds peel rounds " +
+          "(still shrinking); raise maxRounds — shipping a half-peeled set would be wrong")
+    edges
+      .join(alive.select(col("node").as("src")), Seq("src"))
+      .join(alive.select(col("node").as("dst")), Seq("dst"))
+      .groupBy(col("src")).agg(count(lit(1)).cast("bigint").as("core_deg"))
+      .select(col("src").cast("bigint").as("node"), col("core_deg"))
+  }
+
   /** Integer-exact PageRank: ranks start at 1e6 micro-units per node;
     * each iteration is `r' = 150000 + 85 * S div 100` with
     * `S = Σ_in (r div out_deg)` — damping 0.85 with every division a

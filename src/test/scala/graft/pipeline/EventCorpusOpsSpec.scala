@@ -383,6 +383,31 @@ class EventCorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       5L -> 3L), got.toString)
   }
 
+  test("kCore: iterative peeling reaches the fixpoint, not just the degree filter") {
+    // triangle {1,2,3} with tail 3-4-5: after round 1 node 5 drops
+    // (deg 1), which EXPOSES 4 at deg 1 — only a second peel round
+    // removes it. 2-core = the triangle, every corner at core_deg 2.
+    val e = edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val got = GraphOps.kCore(e, k = 2, maxRounds = 8).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("core_deg")).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: empty core and non-convergence cap") {
+    val s = spark
+    import s.implicits._
+    // a pure path peels from both ends, one layer per round: length 8
+    // empties in 4 rounds (converged, empty result)...
+    val path = (1L to 8L).map(i => (i, i + 1)).toDF("a", "b")
+    assert(GraphOps.kCore(path, k = 2, maxRounds = 8).count() == 0L)
+    // ...but a length-24 path needs ~12 shrinking rounds — the cap of
+    // 4 must THROW (the q26 rule), never ship a half-peeled set
+    val long = (1L to 24L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      GraphOps.kCore(long, k = 2, maxRounds = 4).count()
+    }
+  }
+
   test("clusteringCoeff: ppm ratios on the hand graph; degree-1 and triangle-free nodes kept") {
     // K4 minus 1-4 plus pendant 4-5: deg = (1:2, 2:3, 3:3, 4:3, 5:1);
     // triangles {1,2,3} and {2,3,4}; lcc = 2·tri·1e6 div (d·(d−1))
