@@ -237,6 +237,11 @@ object SparkEntry {
     // density floor separating real clusters from incidental chains.
     // Oracle unrolls the peel cap as CTEs (rounds past the fixpoint
     // are identities, so the unroll is exact)
+    // positional phrase search: exact adjacency matches of a 2-gram
+    // over the tokenized corpus — per-term posting-stream filters +
+    // one (doc_id, pos) equi-join per adjacency, no regex rescans
+    "q72_phrase_search" -> ((s, d) =>
+      CorpusOps.phraseSearch(t(s, d, "documents"), Seq("table", "hash"))),
     "q71_kcore" -> ((s, d) => GraphOps.kCore(
       Dedup.minhashLshMd5(t(s, d, "documents"), threshold = 0.5, shingleWidth = 1)
         .select(col("a"), col("b")), k = 2, maxRounds = 8)),
@@ -1253,6 +1258,25 @@ object SparkEntry {
     sb.toString
   }
 
+  /** DuckDB twin of q72: same tokenizer, generate_subscripts positions
+    * (1-based, matching the Spark side's posexplode+1), per-term
+    * position sets joined at the shifted anchor position.
+    */
+  private def q72Sql(phrase: Seq[String] = Seq("table", "hash")): String = {
+    val terms = phrase.zipWithIndex.map { case (w, off) =>
+      s"m$off AS (SELECT doc_id, i${if (off > 0) s" - $off" else ""} AS i FROM p WHERE tok = '$w')"
+    }.mkString(",\n")
+    val joins = (1 until phrase.size).map(o => s"JOIN m$o USING (doc_id, i)").mkString(" ")
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+       |  FROM documents
+       |),
+       |p AS (SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS tok FROM t),
+       |$terms
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches, CAST(min(i) AS BIGINT) AS first_pos
+       |FROM m0 $joins GROUP BY doc_id""".stripMargin
+  }
+
   /** DuckDB twin of q41: same tf rollup, same COUNT-window df, same
     * integer tf-over-df score and (score DESC, term) top-3 window.
     */
@@ -1881,6 +1905,7 @@ object SparkEntry {
     "q40_bigram_lm" -> q40Sql,
     "q70_surprisal_bits" -> q70Sql,
     "q71_kcore" -> q71Sql(),
+    "q72_phrase_search" -> q72Sql(),
     "q41_tfidf_topk" -> q41Sql,
     "q45_dsir_score" -> q45Sql(),
     "q42_quality_filter" -> q42Sql,

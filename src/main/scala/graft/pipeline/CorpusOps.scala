@@ -330,6 +330,46 @@ object CorpusOps {
         col("rank").cast("bigint").as("rank"))
   }
 
+  /** Positional phrase search: exact "w1 w2 ... wn" adjacency matches
+    * per document — the retrieval capability tf/BM25 bag-of-words
+    * scoring (q41/q47) cannot express, and the standard second stage
+    * after candidate retrieval (phrase filters, quoted-query support,
+    * n-gram provenance lookup).
+    *
+    * Relational shape: the token stream becomes a positional posting
+    * list (doc_id, i, tok) via ONE posexplode; each phrase term is a
+    * FILTER on that stream (pushed next to the scan) and each
+    * adjacency is an equi-join on (doc_id, anchor_pos) after shifting
+    * the term's position back by its offset — n−1 narrow equi-joins
+    * over per-term posting streams, never a per-document loop or a
+    * regex over raw text (a regex can't be pushed through tokenizer
+    * normalization and re-scans every byte per phrase). At 100 TB the
+    * posting table is the thing you'd materialize once (bucketed by
+    * term) and reuse across queries; here each term filter re-reads
+    * the pruned (doc_id, text) scan, which is the right trade at one
+    * query per job.
+    *
+    * Positions are 1-based (aligning with the DuckDB twin's
+    * generate_subscripts). Output: (doc_id, n_matches, first_pos) for
+    * documents with ≥1 match.
+    */
+  def phraseSearch(documents: DataFrame, phrase: Seq[String] = Seq("table", "hash")): DataFrame = {
+    require(phrase.size >= 2 && phrase.size <= 8, "phrase length in [2,8]")
+    require(phrase.forall(_.matches("[a-z0-9]+")), "terms must be lowercase word tokens")
+    val toks = documents
+      .select(col("doc_id"), posexplode(wordsExpr).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("bigint").as("i"), col("tok"))
+    var m = toks.where(col("tok") === phrase.head).select(col("doc_id"), col("i"))
+    for (off <- 1 until phrase.size) {
+      val shifted = toks.where(col("tok") === phrase(off))
+        .select(col("doc_id"), (col("i") - off).as("i"))
+      m = m.join(shifted, Seq("doc_id", "i"))
+    }
+    m.groupBy(col("doc_id")).agg(
+      count(lit(1)).cast("bigint").as("n_matches"),
+      min(col("i")).cast("bigint").as("first_pos"))
+  }
+
   /** Deterministic HyperLogLog cardinality sketch over the corpus's
     * word-trigram shingles (Flajolet et al. 2007): m=256 registers
     * keyed by the first md5 byte, register value = leading-zero-bit

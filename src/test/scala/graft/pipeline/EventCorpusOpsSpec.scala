@@ -383,6 +383,25 @@ class EventCorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       5L -> 3L), got.toString)
   }
 
+  test("phraseSearch: 3-term chain, overlapping matches, punctuation-tokenized, 1-based positions") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the quick fox; the QUICK fox runs"), // 2 matches of "the quick fox", first at 1
+      (2L, "quick the fox"),                     // words present, order wrong -> no match
+      (3L, "a a a a"),                           // overlapping "a a a": positions 1 and 2
+      (4L, "the quick")                          // prefix only -> no 3-term match
+    ).toDF("doc_id", "text")
+    val tri = CorpusOps.phraseSearch(docs, Seq("the", "quick", "fox")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_matches"), r.getAs[Long]("first_pos")))).toMap
+    assert(tri == Map(1L -> ((2L, 1L))))
+    val aaa = CorpusOps.phraseSearch(docs, Seq("a", "a", "a")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_matches"), r.getAs[Long]("first_pos")))).toMap
+    assert(aaa == Map(3L -> ((2L, 1L))))
+  }
+
   test("kCore: iterative peeling reaches the fixpoint, not just the degree filter") {
     // triangle {1,2,3} with tail 3-4-5: after round 1 node 5 drops
     // (deg 1), which EXPOSES 4 at deg 1 — only a second peel round
