@@ -237,6 +237,11 @@ object SparkEntry {
     // density floor separating real clusters from incidental chains.
     // Oracle unrolls the peel cap as CTEs (rounds past the fixpoint
     // are identities, so the unroll is exact)
+    // per-domain crawl-politeness schedule over the q36 synthetic
+    // frontier: deterministic md5-fair fetch slots, two-phase bucketed
+    // rank (the q63 decomposition rule — oracle is the NAIVE window)
+    "q73_crawl_schedule" -> ((s, d) => Curation.crawlSchedule(
+      t(s, d, "documents").select(col("doc_id"), syntheticUrl.as("url")))),
     // positional phrase search: exact adjacency matches of a 2-gram
     // over the tokenized corpus — per-term posting-stream filters +
     // one (doc_id, pos) equi-join per adjacency, no regex rescans
@@ -1258,6 +1263,32 @@ object SparkEntry {
     sb.toString
   }
 
+  /** DuckDB twin of q73: the NAIVE per-domain window rank — the Spark
+    * side's bucketed two-phase rank must cancel to exactly this (the
+    * q63 rule). Same q36/q37 domain ladder over the same synthetic
+    * frontier, md5 of the RAW url as the fair order.
+    */
+  private def q73Sql(delayMs: Long = 250L): String = {
+    val sch = Curation.UrlSchemeRe
+    val hst = Curation.UrlHostRe
+    s"""WITH aug AS (SELECT DISTINCT $syntheticUrlSql AS url FROM documents),
+       |c AS (
+       |  SELECT url, lower(regexp_extract(url, '$sch', 1)) AS scheme,
+       |         lower(regexp_extract(url, '$hst', 1)) AS hostport
+       |  FROM aug WHERE lower(regexp_extract(url, '$hst', 1)) <> ''
+       |), d AS (
+       |  SELECT url,
+       |    regexp_replace(CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+       |         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+       |         ELSE hostport END, '^www\\.', '') AS domain
+       |  FROM c
+       |)
+       |SELECT url, domain,
+       |  CAST(row_number() OVER (PARTITION BY domain ORDER BY md5(url), url) - 1 AS BIGINT) AS slot,
+       |  CAST((row_number() OVER (PARTITION BY domain ORDER BY md5(url), url) - 1) * $delayMs AS BIGINT) AS sched_ms
+       |FROM d""".stripMargin
+  }
+
   /** DuckDB twin of q72: same tokenizer, generate_subscripts positions
     * (1-based, matching the Spark side's posexplode+1), per-term
     * position sets joined at the shifted anchor position.
@@ -1906,6 +1937,7 @@ object SparkEntry {
     "q70_surprisal_bits" -> q70Sql,
     "q71_kcore" -> q71Sql(),
     "q72_phrase_search" -> q72Sql(),
+    "q73_crawl_schedule" -> q73Sql(),
     "q41_tfidf_topk" -> q41Sql,
     "q45_dsir_score" -> q45Sql(),
     "q42_quality_filter" -> q42Sql,

@@ -404,6 +404,51 @@ object Curation {
         sum(col("hq")).cast("bigint").as("n_with_query"))
   }
 
+  /** Per-domain crawl-politeness schedule: every distinct parseable URL
+    * gets a fetch slot within its domain and a scheduled offset
+    * `slot · delayMs` — the frontier-scheduling step of a polite
+    * crawler (one fetch per domain per delay window, deterministic
+    * fair order via md5 so one deep site cannot monopolize early
+    * waves). The wave number IS the slot: url k of a domain fetches in
+    * global wave k, so per-wave load is ≤ #domains.
+    *
+    * Scale shape: a naive per-domain row_number() is one window over
+    * the whole frontier with partition size = domain size — a single
+    * mega-domain (the crawl-frontier skew case) serializes into one
+    * task. Instead the rank is TWO-PHASE (the q63 salting idea applied
+    *  to ranking): rank within (domain, md5-prefix bucket) — 256-way
+    * bounded partitions — plus the summed counts of earlier buckets
+    * (a ≤256-row-per-domain window). Because the bucket is the hash's
+    * own prefix, bucket-then-hash order equals plain hash order, and
+    * the composition is value-identical to the naive window — the
+    * DuckDB oracle IS that naive window (the q63 rule: the
+    * decomposition must cancel exactly).
+    *
+    * Input needs `url`; unparseable URLs (no scheme://host) are
+    * excluded like q37. Output: (url, domain, slot, sched_ms).
+    */
+  def crawlSchedule(urls: DataFrame, delayMs: Long = 250L): DataFrame = {
+    require(delayMs >= 0, "delayMs must be >= 0")
+    val base = urls
+      .where(lower(regexp_extract(col("url"), UrlHostRe, 1)) =!= "")
+      .select(urlDomain.as("domain"), col("url")).distinct()
+      .withColumn("h", md5(col("url")))
+      .withColumn("bkt", substring(col("h"), 1, 2))
+    val inBkt = row_number().over(
+      Window.partitionBy(col("domain"), col("bkt")).orderBy(col("h"), col("url")))
+    val ranked = base.withColumn("r", inBkt)
+    val offsets = base.groupBy(col("domain"), col("bkt"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(
+        Window.partitionBy(col("domain")).orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("domain"), col("bkt"), col("off"))
+    ranked.join(offsets, Seq("domain", "bkt"))
+      .select(col("url"), col("domain"),
+        (col("off") + col("r") - 1).cast("bigint").as("slot"),
+        ((col("off") + col("r") - 1) * delayMs).cast("bigint").as("sched_ms"))
+  }
+
   /** Quality-filter rule bits and thresholds — public so the oracle SQL
     * generator derives its CASE arms from the SAME constants the Spark
     * plan embeds (one source of truth, the q36/q37 pattern). Thresholds

@@ -598,6 +598,32 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dPlan.split("Exchange").length == 2, dPlan)
   }
 
+  test("crawlSchedule: dense per-domain slots, two-phase rank == naive window, dedup + exclusions") {
+    val s = spark
+    import s.implicits._
+    val urls = (1L to 300L).map(i => (i, s"http://d${i % 3}.example.org/p/$i"))
+      .toDF("doc_id", "url")
+      // a duplicate url (dedup to one slot) and an unparseable one (excluded)
+      .union(Seq((900L, "http://d0.example.org/p/3"), (901L, "//cdn.example.org/x")).toDF("doc_id", "url"))
+    val out = Curation.crawlSchedule(urls, delayMs = 250L)
+    val rows = out.collect().map(r =>
+      (r.getAs[String]("url"), r.getAs[String]("domain"), r.getAs[Long]("slot"), r.getAs[Long]("sched_ms")))
+    assert(rows.length == 300) // 300 distinct parseable urls
+    // slots are dense 0..n-1 within each domain; sched = slot * delay
+    rows.groupBy(_._2).foreach { case (dom, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (0L until rs.length).toSeq, dom)
+      assert(rs.forall(r => r._4 == r._3 * 250L))
+    }
+    // the bucketed decomposition cancels exactly: equal to the naive window
+    val naive = out.select(col("url"), col("domain"))
+      .withColumn("slot", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("domain"))
+          .orderBy(md5(col("url")), col("url"))).cast("bigint") - 1)
+    val got = out.select("url", "slot").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = naive.collect().map(r => r.getAs[String]("url") -> r.getAs[Long]("slot")).toMap
+    assert(got == want)
+  }
+
   test("duplicate spans: corpus-wide window dups merge into maximal per-doc spans") {
     val s = spark
     import s.implicits._
