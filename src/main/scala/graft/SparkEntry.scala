@@ -237,6 +237,11 @@ object SparkEntry {
     // density floor separating real clusters from incidental chains.
     // Oracle unrolls the peel cap as CTEs (rounds past the fixpoint
     // are identities, so the unroll is exact)
+    // end-to-end curation funnel: eval-holdout -> lang -> quality ->
+    // decontam -> exact dedup (over clone-augmented input) -> pair-
+    // dominance near-dup prune — per-doc first-cutting stage, the
+    // attrition report; every stage reuses an oracle-proven operator
+    "q74_curation_funnel" -> ((s, d) => Curation.curationFunnel(t(s, d, "documents"))),
     // per-domain crawl-politeness schedule over the q36 synthetic
     // frontier: deterministic md5-fair fetch slots, two-phase bucketed
     // rank (the q63 decomposition rule — oracle is the NAIVE window)
@@ -550,7 +555,7 @@ object SparkEntry {
     * candidate pairs, exact shingle-set Jaccard verify — replays the
     * full LSH pipeline in ANSI SQL.
     */
-  private def minhashLshSql(width: Int, threshold: Double): String = {
+  private def minhashLshSql(width: Int, threshold: Double, src: String = "documents"): String = {
     val w1 = width - 1
     val sigs = (0 until 12).map(j =>
       s"list_min(list_transform(sh, s -> md5('$j|' || s))) AS m$j").mkString(", ")
@@ -558,7 +563,7 @@ object SparkEntry {
       s"md5(m${3 * b} || m${3 * b + 1} || m${3 * b + 2}) AS k$b").mkString(", ")
     s"""WITH w0 AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
-       |  FROM documents
+       |  FROM $src
        |), sh0 AS (
        |  SELECT doc_id,
        |    list_distinct(list_filter(
@@ -587,7 +592,7 @@ object SparkEntry {
     * Curation.Qf* constants), same integer arithmetic, same stopword
     * containment test, same repetition stats as q29.
     */
-  private def q42Sql: String = {
+  private def q42Sql(src: String = "documents"): String = {
     import Curation._
     val stopArms = QfStopwords.map(w =>
       s"(CASE WHEN contains(' ' || lower(text) || ' ', ' $w ') THEN 1 ELSE 0 END)").mkString(" + ")
@@ -601,7 +606,7 @@ object SparkEntry {
          |      + (CASE WHEN sym_bp > $QfSymbolBpMax THEN $QfSymbolsBit ELSE 0 END)""".stripMargin
     s"""WITH base AS (
        |  SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
-       |  FROM documents
+       |  FROM $src
        |), counts AS (
        |  SELECT doc_id, len(words) AS nw, len(list_distinct(words)) AS dw FROM base
        |), we AS (SELECT doc_id, unnest(words) AS w FROM base),
@@ -884,10 +889,10 @@ object SparkEntry {
   /** DuckDB twin of q31: same trigram sets, same eval slice, same
     * integer basis points.
     */
-  private def q31Sql: String =
-    """WITH base AS (
+  private def q31Sql(src: String = "documents"): String =
+    s"""WITH base AS (
       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
-      |  FROM documents
+      |  FROM $src
       |), grams AS (
       |  SELECT doc_id, CASE WHEN len(words) >= 3
       |    THEN list_distinct(list_transform(range(1, len(words) - 1), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
@@ -1262,6 +1267,51 @@ object SparkEntry {
          |GROUP BY e.src""".stripMargin)
     sb.toString
   }
+
+  /** DuckDB twin of q74: the same funnel assembled from the SAME stage
+    * SQL (q42Sql / q31Sql / minhashLshSql parameterized over the
+    * clone-augmented corpus, q8's fingerprint, q10's quality scalar).
+    * Multi-referenced CTEs are MATERIALIZED (the q71 lesson).
+    */
+  private def q74Sql(contamBpMax: Long = 150L, cloneModulus: Int = 11,
+                     evalModulus: Int = 97): String =
+    s"""WITH aug AS MATERIALIZED (
+       |  SELECT doc_id, text, lang FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text, lang FROM documents WHERE doc_id % $cloneModulus = 0
+       |),
+       |qf AS (SELECT doc_id, flags FROM (${q42Sql("aug")}) x),
+       |dc AS (SELECT doc_id, contam_bp FROM (${q31Sql("aug")}) x),
+       |s0 AS MATERIALIZED (
+       |  SELECT a.doc_id, a.text,
+       |    CASE WHEN a.doc_id % $evalModulus = 0 THEN 'eval_heldout'
+       |         WHEN a.lang <> 'en' THEN 'langid'
+       |         WHEN qf.flags <> 0 THEN 'quality'
+       |         WHEN dc.contam_bp >= $contamBpMax THEN 'decontam' END AS early
+       |  FROM aug a JOIN qf USING (doc_id) LEFT JOIN dc USING (doc_id)
+       |),
+       |s3 AS MATERIALIZED (
+       |  SELECT doc_id, text, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+       |  FROM s0 WHERE early IS NULL
+       |),
+       |keepers AS (SELECT fp, min(doc_id) AS keep_id FROM s3 GROUP BY fp),
+       |s4 AS MATERIALIZED (
+       |  SELECT s3.doc_id, s3.text, s3.doc_id <> k.keep_id AS exact_cut
+       |  FROM s3 JOIN keepers k USING (fp)
+       |),
+       |surv AS MATERIALIZED (SELECT doc_id, text FROM s4 WHERE NOT exact_cut),
+       |pairs AS (SELECT a, b FROM (${minhashLshSql(width = 3, threshold = 0.5, src = "surv")}) x),
+       |q AS MATERIALIZED (SELECT doc_id, $q10QualityExpr AS q FROM surv),
+       |losers AS (
+       |  SELECT DISTINCT CASE WHEN qa.q < qb.q OR (qa.q = qb.q AND p.a > p.b) THEN p.a ELSE p.b END AS doc_id
+       |  FROM pairs p JOIN q qa ON qa.doc_id = p.a JOIN q qb ON qb.doc_id = p.b
+       |)
+       |SELECT s0.doc_id,
+       |  coalesce(s0.early,
+       |    CASE WHEN s4.exact_cut THEN 'exact_dup' END,
+       |    CASE WHEN l.doc_id IS NOT NULL THEN 'near_dup' END,
+       |    'kept') AS stage
+       |FROM s0 LEFT JOIN s4 USING (doc_id) LEFT JOIN losers l USING (doc_id)""".stripMargin
 
   /** DuckDB twin of q73: the NAIVE per-domain window rank — the Spark
     * side's bucketed two-phase rank must cancel to exactly this (the
@@ -1938,9 +1988,10 @@ object SparkEntry {
     "q71_kcore" -> q71Sql(),
     "q72_phrase_search" -> q72Sql(),
     "q73_crawl_schedule" -> q73Sql(),
+    "q74_curation_funnel" -> q74Sql(),
     "q41_tfidf_topk" -> q41Sql,
     "q45_dsir_score" -> q45Sql(),
-    "q42_quality_filter" -> q42Sql,
+    "q42_quality_filter" -> q42Sql(),
     "q43_source_overlap" -> q43Sql,
     "q38_dedup_rewrite" -> q38Sql(),
     "q36_url_canon" -> q36Sql,
@@ -1951,7 +2002,7 @@ object SparkEntry {
     "q33_pii_mask" -> q33Sql,
     "q29_repetition" -> q29Sql,
     "q30_stratified_sample" -> q30Sql,
-    "q31_decontam" -> q31Sql,
+    "q31_decontam" -> q31Sql(),
     "q28_embedding_lsh_md5" -> q28Sql(),
     "q44_semdedup" -> q44Sql(),
     "q46_pq_adc" -> q46Sql(),

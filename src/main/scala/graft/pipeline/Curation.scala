@@ -404,6 +404,83 @@ object Curation {
         sum(col("hq")).cast("bigint").as("n_with_query"))
   }
 
+  /** End-to-end curation funnel — the composite recipe a real corpus
+    * actually runs, wired from the already-oracle-proven stage
+    * operators, reporting PER DOCUMENT the first stage that cut it
+    * (the attrition report every curation paper tabulates):
+    *
+    *   eval_heldout → langid → quality → decontam → exact_dup →
+    *   near_dup → kept
+    *
+    * Stage semantics: held-out eval slice (doc_id ≡ 0 mod
+    * `evalModulus`, the q31 slice) is excluded first; language filter
+    * keeps lang = 'en' (the upstream-classifier column — the q11
+    * n-gram heuristic is degenerate on the 31-word synthetic
+    * vocabulary); quality = q42's Gopher-rule bitmask must be 0;
+    * decontamination cuts docs with eval-trigram overlap ≥
+    * `contamBpMax` basis points (q31); exact dedup keeps the minimum
+    * doc_id per q8/q12 fingerprint; near-dup prunes by PAIR-LOCAL
+    * DOMINANCE — a survivor is cut iff it loses any verified
+    * Jaccard ≥ 0.5 pair (q17 topology) against a better survivor
+    * (higher q10 quality, tie lower doc_id) — the SemDeDup-style
+    * order-independent prune (full cluster election is q32's job).
+    *
+    * The input is augmented with deterministic exact clones
+    * (doc_id + 1e6 for doc_id ≡ 0 mod `cloneModulus`) — the corpus
+    * ships duplicate-free, and an exact-dedup stage that provably cuts
+    * nothing would be vacuous (the q33/q35 augmentation pattern).
+    *
+    * Scale shape: stages 0–3 are one pass of per-row predicates plus
+    * the q31 broadcast semi-join; exact dedup is one fingerprint
+    * shuffle; near-dup runs the banded LSH ONLY over stage-4 survivors
+    * (each stage shrinks the next stage's input — the reason real
+    * pipelines order filters this way). The survivor frame is
+    * localCheckpointed once: it feeds the LSH pipeline, the quality
+    * projection and the final join.
+    */
+  def curationFunnel(documents: DataFrame, contamBpMax: Long = 150L,
+                     cloneModulus: Int = 11, evalModulus: Int = 97): DataFrame = {
+    val aug = documents.select(col("doc_id"), col("text"), col("lang"))
+      .unionByName(documents.where(col("doc_id") % cloneModulus === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang")))
+    val flags = qualityFilter(aug).select(col("doc_id"), col("flags"))
+    val contam = decontaminate(aug, evalModulus).select(col("doc_id"), col("contam_bp"))
+    val s0 = aug.join(flags, Seq("doc_id"))
+      .join(contam, Seq("doc_id"), "left") // eval docs have no decontam row
+      .withColumn("early",
+        when(col("doc_id") % evalModulus === 0, "eval_heldout")
+          .when(col("lang") =!= "en", "langid")
+          .when(col("flags") =!= 0, "quality")
+          .when(col("contam_bp") >= contamBpMax, "decontam"))
+      .localCheckpoint(true) // feeds s3 AND the final stage join
+    val s3 = s0.where(col("early").isNull)
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+    val keepers = s3.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    val s4 = s3.join(keepers, Seq("fp"))
+      .select(col("doc_id"), col("text"), (col("doc_id") =!= col("keep_id")).as("exact_cut"))
+      .localCheckpoint(true) // feeds survivors AND the final join
+    val survivors = s4.where(!col("exact_cut")).select(col("doc_id"), col("text"))
+      .localCheckpoint(true) // feeds LSH, quality projection, nothing else grows
+    val pairs = Dedup.minhashLshMd5(survivors, threshold = 0.5).select(col("a"), col("b"))
+    val q = survivors.select(col("doc_id"), TextOps.qualityScore(col("text")).as("q"))
+    val losers = pairs
+      .join(q.select(col("doc_id").as("a"), col("q").as("qa")), Seq("a"))
+      .join(q.select(col("doc_id").as("b"), col("q").as("qb")), Seq("b"))
+      .select(when(col("qa") < col("qb") ||
+        (col("qa") === col("qb") && col("a") > col("b")), col("a"))
+        .otherwise(col("b")).as("doc_id"))
+      .distinct()
+      .withColumn("near_cut", lit(true))
+    s0.select(col("doc_id"), col("early"))
+      .join(s4.select(col("doc_id"), col("exact_cut")), Seq("doc_id"), "left")
+      .join(losers, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("early"),
+          when(col("exact_cut"), "exact_dup"),
+          when(col("near_cut"), "near_dup"),
+          lit("kept")).as("stage"))
+  }
+
   /** Per-domain crawl-politeness schedule: every distinct parseable URL
     * gets a fetch slot within its domain and a scheduled offset
     * `slot · delayMs` — the frontier-scheduling step of a polite
