@@ -237,6 +237,26 @@ object SparkEntry {
     // density floor separating real clusters from incidental chains.
     // Oracle unrolls the peel cap as CTEs (rounds past the fixpoint
     // are identities, so the unroll is exact)
+    // robots.txt-aware frontier filtering over the q36/q73 synthetic
+    // frontier: relational REP parse (gaps-and-islands agent groups,
+    // '*' group semi-join) + longest-match verdict; robots text is a
+    // shared per-domain template with a domain-derived digit so
+    // Disallow/Allow interplay varies across domains
+    "q75_robots_filter" -> ((s, d) => {
+      val frontier = t(s, d, "documents").select(col("doc_id"), syntheticUrl.as("url"))
+      val domains = Curation.canonicalizeUrls(frontier)
+        .where(col("parsed") === 1L).select(col("domain")).distinct()
+      // % 5 (not % 10): with the corpus's doc_id%4 / doc_id%50 / source
+      // moduli, digits 6/7 never align with a variant-0 path — %5 gives
+      // digits 1/2, which hit BOTH the plain-Disallow and the
+      // Allow-overrides-Disallow longest-match branch on real rows
+      val dgt = pmod(length(col("domain")), lit(5)).cast("string")
+      val robots = domains.select(col("domain"), concat(
+        lit("# synthetic robots\nUser-agent: googlebot\nDisallow: /private/\n\nUser-agent: *\nCrawl-delay: 2\nDisallow: /a/"),
+        dgt, lit("\nAllow: /a/"), dgt,
+        lit("/p\nDisallow: /b/\nUnknown-directive: x\n\nUser-agent: evilbot\nDisallow: /")).as("robots_txt"))
+      Curation.robotsFilter(frontier, robots)
+    }),
     // end-to-end curation funnel: eval-holdout -> lang -> quality ->
     // decontam -> exact dedup (over clone-augmented input) -> pair-
     // dominance near-dup prune — per-doc first-cutting stage, the
@@ -1268,6 +1288,72 @@ object SparkEntry {
     sb.toString
   }
 
+  /** DuckDB twin of q75: same synthetic robots template, same
+    * relational REP parse (filtered-line lag grouping, '*' group
+    * semi-join, allow/disallow rules), same q36 domain/path ladder,
+    * same longest-match window (length DESC, allow-first, rule).
+    */
+  private def q75Sql: String = {
+    val sch = Curation.UrlSchemeRe
+    val hst = Curation.UrlHostRe
+    val pth = Curation.UrlPathRe
+    s"""WITH aug AS MATERIALIZED (SELECT DISTINCT $syntheticUrlSql AS url FROM documents),
+       |c AS (
+       |  SELECT url, lower(regexp_extract(url, '$sch', 1)) AS scheme,
+       |         lower(regexp_extract(url, '$hst', 1)) AS hostport,
+       |         regexp_extract(url, '$pth', 1) AS path0
+       |  FROM aug WHERE lower(regexp_extract(url, '$hst', 1)) <> ''
+       |), parsed AS MATERIALIZED (
+       |  SELECT url,
+       |    regexp_replace(CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+       |         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+       |         ELSE hostport END, '^www\\.', '') AS domain,
+       |    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path
+       |  FROM c
+       |), rb AS (
+       |  SELECT domain,
+       |    '# synthetic robots' || chr(10) || 'User-agent: googlebot' || chr(10) || 'Disallow: /private/' || chr(10) || chr(10)
+       |    || 'User-agent: *' || chr(10) || 'Crawl-delay: 2' || chr(10) || 'Disallow: /a/' || CAST(length(domain) % 5 AS VARCHAR) || chr(10)
+       |    || 'Allow: /a/' || CAST(length(domain) % 5 AS VARCHAR) || '/p' || chr(10) || 'Disallow: /b/' || chr(10) || 'Unknown-directive: x' || chr(10) || chr(10)
+       |    || 'User-agent: evilbot' || chr(10) || 'Disallow: /' AS robots_txt
+       |  FROM (SELECT DISTINCT domain FROM parsed)
+       |), rawlines AS (
+       |  SELECT domain, generate_subscripts(ls, 1) AS ln, unnest(ls) AS raw
+       |  FROM (SELECT domain, regexp_split_to_array(robots_txt, chr(10)) AS ls FROM rb)
+       |), lines AS (
+       |  SELECT domain, ln,
+       |    lower(trim(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1))) AS directive,
+       |    trim(regexp_extract(line, '^[A-Za-z-]+\\s*:(.*)$$', 1)) AS value
+       |  FROM (SELECT domain, ln, trim(regexp_replace(raw, '#.*$$', '')) AS line FROM rawlines)
+       |  WHERE line <> ''
+       |), prevd AS (
+       |  SELECT domain, ln, directive, value,
+       |    coalesce(lag(directive) OVER (PARTITION BY domain ORDER BY ln), '') AS prev
+       |  FROM lines
+       |), grouped AS MATERIALIZED (
+       |  SELECT domain, ln, directive, value,
+       |    sum(CASE WHEN directive = 'user-agent' AND prev <> 'user-agent'
+       |        THEN 1 ELSE 0 END) OVER (PARTITION BY domain ORDER BY ln) AS grp
+       |  FROM prevd
+       |), star AS (
+       |  SELECT DISTINCT domain, grp FROM grouped WHERE directive = 'user-agent' AND value = '*'
+       |), rules AS MATERIALIZED (
+       |  SELECT DISTINCT g.domain, g.value AS rule,
+       |    CASE WHEN g.directive = 'allow' THEN 1 ELSE 0 END AS is_allow
+       |  FROM grouped g JOIN star USING (domain, grp)
+       |  WHERE g.directive IN ('allow', 'disallow') AND g.value <> ''
+       |), m AS (
+       |  SELECT p.url, r.rule, r.is_allow,
+       |    row_number() OVER (PARTITION BY p.url ORDER BY length(r.rule) DESC, r.is_allow DESC, r.rule) AS rn
+       |  FROM parsed p JOIN rules r USING (domain)
+       |  WHERE substring(p.path, 1, length(r.rule)) = r.rule
+       |)
+       |SELECT p.url, p.domain,
+       |  coalesce(m.rule, '') AS matched_rule,
+       |  CAST(coalesce(m.is_allow, 1) AS BIGINT) AS allowed
+       |FROM parsed p LEFT JOIN (SELECT url, rule, is_allow FROM m WHERE rn = 1) m USING (url)""".stripMargin
+  }
+
   /** DuckDB twin of q74: the same funnel assembled from the SAME stage
     * SQL (q42Sql / q31Sql / minhashLshSql parameterized over the
     * clone-augmented corpus, q8's fingerprint, q10's quality scalar).
@@ -1989,6 +2075,7 @@ object SparkEntry {
     "q72_phrase_search" -> q72Sql(),
     "q73_crawl_schedule" -> q73Sql(),
     "q74_curation_funnel" -> q74Sql(),
+    "q75_robots_filter" -> q75Sql,
     "q41_tfidf_topk" -> q41Sql,
     "q45_dsir_score" -> q45Sql(),
     "q42_quality_filter" -> q42Sql(),

@@ -526,6 +526,75 @@ object Curation {
         ((col("off") + col("r") - 1) * delayMs).cast("bigint").as("sched_ms"))
   }
 
+  /** robots.txt-aware frontier filtering — the companion to
+    * [[crawlSchedule]]: parse each domain's robots.txt and give every
+    * frontier URL a verdict under the standard longest-match rule
+    * (Google REP semantics: the most specific matching rule wins;
+    * Allow wins a length tie; no matching rule or no robots.txt =
+    * allowed).
+    *
+    * The parser is fully relational — no UDF, no driver loop: lines
+    * via ONE posexplode, comment strip + directive split as codegen'd
+    * regexes, rule GROUPS via the gaps-and-islands trick (a group
+    * starts at a User-agent line whose previous line is not one —
+    * consecutive UA lines share the group, per the REP), `*` groups
+    * selected by an EXISTS-style semi-join, and the per-URL longest
+    * match as one row_number window over the url×rule prefix join.
+    * Scope fences (documented subset): exact `*` agent match only, no
+    * `$`/`*` wildcards inside rule paths, path-only matching (no
+    * query), prefix semantics via substring equality — identical in
+    * both engines, no LIKE-escaping hazards.
+    *
+    * Scale shape: robots tables are domain-sized (tiny next to the
+    * frontier) — the rule join broadcasts; the verdict window
+    * partitions by url over only that url's matching rules. Input:
+    * `frontier(url)`, `robots(domain, robots_txt)`. Output one row per
+    * parseable distinct url: (url, domain, matched_rule, allowed).
+    */
+  def robotsFilter(frontier: DataFrame, robots: DataFrame): DataFrame = {
+    // --- parse robots.txt into (domain, applicable allow/disallow rules)
+    val lines = robots.select(col("domain"),
+        posexplode(split(col("robots_txt"), "\n")).as(Seq("ln", "raw")))
+      .select(col("domain"), col("ln"),
+        trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
+      .where(col("line") =!= "")
+      .select(col("domain"), col("ln"),
+        lower(trim(regexp_extract(col("line"), "^([A-Za-z-]+)\\s*:", 1))).as("directive"),
+        trim(regexp_extract(col("line"), "^[A-Za-z-]+\\s*:(.*)$", 1)).as("value"))
+    val byDom = Window.partitionBy(col("domain")).orderBy(col("ln"))
+    val grouped = lines
+      .withColumn("prev", lag(col("directive"), 1).over(byDom))
+      .withColumn("starts",
+        (col("directive") === "user-agent" &&
+          (col("prev").isNull || col("prev") =!= "user-agent")).cast("bigint"))
+      .withColumn("grp", sum(col("starts")).over(byDom))
+    val starGroups = grouped
+      .where(col("directive") === "user-agent" && col("value") === "*")
+      .select(col("domain"), col("grp")).distinct()
+    val rules = grouped
+      .join(starGroups, Seq("domain", "grp"), "left_semi")
+      .where(col("directive").isin("allow", "disallow") && col("value") =!= "")
+      .select(col("domain"), col("value").as("rule"),
+        (col("directive") === "allow").as("is_allow"))
+      .distinct()
+    // --- frontier verdicts under longest-match
+    val parsed = frontier
+      .where(lower(regexp_extract(col("url"), UrlHostRe, 1)) =!= "")
+      .select(col("url"), urlDomain.as("domain"), urlPath.as("path")).distinct()
+    val matches = parsed.join(broadcast(rules), Seq("domain"))
+      .where(col("path").substr(lit(1), length(col("rule"))) === col("rule"))
+    val best = Window.partitionBy(col("url"))
+      .orderBy(length(col("rule")).desc, col("is_allow").desc, col("rule").asc)
+    val bestMatch = matches.withColumn("rn", row_number().over(best))
+      .where(col("rn") === 1)
+      .select(col("url"), col("rule").as("mr"), col("is_allow"))
+    // urls with no matching rule (or no robots.txt at all) default to allowed
+    parsed.join(bestMatch, Seq("url"), "left")
+      .select(col("url"), col("domain"),
+        coalesce(col("mr"), lit("")).as("matched_rule"),
+        coalesce(col("is_allow"), lit(true)).cast("bigint").as("allowed"))
+  }
+
   /** Quality-filter rule bits and thresholds — public so the oracle SQL
     * generator derives its CASE arms from the SAME constants the Spark
     * plan embeds (one source of truth, the q36/q37 pattern). Thresholds

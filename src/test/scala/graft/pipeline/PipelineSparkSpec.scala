@@ -624,6 +624,48 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("robotsFilter: longest-match REP verdicts, '*' groups only, defaults, comments") {
+    val s = spark
+    import s.implicits._
+    val robots = Seq(
+      ("site.org",
+        """# header comment
+          |User-agent: googlebot
+          |Disallow: /g/
+          |
+          |User-agent: *
+          |Crawl-delay: 2
+          |Disallow: /a/4  # inline comment
+          |Allow: /a/4/p
+          |Disallow: /b/
+          |
+          |User-agent: evilbot
+          |Disallow: /""".stripMargin),
+      ("open.org", "User-agent: spider\nDisallow: /") // no '*' group at all
+    ).toDF("domain", "robots_txt")
+    val frontier = Seq(
+      "http://site.org/a/4/p",   // Disallow /a/4 matches, Allow /a/4/p longer -> allowed
+      "http://site.org/a/42/p",  // Disallow /a/4 matches, Allow /a/4/p does NOT -> blocked
+      "http://site.org/a/7",     // nothing matches -> allowed, empty rule
+      "http://site.org/b/x",     // Disallow /b/ -> blocked
+      "http://site.org/g/x",     // googlebot group does not apply to '*' -> allowed
+      "http://open.org/b/x",     // robots has no '*' group -> allowed
+      "http://nowhere.net/b/x",  // no robots.txt row -> allowed
+      "//rel.example/b/x"        // unparseable: excluded
+    ).toDF("url")
+    val got = Curation.robotsFilter(frontier, robots).collect()
+      .map(r => r.getAs[String]("url") ->
+        ((r.getAs[String]("matched_rule"), r.getAs[Long]("allowed")))).toMap
+    assert(got == Map(
+      "http://site.org/a/4/p" -> (("/a/4/p", 1L)),
+      "http://site.org/a/42/p" -> (("/a/4", 0L)),
+      "http://site.org/a/7" -> (("", 1L)),
+      "http://site.org/b/x" -> (("/b/", 0L)),
+      "http://site.org/g/x" -> (("", 1L)),
+      "http://open.org/b/x" -> (("", 1L)),
+      "http://nowhere.net/b/x" -> (("", 1L))), got.toString)
+  }
+
   test("duplicate spans: corpus-wide window dups merge into maximal per-doc spans") {
     val s = spark
     import s.implicits._
