@@ -413,7 +413,18 @@ object CorpusOps {
   /** md5 trigram stream → (group?, bucket, max rho, per-bucket exact
     * distinct) registers.
     */
-  private def hllRegisters(documents: DataFrame, groupCols: Seq[String]): DataFrame = {
+  private def hllRegisters(documents: DataFrame, groupCols: Seq[String]): DataFrame =
+    hllRhoStream(documents, groupCols)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("max_rho"), countDistinct(col("h")).as("nd"))
+
+  /** The pre-aggregation register stream (group?, bucket, rho, h) —
+    * package-visible so the STREAMING twin can apply the same bucket/
+    * rho derivation with a streaming-legal `max` aggregation
+    * (countDistinct — the exact-distinct companion — is not streamable
+    * and is exactly what the sketch exists to replace).
+    */
+  private[pipeline] def hllRhoStream(documents: DataFrame, groupCols: Seq[String]): DataFrame = {
     val w = col("words")
     val triExpr = when(size(w) >= 3,
       transform(sequence(lit(1), size(w) - 2),
@@ -428,8 +439,6 @@ object CorpusOps {
       .otherwise((lit(30) - length(stripped)) * 4 + lit(1) +
         when(nib >= "8", 0).when(nib >= "4", 1).when(nib >= "2", 2).otherwise(3))
     h.select(gc ++ Seq(substring(col("h"), 1, 2).as("bucket"), rho.as("rho"), col("h")): _*)
-      .groupBy(gc :+ col("bucket"): _*)
-      .agg(max(col("rho")).as("max_rho"), countDistinct(col("h")).as("nd"))
   }
 
   /** Registers → (n_buckets, dyadic harmonic denominator, raw and

@@ -378,6 +378,30 @@ object StreamingExtract {
         (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
   }
 
+  /** Streaming HyperLogLog registers per source — the incremental
+    * corpus-cardinality monitor (distinct-trigram volume per feed as
+    * the crawl streams in). The register table IS the sketch's merge
+    * state: each micro-batch folds its trigrams into the per-(source,
+    * bucket) `max(rho)` — max is associative/commutative, so the
+    * streaming aggregation state equals the batch sketch over
+    * everything seen (pinned equal by test). State is bounded at
+    * 256 registers × sources regardless of stream length — the
+    * mergeable-sketch property doing exactly its job.
+    *
+    * Derivation (md5 bucket/rho) is CorpusOps.hllRhoStream, the same
+    * code path the q48/q58 batch oracles prove; the exact-distinct
+    * companion column is omitted (distinct aggregation is not
+    * streamable — it is the thing the sketch replaces). Finalization
+    * to an estimate stays a cheap batch step over the 256×sources
+    * register table (q58's hllFinalize).
+    *
+    * Run with outputMode Complete (register table is tiny) or Update.
+    */
+  def streamingHllBySource(docs: DataFrame): DataFrame =
+    CorpusOps.hllRhoStream(docs, Seq("source"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(max(col("rho")).as("max_rho"))
+
   /** Wire a streaming page source to a parquet triple sink. */
   def start(pages: DataFrame, outDir: String, checkpointDir: String): StreamingQuery =
     triples(pages).writeStream

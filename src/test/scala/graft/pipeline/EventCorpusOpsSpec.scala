@@ -402,6 +402,32 @@ class EventCorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(aaa == Map(3L -> ((2L, 1L))))
   }
 
+  test("streamingHllBySource: registers merge across micro-batches, equal to the batch sketch") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    val b1 = Seq((1L, "src0", "alpha beta gamma delta epsilon"),
+      (2L, "src1", "one two three four"))
+    val b2 = Seq((3L, "src0", "alpha beta gamma zeta eta"), // overlaps batch 1's trigrams
+      (4L, "src1", "five six seven eight"))
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamingExtract.streamingHllBySource(
+      mem.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName("stream_hll").outputMode("complete").start()
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    q.stop()
+    val gotMap = s.sql("SELECT * FROM stream_hll").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("bucket")) -> r.getAs[Integer]("max_rho").toInt).toMap
+    val batch = CorpusOps.hllRhoStream((b1 ++ b2).toDF("doc_id", "source", "text"), Seq("source"))
+      .groupBy(col("source"), col("bucket")).agg(max(col("rho")).as("max_rho"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("bucket")) -> r.getAs[Integer]("max_rho").toInt).toMap
+    assert(gotMap == batch, s"stream=$gotMap batch=$batch")
+    assert(gotMap.nonEmpty && gotMap.keys.map(_._1).toSet == Set("src0", "src1"))
+  }
+
   test("kCore: iterative peeling reaches the fixpoint, not just the degree filter") {
     // triangle {1,2,3} with tail 3-4-5: after round 1 node 5 drops
     // (deg 1), which EXPOSES 4 at deg 1 — only a second peel round
