@@ -237,6 +237,23 @@ object SparkEntry {
     // density floor separating real clusters from incidental chains.
     // Oracle unrolls the peel cap as CTEs (rounds past the fixpoint
     // are identities, so the unroll is exact)
+    // crawl snapshot diff (refresh-crawl CDC): old = the corpus, new =
+    // deterministic removals (%11==3), text edits (%4==1) and additions
+    // (%13 clones) — every status fires at every SF; changed rows get a
+    // word-set Jaccard in integer bp
+    "q76_snapshot_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val oldSnap = docs.select(col("doc_id"), col("text"))
+      val newSnap = docs.where(pmod(col("doc_id"), lit(11)) =!= 3)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(4)) === 1,
+            concat(col("text"), lit(" refreshed section marker")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(13)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("fresh page "), col("text")).as("text")))
+      Curation.snapshotDiff(oldSnap, newSnap)
+    }),
     // robots.txt-aware frontier filtering over the q36/q73 synthetic
     // frontier: relational REP parse (gaps-and-islands agent groups,
     // '*' group semi-join) + longest-match verdict; robots text is a
@@ -1288,6 +1305,43 @@ object SparkEntry {
     sb.toString
   }
 
+  /** DuckDB twin of q76: same synthetic snapshots, same q8/q12
+    * fingerprint identity, same distinct-word-set Jaccard (Spark
+    * array_union == list_distinct(list_concat) on already-distinct
+    * inputs), `//` == `div` on the non-negative operands.
+    */
+  private def q76Sql: String =
+    """WITH oldsnap AS (
+      |  SELECT doc_id, text FROM documents
+      |), newsnap AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 4 = 1 THEN text || ' refreshed section marker' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 11 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, 'fresh page ' || text AS text
+      |  FROM documents WHERE doc_id % 13 = 0
+      |), po AS (
+      |  SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_old,
+      |    list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS ws_old
+      |  FROM oldsnap
+      |), pn AS (
+      |  SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_new,
+      |    list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS ws_new
+      |  FROM newsnap
+      |), j AS (SELECT * FROM po FULL OUTER JOIN pn USING (doc_id))
+      |SELECT doc_id,
+      |  CASE WHEN fp_old IS NULL THEN 'added'
+      |       WHEN fp_new IS NULL THEN 'removed'
+      |       WHEN fp_old = fp_new THEN 'unchanged'
+      |       ELSE 'changed' END AS status,
+      |  CASE WHEN fp_old IS NOT NULL AND fp_new IS NOT NULL AND fp_old <> fp_new
+      |    THEN CAST(CASE WHEN len(list_distinct(list_concat(ws_old, ws_new))) > 0
+      |      THEN CAST(len(list_intersect(ws_old, ws_new)) AS BIGINT) * 10000
+      |           // CAST(len(list_distinct(list_concat(ws_old, ws_new))) AS BIGINT)
+      |      ELSE 10000 END AS BIGINT)
+      |    ELSE NULL END AS jaccard_bp
+      |FROM j""".stripMargin
+
   /** DuckDB twin of q75: same synthetic robots template, same
     * relational REP parse (filtered-line lag grouping, '*' group
     * semi-join, allow/disallow rules), same q36 domain/path ladder,
@@ -2076,6 +2130,7 @@ object SparkEntry {
     "q73_crawl_schedule" -> q73Sql(),
     "q74_curation_funnel" -> q74Sql(),
     "q75_robots_filter" -> q75Sql,
+    "q76_snapshot_diff" -> q76Sql,
     "q41_tfidf_topk" -> q41Sql,
     "q45_dsir_score" -> q45Sql(),
     "q42_quality_filter" -> q42Sql(),

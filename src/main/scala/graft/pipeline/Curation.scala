@@ -526,6 +526,54 @@ object Curation {
         ((col("off") + col("r") - 1) * delayMs).cast("bigint").as("sched_ms"))
   }
 
+  /** Crawl snapshot diff — the change-data-capture step of a refresh
+    * crawl: given the previous and current snapshot of the corpus
+    * (keyed by doc_id / url), classify every document as
+    * added / removed / changed / unchanged and, for changed documents,
+    * report how MUCH changed (distinct-word-set Jaccard in integer
+    * basis points — the signal that decides re-extraction vs a cheap
+    * metadata touch). This is what bounds incremental pipeline work:
+    * only `changed` + `added` rows re-enter extraction, and q65's
+    * incremental near-dup consumes exactly that slice.
+    *
+    * Relational shape: ONE full-outer equi-join on the key; identity
+    * is the q8/q12 fingerprint (computed in the projection feeding the
+    * join — changed-vs-unchanged costs a string compare, not a text
+    * diff); the word-set Jaccard runs only on rows already known
+    * `changed` (array set ops once per changed row — the bounded
+    * minority in a real refresh). No window, no second shuffle.
+    *
+    * Output: (doc_id, status, jaccard_bp) — jaccard_bp is NULL except
+    * for `changed` rows (10000 = word-identical reorder/whitespace
+    * edit, 0 = disjoint).
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    def prep(df: DataFrame, side: String) = df.select(
+      col("doc_id"),
+      TextOps.fingerprint(col("text")).as(s"fp_$side"),
+      array_distinct(filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= ""))
+        .as(s"ws_$side"))
+    val joined = prep(oldSnap, "old")
+      .join(prep(newSnap, "new"), Seq("doc_id"), "full_outer")
+    val uni = size(array_union(col("ws_old"), col("ws_new"))).cast("bigint")
+    val changed = col("fp_old").isNotNull && col("fp_new").isNotNull &&
+      col("fp_old") =!= col("fp_new")
+    joined.select(
+      col("doc_id"),
+      when(col("fp_old").isNull, "added")
+        .when(col("fp_new").isNull, "removed")
+        .when(col("fp_old") === col("fp_new"), "unchanged")
+        .otherwise("changed").as("status"),
+      when(changed,
+        // both-empty word sets (punctuation-only diff) count as
+        // word-identical: 10000 bp. `div`, not `/` — Column./ is FP
+        when(uni > 0, expr(
+          "CAST(size(array_intersect(ws_old, ws_new)) AS BIGINT) * 10000" +
+            " div CAST(size(array_union(ws_old, ws_new)) AS BIGINT)"))
+          .otherwise(lit(10000L)))
+        .cast("bigint").as("jaccard_bp"))
+  }
+
   /** robots.txt-aware frontier filtering — the companion to
     * [[crawlSchedule]]: parse each domain's robots.txt and give every
     * frontier URL a verdict under the standard longest-match rule

@@ -624,6 +624,35 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("snapshotDiff: four statuses, whitespace-normalized identity, word-set jaccard bp") {
+    val s = spark
+    import s.implicits._
+    val oldS = Seq(
+      (1L, "alpha beta gamma"),     // unchanged
+      (2L, "one two three four"),   // changed: one word swapped (j = 3/5 = 6000bp)
+      (3L, "gone forever"),         // removed
+      (5L, "same words here"),      // whitespace-only edit: fp normalizes -> UNCHANGED
+      (6L, "... ---")               // changed vs other punctuation: empty word sets -> 10000
+    ).toDF("doc_id", "text")
+    val newS = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "one two three five"),
+      (4L, "brand new page"),       // added
+      (5L, "same  words\there"),
+      (6L, "!!! ???")
+    ).toDF("doc_id", "text")
+    val got = Curation.snapshotDiff(oldS, newS).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("status"), Option(r.getAs[java.lang.Long]("jaccard_bp")).map(_.toLong)))).toMap
+    assert(got == Map(
+      1L -> (("unchanged", None)),
+      2L -> (("changed", Some(6000L))),
+      3L -> (("removed", None)),
+      4L -> (("added", None)),
+      5L -> (("unchanged", None)),
+      6L -> (("changed", Some(10000L)))), got.toString)
+  }
+
   test("robotsFilter: longest-match REP verdicts, '*' groups only, defaults, comments") {
     val s = spark
     import s.implicits._
