@@ -55,7 +55,7 @@ object Bench {
     "q65_incremental_neardup", "q66_leakage_split", "q67_budget_sample",
     "q68_kmeans_int", "q69_hop_distance", "q70_surprisal_bits",
     "q71_kcore", "q72_phrase_search", "q73_crawl_schedule",
-    "q74_curation_funnel", "q75_robots_filter",
+    "q74_curation_funnel", "q75_robots_filter", "q76_snapshot_diff",
     "x_bpe_train", "x_bpe_encode",
     "x_minhash_lsh_dedup", "x_ngram_jaccard_lsh", "x_simhash_dedup",
     "x_embedding_neardup", "x_ann_brute", "x_ann_lsh", "x_ann_ivf",
