@@ -237,6 +237,12 @@ object SparkEntry {
     // density floor separating real clusters from incidental chains.
     // Oracle unrolls the peel cap as CTEs (rounds past the fixpoint
     // are identities, so the unroll is exact)
+    // C4-style line-level corpus dedup: fixed-width lines, every
+    // duplicated line removed corpus-wide except its first occurrence
+    // (min composite (doc_id, line_idx)), documents rewritten from the
+    // surviving lines — keep-first at line granularity where q34/q38
+    // cut both copies at window granularity
+    "q77_line_dedup" -> ((s, d) => Curation.lineDedup(t(s, d, "documents"))),
     // crawl snapshot diff (refresh-crawl CDC): old = the corpus, new =
     // deterministic removals (%11==3), text edits (%4==1) and additions
     // (%13 clones) — every status fires at every SF; changed rows get a
@@ -1342,6 +1348,52 @@ object SparkEntry {
       |    ELSE NULL END AS jaccard_bp
       |FROM j""".stripMargin
 
+  /** DuckDB twin of q77: same fixed-width lines, same md5 line
+    * identity, same keep-first rule via the composite integer
+    * min(doc_id·2²⁰ + line_idx); the rebuild is an INDEPENDENT
+    * formulation (unnest + anti-join + ordered string_agg vs Spark's
+    * indexed array filter). `//` == `div` on the non-negative
+    * operands; string_agg ordered by the unique line_idx is
+    * deterministic in both engines.
+    */
+  private def q77Sql(width: Int = 4): String = {
+    val w1 = width - 1
+    s"""WITH base AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+       |  FROM documents
+       |), ln AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS line_idx,
+       |    array_to_string(words[(i*$width+1):(i*$width+$width)], ' ') AS line
+       |  FROM base, unnest(range(0, (len(words) + $w1) // $width)) t(i)
+       |), occ AS (
+       |  SELECT doc_id, line_idx, md5(line) AS h,
+       |    doc_id * 1048576 + line_idx AS ord
+       |  FROM ln
+       |), agg AS (
+       |  SELECT h, count(*) AS cnt, min(ord) AS keep_ord FROM occ GROUP BY h
+       |), rm AS (
+       |  SELECT occ.doc_id, occ.line_idx
+       |  FROM occ JOIN agg USING (h) WHERE cnt >= 2 AND ord <> keep_ord
+       |), kept AS (
+       |  SELECT ln.doc_id,
+       |    string_agg(ln.line, ' ' ORDER BY ln.line_idx) AS txt
+       |  FROM ln LEFT JOIN rm ON ln.doc_id = rm.doc_id AND ln.line_idx = rm.line_idx
+       |  WHERE rm.doc_id IS NULL
+       |  GROUP BY ln.doc_id
+       |), rmc AS (
+       |  SELECT doc_id, count(*) AS n_rm FROM rm GROUP BY doc_id
+       |), stats AS (
+       |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+       |    CAST((len(words) + $w1) // $width AS BIGINT) AS n_lines
+       |  FROM base
+       |)
+       |SELECT s.doc_id, s.n_words, s.n_lines,
+       |  CAST(coalesce(n_rm, 0) AS BIGINT) AS n_removed,
+       |  coalesce(txt, '') AS text_dedup
+       |FROM stats s LEFT JOIN kept ON s.doc_id = kept.doc_id
+       |LEFT JOIN rmc ON s.doc_id = rmc.doc_id""".stripMargin
+  }
+
   /** DuckDB twin of q75: same synthetic robots template, same
     * relational REP parse (filtered-line lag grouping, '*' group
     * semi-join, allow/disallow rules), same q36 domain/path ladder,
@@ -2131,6 +2183,7 @@ object SparkEntry {
     "q74_curation_funnel" -> q74Sql(),
     "q75_robots_filter" -> q75Sql,
     "q76_snapshot_diff" -> q76Sql,
+    "q77_line_dedup" -> q77Sql(),
     "q41_tfidf_topk" -> q41Sql,
     "q45_dsir_score" -> q45Sql(),
     "q42_quality_filter" -> q42Sql(),

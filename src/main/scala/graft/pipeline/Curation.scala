@@ -769,4 +769,71 @@ object Curation {
       .select(col("doc_id"), col("source"), bucket.as("bucket"))
       .where(col("bucket") < quota)
   }
+
+  /** C4-style line-level corpus dedup (Raffel et al. 2020, the famous
+    * "discard all but one of any three-sentence span occurring more
+    * than once" cleaning step of C4; CCNet applies the same rule to
+    * paragraphs): every duplicated LINE is removed corpus-wide except
+    * its first occurrence, and each document is rewritten from its
+    * surviving lines. The synthetic corpus has no sentence or newline
+    * structure, so the line unit is the fixed non-overlapping
+    * `width`-word window over the normalized token stream — the same
+    * stand-in q57's chunker uses. This is the third member of the
+    * substring-dedup family: q8 dedups whole documents, q34/q38 dedup
+    * overlapping windows *everywhere* (both copies cut); lineDedup is
+    * the keep-first policy at line granularity.
+    *
+    * First occurrence = smallest (doc_id, line_idx), encoded as the
+    * composite integer `doc_id·2²⁰ + line_idx` so min() is one
+    * map-side-combinable aggregate (line_idx < 2²⁰ holds to
+    * million-line documents; widen the shift for books). Scale shape:
+    * the occurrence stream ships (doc_id, line_idx, 32-hex digest) —
+    * hashing INSIDE the once-per-row transform, the measured q34
+    * exception — through ONE hash-partitioned window (count + min in
+    * the same partition pass, the q34 window-over-groupBy-join
+    * discipline); the rebuild joins the per-doc removed-index list
+    * (tiny by construction) back and filters each doc's line array in
+    * place. A pathologically hot line (a boilerplate footer on every
+    * page) concentrates one hash partition — at real scale cap it
+    * with the q22 hot-bucket suppression rule before the window; the
+    * keep-first semantics only need (cnt, min) which both survive
+    * capping via partial aggregation.
+    */
+  def lineDedup(documents: DataFrame, width: Int = 4): DataFrame = {
+    require(width >= 1, "line width must be >= 1")
+    val base = documents.select(col("doc_id"), docWordsExpr.as("words"))
+    val w = col("words")
+    val nLines = expr(s"(size(words) + ${width - 1}) div $width").cast("int")
+    // md5 inside the lambda: the Generate boundary materializes 32-hex
+    // digests, not raw line strings (the q34 measured exception)
+    val hashesExpr = when(size(w) > 0,
+      transform(sequence(lit(0), nLines - 1),
+        i => md5(concat_ws(" ", slice(w, i * width + 1, lit(width))))))
+      .otherwise(array().cast("array<string>"))
+    val occ = base.select(col("doc_id"), posexplode(hashesExpr).as(Seq("line_idx", "h")))
+      .withColumn("ord", col("doc_id") * lit(1048576L) + col("line_idx"))
+    val win = Window.partitionBy(col("h"))
+    val removed = occ
+      .withColumn("cnt", count(lit(1)).over(win))
+      .withColumn("keep_ord", min(col("ord")).over(win))
+      .where(col("cnt") >= 2 && col("ord") =!= col("keep_ord"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("line_idx"))).as("rm"))
+    base
+      .join(removed, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        size(w).cast("bigint").as("n_words"),
+        expr(s"CAST((size(words) + ${width - 1}) div $width AS BIGINT)").as("n_lines"),
+        coalesce(size(col("rm")), lit(0)).cast("bigint").as("n_removed"),
+        when(size(w) > 0,
+          array_join(
+            filter(
+              transform(sequence(lit(0), nLines - 1),
+                i => concat_ws(" ", slice(w, i * width + 1, lit(width)))),
+              (_, i) => not(array_contains(coalesce(col("rm"),
+                array().cast("array<integer>")), i))),
+            " "))
+          .otherwise(lit("")).as("text_dedup"))
+  }
 }

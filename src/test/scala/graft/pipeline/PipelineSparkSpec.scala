@@ -743,6 +743,25 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(6L) == (("z1 z2 z3 z4 z5 z6", 6L, 6L)), out(6L).toString)
   }
 
+  test("line dedup removes every duplicated line except its first (doc_id, line_idx) occurrence") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "a b c d e f"), // all three lines are corpus keepers
+      (2L, "c d a b x"),   // "c d" and "a b" lose to doc 1 -> keep "x"
+      (3L, "a b a b"),     // both lines lose to doc 1 -> empty
+      (4L, ""),            // empty doc
+      (6L, "q q q q")      // within-doc dup: first line kept, second cut
+    ).toDF("doc_id", "text")
+    val out = Curation.lineDedup(d, width = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((6L, 3L, 0L, "a b c d e f")), out(1L).toString)
+    assert(out(2L) == ((5L, 3L, 2L, "x")), out(2L).toString)
+    assert(out(3L) == ((4L, 2L, 2L, "")), out(3L).toString)
+    assert(out(4L) == ((0L, 0L, 0L, "")), out(4L).toString)
+    assert(out(6L) == ((4L, 2L, 1L, "q q")), out(6L).toString)
+  }
+
   test("stratified sample is deterministic, quota-bounded and filter-only (no shuffle)") {
     val s = spark
     import s.implicits._
