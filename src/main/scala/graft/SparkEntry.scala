@@ -237,6 +237,10 @@ object SparkEntry {
     // density floor separating real clusters from incidental chains.
     // Oracle unrolls the peel cap as CTEs (rounds past the fixpoint
     // are identities, so the unroll is exact)
+    // priority sampling (Duffield-Lund-Thorup): md5-uniform u ranked
+    // by u*scale div weight, global top-k via TakeOrderedAndProject —
+    // the deterministic weighted subsample (q30 is the uniform one)
+    "q78_priority_sample" -> ((s, d) => CorpusOps.prioritySample(t(s, d, "documents"))),
     // C4-style line-level corpus dedup: fixed-width lines, every
     // duplicated line removed corpus-wide except its first occurrence
     // (min composite (doc_id, line_idx)), documents rewritten from the
@@ -1394,6 +1398,29 @@ object SparkEntry {
        |LEFT JOIN rmc ON s.doc_id = rmc.doc_id""".stripMargin
   }
 
+  /** DuckDB twin of q78: same md5('ps|'·doc_id) hex-nibble uniform
+    * (the q30 ascii decode), same 1 + distinct-word weight, same
+    * integer priority `u·scale // weight` (non-negative operands:
+    * `//` == `div`), same (priority, doc_id) top-k — doc_id unique,
+    * so the boundary row is deterministic in both engines.
+    */
+  private def q78Sql(k: Int = 100, scale: Long = 1L << 20): String = {
+    def nib(i: Int) =
+      s"(CASE WHEN substring(md5('ps|' || CAST(doc_id AS VARCHAR)), $i, 1) <= '9' " +
+        s"THEN ascii(substring(md5('ps|' || CAST(doc_id AS VARCHAR)), $i, 1)) - 48 " +
+        s"ELSE ascii(substring(md5('ps|' || CAST(doc_id AS VARCHAR)), $i, 1)) - 87 END)"
+    val u = (1 to 6).map(i => s"CAST(${nib(i)} AS BIGINT) * ${1L << (4 * (6 - i))}").mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))) + 1 AS BIGINT) AS weight,
+       |    CAST($u AS BIGINT) AS u
+       |  FROM documents
+       |)
+       |SELECT doc_id, weight, u,
+       |  CAST(u * $scale // weight AS BIGINT) AS priority
+       |FROM b ORDER BY priority, doc_id LIMIT $k""".stripMargin
+  }
+
   /** DuckDB twin of q75: same synthetic robots template, same
     * relational REP parse (filtered-line lag grouping, '*' group
     * semi-join, allow/disallow rules), same q36 domain/path ladder,
@@ -2184,6 +2211,7 @@ object SparkEntry {
     "q75_robots_filter" -> q75Sql,
     "q76_snapshot_diff" -> q76Sql,
     "q77_line_dedup" -> q77Sql(),
+    "q78_priority_sample" -> q78Sql(),
     "q41_tfidf_topk" -> q41Sql,
     "q45_dsir_score" -> q45Sql(),
     "q42_quality_filter" -> q42Sql(),

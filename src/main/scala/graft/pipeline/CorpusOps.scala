@@ -635,4 +635,41 @@ object CorpusOps {
         col("score").cast("bigint").as("score"),
         col("rank").cast("bigint").as("rank"))
   }
+
+  /** Priority sampling (Duffield, Lund & Thorup 2007, "Priority
+    * sampling for estimation of arbitrary subset sums") — the
+    * weighted counterpart of q30's uniform stratified sample: each
+    * document draws a deterministic md5-uniform `u ∈ [0, 16⁶)` and is
+    * ranked by the integer priority `u·scale div weight`, smaller =
+    * more likely kept, so selection probability grows with the weight
+    * (here 1 + distinct-word count, an integer quality stand-in); the
+    * global top-k by (priority, doc_id) is the sample. Everything is
+    * integer and md5-derived, so the sample is REPRODUCIBLE across
+    * retries, partitionings and engines — the property `.sample()`
+    * and RNG-keyed A-ES implementations cannot give — and the DuckDB
+    * oracle (q78) replays it value-exactly.
+    *
+    * Scale shape: one shuffle-free projection (the q30 nibble decode
+    * is pure string arithmetic) feeding a sort-limit, which Spark
+    * executes as TakeOrderedAndProject — per-partition partial top-k,
+    * k rows to the driver, never a full sort. At 100 TB this is a
+    * scan + k-row reduction.
+    */
+  def prioritySample(documents: DataFrame, k: Int = 100, scale: Long = 1L << 20): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val h = md5(concat(lit("ps|"), col("doc_id").cast("string")))
+    def nibble(i: Int) = {
+      val c = substring(h, i, 1)
+      (ascii(c) - when(c <= "9", lit(48)).otherwise(lit(87))).cast("bigint")
+    }
+    val u = (1 to 6).map(i => nibble(i) * lit(1L << (4 * (6 - i)))).reduce(_ + _)
+    documents
+      .select(col("doc_id"),
+        (size(Dedup.wordSet(col("text"))) + 1).cast("bigint").as("weight"),
+        u.as("u"))
+      .select(col("doc_id"), col("weight"), col("u"),
+        expr(s"u * CAST($scale AS BIGINT) div weight").as("priority"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+      .limit(k)
+  }
 }

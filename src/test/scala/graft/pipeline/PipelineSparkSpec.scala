@@ -743,6 +743,34 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(6L) == (("z1 z2 z3 z4 z5 z6", 6L, 6L)), out(6L).toString)
   }
 
+  test("priority sample matches an independent JVM-md5 replay and plans as a partial top-k") {
+    val s = spark
+    import s.implicits._
+    // distinct-word counts vary 1..20 so weights genuinely differ
+    val d = (0L until 200L)
+      .map(i => (i, (0L to i % 20).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val fn = CorpusOps.prioritySample(d, k = 25)
+    val got = fn.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independent replay: JVM MD5, same nibble decode, same formula
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(x: String) = md.synchronized {
+      md.reset(); md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val expected = (0L until 200L).map { i =>
+      val w = (i % 20) + 1 + 1 // distinct words + 1
+      val u = hex(s"ps|$i").take(6).foldLeft(0L)((a, c) => a * 16 + Character.digit(c, 16))
+      (i, w, u, u * (1L << 20) / w)
+    }.sortBy(t => (t._4, t._1)).take(25)
+    assert(got.toSeq == expected.toSeq, got.take(5).toSeq.toString)
+    // weighted: the kept set's mean weight exceeds the corpus mean
+    // (weights 2..21 uniform -> corpus mean 11.5; u/w favors large w)
+    assert(got.map(_._2).sum.toDouble / got.length > 11.5, got.map(_._2).toSeq.toString)
+    // scale contract: partial top-k, not a global sort
+    val plan = fn.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("line dedup removes every duplicated line except its first (doc_id, line_idx) occurrence") {
     val s = spark
     import s.implicits._
