@@ -237,6 +237,10 @@ object SparkEntry {
     // density floor separating real clusters from incidental chains.
     // Oracle unrolls the peel cap as CTEs (rounds past the fixpoint
     // are identities, so the unroll is exact)
+    // block-segmented posting lists: per (term, 128-doc block) the
+    // delta-encoded doc gaps + tf payloads — the Lucene-style physical
+    // index layout (no term ever holds its full posting list in a row)
+    "q79_posting_blocks" -> ((s, d) => CorpusOps.postingBlocks(t(s, d, "documents"))),
     // priority sampling (Duffield-Lund-Thorup): md5-uniform u ranked
     // by u*scale div weight, global top-k via TakeOrderedAndProject —
     // the deterministic weighted subsample (q30 is the uniform one)
@@ -1398,6 +1402,33 @@ object SparkEntry {
        |LEFT JOIN rmc ON s.doc_id = rmc.doc_id""".stripMargin
   }
 
+  /** DuckDB twin of q79: same (term, doc) tf rollup, same doc-id
+    * blocks, ordered list() + list_transform gap encode vs Spark's
+    * sorted-struct collect — `//` == `div` on non-negative doc ids;
+    * the unique doc_id within a (term, block) group makes the ordered
+    * aggregation deterministic in both engines.
+    */
+  private def q79Sql(blockSize: Int = 128): String =
+    s"""WITH tf AS (
+       |  SELECT w AS term, doc_id, count(*) AS tf
+       |  FROM (
+       |    SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+       |    FROM documents
+       |  ) GROUP BY w, doc_id
+       |), seg AS (
+       |  SELECT term, doc_id // $blockSize AS block,
+       |    list(doc_id ORDER BY doc_id) AS ds,
+       |    list(tf ORDER BY doc_id) AS tfl
+       |  FROM tf GROUP BY term, doc_id // $blockSize
+       |)
+       |SELECT term,
+       |  CAST(block AS BIGINT) AS block,
+       |  CAST(len(ds) AS BIGINT) AS df_block,
+       |  CAST(ds[1] AS BIGINT) AS first_doc,
+       |  array_to_string(list_transform(range(2, len(ds) + 1), j -> ds[j] - ds[j-1]), ',') AS gaps,
+       |  array_to_string(tfl, ',') AS tfs
+       |FROM seg""".stripMargin
+
   /** DuckDB twin of q78: same md5('ps|'·doc_id) hex-nibble uniform
     * (the q30 ascii decode), same 1 + distinct-word weight, same
     * integer priority `u·scale // weight` (non-negative operands:
@@ -2212,6 +2243,7 @@ object SparkEntry {
     "q76_snapshot_diff" -> q76Sql,
     "q77_line_dedup" -> q77Sql(),
     "q78_priority_sample" -> q78Sql(),
+    "q79_posting_blocks" -> q79Sql(),
     "q41_tfidf_topk" -> q41Sql,
     "q45_dsir_score" -> q45Sql(),
     "q42_quality_filter" -> q42Sql(),

@@ -636,6 +636,47 @@ object CorpusOps {
         col("rank").cast("bigint").as("rank"))
   }
 
+  /** Block-segmented inverted-index materialization — the physical
+    * layout step AFTER the logical postings q47/q72 compute on the
+    * fly: per (term, fixed-width doc-id block), the delta-encoded
+    * doc-gap list plus per-doc tf payloads, the on-disk shape of
+    * Lucene-style block postings (bounded rows: no term ever
+    * materializes its whole corpus-wide posting list in one row, the
+    * thing that breaks single-row layouts at 100 TB — a stopword's
+    * postings split across doc-id blocks that parallelize and
+    * compress independently, and block-max traversal reads only the
+    * blocks it needs).
+    *
+    * Scale shape: one map-side-combinable groupBy to (term, doc) tf,
+    * one to the (term, block) segment; the gap/tf encode is a
+    * once-per-row lambda over a ≤`blockSize`-element array (the
+    * sanctioned small-array HOF case). Gap lists serialize as comma
+    * strings — the value-exact cross-engine encoding (array renderers
+    * differ between engines; strings don't).
+    */
+  def postingBlocks(documents: DataFrame, blockSize: Int = 128): DataFrame = {
+    require(blockSize >= 2, "block size must be >= 2")
+    val tf = documents
+      .select(col("doc_id"), explode(wordsExpr).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val seg = tf
+      .withColumn("block", expr(s"doc_id div $blockSize"))
+      .groupBy(col("term"), col("block"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("tf")))).as("ps"))
+    val ds = col("ps")
+    val gaps = when(size(ds) >= 2,
+      transform(sequence(lit(2), size(ds)),
+        j => element_at(ds, j).getField("doc_id") - element_at(ds, j - 1).getField("doc_id")))
+      .otherwise(array().cast("array<bigint>"))
+    seg.select(
+      col("term"),
+      col("block").cast("bigint").as("block"),
+      size(ds).cast("bigint").as("df_block"),
+      element_at(ds, 1).getField("doc_id").cast("bigint").as("first_doc"),
+      array_join(gaps, ",").as("gaps"),
+      array_join(transform(ds, x => x.getField("tf").cast("string")), ",").as("tfs"))
+  }
+
   /** Priority sampling (Duffield, Lund & Thorup 2007, "Priority
     * sampling for estimation of arbitrary subset sums") — the
     * weighted counterpart of q30's uniform stratified sample: each

@@ -743,6 +743,22 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(6L) == (("z1 z2 z3 z4 z5 z6", 6L, 6L)), out(6L).toString)
   }
 
+  test("posting blocks: per-(term, block) delta-encoded doc gaps with tf payloads") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (0L, "a b"), (1L, "a"), (3L, "a a"), (4L, "a"), (9L, "b b b")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.postingBlocks(d, blockSize = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(out(("a", 0L)) == ((3L, 0L, "1,2", "1,1,2")), out.toString)
+    assert(out(("a", 1L)) == ((1L, 4L, "", "1")), out.toString)
+    assert(out(("b", 0L)) == ((1L, 0L, "", "1")), out.toString)
+    assert(out(("b", 2L)) == ((1L, 9L, "", "3")), out.toString)
+    assert(out.size == 4)
+  }
+
   test("priority sample matches an independent JVM-md5 replay and plans as a partial top-k") {
     val s = spark
     import s.implicits._
