@@ -536,6 +536,12 @@ object SparkEntry {
       Similarity.ivfCosine(emb, emb.where(col("vec_id") < 8), k = 5)
     }),
     "x_multimodal_features" -> ((s, _) => Multimodal.featureSummary(Multimodal.syntheticAssets(s, 3000)).toDF()),
+    // perceptual-hash image near-dup: dHash64 over decoded pixels
+    // (format-invariant), 8x8-bit pigeonhole + popcount verify — the
+    // multimodal member of the near-dup family; planted twins gated
+    // by MultimodalCodecSpec + PipelineSparkSpec, not SQL-expressible
+    "x_image_phash_neardup" -> ((s, _) => Multimodal.phashNearDup(
+      Multimodal.imagePhash(Multimodal.syntheticImageCorpus(s, 1200)))),
     // distributed BPE trainer: one word-freq shuffle + bounded driver
     // merge loop; deterministic, so the merges table is stable
     "x_bpe_train" -> ((s, d) => Bpe.mergesTable(s, Bpe.train(t(s, d, "documents"), numMerges = 60))),

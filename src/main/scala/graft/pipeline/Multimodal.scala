@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
@@ -105,12 +105,14 @@ object Multimodal {
       */
     private val MaxPixels = 64L * 1024 * 1024 // 64 Mpx ≈ 256 MB ARGB
 
-    private[pipeline] def decodeImageIo(p: Array[Byte]): Option[Array[Float]] = {
-      if (!isJpeg(p) && !isPng(p) && !isGif(p)) return None
+    /** Guarded ImageIO decode to a BufferedImage: header-only
+      * dimension peek via the plugin reader (the bomb guard), then the
+      * bounded full decode through the same reader. Null on corrupt /
+      * oversized / unreadable payloads — never throws.
+      */
+    private[pipeline] def decodeToImage(p: Array[Byte]): BufferedImage = {
       val img =
         try {
-          // header-only dimension peek via the plugin reader, THEN the
-          // bounded full decode through the same reader
           val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(p))
           try {
             val readers = ImageIO.getImageReaders(iis)
@@ -127,7 +129,13 @@ object Multimodal {
             }
           } finally if (iis != null) iis.close()
         } catch { case _: Exception => null } // corrupt stream → flagged, not fatal
-      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) null else img
+    }
+
+    private[pipeline] def decodeImageIo(p: Array[Byte]): Option[Array[Float]] = {
+      if (!isJpeg(p) && !isPng(p) && !isGif(p)) return None
+      val img = decodeToImage(p)
+      if (img == null) return None
       val w = img.getWidth
       val h = img.getHeight
       var sr = 0L; var sg = 0L; var sb = 0L
@@ -235,6 +243,54 @@ object Multimodal {
       val avg = new Array[Float](8)
       feats.foreach(f => (0 until 8).foreach(j => avg(j) += f(j) / feats.size))
       Some(Decoded(avg, count))
+    }
+
+    /** 64-bit difference-hash (dHash) perceptual fingerprint — the
+      * standard image near-dup identity (same family as pHash/aHash;
+      * see Krawetz's published dHash recipe): sample the luma plane on
+      * a 9×8 grid (nearest-neighbor at integer cell centers — exact,
+      * and well-defined even for images narrower than the grid), then
+      * bit (r,c) = "right cell brighter than left". Re-encoding the
+      * same pixels (BMP↔PNG) hashes identically; small noise,
+      * brightness wiggles or mild lossy re-encodes flip only the bits
+      * whose neighboring cells were nearly equal. Integer milli-weight
+      * luma (299/587/114) keeps the hash a pure function of the
+      * pixels. Accepts any ImageIO-readable payload (BMP included —
+      * the JDK ships a BMP reader) behind the same bomb guard.
+      */
+    private[pipeline] def dHash64(p: Array[Byte]): Option[Long] = {
+      val isBmp = p.length >= 2 && p(0) == 'B' && p(1) == 'M'
+      if (!isBmp && !isJpeg(p) && !isPng(p) && !isGif(p)) return None
+      val img = decodeToImage(p)
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      val cells = Array.ofDim[Long](8, 9)
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 9) {
+          val px = math.min((2 * c + 1) * w / 18, w - 1)
+          val py = math.min((2 * r + 1) * h / 16, h - 1)
+          val rgb = img.getRGB(px, py)
+          cells(r)(c) = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+          c += 1
+        }
+        r += 1
+      }
+      var bits = 0L
+      var i = 0
+      var rr = 0
+      while (rr < 8) {
+        var cc = 0
+        while (cc < 8) {
+          if (cells(rr)(cc + 1) > cells(rr)(cc)) bits |= (1L << i)
+          i += 1
+          cc += 1
+        }
+        rr += 1
+      }
+      Some(bits)
     }
 
     /** 24-bit uncompressed BMP at `off`. Returns (features, byteLength).
@@ -776,6 +832,14 @@ object Multimodal {
   private[pipeline] def syntheticPng(w: Int, h: Int, seed: Long): Array[Byte] =
     encodeImage(syntheticRaster(w, h, seed), "png")
 
+  /** A JDK-encoded BMP of the SAME raster as [[syntheticPng]] — unlike
+    * the hand-rolled [[syntheticBmp]] (whose file rows are bottom-up,
+    * i.e. a vertical flip of the raster), this is pixel-identical to
+    * the PNG, which is what the perceptual-hash identity tests need.
+    */
+  private[pipeline] def syntheticBmpIo(w: Int, h: Int, seed: Long): Array[Byte] =
+    encodeImage(syntheticRaster(w, h, seed), "bmp")
+
   /** A real baseline-JFIF JPEG (JDK encoder) with seed-deterministic pixels. */
   private[pipeline] def syntheticJpeg(w: Int, h: Int, seed: Long): Array[Byte] =
     encodeImage(syntheticRaster(w, h, seed), "jpg")
@@ -1026,5 +1090,95 @@ object Multimodal {
         sum(when(col("ok"), 1L).otherwise(0L)).as("n_decoded"),
         sum(col("frames").cast("long")).as("total_frames"))
       .orderBy(col("kind"))
+  }
+
+  /** A BMP re-encode of raster(seed) with the blue low bit flipped on
+    * every third pixel — a deterministic "slightly edited" twin whose
+    * dHash stays within a bit or two of the original's.
+    */
+  private[pipeline] def noisyBmp(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = syntheticRaster(w, h, seed)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if ((x + y) % 3 == 0) img.setRGB(x, y, img.getRGB(x, y) ^ 1)
+        x += 1
+      }
+      y += 1
+    }
+    encodeImage(img, "bmp")
+  }
+
+  /** Deterministic synthetic IMAGE corpus with planted perceptual
+    * near-dups, id triples per group g = id div 3: a BMP of
+    * raster(g), a PNG re-encode of the SAME pixels (dHash-identical),
+    * and — even groups — a noise-twin BMP (near-dup) / odd groups —
+    * an unrelated image (negative). ~1/16 corrupt, as in
+    * [[syntheticAssets]].
+    */
+  def syntheticImageCorpus(spark: SparkSession, n: Long, partitions: Int = 32): Dataset[AssetRow] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val g = id / 3
+      val w = 16 + (g % 9).toInt
+      val h = 12 + (g % 5).toInt
+      val full: Array[Byte] = (id % 3) match {
+        case 0 => syntheticBmpIo(w, h, g)
+        case 1 => syntheticPng(w, h, g)
+        case _ =>
+          if (g % 2 == 0) noisyBmp(w, h, g)
+          else syntheticBmpIo(w, h, g + 777777L)
+      }
+      val payload = if (id % 16 == 15) full.take(8) else full
+      AssetRow(id, s"http://test.example/img/$id", "image", payload, w, h, 0)
+    }
+  }
+
+  /** Per-asset perceptual hashes over the binary image column:
+    * mapPartitions decode (bounded memory per task — the multimodal
+    * batch-UDF shape), corrupt payloads flagged `ok = false`, never
+    * fatal. One scan, no shuffle.
+    */
+  def imagePhash(assets: Dataset[AssetRow]): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val hOpt = if (a.kind == "image") PureJvmDecoder.dHash64(a.payload) else None
+        (a.asset_id, hOpt.isDefined, hOpt.getOrElse(0L))
+      }
+    }.toDF("asset_id", "ok", "phash")
+  }
+
+  /** Perceptual-hash image near-dup — the multimodal member of the
+    * near-dup family (q16 simhash is the text analogue; identical
+    * scale shape): 8 × 8-bit chunk pigeonhole (any pair within
+    * hamming ≤ 7 shares at least one chunk, so `maxHamming` must stay
+    * ≤ 7), hot-chunk suppression (a monochrome-meme chunk value
+    * never degenerates into an all-pairs join), id-only transport,
+    * distinct pairs, codegen'd popcount verify. Never all-pairs.
+    */
+  def phashNearDup(hashes: DataFrame, maxHamming: Int = 4, maxBucket: Int = 2000): DataFrame = {
+    require(maxHamming <= 7, "the 8-chunk pigeonhole only guarantees hamming <= 7")
+    val withH = hashes.where(col("ok")).select(col("asset_id"), col("phash"))
+    // 3 consumers (hot census + both join sides) — materialize once
+    val chunked0 = withH.select(
+      col("asset_id"), col("phash"),
+      posexplode(array((0 until 8).map(c =>
+        shiftrightunsigned(col("phash"), c * 8).bitwiseAND(255)): _*))
+        .as(Seq("chunk", "value"))
+    ).localCheckpoint(true)
+    val hot = chunked0.groupBy(col("chunk"), col("value"))
+      .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
+      .select(col("chunk"), col("value"))
+    val chunked = chunked0.join(broadcast(hot), Seq("chunk", "value"), "left_anti")
+    val l = chunked.select(col("chunk"), col("value"), col("asset_id").as("a"), col("phash").as("ha"))
+    val r = chunked.select(col("chunk"), col("value"), col("asset_id").as("b"), col("phash").as("hb"))
+    l.join(r, Seq("chunk", "value"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), bit_count(expr("ha ^ hb")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

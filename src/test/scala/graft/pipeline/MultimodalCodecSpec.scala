@@ -295,4 +295,24 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(dec.decode("image", garbage, 8, 8, 0).isEmpty)
     assert(dec.decode("audio", garbage, 0, 0, 0).isEmpty)
   }
+
+  test("dHash: format-invariant on lossless re-encode, noise-tolerant, content-sensitive") {
+    val dec = Multimodal.PureJvmDecoder
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (g <- 0L until 8L) {
+      val w = 16 + (g % 9).toInt
+      val h = 12 + (g % 5).toInt
+      val hb = dec.dHash64(Multimodal.syntheticBmpIo(w, h, g)).get
+      val hp = dec.dHash64(Multimodal.syntheticPng(w, h, g)).get
+      assert(hb == hp, s"BMP vs PNG of same pixels diverged at g=$g") // lossless re-encode
+      val hn = dec.dHash64(Multimodal.noisyBmp(w, h, g)).get
+      assert(ham(hb, hn) <= 4, s"noise twin hamming ${ham(hb, hn)} at g=$g")
+      val hu = dec.dHash64(Multimodal.syntheticBmpIo(w, h, g + 777777L)).get
+      assert(ham(hb, hu) > 8, s"unrelated hamming ${ham(hb, hu)} at g=$g")
+    }
+    // corrupt / non-image payloads flag, never crash
+    assert(dec.dHash64(Array.emptyByteArray).isEmpty)
+    assert(dec.dHash64(Multimodal.syntheticBmp(16, 12, 1L).take(20)).isEmpty)
+    assert(dec.dHash64(Array.fill[Byte](100)(0x11)).isEmpty)
+  }
 }

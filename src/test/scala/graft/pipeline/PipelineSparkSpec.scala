@@ -743,6 +743,35 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(6L) == (("z1 z2 z3 z4 z5 z6", 6L, 6L)), out(6L).toString)
   }
 
+  test("perceptual-hash image near-dup recovers planted twins, never crosses groups") {
+    val assets = Multimodal.syntheticImageCorpus(spark, 96, partitions = 4)
+    val hashes = Multimodal.imagePhash(assets)
+    // corrupt payloads (id % 16 == 15) flag, not crash
+    val flagged = hashes.where(!col("ok")).collect().map(_.getLong(0)).toSet
+    assert(flagged == (0L until 96L).filter(_ % 16 == 15).toSet, flagged.toString)
+    val pairs = Multimodal.phashNearDup(hashes, maxHamming = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue()))
+    // near-dups only ever come from the same planted group
+    assert(pairs.forall { case (a, b, _) => a / 3 == b / 3 }, pairs.filterNot(p => p._1 / 3 == p._2 / 3).take(5).toSeq.toString)
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    for (g <- 0L until 32L) {
+      val (i0, i1, i2) = (3 * g, 3 * g + 1, 3 * g + 2)
+      def okId(i: Long) = i % 16 != 15
+      // lossless re-encode twin: hamming 0, always found
+      if (okId(i0) && okId(i1))
+        assert(pairSet.contains((i0, i1)), s"missing identical pair in group $g")
+      // even groups: the noise twin pairs with both
+      if (g % 2 == 0 && okId(i2)) {
+        if (okId(i0)) assert(pairSet.contains((i0, i2)), s"missing noise pair (bmp) g=$g")
+        if (okId(i1)) assert(pairSet.contains((i1, i2)), s"missing noise pair (png) g=$g")
+      }
+      // odd groups: the unrelated member never pairs
+      if (g % 2 == 1) assert(!pairSet.contains((i0, i2)) && !pairSet.contains((i1, i2)), s"false pair g=$g")
+    }
+    // identical-pixel pairs report hamming 0
+    assert(pairs.filter(p => p._1 % 3 == 0 && p._2 == p._1 + 1).forall(_._3 == 0))
+  }
+
   test("posting blocks: per-(term, block) delta-encoded doc gaps with tf payloads") {
     val s = spark
     import s.implicits._
