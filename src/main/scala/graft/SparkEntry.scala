@@ -237,6 +237,10 @@ object SparkEntry {
     // density floor separating real clusters from incidental chains.
     // Oracle unrolls the peel cap as CTEs (rounds past the fixpoint
     // are identities, so the unroll is exact)
+    // rolling 7-day distinct active users: distinct (day, user) grid
+    // exploded to its trailing-window target days — sliding count
+    // distinct without a window sort or per-day self-join
+    "q80_rolling_actives" -> ((s, d) => EventOps.rollingActives(t(s, d, "events"))),
     // block-segmented posting lists: per (term, 128-doc block) the
     // delta-encoded doc gaps + tf payloads — the Lucene-style physical
     // index layout (no term ever holds its full posting list in a row)
@@ -1408,6 +1412,25 @@ object SparkEntry {
        |LEFT JOIN rmc ON s.doc_id = rmc.doc_id""".stripMargin
   }
 
+  /** DuckDB twin of q80: same distinct (day, user) grid (epoch_us //
+    * 86400000000 == the NTZ timestampdiff div — the q49/q54 rule),
+    * same explode-to-window-days expansion, same end trim.
+    */
+  private def q80Sql(windowDays: Int = 7): String =
+    s"""WITH du AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+       |), b AS (SELECT max(day) AS hi FROM du),
+       |d1 AS (SELECT day, count(*) AS n_active_1d FROM du GROUP BY day),
+       |ex AS (
+       |  SELECT DISTINCT user_id, day + i AS wday
+       |  FROM du, unnest(range(0, $windowDays)) t(i)
+       |), wc AS (SELECT wday, count(*) AS n_active_win FROM ex GROUP BY wday)
+       |SELECT CAST(wc.wday AS BIGINT) AS day,
+       |  CAST(coalesce(d1.n_active_1d, 0) AS BIGINT) AS n_active_1d,
+       |  CAST(wc.n_active_win AS BIGINT) AS n_active_win
+       |FROM wc CROSS JOIN b LEFT JOIN d1 ON wc.wday = d1.day
+       |WHERE wc.wday <= b.hi""".stripMargin
+
   /** DuckDB twin of q79: same (term, doc) tf rollup, same doc-id
     * blocks, ordered list() + list_transform gap encode vs Spark's
     * sorted-struct collect — `//` == `div` on non-negative doc ids;
@@ -2250,6 +2273,7 @@ object SparkEntry {
     "q77_line_dedup" -> q77Sql(),
     "q78_priority_sample" -> q78Sql(),
     "q79_posting_blocks" -> q79Sql(),
+    "q80_rolling_actives" -> q80Sql(),
     "q41_tfidf_topk" -> q41Sql,
     "q45_dsir_score" -> q45Sql(),
     "q42_quality_filter" -> q42Sql(),

@@ -207,4 +207,45 @@ object EventOps {
         min(col("mn")).cast("bigint").as("min_value_c"),
         max(col("mx")).cast("bigint").as("max_value_c"))
   }
+
+  /** Rolling `windowDays`-day distinct active users — the retention
+    * dashboard primitive Spark has no built-in for (COUNT DISTINCT
+    * over a sliding event-time window): for every calendar day inside
+    * the data's span, the distinct users active in the trailing
+    * window, beside the same-day actives.
+    *
+    * Scale shape: raw events collapse FIRST to the distinct
+    * (day, user) grid — one map-side-combinable shuffle, and the grid
+    * is at worst |users|·|days|, orders smaller than the event
+    * stream. The trailing window is that grid exploded to the
+    * ≤windowDays target days each activity row contributes to
+    * (explode-then-distinct — never a per-day self-join over raw
+    * events, and never a O(span) window sort), then one more
+    * distinct+count. Days past the data's end are trimmed by the
+    * broadcast 1-row bounds frame (the q47 scalar pattern). The grid
+    * is materialized once for its three consumers (bounds, daily,
+    * window — the LSH census rule).
+    */
+  def rollingActives(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "window must be >= 1 day")
+    // integer div, not Column./ (which is FP division)
+    val dayE = expr(
+      "CAST(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400000000 AS BIGINT)")
+    val du = events.select(col("user_id"), dayE.as("day")).distinct()
+      .localCheckpoint(true)
+    val bounds = du.agg(max(col("day")).as("hi"))
+    val daily = du.groupBy(col("day")).agg(count(lit(1)).as("n_active_1d"))
+    du
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + (windowDays - 1))).as("wday"))
+      .distinct()
+      .groupBy(col("wday")).agg(count(lit(1)).as("n_active_win"))
+      .crossJoin(broadcast(bounds))
+      .where(col("wday") <= col("hi"))
+      .join(daily, col("wday") === daily("day"), "left")
+      .select(
+        col("wday").as("day"),
+        coalesce(col("n_active_1d"), lit(0L)).cast("bigint").as("n_active_1d"),
+        col("n_active_win").cast("bigint").as("n_active_win"))
+  }
 }

@@ -590,4 +590,22 @@ class EventCorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("view") == ((2L, 701L, 1L, 700L)))
     assert(snap(16) == one && snap(7) == one)
   }
+
+  test("rollingActives: trailing-window distinct users, gap days filled, end trimmed") {
+    def d(day: Long) = day * 86400L
+    val ev = events(
+      (1L, d(0), 1L, "view", 0.0), (2L, d(0) + 100, 1L, "click", 0.0), // user 1 twice on day 0
+      (3L, d(0) + 5, 2L, "view", 0.0),
+      (4L, d(1), 1L, "view", 0.0),
+      (5L, d(4), 3L, "view", 0.0))
+    val out = EventOps.rollingActives(ev, windowDays = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      0L -> ((2L, 2L)), // {1,2} that day and in-window
+      1L -> ((1L, 2L)), // day-1 actives {1}; window {1,2}
+      2L -> ((0L, 2L)), // gap day, window still sees day 0+1
+      3L -> ((0L, 1L)), // only day 1 in window
+      4L -> ((1L, 1L))  // day 5/6 trimmed past the data's end
+    ), out.toString)
+  }
 }
