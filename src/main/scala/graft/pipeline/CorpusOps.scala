@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
-  private def wordsExpr: Column =
+  private[pipeline] def wordsExpr: Column =
     filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "")
 
   /** Vocabulary-capped PMI co-occurrence — the collocation/association

@@ -402,6 +402,29 @@ object StreamingExtract {
       .groupBy(col("source"), col("bucket"))
       .agg(max(col("rho")).as("max_rho"))
 
+  /** Streaming count-min sketch registers — the q51 batch sketch's
+    * streaming twin, same mergeable-register discipline as
+    * [[streamingHllBySource]]: counts are SUMS, so the micro-batch
+    * increment IS the merge and the register table is servable at any
+    * time (point-estimate a term by min over its d row buckets; the
+    * rank/top-k readout stays a batch pass by design — a global
+    * ordering is not incrementally maintainable, the HLL
+    * exact-distinct rule). Same md5 bucket derivation as the batch
+    * sketch (the shared-core rule: a change there re-derives q51 AND
+    * this stream). State bounded at depth × 16^hexLen rows, event
+    * volume never retained.
+    */
+  def streamingCountMin(docs: DataFrame, depth: Int = 4, hexLen: Int = 3): DataFrame = {
+    require(depth >= 1 && depth <= 8, "depth in [1,8]")
+    require(hexLen >= 1 && hexLen <= 8, "bucket hex length in [1,8]")
+    docs.select(explode(CorpusOps.wordsExpr).as("term"))
+      .select(col("term"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("bucket",
+        substring(md5(concat(col("r").cast("string"), lit(":"), col("term"))), 1, hexLen))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("bcnt"))
+  }
+
   /** Wire a streaming page source to a parquet triple sink. */
   def start(pages: DataFrame, outDir: String, checkpointDir: String): StreamingQuery =
     triples(pages).writeStream

@@ -428,6 +428,34 @@ class EventCorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotMap.nonEmpty && gotMap.keys.map(_._1).toSet == Set("src0", "src1"))
   }
 
+  test("streamingCountMin: registers sum across micro-batches, equal to the batch sketch") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    val b1 = Seq((1L, "alpha beta alpha gamma"), (2L, "beta delta"))
+    val b2 = Seq((3L, "alpha epsilon beta beta"))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingExtract.streamingCountMin(
+      mem.toDF().toDF("doc_id", "text"), depth = 3, hexLen = 2)
+      .writeStream.format("memory").queryName("stream_cm").outputMode("complete").start()
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    q.stop()
+    val got = s.sql("SELECT * FROM stream_cm").collect()
+      .map(r => (r.getAs[Int]("r"), r.getAs[String]("bucket")) -> r.getAs[Long]("bcnt")).toMap
+    val batch = StreamingExtract.streamingCountMin(
+      (b1 ++ b2).toDF("doc_id", "text"), depth = 3, hexLen = 2).collect()
+      .map(r => (r.getAs[Int]("r"), r.getAs[String]("bucket")) -> r.getAs[Long]("bcnt")).toMap
+    assert(got == batch, s"stream=$got batch=$batch")
+    // the register estimate upper-bounds the exact count (alpha = 3)
+    val est = got.collect { case ((r, b), c)
+      if (0 until 3).exists(rr => rr == r &&
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$rr:alpha".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(2) == b) => c }
+    assert(est.nonEmpty && est.min >= 3L, est.toString)
+  }
+
   test("kCore: iterative peeling reaches the fixpoint, not just the degree filter") {
     // triangle {1,2,3} with tail 3-4-5: after round 1 node 5 drops
     // (deg 1), which EXPOSES 4 at deg 1 — only a second peel round
