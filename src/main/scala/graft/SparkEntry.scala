@@ -237,6 +237,21 @@ object SparkEntry {
     // density floor separating real clusters from incidental chains.
     // Oracle unrolls the peel cap as CTEs (rounds past the fixpoint
     // are identities, so the unroll is exact)
+    // exact containment self-join (Broder's |A∩B|/|A|): the corpus +
+    // planted half-prefix clones (doc_id%7==0 → doc_id+2e6 carrying
+    // the first half of the word stream) — the subset-duplication case
+    // symmetric Jaccard misses; prefix-filtered candidates, lossless
+    "q81_containment_join" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val words = filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "")
+      val aug = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs
+          .select(col("doc_id"), words.as("words"))
+          .where(pmod(col("doc_id"), lit(7)) === 0 && size(col("words")) >= 4)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat_ws(" ", slice(col("words"), lit(1), expr("size(words) div 2"))).as("text")))
+      Dedup.containmentPrefixJoin(aug)
+    }),
     // rolling 7-day distinct active users: distinct (day, user) grid
     // exploded to its trailing-window target days — sliding count
     // distinct without a window sort or per-day self-join
@@ -1412,6 +1427,48 @@ object SparkEntry {
        |LEFT JOIN rmc ON s.doc_id = rmc.doc_id""".stripMargin
   }
 
+  /** DuckDB twin of q81: same augmented corpus (half-prefix clones via
+    * the identical words[1:len//2] slice — DuckDB's inclusive-end
+    * list_slice == Spark's slice(1, len div 2) here), but the
+    * candidate side is the NAIVE all-pairs shingle equi-join — an
+    * independent formulation proving the prefix filter lossless (the
+    * q59/q60 rule: oracle never replays the optimization under test).
+    * Verify math is the same integer cross-multiplication /
+    * basis-point division on non-negative operands.
+    */
+  private def q81Sql(tNum: Int = 4, tDen: Int = 5, width: Int = 2): String = {
+    val w1 = width - 1
+    s"""WITH aug AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 2000000 AS doc_id,
+       |    array_to_string(words[1:(len(words) // 2)], ' ') AS text
+       |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+       |        FROM documents)
+       |  WHERE doc_id % 7 = 0 AND len(words) >= 4
+       |), w0 AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+       |  FROM aug
+       |), sh0 AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_filter(
+       |      list_transform(range(1, greatest(len(words)-$w1, 1)+1), i -> array_to_string(words[i:i+$w1], ' ')),
+       |      s -> s <> '')) AS sh
+       |  FROM w0 WHERE len(words) > 0
+       |), g AS (SELECT doc_id, unnest(sh) AS s FROM sh0 WHERE len(sh) > 0),
+       |sizes AS (SELECT doc_id, len(sh) AS sz FROM sh0 WHERE len(sh) > 0),
+       |inter AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS ic
+       |  FROM g l JOIN g r ON l.s = r.s AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT a, b, CAST(ic AS BIGINT) AS ic,
+       |  CAST(sa.sz AS BIGINT) AS sza, CAST(sb.sz AS BIGINT) AS szb,
+       |  CAST(ic * 10000 // least(sa.sz, sb.sz) AS BIGINT) AS contain_bp
+       |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+       |WHERE $tDen * ic >= $tNum * least(sa.sz, sb.sz)""".stripMargin
+  }
+
   /** DuckDB twin of q80: same distinct (day, user) grid (epoch_us //
     * 86400000000 == the NTZ timestampdiff div — the q49/q54 rule),
     * same explode-to-window-days expansion, same end trim.
@@ -2274,6 +2331,7 @@ object SparkEntry {
     "q78_priority_sample" -> q78Sql(),
     "q79_posting_blocks" -> q79Sql(),
     "q80_rolling_actives" -> q80Sql(),
+    "q81_containment_join" -> q81Sql(),
     "q41_tfidf_topk" -> q41Sql,
     "q45_dsir_score" -> q45Sql(),
     "q42_quality_filter" -> q42Sql(),

@@ -435,4 +435,72 @@ object Dedup {
       .select(col("a"), col("b"),
         round(col("ic").cast("double") / (col("sza") + col("szb") - col("ic")), 4).as("jaccard"))
   }
+
+  /** EXACT containment self-join — Broder (1997)'s asymmetric
+    * containment c(A,B) = |A∩B| / |A|: catches SUBSET duplication (a
+    * short page quoted whole inside a long wrapper, a prefix crawl of
+    * a full article) that symmetric Jaccard structurally misses —
+    * |A∩B|/|A∪B| is dragged under threshold by the big side even when
+    * every token of A sits in B. Emits every unordered pair whose
+    * LARGER containment (= ic / min(|A|,|B|) — the smaller set is the
+    * contained one) reaches tNum/tDen, verified exactly in integer
+    * basis points.
+    *
+    * Candidates via the [[jaccardPrefixJoin]] prefix filter adapted to
+    * the asymmetric threshold — and still LOSSLESS: if
+    * ic >= ceil(t·|A|) then A∩B cannot fit inside A's last
+    * ceil(t·|A|)−1 rare-first tokens, so some shared token lies in A's
+    * first |A|−ceil(t·|A|)+1 tokens (the prefix), and trivially in
+    * B's FULL token set. Hence prefix(contained side) ⋈ full(index
+    * side) finds every qualifying pair; no size filter applies (that
+    * is the asymmetry). One direction of the join suffices because
+    * whichever side is contained contributes its prefix.
+    *
+    * 100 TB shape: the full side is the persisted inverted index the
+    * corpus already maintains (q79's layout); only prefixes probe it,
+    * and the rare-first ordering keeps every join key's document list
+    * short (a token common enough to be in many documents is almost
+    * never inside anyone's prefix). Ids + one int through the
+    * shuffle; pairs deduped before the verify (the q17 discipline);
+    * threshold math is integer cross-multiplication end to end.
+    */
+  def containmentPrefixJoin(documents: DataFrame, tNum: Int = 4, tDen: Int = 5,
+                            shingleWidth: Int = 2): DataFrame = {
+    require(tNum > 0 && tDen >= tNum, "threshold must be in (0,1]")
+    import org.apache.spark.sql.expressions.Window
+    val expl = shingleRows(documents, shingleWidth)
+      .distinct() // shingle SET semantics
+      .localCheckpoint(true) // df census + ranked window + both verify legs
+    val dfreq = expl.groupBy(col("s")).agg(count(lit(1)).as("c"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val ranked = expl.join(dfreq, Seq("s"))
+      .select(col("doc_id"), col("s"),
+        row_number().over(byDoc.orderBy(col("c"), col("s"))).as("pos"),
+        count(lit(1)).over(byDoc).as("sz"))
+      .localCheckpoint(true) // feeds the prefix AND the full index side
+    val minOv = (lit(tNum) * col("sz") + lit(tDen - 1)).divide(lit(tDen)).cast("long")
+    val prefix = ranked
+      .where(col("pos") <= col("sz") - minOv + lit(1))
+      .select(col("doc_id").as("x"), col("s"))
+    val full = ranked.select(col("doc_id").as("y"), col("s"))
+    val candIds = prefix.join(full, Seq("s"))
+      .where(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    val sizes = expl.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = candIds
+      .join(expl.select(col("doc_id").as("a"), col("s")), Seq("a"))
+      .join(expl.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("ic"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+      .where(lit(tDen) * col("ic") >= lit(tNum) * least(col("sza"), col("szb")))
+      .select(col("a"), col("b"),
+        col("ic").cast("bigint").as("ic"),
+        col("sza").cast("bigint").as("sza"),
+        col("szb").cast("bigint").as("szb"),
+        expr("CAST(ic * 10000 div least(sza, szb) AS BIGINT)").as("contain_bp"))
+  }
 }

@@ -743,6 +743,28 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(6L) == (("z1 z2 z3 z4 z5 z6", 6L, 6L)), out(6L).toString)
   }
 
+  test("containment join finds subset pairs symmetric Jaccard misses, exact bp verify") {
+    val s = spark
+    import s.implicits._
+    val w20 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, w20),                                    // the long container
+      (2L, (1 to 6).map(i => s"w$i").mkString(" ")), // its prefix: contained 100%
+      (3L, "x1 x2 x3 x4 x5 x6 x7"),                 // unrelated
+      (4L, ((1 to 10) ++ Seq(99) ++ (12 to 20)).map(i => s"w$i").mkString(" ")) // 1 word edit
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPrefixJoin(d, tNum = 4, tDen = 5, shingleWidth = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // (1,2): bigrams of the prefix are a strict subset — containment 100%,
+    // while Jaccard is 5/19 ≈ 0.26, far below any near-dup threshold
+    assert(out(( 1L, 2L)) == ((5L, 19L, 5L, 10000L)), out.toString)
+    // (1,4): one mid-word edit kills 2 + 2 bigrams: ic=17, min sz 19
+    assert(out((1L, 4L)) == ((17L, 19L, 19L, 17L * 10000L / 19L)), out.toString)
+    // (2,4): doc 2's 5 bigrams all survive in doc 4's first half
+    assert(out((2L, 4L)) == ((5L, 5L, 19L, 10000L)), out.toString)
+    assert(out.size == 3, out.keys.toString) // nothing touches doc 3
+  }
+
   test("perceptual-hash image near-dup recovers planted twins, never crosses groups") {
     val assets = Multimodal.syntheticImageCorpus(spark, 96, partitions = 4)
     val hashes = Multimodal.imagePhash(assets)
