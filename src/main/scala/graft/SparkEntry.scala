@@ -237,6 +237,10 @@ object SparkEntry {
     // density floor separating real clusters from incidental chains.
     // Oracle unrolls the peel cap as CTEs (rounds past the fixpoint
     // are identities, so the unroll is exact)
+    // daily growth accounting: new / returning / resurrected actives
+    // + churn attributed to the day after — all equi-joins over the
+    // distinct (user, day) grid, full calendar spine
+    "q82_growth_accounting" -> ((s, d) => EventOps.growthAccounting(t(s, d, "events"))),
     // exact containment self-join (Broder's |A∩B|/|A|): the corpus +
     // planted half-prefix clones (doc_id%7==0 → doc_id+2e6 carrying
     // the first half of the word stream) — the subset-duplication case
@@ -1427,6 +1431,36 @@ object SparkEntry {
        |LEFT JOIN rmc ON s.doc_id = rmc.doc_id""".stripMargin
   }
 
+  /** DuckDB twin of q82: same (user, day) grid, same day+1 shift for
+    * returning/churned, same full calendar spine via range(lo, hi+1).
+    */
+  private def q82Sql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+      |), f AS (SELECT user_id, min(day) AS first_day FROM du GROUP BY user_id),
+      |sh AS (SELECT user_id, day + 1 AS day, 1 AS was_active FROM du),
+      |cls AS (
+      |  SELECT du.day,
+      |    sum(CASE WHEN du.day = f.first_day THEN 1 ELSE 0 END) AS n_new,
+      |    sum(CASE WHEN du.day <> f.first_day AND sh.was_active IS NOT NULL THEN 1 ELSE 0 END) AS n_returning,
+      |    sum(CASE WHEN du.day <> f.first_day AND sh.was_active IS NULL THEN 1 ELSE 0 END) AS n_resurrected
+      |  FROM du JOIN f USING (user_id)
+      |  LEFT JOIN sh ON sh.user_id = du.user_id AND sh.day = du.day
+      |  GROUP BY du.day
+      |), ch AS (
+      |  SELECT sh.day, count(*) AS n_churned
+      |  FROM sh LEFT JOIN du ON du.user_id = sh.user_id AND du.day = sh.day
+      |  WHERE du.user_id IS NULL GROUP BY sh.day
+      |), b AS (SELECT min(day) AS lo, max(day) AS hi FROM du),
+      |spine AS (SELECT CAST(i AS BIGINT) AS day FROM b, unnest(range(lo, hi + 1)) t(i))
+      |SELECT spine.day,
+      |  CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+      |  CAST(coalesce(n_returning, 0) AS BIGINT) AS n_returning,
+      |  CAST(coalesce(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+      |  CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned
+      |FROM spine LEFT JOIN cls ON cls.day = spine.day
+      |LEFT JOIN ch ON ch.day = spine.day""".stripMargin
+
   /** DuckDB twin of q81: same augmented corpus (half-prefix clones via
     * the identical words[1:len//2] slice — DuckDB's inclusive-end
     * list_slice == Spark's slice(1, len div 2) here), but the
@@ -2332,6 +2366,7 @@ object SparkEntry {
     "q79_posting_blocks" -> q79Sql(),
     "q80_rolling_actives" -> q80Sql(),
     "q81_containment_join" -> q81Sql(),
+    "q82_growth_accounting" -> q82Sql,
     "q41_tfidf_topk" -> q41Sql,
     "q45_dsir_score" -> q45Sql(),
     "q42_quality_filter" -> q42Sql(),

@@ -226,6 +226,52 @@ object EventOps {
     * is materialized once for its three consumers (bounds, daily,
     * window — the LSH census rule).
     */
+  /** Daily growth accounting — the standard active-user decomposition
+    * (every active user is exactly one of): `new` (first-ever day),
+    * `returning` (also active the previous day), `resurrected` (seen
+    * before, but not yesterday); plus `churned` attributed to the day
+    * AFTER the last consecutive active day (active yesterday, absent
+    * today). Calendar gap days inside the span emit rows too (all
+    * zeros except possibly churned — the day after a busy day).
+    *
+    * Scale shape: everything derives from the same distinct
+    * (user, day) grid as [[rollingActives]] (one map-side-combinable
+    * shuffle, materialized once for its four consumers); `returning`
+    * is a self equi-join of the grid against its day+1 shift (never
+    * an inequality join), `churned` the anti-join of the same shift;
+    * the day spine is an explode of one broadcast bounds row. All
+    * joins are user+day equi-joins over the grid — event volume never
+    * crosses a shuffle twice.
+    */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val dayE = expr(
+      "CAST(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400000000 AS BIGINT)")
+    val du = events.select(col("user_id"), dayE.as("day")).distinct()
+      .localCheckpoint(true)
+    val first = du.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    val shifted = du.select(col("user_id"), (col("day") + 1).as("day"), lit(1).as("was_active"))
+    val classified = du
+      .join(first, Seq("user_id"))
+      .join(shifted, Seq("user_id", "day"), "left")
+      .groupBy(col("day"))
+      .agg(
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("day") =!= col("first_day") && col("was_active").isNotNull, 1L).otherwise(0L)).as("n_returning"),
+        sum(when(col("day") =!= col("first_day") && col("was_active").isNull, 1L).otherwise(0L)).as("n_resurrected"))
+    val churned = shifted.join(du, Seq("user_id", "day"), "left_anti")
+      .groupBy(col("day")).agg(count(lit(1)).as("n_churned"))
+    val spine = du.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    spine
+      .join(classified, Seq("day"), "left")
+      .join(churned, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("n_new"), lit(0L)).cast("bigint").as("n_new"),
+        coalesce(col("n_returning"), lit(0L)).cast("bigint").as("n_returning"),
+        coalesce(col("n_resurrected"), lit(0L)).cast("bigint").as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).cast("bigint").as("n_churned"))
+  }
+
   def rollingActives(events: DataFrame, windowDays: Int = 7): DataFrame = {
     require(windowDays >= 1, "window must be >= 1 day")
     // integer div, not Column./ (which is FP division)

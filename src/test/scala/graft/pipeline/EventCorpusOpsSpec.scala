@@ -619,6 +619,22 @@ class EventCorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(snap(16) == one && snap(7) == one)
   }
 
+  test("growthAccounting: new/returning/resurrected partition the actives; churn lands the day after") {
+    def d(day: Long) = day * 86400L
+    val ev = events(
+      (1L, d(0), 1L, "view", 0.0), (2L, d(1), 1L, "view", 0.0), (3L, d(3), 1L, "view", 0.0),
+      (4L, d(1), 2L, "view", 0.0),
+      (5L, d(0), 3L, "view", 0.0), (6L, d(2), 3L, "view", 0.0))
+    val out = EventOps.growthAccounting(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(
+      0L -> ((2L, 0L, 0L, 0L)), // u1, u3 new
+      1L -> ((1L, 1L, 0L, 1L)), // u2 new, u1 returning; u3 churned
+      2L -> ((0L, 0L, 1L, 2L)), // u3 resurrected; u1, u2 churned
+      3L -> ((0L, 0L, 1L, 1L))  // u1 resurrected; u3 churned (day-4 churn trimmed)
+    ), out.toString)
+  }
+
   test("rollingActives: trailing-window distinct users, gap days filled, end trimmed") {
     def d(day: Long) = day * 86400L
     val ev = events(
