@@ -237,6 +237,20 @@ object SparkEntry {
     // density floor separating real clusters from incidental chains.
     // Oracle unrolls the peel cap as CTEs (rounds past the fixpoint
     // are identities, so the unroll is exact)
+    // link-graph construction over synthesized page html (outlinks
+    // derive from each doc's first 5 sorted distinct words — both
+    // engines rebuild the same html): href scan -> domain-canonical
+    // (src, dst) edge rollup, the step graph analytics consume
+    "q83_link_graph" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val words = Dedup.wordSet(col("text"))
+      val linksHtml = concat_ws("",
+        transform(slice(sort_array(words), lit(1), lit(5)),
+          w => concat(lit("<a href=\"https://"), w, lit(".example.net/p\">"), w, lit("</a>"))))
+      val pages = docs.select(syntheticUrl.as("url"),
+        concat(lit("<p>"), col("text"), lit("</p>"), linksHtml).as("html"))
+      Curation.linkGraph(pages)
+    }),
     // daily growth accounting: new / returning / resurrected actives
     // + churn attributed to the day after — all equi-joins over the
     // distinct (user, day) grid, full calendar spine
@@ -1431,6 +1445,43 @@ object SparkEntry {
        |LEFT JOIN rmc ON s.doc_id = rmc.doc_id""".stripMargin
   }
 
+  /** DuckDB twin of q83: same synthesized html (q36 URL + first-5
+    * sorted distinct words as outlinks), same href regex, same q36
+    * domain ladder on both endpoints, same collapse-then-rollup.
+    */
+  private def q83Sql: String = {
+    val sch = Curation.UrlSchemeRe
+    val hst = Curation.UrlHostRe
+    def domSql(u: String) =
+      s"""CASE WHEN lower(regexp_extract($u, '$hst', 1)) <> ''
+         |  THEN regexp_replace(
+         |    CASE WHEN lower(regexp_extract($u, '$sch', 1)) = 'https' THEN regexp_replace(lower(regexp_extract($u, '$hst', 1)), ':443$$', '')
+         |         WHEN lower(regexp_extract($u, '$sch', 1)) = 'http' THEN regexp_replace(lower(regexp_extract($u, '$hst', 1)), ':80$$', '')
+         |         ELSE lower(regexp_extract($u, '$hst', 1)) END, '^www\\.', '')
+         |  ELSE NULL END""".stripMargin
+    s"""WITH aug AS (
+       |  SELECT $syntheticUrlSql AS url,
+       |    '<p>' || text || '</p>' || array_to_string(list_transform(
+       |      list_sort(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')))[1:5],
+       |      w -> '<a href="https://' || w || '.example.net/p">' || w || '</a>'), '') AS html
+       |  FROM documents
+       |), occ AS (
+       |  SELECT url, unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS href FROM aug
+       |), dom AS (
+       |  SELECT ${domSql("url")} AS src_domain, ${domSql("href")} AS dst_domain, url
+       |  FROM occ
+       |), pp AS (
+       |  SELECT src_domain, dst_domain, url, count(*) AS n FROM dom
+       |  WHERE src_domain IS NOT NULL AND dst_domain IS NOT NULL
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT src_domain, dst_domain,
+       |  CAST(sum(n) AS BIGINT) AS n_links,
+       |  CAST(count(*) AS BIGINT) AS n_pages,
+       |  CAST(CASE WHEN src_domain = dst_domain THEN 1 ELSE 0 END AS BIGINT) AS is_internal
+       |FROM pp GROUP BY 1, 2""".stripMargin
+  }
+
   /** DuckDB twin of q82: same (user, day) grid, same day+1 shift for
     * returning/churned, same full calendar spine via range(lo, hi+1).
     */
@@ -2367,6 +2418,7 @@ object SparkEntry {
     "q80_rolling_actives" -> q80Sql(),
     "q81_containment_join" -> q81Sql(),
     "q82_growth_accounting" -> q82Sql,
+    "q83_link_graph" -> q83Sql,
     "q41_tfidf_topk" -> q41Sql,
     "q45_dsir_score" -> q45Sql(),
     "q42_quality_filter" -> q42Sql(),

@@ -770,6 +770,53 @@ object Curation {
       .where(col("bucket") < quota)
   }
 
+  /** Registrable domain of a URL string via the shared q36 component
+    * patterns: scheme-lowered host, default port stripped, leading
+    * `www.` dropped; NULL for unparseable URLs (no scheme://host).
+    */
+  private[pipeline] def domainOf(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, UrlSchemeRe, 1))
+    val hostport = lower(regexp_extract(u, UrlHostRe, 1))
+    val host = when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .otherwise(hostport)
+    when(hostport =!= "", regexp_replace(host, "^www\\.", ""))
+  }
+
+  /** Link-graph construction — the web-graph step between extraction
+    * and graph analytics (q56/q60/q69 style ops consume exactly this
+    * edge list at web scale): scan each page's html for outbound
+    * hrefs, canonicalize BOTH endpoints to registrable domains (the
+    * shared q36 patterns — one identity rule for the whole pipeline),
+    * and roll up the (src_domain, dst_domain) edge list with link and
+    * linking-page counts. Href discovery is the RE2-safe attribute
+    * regex, not a strict parse — the RDFa lenient-tokenizer precedent:
+    * crawl HTML is mostly malformed, and an attribute scan keeps the
+    * links a strict XML parse loses.
+    *
+    * Scale shape: regexp_extract_all + posexplode stream straight into
+    * a distinct-collapse groupBy on (src, dst, url) — the grid
+    * discipline: page-level multiplicity collapses BEFORE the
+    * edge-level shuffle, so the second groupBy sees at most one row
+    * per (edge, page). Domains derive in-projection; unparseable
+    * endpoints drop with a NULL filter, never an error.
+    */
+  def linkGraph(pages: DataFrame): DataFrame = {
+    val occ = pages
+      .select(col("url"),
+        explode(expr("regexp_extract_all(html, 'href=\"([^\"]+)\"', 1)")).as("href"))
+      .select(domainOf(col("url")).as("src_domain"),
+        domainOf(col("href")).as("dst_domain"), col("url"))
+      .where(col("src_domain").isNotNull && col("dst_domain").isNotNull)
+    val perPage = occ.groupBy(col("src_domain"), col("dst_domain"), col("url"))
+      .agg(count(lit(1)).as("n"))
+    perPage.groupBy(col("src_domain"), col("dst_domain"))
+      .agg(sum(col("n")).cast("bigint").as("n_links"),
+        count(lit(1)).cast("bigint").as("n_pages"))
+      .select(col("src_domain"), col("dst_domain"), col("n_links"), col("n_pages"),
+        (col("src_domain") === col("dst_domain")).cast("bigint").as("is_internal"))
+  }
+
   /** C4-style line-level corpus dedup (Raffel et al. 2020, the famous
     * "discard all but one of any three-sentence span occurring more
     * than once" cleaning step of C4; CCNet applies the same rule to

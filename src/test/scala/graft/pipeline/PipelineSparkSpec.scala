@@ -743,6 +743,25 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(6L) == (("z1 z2 z3 z4 z5 z6", 6L, 6L)), out(6L).toString)
   }
 
+  test("link graph: href scan + domain canonicalization on both endpoints, page-collapsed counts") {
+    val s = spark
+    import s.implicits._
+    val pages = Seq(
+      ("https://www.A.example.com:443/p1",
+        "<a href=\"https://b.example.net/x\">b</a> txt <a href=\"HTTP://B.example.net:80/y\">b2</a>"),
+      ("https://a.example.com/p2",
+        "<a href=\"https://b.example.net/z\">b</a><a href=\"https://a.example.com/self\">me</a>"),
+      ("//cdn.x.com/lib.js", "<a href=\"https://b.example.net/x\">src unparseable</a>"),
+      ("https://c.example.org/p", "no links here")
+    ).toDF("url", "html")
+    val out = Curation.linkGraph(pages).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // www/port/case all normalize away; two pages, three links to b
+    assert(out(("a.example.com", "b.example.net")) == ((3L, 2L, 0L)), out.toString)
+    assert(out(("a.example.com", "a.example.com")) == ((1L, 1L, 1L)), out.toString)
+    assert(out.size == 2, out.keys.toString) // unparseable src and linkless page drop
+  }
+
   test("containment join finds subset pairs symmetric Jaccard misses, exact bp verify") {
     val s = spark
     import s.implicits._
