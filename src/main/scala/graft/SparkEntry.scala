@@ -237,6 +237,22 @@ object SparkEntry {
     // density floor separating real clusters from incidental chains.
     // Oracle unrolls the peel cap as CTEs (rounds past the fixpoint
     // are identities, so the unroll is exact)
+    // integer PageRank over the q83 domain graph — extraction → link
+    // graph → centrality, the canonical web pipeline; string node
+    // keys (no global id window), q56 recurrence replayed exactly
+    "q84_domain_pagerank" -> ((s, d) => {
+      val g = SparkEntry.queries("q83_link_graph")(s, d)
+      // symmetrize (the q56 discipline): the synthetic domain graph is
+      // bipartite site→word-domain, so directed flow would strand all
+      // mass on sinks after one step; the undirected host graph is the
+      // standard symmetrized form
+      val fwd = g.where(col("is_internal") === 0L)
+        .select(col("src_domain").as("src"), col("dst_domain").as("dst"))
+      GraphOps.pageRankKeyed(
+        fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst"))),
+        iters = 3, k = 20)
+        .select(col("node").as("domain"), col("r"), col("rank"))
+    }),
     // link-graph construction over synthesized page html (outlinks
     // derive from each doc's first 5 sorted distinct words — both
     // engines rebuild the same html): href scan -> domain-canonical
@@ -1482,6 +1498,36 @@ object SparkEntry {
        |FROM pp GROUP BY 1, 2""".stripMargin
   }
 
+  /** DuckDB twin of q84: the q83 edge derivation feeding the q56
+    * iteration CTEs keyed by domain STRINGS. `ed` is consumed by every
+    * iteration CTE → AS MATERIALIZED (the q71 multi-reference rule:
+    * un-hinted, DuckDB inlines the whole q83 html-regex pipeline once
+    * per iteration). Iteration-count changes must regenerate this SQL
+    * (the q56 rule).
+    */
+  private def q84Sql(iters: Int = 3, k: Int = 20): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node, CAST(150000 + 85 * sum(r${i - 1}.r // e.deg) // 100 AS BIGINT) AS r
+         |  FROM ed e JOIN r${i - 1} ON r${i - 1}.node = e.src GROUP BY e.dst
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH g AS MATERIALIZED (${q83Sql}),
+       |e0 AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src_domain AS src, dst_domain AS dst FROM g WHERE src_domain <> dst_domain
+       |    UNION ALL
+       |    SELECT dst_domain AS src, src_domain AS dst FROM g WHERE src_domain <> dst_domain
+       |  )
+       |), deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY src),
+       |ed AS MATERIALIZED (SELECT e.src, e.dst, d.deg FROM e0 e JOIN deg d USING (src)),
+       |r0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS r FROM e0),
+       |$iterCtes
+       |SELECT node AS domain, r, CAST(rank AS BIGINT) AS rank
+       |FROM (SELECT *, row_number() OVER (ORDER BY r DESC, node) AS rank FROM r$iters)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** DuckDB twin of q82: same (user, day) grid, same day+1 shift for
     * returning/churned, same full calendar spine via range(lo, hi+1).
     */
@@ -2419,6 +2465,7 @@ object SparkEntry {
     "q81_containment_join" -> q81Sql(),
     "q82_growth_accounting" -> q82Sql,
     "q83_link_graph" -> q83Sql,
+    "q84_domain_pagerank" -> q84Sql(),
     "q41_tfidf_topk" -> q41Sql,
     "q45_dsir_score" -> q45Sql(),
     "q42_quality_filter" -> q42Sql(),

@@ -223,7 +223,23 @@ object GraphOps {
     * (no out-edges) keep receiving the base term only — for an
     * undirected graph feed both directions, where none exist.
     */
-  def pageRank(edges0: DataFrame, iters: Int = 5, k: Int = 20): DataFrame = {
+  def pageRank(edges0: DataFrame, iters: Int = 5, k: Int = 20): DataFrame =
+    pageRankKeyed(edges0.select(col("src").cast("bigint").as("src"),
+      col("dst").cast("bigint").as("dst")), iters, k)
+
+  /** The [[pageRank]] recurrence over ARBITRARY (orderable) node keys
+    * — a web graph's natural node id is the domain string, and mapping
+    * strings to dense ints first costs either a global sorted window
+    * (one-partition funnel at scale) or hashed ids (not oracle-exact).
+    * The integer rank math only ever JOINS on the key, so the key type
+    * is free; rank ties order by the key's native ordering (binary
+    * lexicographic for ASCII strings — identical in both engines).
+    * Recurrence semantics (q56): directed flow src→dst over
+    * out-degree; seeds are nodes WITH outlinks; the 150000 teleport
+    * floor applies to nodes receiving inflow — the oracle replays the
+    * same recurrence, so the variant is pinned, not accidental.
+    */
+  def pageRankKeyed(edges0: DataFrame, iters: Int = 5, k: Int = 20): DataFrame = {
     require(iters >= 1 && iters <= 20, "iterations in [1,20]")
     // edges feeds THREE consumers (deg census, the withDeg join leg,
     // the initial rank seed) and its lineage is typically an expensive
@@ -231,8 +247,7 @@ object GraphOps {
     // the first iteration (the q26 lesson, same failure measured here:
     // q56 warm 9.8s -> 7.0s at sf0.1 from this line, -> 4.3s once the
     // caller also materializes its two-leg direction union input)
-    val edges = edges0.select(col("src").cast("bigint").as("src"),
-      col("dst").cast("bigint").as("dst")).distinct()
+    val edges = edges0.select(col("src"), col("dst")).distinct()
       .localCheckpoint(true)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val withDeg = edges.join(deg, Seq("src")).localCheckpoint(true)

@@ -456,6 +456,17 @@ class EventCorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(est.nonEmpty && est.min >= 3L, est.toString)
   }
 
+  test("pageRankKeyed: string-keyed directed flow matches the hand-computed recurrence") {
+    val s = spark
+    import s.implicits._
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    val got = GraphOps.pageRankKeyed(e, iters = 1, k = 20).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // deg a=2, b=1; inflow b = 1e6/2 -> 150000 + 85*500000/100 = 575000
+    // inflow c = 1e6/2 + 1e6 -> 150000 + 85*1500000/100 = 1425000
+    assert(got.toSeq == Seq(("c", 1425000L, 1L), ("b", 575000L, 2L)), got.toSeq.toString)
+  }
+
   test("kCore: iterative peeling reaches the fixpoint, not just the degree filter") {
     // triangle {1,2,3} with tail 3-4-5: after round 1 node 5 drops
     // (deg 1), which EXPOSES 4 at deg 1 — only a second peel round
