@@ -237,6 +237,19 @@ object SparkEntry {
     // density floor separating real clusters from incidental chains.
     // Oracle unrolls the peel cap as CTEs (rounds past the fixpoint
     // are identities, so the unroll is exact)
+    // anchor-text aggregation over the q83 synthetic pages: per target
+    // domain, the top anchor terms other pages use to link to it —
+    // the classic web-search relevance signal
+    "q85_anchor_terms" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val words = Dedup.wordSet(col("text"))
+      val linksHtml = concat_ws("",
+        transform(slice(sort_array(words), lit(1), lit(5)),
+          w => concat(lit("<a href=\"https://"), w, lit(".example.net/p\">"), w, lit(" link</a>"))))
+      val pages = docs.select(syntheticUrl.as("url"),
+        concat(lit("<p>"), col("text"), lit("</p>"), linksHtml).as("html"))
+      Curation.anchorTerms(pages)
+    }),
     // integer PageRank over the q83 domain graph — extraction → link
     // graph → centrality, the canonical web pipeline; string node
     // keys (no global id window), q56 recurrence replayed exactly
@@ -1498,6 +1511,41 @@ object SparkEntry {
        |FROM pp GROUP BY 1, 2""".stripMargin
   }
 
+  /** DuckDB twin of q85: same synthesized pages (anchors carry the
+    * word + ' link'), same tag regex, same domain ladder on the href,
+    * same (domain, term) rollup and top-k window.
+    */
+  private def q85Sql(k: Int = 3): String = {
+    val sch = Curation.UrlSchemeRe
+    val hst = Curation.UrlHostRe
+    val domHref =
+      s"""CASE WHEN lower(regexp_extract(href, '$hst', 1)) <> ''
+         |  THEN regexp_replace(
+         |    CASE WHEN lower(regexp_extract(href, '$sch', 1)) = 'https' THEN regexp_replace(lower(regexp_extract(href, '$hst', 1)), ':443$$', '')
+         |         WHEN lower(regexp_extract(href, '$sch', 1)) = 'http' THEN regexp_replace(lower(regexp_extract(href, '$hst', 1)), ':80$$', '')
+         |         ELSE lower(regexp_extract(href, '$hst', 1)) END, '^www\\.', '')
+         |  ELSE NULL END""".stripMargin
+    s"""WITH aug AS (
+       |  SELECT '<p>' || text || '</p>' || array_to_string(list_transform(
+       |      list_sort(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')))[1:5],
+       |      w -> '<a href="https://' || w || '.example.net/p">' || w || ' link</a>'), '') AS html
+       |  FROM documents
+       |), tags AS (
+       |  SELECT unnest(regexp_extract_all(html, '<a href="[^"]+"[^>]*>[^<]*</a>', 0)) AS tag FROM aug
+       |), occ AS (
+       |  SELECT $domHref AS dst_domain,
+       |    unnest(list_filter(regexp_split_to_array(lower(anchor), '[^a-z0-9]+'), x -> x <> '')) AS term
+       |  FROM (SELECT regexp_extract(tag, 'href="([^"]+)"', 1) AS href,
+       |               regexp_extract(tag, '>([^<]*)</a>', 1) AS anchor FROM tags)
+       |), cnt AS (
+       |  SELECT dst_domain, term, count(*) AS n FROM occ
+       |  WHERE dst_domain IS NOT NULL GROUP BY 1, 2
+       |)
+       |SELECT dst_domain, term, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY dst_domain ORDER BY n DESC, term) AS rank FROM cnt)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** DuckDB twin of q84: the q83 edge derivation feeding the q56
     * iteration CTEs keyed by domain STRINGS. `ed` is consumed by every
     * iteration CTE → AS MATERIALIZED (the q71 multi-reference rule:
@@ -2466,6 +2514,7 @@ object SparkEntry {
     "q82_growth_accounting" -> q82Sql,
     "q83_link_graph" -> q83Sql,
     "q84_domain_pagerank" -> q84Sql(),
+    "q85_anchor_terms" -> q85Sql(),
     "q41_tfidf_topk" -> q41Sql,
     "q45_dsir_score" -> q45Sql(),
     "q42_quality_filter" -> q42Sql(),

@@ -817,6 +817,40 @@ object Curation {
         (col("src_domain") === col("dst_domain")).cast("bigint").as("is_internal"))
   }
 
+  /** Anchor-text aggregation — the classic web-search relevance signal
+    * (anchor words describe the TARGET page better than its own text;
+    * every large-scale search/KG stack aggregates them per target):
+    * scan `<a href="...">text</a>` tags, canonicalize the target to
+    * its registrable domain (the q36/q83 shared identity), tokenize
+    * the anchor text, and keep each target domain's top-`k` anchor
+    * terms by occurrence count (ties by term — fully deterministic).
+    *
+    * Scale shape: tag scan + two explodes stream into one map-side-
+    * combinable (domain, term) groupBy; top-k is a row_number window
+    * over the already-aggregated term table partitioned by domain (the
+    * q41 form — the window never sees raw occurrences). The anchor
+    * regex is RE2-safe (no lookarounds, single-tag bounded matches).
+    */
+  def anchorTerms(pages: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val tagRe = "<a href=\"[^\"]+\"[^>]*>[^<]*</a>"
+    val occ = pages
+      .select(explode(expr(s"regexp_extract_all(html, '$tagRe', 0)")).as("tag"))
+      .select(
+        domainOf(regexp_extract(col("tag"), "href=\"([^\"]+)\"", 1)).as("dst_domain"),
+        explode(filter(split(lower(regexp_extract(col("tag"), ">([^<]*)</a>", 1)),
+          "[^a-z0-9]+"), w => w =!= "")).as("term"))
+      .where(col("dst_domain").isNotNull)
+    val counts = occ.groupBy(col("dst_domain"), col("term")).agg(count(lit(1)).as("n"))
+    val byDom = Window.partitionBy(col("dst_domain"))
+      .orderBy(col("n").desc, col("term").asc)
+    counts
+      .withColumn("rank", row_number().over(byDom))
+      .where(col("rank") <= k)
+      .select(col("dst_domain"), col("term"),
+        col("n").cast("bigint").as("n"), col("rank").cast("bigint").as("rank"))
+  }
+
   /** C4-style line-level corpus dedup (Raffel et al. 2020, the famous
     * "discard all but one of any three-sentence span occurring more
     * than once" cleaning step of C4; CCNet applies the same rule to

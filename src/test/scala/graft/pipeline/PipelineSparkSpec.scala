@@ -743,6 +743,23 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(6L) == (("z1 z2 z3 z4 z5 z6", 6L, 6L)), out(6L).toString)
   }
 
+  test("anchor terms: per-target-domain anchor-word top-k with deterministic ties") {
+    val s = spark
+    import s.implicits._
+    val pages = Seq(
+      ("u1", "<a href=\"https://t.example.net/x\">Best Spark guide</a>"),
+      ("u2", "<a href=\"HTTPS://WWW.T.example.net:443/y\" rel=\"nofollow\">spark tips</a>"),
+      ("u3", "<a href=\"https://other.org/z\">spark</a> and <a href=\"mailto:x\">junk</a>")
+    ).toDF("url", "html")
+    val out = Curation.anchorTerms(pages, k = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // t.example.net: spark x2 (case/www/port fold), then best/guide/tips tie at 1 -> "best" wins rank 2
+    assert(out(("t.example.net", "spark")) == ((2L, 1L)), out.toString)
+    assert(out(("t.example.net", "best")) == ((1L, 2L)), out.toString)
+    assert(out(("other.org", "spark")) == ((1L, 1L)), out.toString)
+    assert(!out.keys.exists(_._2 == "junk"), out.toString) // mailto target has no domain
+  }
+
   test("link graph: href scan + domain canonicalization on both endpoints, page-collapsed counts") {
     val s = spark
     import s.implicits._
