@@ -23,8 +23,10 @@ object PlanAudit {
                        // pair table × broadcast(n_docs)
     "q70_surprisal_bits", // vocab-sized freq table × 1-row broadcast
                           // corpus-total frame (the q47/q62 shape)
-    "q68_kmeans_int")  // corpus × k broadcast centroids per Lloyd
+    "q68_kmeans_int",  // corpus × k broadcast centroids per Lloyd
                        // round — the IVF-centroid bounded probe shape
+    "q80_rolling_actives") // window-day counts × ONE-row broadcast
+                           // day-bounds frame (the q47/q62 scalar shape)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
