@@ -237,6 +237,10 @@ object SparkEntry {
     // density floor separating real clusters from incidental chains.
     // Oracle unrolls the peel cap as CTEs (rounds past the fixpoint
     // are identities, so the unroll is exact)
+    // per-source percentile calibration: exact within-source percentile
+    // rank via the q73 two-phase bucketed decomposition — the oracle is
+    // the NAIVE per-source window (the q63/q73 rule)
+    "q86_source_percentile" -> ((s, d) => Curation.sourcePercentile(t(s, d, "documents"))),
     // anchor-text aggregation over the q83 synthetic pages: per target
     // domain, the top anchor terms other pages use to link to it —
     // the classic web-search relevance signal
@@ -297,7 +301,7 @@ object SparkEntry {
           .where(pmod(col("doc_id"), lit(7)) === 0 && size(col("words")) >= 4)
           .select((col("doc_id") + 2000000L).as("doc_id"),
             concat_ws(" ", slice(col("words"), lit(1), expr("size(words) div 2"))).as("text")))
-      Dedup.containmentPrefixJoin(aug)
+      Dedup.containmentPrefixJoin(aug, shingleWidth = 3)
     }),
     // rolling 7-day distinct active users: distinct (day, user) grid
     // exploded to its trailing-window target days — sliding count
@@ -1511,6 +1515,28 @@ object SparkEntry {
        |FROM pp GROUP BY 1, 2""".stripMargin
   }
 
+  /** DuckDB twin of q86: the NAIVE per-source window rank — the q73
+    * rule: the oracle never replays the two-phase bucket decomposition
+    * under test; it must cancel exactly. Same lexical-diversity score,
+    * same (score, doc_id) ordering, same greatest(n−1, 1) divisor.
+    */
+  private def q86Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source,
+      |    CAST(CASE WHEN len(words) > 0 THEN len(list_distinct(words)) * 10000 // len(words) ELSE 0 END AS BIGINT) AS score
+      |  FROM (SELECT doc_id, source, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+      |        FROM documents)
+      |), r AS (
+      |  SELECT doc_id, source, score,
+      |    row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rank,
+      |    count(*) OVER (PARTITION BY source) AS n_src
+      |  FROM base
+      |)
+      |SELECT doc_id, source, score, CAST(rank AS BIGINT) AS rank,
+      |  CAST(n_src AS BIGINT) AS n_src,
+      |  CAST((rank - 1) * 10000 // greatest(n_src - 1, 1) AS BIGINT) AS pct_bp
+      |FROM r""".stripMargin
+
   /** DuckDB twin of q85: same synthesized pages (anchors carry the
     * word + ' link'), same tag regex, same domain ladder on the href,
     * same (domain, term) rollup and top-k window.
@@ -1615,7 +1641,7 @@ object SparkEntry {
     * Verify math is the same integer cross-multiplication /
     * basis-point division on non-negative operands.
     */
-  private def q81Sql(tNum: Int = 4, tDen: Int = 5, width: Int = 2): String = {
+  private def q81Sql(tNum: Int = 4, tDen: Int = 5, width: Int = 3): String = {
     val w1 = width - 1
     s"""WITH aug AS (
        |  SELECT doc_id, text FROM documents
@@ -2515,6 +2541,7 @@ object SparkEntry {
     "q83_link_graph" -> q83Sql,
     "q84_domain_pagerank" -> q84Sql(),
     "q85_anchor_terms" -> q85Sql(),
+    "q86_source_percentile" -> q86Sql,
     "q41_tfidf_topk" -> q41Sql,
     "q45_dsir_score" -> q45Sql(),
     "q42_quality_filter" -> q42Sql(),

@@ -817,6 +817,55 @@ object Curation {
         (col("src_domain") === col("dst_domain")).cast("bigint").as("is_internal"))
   }
 
+  /** Per-source percentile calibration — the cross-source score
+    * normalization step before any GLOBAL quality threshold: a raw
+    * quality score (here lexical diversity, distinct/total words in
+    * integer bp — self-contained and exact) means different things in
+    * different sources, so each document gets its exact percentile
+    * rank WITHIN its source (0..10000 bp), and the downstream cut
+    * ("drop the bottom 20% of every source") becomes source-fair.
+    *
+    * Scale shape: the q73 two-phase rank decomposition applied to a
+    * VALUE ordering — a naive per-source dense window funnels each
+    * source's whole corpus through one partition; instead rank =
+    * row_number within (source, score-BUCKET) + the summed counts of
+    * earlier buckets, which equals the naive rank EXACTLY because the
+    * bucket (score div bucketWidth) is a monotone prefix of the
+    * ordering key (score, doc_id) — the q73 cancellation argument.
+    * The offset table is tiny (sources × ≤21 buckets); the heavy
+    * window partitions by (source, bucket). Ordering ties break by
+    * doc_id, so the percentile is fully deterministic.
+    */
+  def sourcePercentile(documents: DataFrame, bucketWidth: Int = 500): DataFrame = {
+    require(bucketWidth >= 1, "bucket width must be >= 1")
+    val base = documents
+      .select(col("doc_id"), col("source"), docWordsExpr.as("words"))
+      .select(col("doc_id"), col("source"),
+        size(col("words")).as("nw"), size(array_distinct(col("words"))).as("dw"))
+      .select(col("doc_id"), col("source"),
+        expr("CAST(CASE WHEN nw > 0 THEN dw * 10000 div nw ELSE 0 END AS BIGINT)").as("score"))
+      .localCheckpoint(true) // feeds the bucket census AND the ranked side
+    val bcnt = base
+      .withColumn("bucket", expr(s"score div $bucketWidth"))
+      .groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("bn"))
+    val bySrc = Window.partitionBy(col("source")).orderBy(col("bucket"))
+    val offsets = bcnt
+      .withColumn("offset",
+        coalesce(sum(col("bn")).over(bySrc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_src", sum(col("bn")).over(Window.partitionBy(col("source"))))
+    val byBucket = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("score").asc, col("doc_id").asc)
+    base
+      .withColumn("bucket", expr(s"score div $bucketWidth"))
+      .withColumn("rn", row_number().over(byBucket))
+      .join(broadcast(offsets), Seq("source", "bucket"))
+      .select(col("doc_id"), col("source"),
+        col("score").cast("bigint").as("score"),
+        (col("offset") + col("rn")).cast("bigint").as("rank"),
+        col("n_src").cast("bigint").as("n_src"),
+        expr("CAST((offset + rn - 1) * 10000 div greatest(n_src - 1, 1) AS BIGINT)").as("pct_bp"))
+  }
+
   /** Anchor-text aggregation — the classic web-search relevance signal
     * (anchor words describe the TARGET page better than its own text;
     * every large-scale search/KG stack aggregates them per target):

@@ -463,6 +463,13 @@ object Dedup {
     * never inside anyone's prefix). Ids + one int through the
     * shuffle; pairs deduped before the verify (the q17 discipline);
     * threshold math is integer cross-multiplication end to end.
+    * Selectivity rests on the shingle SPACE dwarfing the corpus's doc
+    * count — on the synthetic 31-word vocabulary that means width 3
+    * (≈30k shingle types; the q59 choice). Width 2 (961 types) puts
+    * EVERY shingle in hundreds of documents' full-index lists and the
+    * candidate join degenerates toward all-pairs (measured 44 s vs
+    * ~4 s at sf0.1) — the q13 degenerate-vocabulary regime, not a
+    * property of real web text.
     */
   def containmentPrefixJoin(documents: DataFrame, tNum: Int = 4, tDen: Int = 5,
                             shingleWidth: Int = 2): DataFrame = {

@@ -743,6 +743,26 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(6L) == (("z1 z2 z3 z4 z5 z6", 6L, 6L)), out(6L).toString)
   }
 
+  test("sourcePercentile: two-phase bucketed rank equals the naive per-source window") {
+    val d = docs(
+      (1L, "a a a a", "A"),  // diversity 2500
+      (2L, "a b", "A"),      // 10000, ties with doc 4 -> doc_id breaks
+      (3L, "a b b", "A"),    // 6666
+      (4L, "x", "A"),        // 10000
+      (5L, "solo doc", "B")) // single-doc source -> pct 0
+    val out = Curation.sourcePercentile(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(1L) == ((2500L, 1L, 4L, 0L)), out.toString)
+    assert(out(3L) == ((6666L, 2L, 4L, 3333L)), out.toString)
+    assert(out(2L) == ((10000L, 3L, 4L, 6666L)), out.toString)
+    assert(out(4L) == ((10000L, 4L, 4L, 10000L)), out.toString)
+    assert(out(5L) == ((10000L, 1L, 1L, 0L)), out.toString)
+    // the decomposition must cancel for ANY bucket width (the q63 rule)
+    val w1 = Curation.sourcePercentile(d, bucketWidth = 1).collect().map(_.toSeq).toSet
+    val w9999 = Curation.sourcePercentile(d, bucketWidth = 9999).collect().map(_.toSeq).toSet
+    assert(w1 == w9999)
+  }
+
   test("anchor terms: per-target-domain anchor-word top-k with deterministic ties") {
     val s = spark
     import s.implicits._
