@@ -133,7 +133,12 @@ object Bench {
       val stale = new java.io.File(tmpDir).listFiles()
       if (stale != null) stale.foreach { f =>
         val n = f.getName
-        val sweep = (n.startsWith("graft_") || n.startsWith("verify_out")) && n != keepSuffix
+        // never sweep the builder-busy flag: the clean-window launchers
+        // gate on it, and a bench deleting it mid-build re-opened the
+        // exact collision it exists to prevent (measured: a launcher
+        // fired during a Verify run after a bench had swept the flag)
+        val sweep = (n.startsWith("graft_") || n.startsWith("verify_out")) &&
+          n != keepSuffix && n != "graft_builder_busy"
         if (sweep)
           try Files.walk(f.toPath).sorted(java.util.Comparator.reverseOrder())
             .forEach(p => { Files.deleteIfExists(p); () })
