@@ -612,6 +612,10 @@ object SparkEntry {
     // by MultimodalCodecSpec + PipelineSparkSpec, not SQL-expressible
     "x_image_phash_neardup" -> ((s, _) => Multimodal.phashNearDup(
       Multimodal.imagePhash(Multimodal.syntheticImageCorpus(s, 1200)))),
+    // audio energy-envelope fingerprint near-dup: the audio member of
+    // the near-dup family — same pigeonhole recovery as the image path
+    "x_audio_fp_neardup" -> ((s, _) => Multimodal.phashNearDup(
+      Multimodal.audioFingerprint(Multimodal.syntheticAudioCorpus(s, 1200)))),
     // distributed BPE trainer: one word-freq shuffle + bounded driver
     // merge loop; deterministic, so the merges table is stable
     "x_bpe_train" -> ((s, d) => Bpe.mergesTable(s, Bpe.train(t(s, d, "documents"), numMerges = 60))),

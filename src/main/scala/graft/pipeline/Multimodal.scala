@@ -293,6 +293,62 @@ object Multimodal {
       Some(bits)
     }
 
+    /** 64-bit audio energy-envelope fingerprint — the dHash idea
+      * applied to sound (the published echoprint/chromaprint family
+      * quantizes spectral deltas; with no FFT in-container the
+      * time-domain ENERGY envelope is the deterministic stand-in):
+      * decode PCM-16 mono WAV, pool |sample| into 65 equal frames,
+      * bit j = "frame j+1 louder than frame j". Exact duplicates and
+      * LSB-dithered re-encodes hash within a couple of bits (a ±1
+      * sample wiggle moves a frame's energy by ≤ frame length, orders
+      * under real inter-frame envelope deltas); stationary signals
+      * (a flat test tone) have no envelope and hash as noise — real
+      * program audio does not look like that.
+      */
+    private[pipeline] def audioFingerprint64(p: Array[Byte]): Option[Long] = {
+      if (p.length < 44 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F' ||
+        p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E') return None
+      val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+      var pos = 12
+      var sampleRate = 0; var channels = 0; var bps = 0
+      var dataOff = -1; var dataLen = 0
+      while (pos + 8 <= p.length) {
+        val id = new String(p, pos, 4, "US-ASCII")
+        val len = bb.getInt(pos + 4)
+        if (len < 0 || pos.toLong + 8 + len > p.length) return None
+        id match {
+          case "fmt " =>
+            if (len < 16) return None
+            if ((bb.getShort(pos + 8) & 0xffff) != 1) return None // PCM only
+            channels = bb.getShort(pos + 10) & 0xffff
+            sampleRate = bb.getInt(pos + 12)
+            bps = bb.getShort(pos + 22) & 0xffff
+          case "data" =>
+            dataOff = pos + 8; dataLen = len
+          case _ => ()
+        }
+        pos += 8 + len + (len & 1)
+      }
+      if (dataOff < 0 || bps != 16 || channels != 1 || sampleRate <= 0) return None
+      val n = dataLen / 2
+      val frames = 65
+      if (n < frames * 2) return None // too short for a meaningful envelope
+      val energies = new Array[Long](frames)
+      var i = 0
+      while (i < n) {
+        val s = bb.getShort(dataOff + 2 * i).toInt
+        energies(((i.toLong * frames) / n).toInt) += math.abs(s)
+        i += 1
+      }
+      var bits = 0L
+      var j = 0
+      while (j < 64) {
+        if (energies(j + 1) > energies(j)) bits |= (1L << j)
+        j += 1
+      }
+      Some(bits)
+    }
+
     /** 24-bit uncompressed BMP at `off`. Returns (features, byteLength).
       * Features: meanR, meanG, meanB, luma stddev, w/1024, h/1024,
       * aspect, fill.
@@ -1092,6 +1148,50 @@ object Multimodal {
       .orderBy(col("kind"))
   }
 
+  /** An amplitude-modulated PCM-16 mono WAV: sine carrier whose
+    * amplitude steps to a fresh seed-derived level every 64 samples —
+    * a pseudo-random envelope walk, the non-stationary shape real
+    * program audio has (a flat tone has no envelope for a fingerprint
+    * to grip). Pure function of `seed`.
+    */
+  private[pipeline] def syntheticAmWav(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val b = new Array[Byte](44 + dataLen)
+    "RIFF".getBytes.copyToArray(b, 0)
+    putInt(b, 4, 36 + dataLen)
+    "WAVE".getBytes.copyToArray(b, 8)
+    "fmt ".getBytes.copyToArray(b, 12)
+    putInt(b, 16, 16); putShort(b, 20, 1); putShort(b, 22, 1)
+    putInt(b, 24, sampleRate); putInt(b, 28, sampleRate * 2)
+    putShort(b, 32, 2); putShort(b, 34, 16)
+    "data".getBytes.copyToArray(b, 36)
+    putInt(b, 40, dataLen)
+    var s = seed
+    var amp = 8000
+    var i = 0
+    while (i < nSamples) {
+      if (i % 64 == 0) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        amp = 1000 + (((s >>> 48) & 0x3fff).toInt) // 1000..17383
+      }
+      val v = (math.sin(i * 2.0 * math.Pi / 32.0) * amp).toInt
+      putShort(b, 44 + 2 * i, v)
+      i += 1
+    }
+    b
+  }
+
+  /** The same WAV bytes with the low bit of every fifth sample's low
+    * byte flipped — a deterministic LSB-dither twin whose energy
+    * envelope (and so its fingerprint) stays within a couple of bits.
+    */
+  private[pipeline] def noisyWav(base: Array[Byte]): Array[Byte] = {
+    val b = base.clone()
+    var i = 44
+    while (i < b.length) { b(i) = (b(i) ^ 1).toByte; i += 10 }
+    b
+  }
+
   /** A BMP re-encode of raster(seed) with the blue low bit flipped on
     * every third pixel — a deterministic "slightly edited" twin whose
     * dHash stays within a bit or two of the original's.
@@ -1133,6 +1233,44 @@ object Multimodal {
       val payload = if (id % 16 == 15) full.take(8) else full
       AssetRow(id, s"http://test.example/img/$id", "image", payload, w, h, 0)
     }
+  }
+
+  /** Deterministic synthetic AUDIO corpus with planted near-dups, the
+    * [[syntheticImageCorpus]] layout: per group g = id div 3 an AM
+    * WAV, an exact byte duplicate, and (even groups) an LSB-dither
+    * twin / (odd groups) an unrelated clip. ~1/16 corrupt.
+    */
+  def syntheticAudioCorpus(spark: SparkSession, n: Long, partitions: Int = 32): Dataset[AssetRow] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val g = id / 3
+      val len = 4096 + (g % 7).toInt * 512
+      val full: Array[Byte] = (id % 3) match {
+        case 0 => syntheticAmWav(len, 16000, g)
+        case 1 => syntheticAmWav(len, 16000, g) // exact duplicate content
+        case _ =>
+          if (g % 2 == 0) noisyWav(syntheticAmWav(len, 16000, g))
+          else syntheticAmWav(len, 16000, g + 999999L)
+      }
+      val payload = if (id % 16 == 15) full.take(20) else full
+      AssetRow(id, s"http://test.example/audio/$id", "audio", payload, 0, 0,
+        durationMs = len * 1000 / 16000)
+    }
+  }
+
+  /** Per-asset audio fingerprints over the binary column — the audio
+    * analogue of [[imagePhash]]; output shape matches, so
+    * [[phashNearDup]]'s pigeonhole pair recovery applies unchanged.
+    */
+  def audioFingerprint(assets: Dataset[AssetRow]): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val hOpt = if (a.kind == "audio") PureJvmDecoder.audioFingerprint64(a.payload) else None
+        (a.asset_id, hOpt.isDefined, hOpt.getOrElse(0L))
+      }
+    }.toDF("asset_id", "ok", "phash")
   }
 
   /** Per-asset perceptual hashes over the binary image column:

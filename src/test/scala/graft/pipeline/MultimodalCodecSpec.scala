@@ -296,6 +296,26 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(dec.decode("audio", garbage, 0, 0, 0).isEmpty)
   }
 
+  test("audio fingerprint: duplicate-exact, dither-tolerant, content-sensitive") {
+    val dec = Multimodal.PureJvmDecoder
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (g <- 0L until 8L) {
+      val len = 4096 + (g % 7).toInt * 512
+      val base = Multimodal.syntheticAmWav(len, 16000, g)
+      val h0 = dec.audioFingerprint64(base).get
+      assert(dec.audioFingerprint64(Multimodal.syntheticAmWav(len, 16000, g)).get == h0)
+      val hn = dec.audioFingerprint64(Multimodal.noisyWav(base)).get
+      assert(ham(h0, hn) <= 4, s"dither twin hamming ${ham(h0, hn)} at g=$g")
+      val hu = dec.audioFingerprint64(Multimodal.syntheticAmWav(len, 16000, g + 999999L)).get
+      assert(ham(h0, hu) > 8, s"unrelated hamming ${ham(h0, hu)} at g=$g")
+    }
+    // corrupt / short / non-WAV payloads flag, never crash
+    assert(dec.audioFingerprint64(Array.emptyByteArray).isEmpty)
+    assert(dec.audioFingerprint64(Multimodal.syntheticAmWav(4096, 16000, 1L).take(40)).isEmpty)
+    assert(dec.audioFingerprint64(Multimodal.syntheticWav(64, 16000, 1L)).isEmpty) // too short
+    assert(dec.audioFingerprint64(Array.fill[Byte](200)(0x22)).isEmpty)
+  }
+
   test("dHash: format-invariant on lossless re-encode, noise-tolerant, content-sensitive") {
     val dec = Multimodal.PureJvmDecoder
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)

@@ -850,6 +850,22 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.filter(p => p._1 % 3 == 0 && p._2 == p._1 + 1).forall(_._3 == 0))
   }
 
+  test("audio fingerprint near-dup recovers planted twins through the shared pigeonhole") {
+    val assets = Multimodal.syntheticAudioCorpus(spark, 96, partitions = 4)
+    val pairs = Multimodal.phashNearDup(Multimodal.audioFingerprint(assets), maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.forall { case (a, b) => a / 3 == b / 3 }, pairs.filterNot(p => p._1 / 3 == p._2 / 3).take(5).toString)
+    for (g <- 0L until 32L) {
+      val (i0, i1, i2) = (3 * g, 3 * g + 1, 3 * g + 2)
+      def okId(i: Long) = i % 16 != 15
+      if (okId(i0) && okId(i1)) assert(pairs.contains((i0, i1)), s"missing exact-dup pair g=$g")
+      if (g % 2 == 0 && okId(i2)) {
+        if (okId(i0)) assert(pairs.contains((i0, i2)), s"missing dither pair g=$g")
+      }
+      if (g % 2 == 1) assert(!pairs.contains((i0, i2)) && !pairs.contains((i1, i2)), s"false pair g=$g")
+    }
+  }
+
   test("posting blocks: per-(term, block) delta-encoded doc gaps with tf payloads") {
     val s = spark
     import s.implicits._
