@@ -61,7 +61,7 @@ object Bench {
     "x_bpe_train", "x_bpe_encode",
     "x_minhash_lsh_dedup", "x_ngram_jaccard_lsh", "x_simhash_dedup",
     "x_embedding_neardup", "x_ann_brute", "x_ann_lsh", "x_ann_ivf",
-    "x_multimodal_features", "x_image_phash_neardup", "x_audio_fp_neardup"
+    "x_multimodal_features", "x_image_phash_neardup", "x_audio_fp_neardup", "x_video_phash_neardup"
   )
 
   private def mkSpark(cpus: Int): SparkSession = {

@@ -616,6 +616,11 @@ object SparkEntry {
     // the near-dup family — same pigeonhole recovery as the image path
     "x_audio_fp_neardup" -> ((s, _) => Multimodal.phashNearDup(
       Multimodal.audioFingerprint(Multimodal.syntheticAudioCorpus(s, 1200)))),
+    // video near-dup: sampled-frame dHashes (any-frame candidate
+    // collision, min-hamming pair collapse) — completes the
+    // image/audio/video near-dup family
+    "x_video_phash_neardup" -> ((s, _) =>
+      Multimodal.videoNearDup(Multimodal.syntheticVideoCorpus(s, 1200))),
     // distributed BPE trainer: one word-freq shuffle + bounded driver
     // merge loop; deterministic, so the merges table is stable
     "x_bpe_train" -> ((s, d) => Bpe.mergesTable(s, Bpe.train(t(s, d, "documents"), numMerges = 60))),

@@ -349,6 +349,51 @@ object Multimodal {
       Some(bits)
     }
 
+    /** Sampled-frame perceptual hashes for a VIDEO payload (BMP-frame
+      * sequence or MJPEG): the first / middle / last frames' [[dHash64]]
+      * values — the standard representative-frame video fingerprint
+      * (per-frame hashes survive re-encoding and per-pixel noise
+      * exactly like the still-image path; sampling three positions
+      * buys temporal-shift robustness without hashing every frame).
+      * Empty = corrupt, truncated, or a stats-only format (H.264 has
+      * no in-container pixel decode); ANY undecodable sampled frame
+      * flags the whole video.
+      */
+    private[pipeline] def videoPhash64s(p: Array[Byte]): Seq[Long] = {
+      val slices: Seq[(Int, Int)] =
+        if (isBmp(p, 0)) {
+          val offs = List.newBuilder[(Int, Int)]
+          var off = 0
+          var ok = true
+          while (ok && off + 54 <= p.length && p(off) == 'B' && p(off + 1) == 'M') {
+            val size = ByteBuffer.wrap(p, off + 2, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+            if (size < 54 || off.toLong + size > p.length) ok = false
+            else { offs += ((off, off + size)); off += size }
+          }
+          if (!ok || off != p.length) return Nil
+          offs.result()
+        } else if (isJpeg(p)) {
+          val bounds = List.newBuilder[(Int, Int)]
+          var start = 0
+          while (start < p.length) {
+            if (start + 3 > p.length || (p(start) & 0xff) != 0xff ||
+              (p(start + 1) & 0xff) != 0xd8 || (p(start + 2) & 0xff) != 0xff) return Nil
+            val end = jpegFrameEnd(p, start)
+            if (end < 0) return Nil
+            bounds += ((start, end))
+            start = end
+          }
+          bounds.result()
+        } else return Nil
+      val n = slices.size
+      if (n == 0) return Nil
+      val sample = Seq(0, n / 2, n - 1).distinct.map(slices(_))
+      val hashes = sample.flatMap { case (s, e) =>
+        dHash64(java.util.Arrays.copyOfRange(p, s, e))
+      }
+      if (hashes.size != sample.size) Nil else hashes
+    }
+
     /** 24-bit uncompressed BMP at `off`. Returns (features, byteLength).
       * Features: meanR, meanG, meanB, luma stddev, w/1024, h/1024,
       * aspect, fill.
@@ -1148,6 +1193,61 @@ object Multimodal {
       .orderBy(col("kind"))
   }
 
+  /** A SMOOTH seed-deterministic raster (low-frequency 2D sinusoid
+    * mix, grayscale): the texture class JPEG preserves almost exactly
+    * — the right fixture for lossy re-encode perceptual-hash tests,
+    * where [[syntheticRaster]]'s white noise is the adversarial
+    * worst case (every 8×8 block is pure high frequency; measured
+    * dHash hamming up to 8 across a JPEG round-trip vs ≤2 here).
+    */
+  private[pipeline] def syntheticSmoothRaster(w: Int, h: Int, seed: Long): BufferedImage = {
+    // bilinear value noise: seed-random levels on an 8-px lattice,
+    // interpolated (4-px lattice, at the dHash sampling scale) — smooth
+    // features JPEG keeps, per-seed layout
+    // dHash separates (integer math only; pure function of seed)
+    var s = seed
+    def next(): Int = { s = s * 6364136223846793005L + 1442695040888963407L; ((s >>> 40) & 0xff).toInt }
+    val gw = w / 4 + 2
+    val gh = h / 4 + 2
+    val grid = Array.fill(gh, gw)(next())
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val gy = y / 4; val fy = y % 4
+      var x = 0
+      while (x < w) {
+        val gx = x / 4; val fx = x % 4
+        val v = ((4 - fx) * (4 - fy) * grid(gy)(gx) + fx * (4 - fy) * grid(gy)(gx + 1) +
+          (4 - fx) * fy * grid(gy + 1)(gx) + fx * fy * grid(gy + 1)(gx + 1)) / 16
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private[pipeline] def syntheticSmoothBmp(w: Int, h: Int, seed: Long): Array[Byte] =
+    encodeImage(syntheticSmoothRaster(w, h, seed), "bmp")
+
+  private[pipeline] def syntheticSmoothJpeg(w: Int, h: Int, seed: Long): Array[Byte] =
+    encodeImage(syntheticSmoothRaster(w, h, seed), "jpg")
+
+  /** [[noisyBmp]] over the smooth raster. */
+  private[pipeline] def noisySmoothBmp(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = syntheticSmoothRaster(w, h, seed)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        if ((x + y) % 3 == 0) img.setRGB(x, y, img.getRGB(x, y) ^ 0x010101)
+        x += 1
+      }
+      y += 1
+    }
+    encodeImage(img, "bmp")
+  }
+
   /** An amplitude-modulated PCM-16 mono WAV: sine carrier whose
     * amplitude steps to a fresh seed-derived level every 64 samples —
     * a pseudo-random envelope walk, the non-stationary shape real
@@ -1272,6 +1372,62 @@ object Multimodal {
       }
     }.toDF("asset_id", "ok", "phash")
   }
+
+  /** Deterministic synthetic VIDEO corpus with planted near-dups, the
+    * [[syntheticImageCorpus]] layout: per group g a BMP-frame sequence
+    * of raster frames, an MJPEG re-encode of the SAME frames (lossy —
+    * per-frame dHash lands within a few bits), and (even groups) a
+    * noise-twin sequence / (odd groups) an unrelated clip. ~1/16
+    * corrupt.
+    */
+  def syntheticVideoCorpus(spark: SparkSession, n: Long, partitions: Int = 32): Dataset[AssetRow] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val g = id / 3
+      val w = 24 + (g % 5).toInt
+      val h = 16 + (g % 3).toInt
+      val nf = 3 + (g % 3).toInt
+      def seq(mk: Long => Array[Byte], base: Long) =
+        (0 until nf).map(f => mk(base * 31 + f)).reduce(_ ++ _)
+      val full: Array[Byte] = (id % 3) match {
+        case 0 => seq(sd => syntheticSmoothBmp(w, h, sd), g)
+        case 1 => seq(sd => syntheticSmoothJpeg(w, h, sd), g)
+        case _ =>
+          if (g % 2 == 0) seq(sd => noisySmoothBmp(w, h, sd), g)
+          else seq(sd => syntheticSmoothBmp(w, h, sd), g + 777777L)
+      }
+      val payload = if (id % 16 == 15) full.take(30) else full
+      AssetRow(id, s"http://test.example/video/$id", "video", payload, w, h,
+        durationMs = nf * 1000)
+    }
+  }
+
+  /** Per-asset sampled-frame video fingerprints — one row per sampled
+    * frame (up to 3), so [[phashNearDup]] candidates fire when ANY
+    * sampled frame collides; collapse pairs with a min-hamming groupBy
+    * (see [[videoNearDup]]).
+    */
+  def videoPhashes(assets: Dataset[AssetRow]): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        val hs = if (a.kind == "video") PureJvmDecoder.videoPhash64s(a.payload) else Nil
+        if (hs.isEmpty) Seq((a.asset_id, false, 0L))
+        else hs.map(h => (a.asset_id, true, h))
+      }
+    }.toDF("asset_id", "ok", "phash")
+  }
+
+  /** Video near-dup: the shared pigeonhole pair recovery over
+    * [[videoPhashes]], collapsed to each pair's best (minimum) frame
+    * hamming — multi-row fingerprints would otherwise emit one row per
+    * colliding frame combination.
+    */
+  def videoNearDup(assets: Dataset[AssetRow], maxHamming: Int = 4, maxBucket: Int = 2000): DataFrame =
+    phashNearDup(videoPhashes(assets), maxHamming, maxBucket)
+      .groupBy(col("a"), col("b"))
+      .agg(min(col("hamming")).as("hamming"))
 
   /** Per-asset perceptual hashes over the binary image column:
     * mapPartitions decode (bounded memory per task — the multimodal

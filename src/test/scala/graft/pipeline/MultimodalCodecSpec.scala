@@ -296,6 +296,26 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(dec.decode("audio", garbage, 0, 0, 0).isEmpty)
   }
 
+  test("video phash: BMP-seq vs MJPEG of the same frames within a few bits, corrupt flags") {
+    val dec = Multimodal.PureJvmDecoder
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (g <- 0L until 6L) {
+      val (w, h, nf) = (24 + (g % 5).toInt, 16 + (g % 3).toInt, 3 + (g % 3).toInt)
+      def seq(mk: Long => Array[Byte], base: Long) =
+        (0 until nf).map(f => mk(base * 31 + f)).reduce(_ ++ _)
+      val hb = dec.videoPhash64s(seq(sd => Multimodal.syntheticSmoothBmp(w, h, sd), g))
+      val hj = dec.videoPhash64s(seq(sd => Multimodal.syntheticSmoothJpeg(w, h, sd), g))
+      assert(hb.size == 3 && hj.size == 3, s"g=$g sizes ${hb.size}/${hj.size}")
+      hb.zip(hj).foreach { case (a, b) => assert(ham(a, b) <= 4, s"g=$g lossy hamming ${ham(a, b)}") }
+      val hu = dec.videoPhash64s(seq(sd => Multimodal.syntheticSmoothBmp(w, h, sd), g + 777777L))
+      assert(ham(hb.head, hu.head) > 8, s"g=$g unrelated hamming")
+    }
+    val good = (0 until 3).map(f => Multimodal.syntheticSmoothBmp(24, 16, f.toLong)).reduce(_ ++ _)
+    assert(dec.videoPhash64s(good.take(good.length / 2)).isEmpty) // truncated
+    assert(dec.videoPhash64s(Array.emptyByteArray).isEmpty)
+    assert(dec.videoPhash64s(Multimodal.syntheticH264(2, 1, 3, 1L)).isEmpty) // stats-only format
+  }
+
   test("audio fingerprint: duplicate-exact, dither-tolerant, content-sensitive") {
     val dec = Multimodal.PureJvmDecoder
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)

@@ -866,6 +866,23 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("video near-dup recovers re-encode and noise twins with min-hamming pair collapse") {
+    val assets = Multimodal.syntheticVideoCorpus(spark, 96, partitions = 4)
+    val rows = Multimodal.videoNearDup(assets, maxHamming = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Number](2).intValue()).toMap
+    val pairs = rows.keySet
+    assert(pairs.forall { case (a, b) => a / 3 == b / 3 }, pairs.filterNot(p => p._1 / 3 == p._2 / 3).take(5).toString)
+    // one row per pair (min-hamming collapse), never per frame combination
+    assert(rows.keys.toSeq.distinct.size == rows.size)
+    for (g <- 0L until 32L) {
+      val (i0, i1, i2) = (3 * g, 3 * g + 1, 3 * g + 2)
+      def okId(i: Long) = i % 16 != 15
+      if (okId(i0) && okId(i1)) assert(pairs.contains((i0, i1)), s"missing mjpeg twin g=$g")
+      if (g % 2 == 0 && okId(i0) && okId(i2)) assert(pairs.contains((i0, i2)), s"missing noise twin g=$g")
+      if (g % 2 == 1) assert(!pairs.contains((i0, i2)) && !pairs.contains((i1, i2)), s"false pair g=$g")
+    }
+  }
+
   test("posting blocks: per-(term, block) delta-encoded doc gaps with tf payloads") {
     val s = spark
     import s.implicits._
