@@ -237,6 +237,34 @@ object SparkEntry {
     // density floor separating real clusters from incidental chains.
     // Oracle unrolls the peel cap as CTEs (rounds past the fixpoint
     // are identities, so the unroll is exact)
+    // per-source template-line removal (per-site boilerplate: a third
+    // of each source's docs carry a planted banner line — template by
+    // the 25% frequency rule — ALL copies stripped; q77 is keep-first
+    // and source-blind, this is remove-all and source-scoped)
+    "q88_template_lines" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val aug = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("subscribe to our newsletter "), col("text")))
+          .otherwise(col("text")).as("text"),
+        col("source"))
+      Curation.templateLines(aug)
+    }),
+    // TrustRank over the q84 symmetrized host graph: teleport mass
+    // returns ONLY to an md5-selected trusted seed quarter (the q30
+    // deterministic-sampling technique), so trust decays with link
+    // distance from the seeds — the web-spam containment classic
+    // (Gyöngyi et al., VLDB 2004); q56 integer-recurrence discipline
+    "q87_trustrank" -> ((s, d) => {
+      val g = SparkEntry.queries("q83_link_graph")(s, d)
+      val fwd = g.where(col("is_internal") === 0L)
+        .select(col("src_domain").as("src"), col("dst_domain").as("dst"))
+      val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = edges.select(col("src").as("node")).distinct()
+        .where(expr("substring(md5(node), 1, 1) IN ('0','1','2','3')"))
+      GraphOps.trustRank(edges, seeds, iters = 3, k = 20)
+        .select(col("node").as("domain"), col("t"), col("rank"))
+    }),
     // per-source percentile calibration: exact within-source percentile
     // rank via the q73 two-phase bucketed decomposition — the oracle is
     // the NAIVE per-source window (the q63/q73 rule)
@@ -1611,6 +1639,86 @@ object SparkEntry {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** DuckDB twin of q88: same banner augmentation, same width-word
+    * line decomposition as q77, per-(source, line) distinct-doc
+    * census, integer frequency verdict, remove-all + ordered rebuild
+    * (unique line_idx keeps string_agg deterministic — the q77 rule).
+    * `ln` is consumed by census/rm/kept → AS MATERIALIZED.
+    */
+  private def q88Sql(width: Int = 4, thrBp: Int = 2500, minDocs: Int = 2): String = {
+    val w1 = width - 1
+    s"""WITH aug AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter ' || text ELSE text END AS text
+       |  FROM documents
+       |), base AS (
+       |  SELECT doc_id, source, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+       |  FROM aug
+       |), ln AS MATERIALIZED (
+       |  SELECT doc_id, source, CAST(i AS BIGINT) AS line_idx,
+       |    array_to_string(words[(i*$width+1):(i*$width+$width)], ' ') AS line
+       |  FROM base, unnest(range(0, (len(words) + $w1) // $width)) t(i)
+       |), census AS (
+       |  SELECT source, md5(line) AS h, count(DISTINCT doc_id) AS n_with
+       |  FROM ln GROUP BY 1, 2
+       |), srcdocs AS (SELECT source, count(*) AS n_docs FROM base GROUP BY 1),
+       |tmpl AS (
+       |  SELECT census.source, h FROM census JOIN srcdocs USING (source)
+       |  WHERE n_with >= $minDocs AND n_with * 10000 >= $thrBp * n_docs
+       |), rm AS MATERIALIZED (
+       |  SELECT ln.doc_id, ln.line_idx
+       |  FROM ln JOIN tmpl ON ln.source = tmpl.source AND md5(ln.line) = tmpl.h
+       |), kept AS (
+       |  SELECT ln.doc_id, string_agg(ln.line, ' ' ORDER BY ln.line_idx) AS txt
+       |  FROM ln LEFT JOIN rm ON ln.doc_id = rm.doc_id AND ln.line_idx = rm.line_idx
+       |  WHERE rm.doc_id IS NULL GROUP BY ln.doc_id
+       |), rmc AS (SELECT doc_id, count(*) AS n_rm FROM rm GROUP BY doc_id),
+       |stats AS (
+       |  SELECT doc_id, source, CAST((len(words) + $w1) // $width AS BIGINT) AS n_lines FROM base
+       |)
+       |SELECT s.doc_id, s.source, s.n_lines,
+       |  CAST(coalesce(n_rm, 0) AS BIGINT) AS n_removed,
+       |  coalesce(txt, '') AS text_clean
+       |FROM stats s LEFT JOIN kept ON s.doc_id = kept.doc_id
+       |LEFT JOIN rmc ON s.doc_id = rmc.doc_id""".stripMargin
+  }
+
+  /** DuckDB twin of q87: the q84 symmetrized host graph feeding the
+    * TrustRank recurrence — seeds by md5 first-nibble (identical hex
+    * in both engines), teleport via a FULL JOIN against the seed set
+    * each round, truncating `//` on non-negative operands throughout.
+    * `ed`/`seeds` are multi-consumed → AS MATERIALIZED (the q71 rule).
+    * Iteration-count changes must regenerate this SQL (the q56 rule).
+    */
+  private def q87Sql(iters: Int = 3, k: Int = 20): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT coalesce(f.node, s.node) AS node,
+         |    CAST(CASE WHEN s.node IS NOT NULL THEN 150000 ELSE 0 END + 85 * coalesce(f.s, 0) // 100 AS BIGINT) AS t
+         |  FROM (SELECT e.dst AS node, sum(r${i - 1}.t // e.deg) AS s
+         |        FROM ed e JOIN r${i - 1} ON r${i - 1}.node = e.src GROUP BY e.dst) f
+         |  FULL JOIN seeds s ON s.node = f.node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH g AS MATERIALIZED (${q83Sql}),
+       |e0 AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src_domain AS src, dst_domain AS dst FROM g WHERE src_domain <> dst_domain
+       |    UNION ALL
+       |    SELECT dst_domain AS src, src_domain AS dst FROM g WHERE src_domain <> dst_domain
+       |  )
+       |), deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY src),
+       |ed AS MATERIALIZED (SELECT e.src, e.dst, d.deg FROM e0 e JOIN deg d USING (src)),
+       |seeds AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node FROM e0 WHERE substr(md5(src), 1, 1) IN ('0','1','2','3')
+       |),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS t FROM seeds),
+       |$iterCtes
+       |SELECT node AS domain, t, CAST(rank AS BIGINT) AS rank
+       |FROM (SELECT *, row_number() OVER (ORDER BY t DESC, node) AS rank FROM r$iters)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** DuckDB twin of q82: same (user, day) grid, same day+1 shift for
     * returning/churned, same full calendar spine via range(lo, hi+1).
     */
@@ -2549,6 +2657,8 @@ object SparkEntry {
     "q82_growth_accounting" -> q82Sql,
     "q83_link_graph" -> q83Sql,
     "q84_domain_pagerank" -> q84Sql(),
+    "q87_trustrank" -> q87Sql(),
+    "q88_template_lines" -> q88Sql(),
     "q85_anchor_terms" -> q85Sql(),
     "q86_source_percentile" -> q86Sql,
     "q41_tfidf_topk" -> q41Sql,

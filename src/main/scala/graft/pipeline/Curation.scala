@@ -929,6 +929,66 @@ object Curation {
     * keep-first semantics only need (cnt, min) which both survive
     * capping via partial aggregation.
     */
+  /** Per-source template-line removal — the per-site boilerplate rule
+    * (nav bars, cookie banners, footers repeat across one site's
+    * pages): any line occurring in at least `thrBp`/10000 of a
+    * source's documents (and in >= `minDocs` documents) is template,
+    * and ALL of its copies are stripped — unlike [[lineDedup]]'s
+    * corpus-wide keep-first policy, which keeps the first copy and
+    * pools all sources. Line unit = the fixed `width`-word window
+    * (the q57/q77 stand-in — the synthetic corpus has no newlines).
+    * The verdict is pure integer: template iff
+    * `n_docs_with_line * 10000 >= thrBp * n_docs(source)`.
+    *
+    * Scale shape: the occurrence stream ships (source, doc_id,
+    * line_idx, 32-hex md5) only — hashing inside the once-per-row
+    * lambda narrows what the Generate boundary materializes (the q34
+    * measured exception); the census distinct-collapses per document
+    * BEFORE its (source, h) groupBy (the grid discipline — a line
+    * repeated inside one doc counts once); per-source doc totals ride
+    * a tiny broadcast; removal indices come from ONE equi-join of the
+    * occurrence stream against the template set (never a window over
+    * raw occurrences); the rebuild is q77's indexed array filter.
+    */
+  def templateLines(documents: DataFrame, width: Int = 4,
+      thrBp: Int = 2500, minDocs: Int = 2): DataFrame = {
+    require(width >= 1 && thrBp >= 1 && minDocs >= 1, "positive parameters")
+    val base = documents.select(col("doc_id"), col("source"), docWordsExpr.as("words"))
+    val w = col("words")
+    val nLines = expr(s"(size(words) + ${width - 1}) div $width").cast("int")
+    val hashesExpr = when(size(w) > 0,
+      transform(sequence(lit(0), nLines - 1),
+        i => md5(concat_ws(" ", slice(w, i * width + 1, lit(width))))))
+      .otherwise(array().cast("array<string>"))
+    val occ = base.select(col("doc_id"), col("source"),
+      posexplode(hashesExpr).as(Seq("line_idx", "h")))
+    val srcDocs = base.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val census = occ.select(col("source"), col("h"), col("doc_id")).distinct()
+      .groupBy(col("source"), col("h")).agg(count(lit(1)).as("n_with"))
+    val template = census.join(broadcast(srcDocs), Seq("source"))
+      .where(col("n_with") >= minDocs &&
+        col("n_with") * lit(10000L) >= lit(thrBp.toLong) * col("n_docs"))
+      .select(col("source"), col("h"))
+    val rm = occ.join(template, Seq("source", "h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("line_idx"))).as("rm"))
+    base
+      .join(rm, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("source"),
+        expr(s"CAST((size(words) + ${width - 1}) div $width AS BIGINT)").as("n_lines"),
+        coalesce(size(col("rm")), lit(0)).cast("bigint").as("n_removed"),
+        when(size(w) > 0,
+          array_join(
+            filter(
+              transform(sequence(lit(0), nLines - 1),
+                i => concat_ws(" ", slice(w, i * width + 1, lit(width)))),
+              (_, i) => not(array_contains(coalesce(col("rm"),
+                array().cast("array<integer>")), i))),
+            " "))
+          .otherwise(lit("")).as("text_clean"))
+  }
+
   def lineDedup(documents: DataFrame, width: Int = 4): DataFrame = {
     require(width >= 1, "line width must be >= 1")
     val base = documents.select(col("doc_id"), docWordsExpr.as("words"))

@@ -266,4 +266,48 @@ object GraphOps {
         row_number().over(Window.orderBy(col("r").desc, col("node").asc)))
       .select(col("node"), col("r"), col("rank").cast("bigint").as("rank"))
   }
+
+  /** TrustRank (Gyöngyi/Garcia-Molina/Pedersen, VLDB 2004) — the
+    * web-spam containment variant of [[pageRankKeyed]]: teleport mass
+    * returns ONLY to a trusted seed set, so trust decays with link
+    * distance from the seeds and spam farms that merely cite each
+    * other accumulate nothing. Same exact-integer recurrence
+    * discipline as q56/q84 (truncating `div` on non-negative
+    * operands, fixed iterations, unrolled-CTE oracle):
+    * t₀ = 1_000_000 on seeds, 0 elsewhere;
+    * tᵢ(v) = [v ∈ seeds]·150_000 + 85·Σ_{u→v} tᵢ₋₁(u) div deg(u) div 100.
+    * Each round's row set is (inflow-receiving nodes) ∪ seeds — the
+    * full-outer teleport join — so both engines carry identical rows.
+    *
+    * Scale shape: identical to [[pageRankKeyed]] — the edge frame is
+    * materialized once for its three consumers, the seed frame once
+    * for its per-round teleport join, and per-round lineage is
+    * truncated (the q26 lesson). `seeds` must be a (node) frame, a
+    * subset of the graph's node set, small or large — it is only ever
+    * equi-joined on the key.
+    */
+  def trustRank(edges0: DataFrame, seeds0: DataFrame, iters: Int = 3, k: Int = 20): DataFrame = {
+    require(iters >= 1 && iters <= 20, "iterations in [1,20]")
+    val edges = edges0.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, Seq("src")).localCheckpoint(true)
+    val seeds = seeds0.select(col("node")).distinct().localCheckpoint(true)
+    var t = seeds.withColumn("t", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val flow = withDeg.join(t, withDeg("src") === t("node"))
+        .select(col("dst"), expr("t div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        .select(col("dst").as("node"), col("s"))
+      t = flow
+        .join(seeds.withColumn("bonus", lit(150000L)), Seq("node"), "full_outer")
+        .select(col("node"),
+          expr("CAST(coalesce(bonus, 0) + 85 * coalesce(s, 0) div 100 AS BIGINT)").as("t"))
+        .localCheckpoint(true) // bounded lineage across iterations
+    }
+    t.orderBy(col("t").desc, col("node").asc).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("t").desc, col("node").asc)))
+      .select(col("node"), col("t"), col("rank").cast("bigint").as("rank"))
+  }
 }

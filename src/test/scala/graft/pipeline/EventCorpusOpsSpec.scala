@@ -467,6 +467,20 @@ class EventCorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq(("c", 1425000L, 1L), ("b", 575000L, 2L)), got.toSeq.toString)
   }
 
+  test("trustRank: teleport returns only to seeds; seed+inflow combine") {
+    val s = spark
+    import s.implicits._
+    // a <-> b, seeds = {a}, 2 rounds:
+    //   r1: b = 85*1e6 div 100 = 850000; a = 150000 (seed, no inflow)
+    //   r2: a = 150000 + 85*850000 div 100 = 872500 (seed bonus + inflow)
+    //       b = 0 + 85*150000 div 100 = 127500 (non-seed gets NO teleport)
+    val e = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val got = GraphOps.trustRank(e, seeds, iters = 2, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", 872500L, 1L), ("b", 127500L, 2L)), got.toSeq.toString)
+  }
+
   test("kCore: iterative peeling reaches the fixpoint, not just the degree filter") {
     // triangle {1,2,3} with tail 3-4-5: after round 1 node 5 drops
     // (deg 1), which EXPOSES 4 at deg 1 — only a second peel round

@@ -946,6 +946,25 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(6L) == ((4L, 2L, 1L, "q q")), out(6L).toString)
   }
 
+  test("template lines: per-source frequency rule strips ALL copies, sources isolated") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "nav bar a b", "s1"), // "nav bar" in 3/4 s1 docs -> template
+      (2L, "nav bar c d", "s1"),
+      (3L, "nav bar e f", "s1"),
+      (4L, "x y", "s1"),         // 1-doc line survives (minDocs)
+      (5L, "nav bar g h", "s2"), // s2's own census: 2/2 docs -> template
+      (6L, "nav bar nav bar", "s2") // BOTH copies removed (remove-all, not keep-first)
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.templateLines(d, width = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == (("s1", 2L, 1L, "a b")), out(1L).toString)
+    assert(out(4L) == (("s1", 1L, 0L, "x y")), out(4L).toString)
+    assert(out(5L) == (("s2", 2L, 1L, "g h")), out(5L).toString)
+    assert(out(6L) == (("s2", 2L, 2L, "")), out(6L).toString)
+  }
+
   test("stratified sample is deterministic, quota-bounded and filter-only (no shuffle)") {
     val s = spark
     import s.implicits._
