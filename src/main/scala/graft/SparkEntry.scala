@@ -237,6 +237,27 @@ object SparkEntry {
     // density floor separating real clusters from incidental chains.
     // Oracle unrolls the peel cap as CTEs (rounds past the fixpoint
     // are identities, so the unroll is exact)
+    // rendezvous-hash shard assignment: stable output bucketing under
+    // reshard — k -> k+1 moves only the new shard's ~1/(k+1) share
+    // (hash-mod would move k/(k+1)); pure projection, no shuffle
+    "q90_rendezvous_shards" -> ((s, d) =>
+      Curation.rendezvousShards(t(s, d, "documents"))),
+    // main-content extraction by link density (jusText/Readability
+    // heuristic): nav block (pure links) classes boilerplate, the
+    // body <p> stays content, the mixed see-more block sits under
+    // the density threshold — all verdicts integer bp
+    "q89_main_content" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val html = concat(
+        lit("<div><a href=\"/\">home</a> <a href=\"/about\">about us</a></div>\n"),
+        lit("<p>"), col("text"), lit("</p>\n"),
+        lit("<p>see <a href=\"/s\">"), col("source"), lit("</a> for more</p>"))
+      val pages = docs.select(
+        concat(lit("https://"), col("source"), lit(".example.com/p/"),
+          col("doc_id").cast("string")).as("url"),
+        html.as("html"))
+      Curation.mainContent(pages)
+    }),
     // per-source template-line removal (per-site boilerplate: a third
     // of each source's docs carry a planted banner line — template by
     // the 25% frequency rule — ALL copies stripped; q77 is keep-first
@@ -1639,6 +1660,57 @@ object SparkEntry {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** DuckDB twin of q90: the same 2k+1 md5 weights, hex-STRING
+    * greatest (the q45 rule), and lowest-index-wins CASE ladders,
+    * generated from the same loop so the two engines cannot drift.
+    */
+  private def q90Sql(k: Int = 8): String = {
+    def h(i: Int) = s"md5(CAST(doc_id AS VARCHAR) || ':$i')"
+    def shardSql(n: Int): String = {
+      val mx = if (n == 1) h(0) else s"greatest(${(0 until n).map(h).mkString(", ")})"
+      val whens = (0 until n).map(i => s"WHEN ${h(i)} = $mx THEN $i").mkString(" ")
+      s"CAST(CASE $whens ELSE -1 END AS BIGINT)"
+    }
+    s"""SELECT doc_id, ${shardSql(k)} AS shard, ${shardSql(k + 1)} AS shard_plus,
+       |  CAST(CASE WHEN ${shardSql(k)} <> ${shardSql(k + 1)} THEN 1 ELSE 0 END AS BIGINT) AS moved
+       |FROM documents""".stripMargin
+  }
+
+  /** DuckDB twin of q89: same synthesized three-block pages, same
+    * newline segmentation (string_split on chr(10) == Spark split
+    * keeping trailing empties), same RE2 tag-strip (DuckDB needs the
+    * explicit 'g' flag — Spark regexp_replace is global by default)
+    * and anchor-concat length, same integer density verdict; the
+    * ordered rebuild's ORDER BY idx is unique per url (the q67 rule —
+    * urls embed doc_id, so no two blocks share (url, idx)).
+    */
+  private def q89Sql(densityBp: Int = 5000, minChars: Int = 10): String =
+    s"""WITH pages AS (
+       |  SELECT 'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+       |    '<div><a href="/">home</a> <a href="/about">about us</a></div>' || chr(10) ||
+       |    '<p>' || text || '</p>' || chr(10) ||
+       |    '<p>see <a href="/s">' || source || '</a> for more</p>' AS html
+       |  FROM documents
+       |), blk AS (
+       |  SELECT url, CAST(i AS BIGINT) AS idx, parts[i + 1] AS block
+       |  FROM (SELECT url, string_split(html, chr(10)) AS parts FROM pages),
+       |       unnest(range(0, len(parts))) t(i)
+       |), cls AS (
+       |  SELECT url, idx,
+       |    regexp_replace(block, '<[^>]*>', '', 'g') AS txt,
+       |    CAST(len(array_to_string(regexp_extract_all(block, '>([^<]*)</a>', 1), '')) AS BIGINT) AS anchor_chars
+       |  FROM blk
+       |), v AS (
+       |  SELECT url, idx, txt,
+       |    CASE WHEN anchor_chars * 10000 // greatest(len(txt), 1) >= $densityBp
+       |           OR len(txt) < $minChars THEN 1 ELSE 0 END AS boiler
+       |  FROM cls
+       |)
+       |SELECT url, CAST(count(*) AS BIGINT) AS n_blocks,
+       |  CAST(sum(boiler) AS BIGINT) AS n_boiler,
+       |  coalesce(string_agg(CASE WHEN boiler = 0 THEN txt END, ' ' ORDER BY idx), '') AS content
+       |FROM v GROUP BY url""".stripMargin
+
   /** DuckDB twin of q88: same banner augmentation, same width-word
     * line decomposition as q77, per-(source, line) distinct-doc
     * census, integer frequency verdict, remove-all + ordered rebuild
@@ -2659,6 +2731,8 @@ object SparkEntry {
     "q84_domain_pagerank" -> q84Sql(),
     "q87_trustrank" -> q87Sql(),
     "q88_template_lines" -> q88Sql(),
+    "q89_main_content" -> q89Sql(),
+    "q90_rendezvous_shards" -> q90Sql(),
     "q85_anchor_terms" -> q85Sql(),
     "q86_source_percentile" -> q86Sql,
     "q41_tfidf_topk" -> q41Sql,

@@ -929,6 +929,82 @@ object Curation {
     * keep-first semantics only need (cnt, min) which both survive
     * capping via partial aggregation.
     */
+  /** Rendezvous (highest-random-weight) shard assignment — the stable
+    * output-bucketing rule for a corpus that must RE-shard as it
+    * grows: each doc goes to the shard with the highest
+    * md5(doc_id:shard) weight, so growing from k to k+1 shards moves
+    * ONLY the ~1/(k+1) of keys whose new-shard weight wins — hash-mod
+    * would reshuffle (k)/(k+1) of the corpus. Weights compare as hex
+    * STRINGS (the q45/q48 md5-prefix rule — no hex-to-int, engines
+    * disagree there); the CASE ladder picks the LOWEST index on a
+    * (cryptographically impossible) tie, identically in both engines.
+    *
+    * Output per doc: (shard, shard_plus, moved) under k and k+1 —
+    * `moved` can only target the NEW shard, by HRW construction.
+    *
+    * Scale shape: a pure projection — 2k+1 codegen'd md5s per row, no
+    * explode, no shuffle, no state (the q30 filter-only discipline);
+    * the assignment is a function of the key alone, so retries,
+    * partitioning and corpus growth never move settled keys.
+    */
+  def rendezvousShards(documents: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1 && k <= 64, "shard count in [1,64]")
+    def h(i: Int) = md5(concat(col("doc_id").cast("string"), lit(s":$i")))
+    def shardCol(n: Int): Column = {
+      val mx = if (n == 1) h(0) else greatest((0 until n).map(h): _*)
+      (0 until n).reverse.foldLeft(lit(-1L): Column)((acc, i) =>
+        when(h(i) === mx, lit(i.toLong)).otherwise(acc))
+    }
+    documents.select(
+      col("doc_id"),
+      shardCol(k).as("shard"),
+      shardCol(k + 1).as("shard_plus"))
+      .withColumn("moved", (col("shard") =!= col("shard_plus")).cast("bigint"))
+  }
+
+  /** Main-content extraction by link density — the jusText/Readability
+    * core heuristic made relational: segment each page into blocks
+    * (newline-separated markup lines — the rendered-line segmentation
+    * real boilerplate strippers use), strip tags per block, and class
+    * a block BOILERPLATE when its anchor-text share of visible text
+    * reaches `densityBp`/10000 (nav bars and footers are mostly link
+    * text) or its visible text is shorter than `minChars` (chrome
+    * fragments). The page's content is the ordered join of its
+    * content-block texts. All verdicts are integer basis points; the
+    * tag-strip and anchor regexes are RE2-safe (the q31/q33 rule).
+    *
+    * Scale shape: one posexplode over the line split, per-block
+    * codegen regex projections (the anchor-length fold is the
+    * sanctioned once-per-row small-array lambda), ONE url-keyed
+    * groupBy whose ordered rebuild is the array_sort(collect_list)
+    * form — no window over raw blocks, no second shuffle.
+    */
+  def mainContent(pages: DataFrame, densityBp: Int = 5000, minChars: Int = 10): DataFrame = {
+    require(densityBp >= 1 && minChars >= 0, "sane thresholds")
+    val blocks = pages
+      .select(col("url"), posexplode(split(col("html"), "\n", -1)).as(Seq("idx", "block")))
+      .select(col("url"), col("idx"),
+        regexp_replace(col("block"), "<[^>]*>", "").as("txt"),
+        length(expr("array_join(regexp_extract_all(block, '>([^<]*)</a>', 1), '')"))
+          .cast("bigint").as("anchor_chars"))
+      .select(col("url"), col("idx"), col("txt"),
+        length(col("txt")).cast("bigint").as("txt_chars"), col("anchor_chars"))
+      .select(col("url"), col("idx"), col("txt"), col("txt_chars"),
+        expr("CAST(anchor_chars * 10000 div greatest(txt_chars, 1) AS BIGINT)").as("density_bp"))
+      .withColumn("boiler",
+        (col("density_bp") >= densityBp || col("txt_chars") < minChars).cast("bigint"))
+    blocks.groupBy(col("url"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_blocks"),
+        sum(col("boiler")).cast("bigint").as("n_boiler"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("boiler") === 0L,
+              struct(col("idx"), col("txt"))).otherwise(null))),
+            x => x.getField("txt")),
+          " ").as("content"))
+  }
+
   /** Per-source template-line removal — the per-site boilerplate rule
     * (nav bars, cookie banners, footers repeat across one site's
     * pages): any line occurring in at least `thrBp`/10000 of a

@@ -946,6 +946,46 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(6L) == ((4L, 2L, 1L, "q q")), out(6L).toString)
   }
 
+  test("rendezvous shards: reshard moves only ~1/(k+1) of keys, all to the NEW shard, shuffle-free") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 2000L).map(i => (i, s"t$i", "src")).toDF("doc_id", "text", "source")
+    val out = Curation.rendezvousShards(docs, k = 8).collect()
+    assert(out.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 8))
+    // HRW invariant: a moved key can only land on the ADDED shard
+    assert(out.filter(_.getLong(3) == 1L).forall(_.getLong(2) == 8L))
+    // unmoved keys keep their shard verbatim
+    assert(out.filter(_.getLong(3) == 0L).forall(r => r.getLong(1) == r.getLong(2)))
+    // moved share ~ 1/9 of 2000 ≈ 222 (md5 uniformity)
+    val moved = out.count(_.getLong(3) == 1L)
+    assert(moved > 140 && moved < 310, moved.toString)
+    // shards are balanced within a loose uniform band
+    val byShard = out.groupBy(_.getLong(1)).view.mapValues(_.length)
+    assert(byShard.values.forall(n => n > 150 && n < 350), byShard.toMap.toString)
+    // scale contract: pure projection, no exchange
+    val plan = Curation.rendezvousShards(docs, k = 8).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("main content: link-dense and short blocks class boilerplate; ordered rebuild") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      // nav (density 12*10000/13 >= 5000) + long content + mixed-under-threshold
+      ("u1", "<div><a href=\"/\">home</a> <a href=\"/a\">about us</a></div>\n" +
+        "<p>the quick brown fox jumps</p>\n" +
+        "<p>see <a href=\"/s\">wiki</a> for more details</p>"),
+      ("u2", "<p>tiny</p>"), // short rule: 4 chars < 10 -> boiler, content ''
+      ("u3", "<p>second block here ok</p>\n<p>first block stays first</p>")
+    ).toDF("url", "html")
+    val out = Curation.mainContent(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out("u1") == ((3L, 1L, "the quick brown fox jumps see wiki for more details")), out("u1").toString)
+    assert(out("u2") == ((1L, 1L, "")), out("u2").toString)
+    // order is the block index, not the collect order
+    assert(out("u3") == ((2L, 0L, "second block here ok first block stays first")), out("u3").toString)
+  }
+
   test("template lines: per-source frequency rule strips ALL copies, sources isolated") {
     val s = spark
     import s.implicits._
