@@ -242,6 +242,53 @@ object SparkEntry {
     // (hash-mod would move k/(k+1)); pure projection, no shuffle
     "q90_rendezvous_shards" -> ((s, d) =>
       Curation.rendezvousShards(t(s, d, "documents"))),
+    // RDFS entailment materialization (rdfs2 + rdfs9 + rdfs11): a
+    // 31-edge binary-tree TBox (c_i subClassOf c_{i div 2}) closes
+    // transitively on the schema side, then ONE broadcast join types
+    // every instance with its ancestor set; docs with doc_id%5==0
+    // also assert an `author` property whose declared domain (c9)
+    // derives a second type chain — the two derivation paths overlap,
+    // so the set-dedup is load-bearing. Oracle closes the same TBox
+    // with an independent WITH RECURSIVE
+    "q91_rdfs_closure" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tbox = s.range(1, 32).select(
+        concat(lit("c"), col("id")).as("sub"),
+        concat(lit("c"), expr("id div 2")).as("sup"))
+      val asserted = docs.select(
+        concat(lit("d"), col("doc_id")).as("inst"),
+        concat(lit("c"), pmod(col("doc_id"), lit(32))).as("cls"))
+      val authored = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+        .select(concat(lit("d"), col("doc_id")).as("inst"), lit("author").as("prop"))
+      val domains = s.range(1).select(lit("author").as("prop"), lit("c9").as("cls"))
+      val types = asserted.unionByName(TripleOps.domainTypes(authored, domains))
+      TripleOps.entailTypes(types, TripleOps.transitiveClosure(tbox))
+        .groupBy(col("inst"))
+        .agg(count(lit(1)).cast("bigint").as("n_types"),
+          array_join(sort_array(collect_list(col("cls"))), ",").as("types"))
+    }),
+    // SPARQL basic-graph-pattern star+chain over a synthesized spo
+    // table (predicate-sliced scans, shared-variable equi-joins,
+    // AQE-broadcast label vocabulary): ?p name ?n . ?p worksFor ?o .
+    // ?o label ?l — the canonical KG query shape; a `topic` predicate
+    // per doc is noise the predicate pushdown must discard
+    "q92_bgp_star" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.select(dId.as("s"), lit("name").as("p"),
+          concat(lit("n"), pmod(col("doc_id"), lit(100))).as("o"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select(dId.as("s"), lit("worksFor").as("p"),
+            concat(lit("o"), pmod(col("doc_id"), lit(16))).as("o")))
+        .unionByName(s.range(0, 16).select(
+          concat(lit("o"), col("id")).as("s"), lit("label").as("p"),
+          concat(lit("L"), col("id")).as("o")))
+        .unionByName(docs.select(dId.as("s"), lit("topic").as("p"), col("source").as("o")))
+      TripleOps.bgp(spo, Seq(
+        ("?person", "worksFor", "?org"),
+        ("?person", "name", "?name"),
+        ("?org", "label", "?lbl")))
+    }),
     // main-content extraction by link density (jusText/Readability
     // heuristic): nav block (pure links) classes boilerplate, the
     // body <p> stays content, the mixed see-more block sits under
@@ -1676,6 +1723,61 @@ object SparkEntry {
        |FROM documents""".stripMargin
   }
 
+  /** DuckDB twin of q91: the same 31-edge binary-tree TBox and ABox
+    * assertions, but the closure is an INDEPENDENT WITH RECURSIVE
+    * (UNION-deduped semi-naive) rather than a replay of the Spark
+    * loop; doc_id is non-negative so Spark pmod == DuckDB %, and the
+    * ordered types rebuild is string_agg ORDER BY over a per-inst
+    * DISTINCT class set (unique keys → deterministic, the q67 rule).
+    */
+  private val q91Sql: String =
+    """WITH RECURSIVE tbox AS (
+      |  SELECT 'c' || CAST(i AS VARCHAR) AS sub, 'c' || CAST(i // 2 AS VARCHAR) AS sup
+      |  FROM range(1, 32) t(i)
+      |), anc(sub, sup) AS (
+      |  SELECT sub, sup FROM tbox
+      |  UNION
+      |  SELECT a.sub, t.sup FROM anc a JOIN tbox t ON a.sup = t.sub
+      |), asserted AS (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS inst,
+      |         'c' || CAST(doc_id % 32 AS VARCHAR) AS cls
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'c9' FROM documents WHERE doc_id % 5 = 0
+      |), entailed AS (
+      |  SELECT DISTINCT inst, cls FROM (
+      |    SELECT inst, cls FROM asserted
+      |    UNION ALL
+      |    SELECT a.inst, c.sup AS cls FROM asserted a JOIN anc c ON a.cls = c.sub)
+      |)
+      |SELECT inst, CAST(count(*) AS BIGINT) AS n_types,
+      |       string_agg(cls, ',' ORDER BY cls) AS types
+      |FROM entailed GROUP BY inst""".stripMargin
+
+  /** DuckDB twin of q92: the same synthesized spo table; the BGP is
+    * expressed as plain predicate-filtered self-joins (the relational
+    * reading of the pattern, independent of the Spark-side matcher's
+    * slice/reduce machinery).
+    */
+  private val q92Sql: String =
+    """WITH spo AS (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s, 'name' AS p,
+      |         'n' || CAST(doc_id % 100 AS VARCHAR) AS o FROM documents
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'worksFor',
+      |         'o' || CAST(doc_id % 16 AS VARCHAR) FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT 'o' || CAST(i AS VARCHAR), 'label', 'L' || CAST(i AS VARCHAR)
+      |  FROM range(0, 16) t(i)
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'topic', source FROM documents
+      |)
+      |SELECT w.s AS person, w.o AS org, n.o AS name, l.o AS lbl
+      |FROM spo w
+      |JOIN spo n ON n.p = 'name' AND n.s = w.s
+      |JOIN spo l ON l.p = 'label' AND l.s = w.o
+      |WHERE w.p = 'worksFor'""".stripMargin
+
   /** DuckDB twin of q89: same synthesized three-block pages, same
     * newline segmentation (string_split on chr(10) == Spark split
     * keeping trailing empties), same RE2 tag-strip (DuckDB needs the
@@ -2733,6 +2835,8 @@ object SparkEntry {
     "q88_template_lines" -> q88Sql(),
     "q89_main_content" -> q89Sql(),
     "q90_rendezvous_shards" -> q90Sql(),
+    "q91_rdfs_closure" -> q91Sql,
+    "q92_bgp_star" -> q92Sql,
     "q85_anchor_terms" -> q85Sql(),
     "q86_source_percentile" -> q86Sql,
     "q41_tfidf_topk" -> q41Sql,

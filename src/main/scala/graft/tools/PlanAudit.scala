@@ -25,8 +25,13 @@ object PlanAudit {
                           // corpus-total frame (the q47/q62 shape)
     "q68_kmeans_int",  // corpus × k broadcast centroids per Lloyd
                        // round — the IVF-centroid bounded probe shape
-    "q80_rolling_actives") // window-day counts × ONE-row broadcast
+    "q80_rolling_actives", // window-day counts × ONE-row broadcast
                            // day-bounds frame (the q47/q62 scalar shape)
+    "q91_rdfs_closure") // the FIXTURE's domain map is one row with a
+                        // constant prop key — Catalyst folds the
+                        // equi-condition away, leaving the bounded
+                        // 1-row broadcast shape (q47/q62 class); a
+                        // real many-property domain map hash-joins
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("tripleops-spec")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(String, String)] =
+    df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+  test("transitiveClosure: chain + diamond close fully; reflexive edges drop") {
+    val s = spark
+    import s.implicits._
+    // chain a->b->c->d plus diamond x->{l,r}->y, plus a self-loop
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "d"),
+      ("x", "l"), ("x", "r"), ("l", "y"), ("r", "y"),
+      ("z", "z")).toDF("sub", "sup")
+    val got = pairs(TripleOps.transitiveClosure(edges).select("sub", "sup"))
+    val want = Set(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+      ("x", "l"), ("x", "r"), ("x", "y"), ("l", "y"), ("r", "y"))
+    assert(got == want, got.toString)
+  }
+
+  test("transitiveClosure: a cycle converges to mutual ancestry, no hang") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("sub", "sup")
+    val got = pairs(TripleOps.transitiveClosure(edges).select("sub", "sup"))
+    // every ordered pair of distinct nodes, both directions, plus... the
+    // closure of a 3-cycle includes (n, n) via the full loop — strict
+    // means we don't ADD reflexive pairs, not that derived ones drop
+    assert(got == (for { a <- Set("a", "b", "c"); b <- Set("a", "b", "c") } yield (a, b)), got.toString)
+  }
+
+  test("transitiveClosure: hitting the round cap before fixpoint throws") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")).toDF("sub", "sup")
+    intercept[IllegalStateException] {
+      TripleOps.transitiveClosure(edges, maxIters = 1).collect()
+    }
+  }
+
+  test("entailTypes: inherited types dedup against asserted; domain typing derives") {
+    val s = spark
+    import s.implicits._
+    val tbox = Seq(("c2", "c1"), ("c1", "c0")).toDF("sub", "sup")
+    val closure = TripleOps.transitiveClosure(tbox)
+    // i1 asserts c2 AND (via domain) c1 — the c1 derivations overlap
+    val types = Seq(("i1", "c2"), ("i2", "c0")).toDF("inst", "cls")
+    val domained = TripleOps.domainTypes(
+      Seq(("i1", "author")).toDF("inst", "prop"),
+      Seq(("author", "c1")).toDF("prop", "cls"))
+    val got = pairs(TripleOps.entailTypes(types.unionByName(domained), closure)
+      .select("inst", "cls"))
+    assert(got == Set(("i1", "c2"), ("i1", "c1"), ("i1", "c0"), ("i2", "c0")), got.toString)
+  }
+
+  test("bgp: star+chain binds across patterns; constants filter; noise predicate ignored") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(
+      ("d1", "name", "alice"), ("d2", "name", "bob"), ("d3", "name", "carol"),
+      ("d1", "worksFor", "o1"), ("d2", "worksFor", "o2"),
+      ("o1", "label", "L1"), ("o2", "label", "L2"),
+      ("d1", "topic", "noise"), ("d3", "topic", "noise")).toDF("s", "p", "o")
+    val out = TripleOps.bgp(spo, Seq(
+      ("?person", "worksFor", "?org"),
+      ("?person", "name", "?name"),
+      ("?org", "label", "?lbl")))
+    val got = out.select("person", "org", "name", "lbl").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(got == Set(("d1", "o1", "alice", "L1"), ("d2", "o2", "bob", "L2")), got.toString)
+    // constant object narrows to one binding
+    val one = TripleOps.bgp(spo, Seq(("?person", "name", "alice")))
+    assert(one.collect().map(_.getString(0)).toSeq == Seq("d1"))
+  }
+
+  test("bgp: repeated variable within one pattern equi-filters; disjoint pattern rejected") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(
+      ("a", "knows", "a"), ("a", "knows", "b"), ("b", "knows", "b")).toDF("s", "p", "o")
+    val selfKnown = TripleOps.bgp(spo, Seq(("?x", "knows", "?x")))
+    assert(selfKnown.collect().map(_.getString(0)).toSet == Set("a", "b"))
+    intercept[IllegalArgumentException] {
+      TripleOps.bgp(spo, Seq(("?x", "knows", "?y"), ("?z", "knows", "?w")))
+    }
+  }
+}
