@@ -242,6 +242,21 @@ object SparkEntry {
     // (hash-mod would move k/(k+1)); pure projection, no shuffle
     "q90_rendezvous_shards" -> ((s, d) =>
       Curation.rendezvousShards(t(s, d, "documents"))),
+    // learned spam/quality classifier: integer multinomial Naive
+    // Bayes in whole-bit surprisals (the q70 primitive) — label-1
+    // docs carry planted spam tokens, the model trains on the
+    // doc_id%3 split and scores EVERYONE (held-out docs exercise
+    // smoothing); the fasttext-classifier slot of a curation stack
+    "q93_nb_classify" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val labeled = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(col("text"), lit(" free crypto win bonus click offer")))
+          .otherwise(col("text")).as("text"),
+        (pmod(col("doc_id"), lit(4)) === 0).cast("bigint").as("label"),
+        (pmod(col("doc_id"), lit(3)) =!= 0).cast("bigint").as("is_train"))
+      CorpusOps.nbClassifyBits(labeled)
+    }),
     // RDFS entailment materialization (rdfs2 + rdfs9 + rdfs11): a
     // 31-edge binary-tree TBox (c_i subClassOf c_{i div 2}) closes
     // transitively on the schema side, then ONE broadcast join types
@@ -1723,6 +1738,63 @@ object SparkEntry {
        |FROM documents""".stripMargin
   }
 
+  /** DuckDB twin of q93: same augmentation/label/split rules, same
+    * add-one smoothed whole-bit likelihood grid over the training
+    * vocabulary (the q70 bin/length idiom — HUGEINT sums cast back to
+    * BIGINT before bin), same tf-then-grid scoring and min-bits
+    * verdict. The class axis is a literal 2-row VALUES, mirroring the
+    * Spark side's literal explode.
+    */
+  private val q93Sql: String =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 4 = 0 THEN text || ' free crypto win bonus click offer'
+      |         ELSE text END AS text,
+      |    CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS label,
+      |    CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS is_train
+      |  FROM documents
+      |), occ AS (
+      |  SELECT doc_id, label, is_train,
+      |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+      |  FROM aug
+      |), tocc AS (
+      |  SELECT * FROM occ WHERE is_train = 1
+      |), vocab AS (
+      |  SELECT DISTINCT w FROM tocc
+      |), vs AS (
+      |  SELECT count(*) AS v FROM vocab
+      |), cnt AS (
+      |  SELECT w, label AS cls, count(*) AS c_tc FROM tocc GROUP BY w, label
+      |), tot AS (
+      |  SELECT label AS cls, count(*) AS tot_c FROM tocc GROUP BY label
+      |), grid AS (
+      |  SELECT vocab.w, c.cls,
+      |    CAST(length(bin(CAST((tot.tot_c + vs.v) // (coalesce(cnt.c_tc, 0) + 1) AS BIGINT))) - 1 AS BIGINT) AS k
+      |  FROM vocab
+      |  CROSS JOIN (SELECT CAST(0 AS BIGINT) AS cls UNION ALL SELECT 1) c
+      |  CROSS JOIN vs
+      |  JOIN tot ON tot.cls = c.cls
+      |  LEFT JOIN cnt ON cnt.w = vocab.w AND cnt.cls = c.cls
+      |), tf AS (
+      |  SELECT doc_id, w, count(*) AS c_dw FROM occ GROUP BY doc_id, w
+      |), db AS (
+      |  SELECT tf.doc_id,
+      |    sum(CASE WHEN g.cls = 0 THEN tf.c_dw * g.k END) AS b0,
+      |    sum(CASE WHEN g.cls = 1 THEN tf.c_dw * g.k END) AS b1
+      |  FROM tf JOIN grid g ON g.w = tf.w GROUP BY tf.doc_id
+      |), pri AS (
+      |  SELECT
+      |    CAST(length(bin(count(*) // CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT))) - 1 AS BIGINT) AS p0,
+      |    CAST(length(bin(count(*) // CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT))) - 1 AS BIGINT) AS p1
+      |  FROM aug WHERE is_train = 1
+      |)
+      |SELECT a.doc_id, a.label,
+      |  CAST(pri.p0 + coalesce(db.b0, 0) AS BIGINT) AS bits_ham,
+      |  CAST(pri.p1 + coalesce(db.b1, 0) AS BIGINT) AS bits_spam,
+      |  CAST(CASE WHEN pri.p1 + coalesce(db.b1, 0) < pri.p0 + coalesce(db.b0, 0)
+      |       THEN 1 ELSE 0 END AS BIGINT) AS pred
+      |FROM aug a CROSS JOIN pri LEFT JOIN db ON db.doc_id = a.doc_id""".stripMargin
+
   /** DuckDB twin of q91: the same 31-edge binary-tree TBox and ABox
     * assertions, but the closure is an INDEPENDENT WITH RECURSIVE
     * (UNION-deduped semi-naive) rather than a replay of the Spark
@@ -2837,6 +2909,7 @@ object SparkEntry {
     "q90_rendezvous_shards" -> q90Sql(),
     "q91_rdfs_closure" -> q91Sql,
     "q92_bgp_star" -> q92Sql,
+    "q93_nb_classify" -> q93Sql,
     "q85_anchor_terms" -> q85Sql(),
     "q86_source_percentile" -> q86Sql,
     "q41_tfidf_topk" -> q41Sql,

@@ -713,4 +713,68 @@ object CorpusOps {
       .orderBy(col("priority").asc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Integer multinomial Naive Bayes — the learned quality/spam
+    * classifier every curation stack runs (the fasttext-classifier
+    * slot in CCNet/RefinedWeb/DCLM), trained and scored relationally
+    * with NO floating point: per-(token, class) log-likelihoods are
+    * quantized to WHOLE-BIT surprisals (the q70 primitive —
+    * `floor(log2(m)) = length(bin(m)) − 1`, exact in both engines)
+    * with add-one smoothing over the TRAINING vocabulary,
+    * `k(t|c) = floor(log2((total_c + V) div (cnt_tc + 1)))`, plus a
+    * whole-bit class prior. A document's class score is the summed
+    * bits of its token occurrences; the predicted class minimizes
+    * bits (tie → class 0). Tokens outside the training vocabulary are
+    * ignored (the standard practical NB choice, and the one that
+    * needs no per-class unseen-token constant).
+    *
+    * Input: (doc_id, text, label ∈ {0, 1}, is_train ∈ {0, 1}). The
+    * model trains ONLY on is_train = 1 rows; every row is scored —
+    * held-out docs exercise smoothing and generalization.
+    *
+    * Scale shape: training counts are two map-side-combinable groupBys
+    * over the exploded train split; the (vocab × 2) smoothed-bits grid
+    * is schema-sized — V and total_c ride the sanctioned 1-row /
+    * 2-row broadcast frames (the q47/q62/q70 scalar shape) and the
+    * class axis is a literal 2-element explode, not a join. Scoring
+    * collapses the corpus to distinct (doc, token) BEFORE touching the
+    * grid (the q41 tf discipline), then one grid join (AQE broadcasts
+    * a small vocab) and one per-doc rollup. No FP, no windows, no
+    * driver loop.
+    */
+  def nbClassifyBits(labeled: DataFrame): DataFrame = {
+    val occ = labeled.select(col("doc_id"), col("label").cast("bigint").as("label"),
+      col("is_train"), explode(wordsExpr).as("w"))
+    val trainOcc = occ.where(col("is_train") === 1)
+    val vocab = trainOcc.select(col("w")).distinct()
+    val vSize = vocab.agg(count(lit(1)).as("v"))
+    val cnt = trainOcc.groupBy(col("w"), col("label").as("cls")).agg(count(lit(1)).as("c_tc"))
+    val totals = trainOcc.groupBy(col("label").as("cls")).agg(count(lit(1)).as("tot_c"))
+    val grid = vocab
+      .select(col("w"), explode(array(lit(0L), lit(1L))).as("cls"))
+      .join(cnt, Seq("w", "cls"), "left")
+      .join(broadcast(totals), Seq("cls"))
+      .crossJoin(broadcast(vSize))
+      .select(col("w"), col("cls"),
+        (length(bin(expr("(tot_c + v) div (coalesce(c_tc, 0) + 1)"))) - 1)
+          .cast("bigint").as("k"))
+    val tf = occ.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c_dw"))
+    val docBits = tf.join(grid, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("cls") === 0L, col("c_dw") * col("k"))).as("b0"),
+        sum(when(col("cls") === 1L, col("c_dw") * col("k"))).as("b1"))
+    val priors = labeled.where(col("is_train") === 1)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label") === 1, 1L).otherwise(0L)).as("n1"))
+      .select(
+        (length(bin(expr("n div (n - n1)"))) - 1).cast("bigint").as("p0"),
+        (length(bin(expr("n div n1"))) - 1).cast("bigint").as("p1"))
+    labeled.select(col("doc_id"), col("label").cast("bigint").as("label"))
+      .join(docBits, Seq("doc_id"), "left")
+      .crossJoin(broadcast(priors))
+      .select(col("doc_id"), col("label"),
+        (col("p0") + coalesce(col("b0"), lit(0L))).cast("bigint").as("bits_ham"),
+        (col("p1") + coalesce(col("b1"), lit(0L))).cast("bigint").as("bits_spam"))
+      .withColumn("pred", (col("bits_spam") < col("bits_ham")).cast("bigint"))
+  }
 }

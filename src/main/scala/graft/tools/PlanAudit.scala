@@ -27,6 +27,10 @@ object PlanAudit {
                        // round — the IVF-centroid bounded probe shape
     "q80_rolling_actives", // window-day counts × ONE-row broadcast
                            // day-bounds frame (the q47/q62 scalar shape)
+    "q93_nb_classify", // vocab-grid × 1-row broadcast V frame and
+                       // per-doc scores × 1-row broadcast prior frame
+                       // — both the sanctioned q47/q62/q70 scalar
+                       // shape (global constants attached map-side)
     "q91_rdfs_closure") // the FIXTURE's domain map is one row with a
                         // constant prop key — Catalyst folds the
                         // equi-condition away, leaving the bounded

@@ -946,6 +946,33 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(6L) == ((4L, 2L, 1L, "q q")), out(6L).toString)
   }
 
+  test("nb classifier: held-out docs classify by planted tokens; OOV ignored; integer bits") {
+    val s = spark
+    import s.implicits._
+    // train: 3 ham ("alpha beta"), 3 spam ("alpha crypto win");
+    // held-out: one of each, plus an OOV-bearing ham doc
+    val rows = Seq(
+      (1L, "alpha beta gamma", 0L, 1L), (2L, "beta gamma alpha", 0L, 1L),
+      (3L, "gamma alpha beta", 0L, 1L),
+      (4L, "alpha crypto win", 1L, 1L), (5L, "crypto win alpha", 1L, 1L),
+      (6L, "win crypto beta", 1L, 1L),
+      (7L, "beta gamma gamma", 0L, 0L),          // held-out ham
+      (8L, "crypto win crypto win", 1L, 0L),     // held-out spam
+      (9L, "alpha beta zzzunseen", 0L, 0L))      // OOV token must not crash/shift class
+      .toDF("doc_id", "text", "label", "is_train")
+    val out = CorpusOps.nbClassifyBits(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.size == 9)
+    // every doc classified correctly, including held-out and OOV
+    Seq(1L, 2L, 3L, 7L, 9L).foreach(id => assert(out(id)._3 == 0L, s"doc $id: ${out(id)}"))
+    Seq(4L, 5L, 6L, 8L).foreach(id => assert(out(id)._3 == 1L, s"doc $id: ${out(id)}"))
+    // bits are non-negative integers and the verdict matches the min
+    out.values.foreach { case (b0, b1, pred) =>
+      assert(b0 >= 0 && b1 >= 0)
+      assert(pred == (if (b1 < b0) 1L else 0L))
+    }
+  }
+
   test("rendezvous shards: reshard moves only ~1/(k+1) of keys, all to the NEW shard, shuffle-free") {
     val s = spark
     import s.implicits._
