@@ -242,6 +242,31 @@ object SparkEntry {
     // (hash-mod would move k/(k+1)); pure projection, no shuffle
     "q90_rendezvous_shards" -> ((s, d) =>
       Curation.rendezvousShards(t(s, d, "documents"))),
+    // SHACL-lite shape validation over the q92-style spo table with
+    // planted violations: docs %19==0 lose their name (minCount),
+    // %13==0 gain a second one (maxCount), even docs %17==0 work for
+    // a dangling org with no label triple (node check) — the
+    // publish-gate of a KG construction pipeline
+    "q94_shacl_shapes" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.where(pmod(col("doc_id"), lit(19)) =!= 0)
+        .select(dId.as("s"), lit("name").as("p"),
+          concat(lit("n"), pmod(col("doc_id"), lit(100))).as("o"))
+        .unionByName(docs
+          .where(pmod(col("doc_id"), lit(13)) === 0 && pmod(col("doc_id"), lit(19)) =!= 0)
+          .select(dId.as("s"), lit("name").as("p"), lit("dup").as("o")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select(dId.as("s"), lit("worksFor").as("p"),
+            when(pmod(col("doc_id"), lit(17)) === 0, lit("ox"))
+              .otherwise(concat(lit("o"), pmod(col("doc_id"), lit(16)))).as("o")))
+        .unionByName(s.range(0, 16).select(
+          concat(lit("o"), col("id")).as("s"), lit("label").as("p"),
+          concat(lit("L"), col("id")).as("o")))
+      TripleOps.validateShapes(spo, docs.select(dId.as("s")), Seq(
+        TripleOps.PropertyShape("name", minCount = 1L, maxCount = 1L),
+        TripleOps.PropertyShape("worksFor", maxCount = 1L, objectMustHave = Some("label"))))
+    }),
     // learned spam/quality classifier: integer multinomial Naive
     // Bayes in whole-bit surprisals (the q70 primitive) — label-1
     // docs carry planted spam tokens, the model trains on the
@@ -1738,6 +1763,48 @@ object SparkEntry {
        |FROM documents""".stripMargin
   }
 
+  /** DuckDB twin of q94: same synthesized spo table and planted
+    * violations; the checks are independent relational formulations
+    * (LEFT-JOIN count for cardinality, NOT IN for the node check —
+    * no NULLs in the subject sets, so NOT IN is safe).
+    */
+  private val q94Sql: String =
+    """WITH spo AS (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s, 'name' AS p,
+      |         'n' || CAST(doc_id % 100 AS VARCHAR) AS o
+      |  FROM documents WHERE doc_id % 19 <> 0
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'name', 'dup'
+      |  FROM documents WHERE doc_id % 13 = 0 AND doc_id % 19 <> 0
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'worksFor',
+      |         CASE WHEN doc_id % 17 = 0 THEN 'ox'
+      |              ELSE 'o' || CAST(doc_id % 16 AS VARCHAR) END
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT 'o' || CAST(i AS VARCHAR), 'label', 'L' || CAST(i AS VARCHAR)
+      |  FROM range(0, 16) t(i)
+      |), focus AS (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s FROM documents
+      |), name_cnt AS (
+      |  SELECT f.s, count(t.s) AS n FROM focus f
+      |  LEFT JOIN (SELECT s FROM spo WHERE p = 'name') t ON t.s = f.s GROUP BY f.s
+      |), work_cnt AS (
+      |  SELECT f.s, count(t.s) AS n FROM focus f
+      |  LEFT JOIN (SELECT s FROM spo WHERE p = 'worksFor') t ON t.s = f.s GROUP BY f.s
+      |)
+      |SELECT s, 'name' AS path, 'minCount' AS violation, CAST(n AS BIGINT) AS n
+      |FROM name_cnt WHERE n < 1
+      |UNION ALL
+      |SELECT s, 'name', 'maxCount', CAST(n AS BIGINT) FROM name_cnt WHERE n > 1
+      |UNION ALL
+      |SELECT s, 'worksFor', 'maxCount', CAST(n AS BIGINT) FROM work_cnt WHERE n > 1
+      |UNION ALL
+      |SELECT w.s, 'worksFor', 'node', CAST(count(*) AS BIGINT)
+      |FROM spo w JOIN focus f ON f.s = w.s
+      |WHERE w.p = 'worksFor' AND w.o NOT IN (SELECT s FROM spo WHERE p = 'label')
+      |GROUP BY w.s""".stripMargin
+
   /** DuckDB twin of q93: same augmentation/label/split rules, same
     * add-one smoothed whole-bit likelihood grid over the training
     * vocabulary (the q70 bin/length idiom — HUGEINT sums cast back to
@@ -2910,6 +2977,7 @@ object SparkEntry {
     "q91_rdfs_closure" -> q91Sql,
     "q92_bgp_star" -> q92Sql,
     "q93_nb_classify" -> q93Sql,
+    "q94_shacl_shapes" -> q94Sql,
     "q85_anchor_terms" -> q85Sql(),
     "q86_source_percentile" -> q86Sql,
     "q41_tfidf_topk" -> q41Sql,

@@ -87,6 +87,61 @@ object TripleOps {
       .join(broadcast(domains), Seq("prop"))
       .select(col("inst"), col("cls"))
 
+  /** One property constraint of a SHACL-lite node shape: cardinality
+    * bounds on `path` plus an optional object-node check —
+    * `objectMustHave` requires every value of `path` to itself be the
+    * subject of at least one `objectMustHave` triple (the practical
+    * core of sh:node/sh:class: "the org you work for must exist").
+    */
+  final case class PropertyShape(
+      path: String,
+      minCount: Long = 0L,
+      maxCount: Long = Long.MaxValue,
+      objectMustHave: Option[String] = None)
+
+  /** SHACL-lite shape validation — the data-quality gate a KG
+    * construction pipeline runs before publishing: every focus node is
+    * checked against each property shape and violations come back as
+    * rows (s, path, violation ∈ minCount|maxCount|node, n). Conforming
+    * graphs yield an EMPTY frame (the SHACL conformance contract).
+    *
+    * Scale shape: each constraint is a predicate-constant slice of the
+    * triple table (`p = path` pushes into the parquet scan) feeding
+    * one map-side-combinable count per focus subject; the node check
+    * is a distinct-key left-anti join against the required predicate's
+    * subject set. The shape list is schema-sized, so the unrolled
+    * union of per-constraint plans is bounded; no windows, no driver
+    * actions, no state.
+    */
+  def validateShapes(triples: DataFrame, focus: DataFrame,
+      shapes: Seq[PropertyShape]): DataFrame = {
+    require(shapes.nonEmpty, "empty shape list")
+    val f = focus.select(col("s").cast("string").as("s")).distinct()
+    val checks = shapes.flatMap { sh =>
+      val slice = triples.where(col("p") === sh.path)
+      val cnts = f.join(slice.groupBy(col("s")).agg(count(lit(1)).as("cnt")), Seq("s"), "left")
+        .select(col("s"), coalesce(col("cnt"), lit(0L)).cast("bigint").as("n"))
+      val minV = if (sh.minCount > 0L)
+        Some(cnts.where(col("n") < sh.minCount)
+          .select(col("s"), lit(sh.path).as("path"), lit("minCount").as("violation"), col("n")))
+      else None
+      val maxV = if (sh.maxCount < Long.MaxValue)
+        Some(cnts.where(col("n") > sh.maxCount)
+          .select(col("s"), lit(sh.path).as("path"), lit("maxCount").as("violation"), col("n")))
+      else None
+      val nodeV = sh.objectMustHave.map { reqP =>
+        val okTargets = triples.where(col("p") === reqP).select(col("s").as("o")).distinct()
+        slice.join(f, Seq("s"))
+          .select(col("s"), col("o"))
+          .join(okTargets, Seq("o"), "left_anti")
+          .groupBy(col("s")).agg(count(lit(1)).cast("bigint").as("n"))
+          .select(col("s"), lit(sh.path).as("path"), lit("node").as("violation"), col("n"))
+      }
+      Seq(minV, maxV, nodeV).flatten
+    }
+    checks.reduceLeft(_ unionByName _)
+  }
+
   /** Basic-graph-pattern matcher over an (s, p, o) frame — the SPARQL
     * BGP core as a Catalyst plan. Each pattern term is either a
     * constant (filters its slice; constant predicates push into the

@@ -73,6 +73,33 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(("i1", "c2"), ("i1", "c1"), ("i1", "c0"), ("i2", "c0")), got.toString)
   }
 
+  test("validateShapes: min/max cardinality and object-node checks; conforming graph is empty") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(
+      ("d1", "name", "a"),                       // conforms
+      ("d2", "name", "b"), ("d2", "name", "b2"), // maxCount
+      // d3 has NO name → minCount
+      ("d1", "worksFor", "o1"), ("o1", "label", "L1"),
+      ("d3", "worksFor", "oX"),                  // dangling org → node
+      ("d9", "worksFor", "o1")                   // non-focus subject: ignored entirely
+    ).toDF("s", "p", "o")
+    val focus = Seq("d1", "d2", "d3").toDF("s")
+    val shapes = Seq(
+      TripleOps.PropertyShape("name", minCount = 1L, maxCount = 1L),
+      TripleOps.PropertyShape("worksFor", maxCount = 1L, objectMustHave = Some("label")))
+    val got = TripleOps.validateShapes(spo, focus, shapes).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == Set(
+      ("d3", "name", "minCount", 0L),
+      ("d2", "name", "maxCount", 2L),
+      ("d3", "worksFor", "node", 1L)), got.toString)
+    // a conforming graph validates to EMPTY
+    val ok = Seq(("d1", "name", "a"), ("d1", "worksFor", "o1"), ("o1", "label", "L1"))
+      .toDF("s", "p", "o")
+    assert(TripleOps.validateShapes(ok, Seq("d1").toDF("s"), shapes).isEmpty)
+  }
+
   test("bgp: star+chain binds across patterns; constants filter; noise predicate ignored") {
     val s = spark
     import s.implicits._
