@@ -60,7 +60,7 @@ object Bench {
     "q80_rolling_actives", "q81_containment_join", "q82_growth_accounting", "q83_link_graph", "q84_domain_pagerank", "q85_anchor_terms", "q86_source_percentile",
     "q87_trustrank", "q88_template_lines", "q89_main_content",
     "q90_rendezvous_shards", "q91_rdfs_closure", "q92_bgp_star",
-    "q93_nb_classify", "q94_shacl_shapes",
+    "q93_nb_classify", "q94_shacl_shapes", "q95_bgp_optional",
     "x_bpe_train", "x_bpe_encode",
     "x_minhash_lsh_dedup", "x_ngram_jaccard_lsh", "x_simhash_dedup",
     "x_embedding_neardup", "x_ann_brute", "x_ann_lsh", "x_ann_ivf",

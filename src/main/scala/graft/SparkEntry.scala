@@ -267,6 +267,29 @@ object SparkEntry {
         TripleOps.PropertyShape("name", minCount = 1L, maxCount = 1L),
         TripleOps.PropertyShape("worksFor", maxCount = 1L, objectMustHave = Some("label"))))
     }),
+    // SPARQL OPTIONAL over the q92 spo table: every doc has a name,
+    // only even docs work somewhere — the optional group (worksFor +
+    // label chain) binds as a whole or not at all; nulls surface as
+    // '' (the q79 rule: no nullable strings in oracle outputs)
+    "q95_bgp_optional" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.select(dId.as("s"), lit("name").as("p"),
+          concat(lit("n"), pmod(col("doc_id"), lit(100))).as("o"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select(dId.as("s"), lit("worksFor").as("p"),
+            concat(lit("o"), pmod(col("doc_id"), lit(16))).as("o")))
+        .unionByName(s.range(0, 16).select(
+          concat(lit("o"), col("id")).as("s"), lit("label").as("p"),
+          concat(lit("L"), col("id")).as("o")))
+        .unionByName(docs.select(dId.as("s"), lit("topic").as("p"), col("source").as("o")))
+      TripleOps.bgpOptional(spo,
+        Seq(("?person", "name", "?name")),
+        Seq(Seq(("?person", "worksFor", "?org"), ("?org", "label", "?lbl"))))
+        .select(col("person"), col("name"),
+          coalesce(col("org"), lit("")).as("org"),
+          coalesce(col("lbl"), lit("")).as("lbl"))
+    }),
     // learned spam/quality classifier: integer multinomial Naive
     // Bayes in whole-bit surprisals (the q70 primitive) — label-1
     // docs carry planted spam tokens, the model trains on the
@@ -1763,6 +1786,33 @@ object SparkEntry {
        |FROM documents""".stripMargin
   }
 
+  /** DuckDB twin of q95: the optional group is an INNER join
+    * materialized first (worksFor ⋈ label — the group matches as a
+    * whole), then LEFT JOINed onto the required name matches; nulls
+    * coalesce to '' on both sides.
+    */
+  private val q95Sql: String =
+    """WITH spo AS (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s, 'name' AS p,
+      |         'n' || CAST(doc_id % 100 AS VARCHAR) AS o FROM documents
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'worksFor',
+      |         'o' || CAST(doc_id % 16 AS VARCHAR) FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT 'o' || CAST(i AS VARCHAR), 'label', 'L' || CAST(i AS VARCHAR)
+      |  FROM range(0, 16) t(i)
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'topic', source FROM documents
+      |), wl AS (
+      |  SELECT w.s, w.o AS org, l.o AS lbl
+      |  FROM spo w JOIN spo l ON l.p = 'label' AND l.s = w.o
+      |  WHERE w.p = 'worksFor'
+      |)
+      |SELECT n.s AS person, n.o AS name,
+      |  coalesce(wl.org, '') AS org, coalesce(wl.lbl, '') AS lbl
+      |FROM spo n LEFT JOIN wl ON wl.s = n.s
+      |WHERE n.p = 'name'""".stripMargin
+
   /** DuckDB twin of q94: same synthesized spo table and planted
     * violations; the checks are independent relational formulations
     * (LEFT-JOIN count for cardinality, NOT IN for the node check —
@@ -2978,6 +3028,7 @@ object SparkEntry {
     "q92_bgp_star" -> q92Sql,
     "q93_nb_classify" -> q93Sql,
     "q94_shacl_shapes" -> q94Sql,
+    "q95_bgp_optional" -> q95Sql,
     "q85_anchor_terms" -> q85Sql(),
     "q86_source_percentile" -> q86Sql,
     "q41_tfidf_topk" -> q41Sql,

@@ -181,4 +181,22 @@ object TripleOps {
       acc.join(nxt, shared)
     }
   }
+
+  /** BGP with SPARQL OPTIONAL semantics: each optional group is a BGP
+    * of its own, left-joined onto the required match on their shared
+    * variables — a group matches AS A WHOLE or contributes all-null
+    * bindings (SPARQL's leftjoin algebra: a worksFor edge to an org
+    * with no label binds NEITHER ?org nor ?lbl). Same slice/pushdown
+    * properties as [[bgp]]; each group must share ≥1 variable with the
+    * required part (an unanchored optional is a cartesian).
+    */
+  def bgpOptional(triples: DataFrame, required: Seq[(String, String, String)],
+      optionalGroups: Seq[Seq[(String, String, String)]]): DataFrame =
+    optionalGroups.foldLeft(bgp(triples, required)) { (acc, group) =>
+      val opt = bgp(triples, group)
+      val shared = acc.columns.intersect(opt.columns).toSeq
+      require(shared.nonEmpty,
+        "OPTIONAL group shares no variable with the required pattern — cartesian product")
+      acc.join(opt, shared, "left")
+    }
 }

@@ -120,6 +120,29 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.collect().map(_.getString(0)).toSeq == Seq("d1"))
   }
 
+  test("bgpOptional: group binds as a whole or all-null; unanchored group rejected") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(
+      ("d1", "name", "alice"), ("d2", "name", "bob"), ("d3", "name", "carol"),
+      ("d1", "worksFor", "o1"), ("o1", "label", "L1"),
+      // d2's org has NO label: the whole optional group fails to match,
+      // so ?org AND ?lbl are both null (not org bound + lbl null)
+      ("d2", "worksFor", "oX")).toDF("s", "p", "o")
+    val out = TripleOps.bgpOptional(spo,
+      Seq(("?person", "name", "?name")),
+      Seq(Seq(("?person", "worksFor", "?org"), ("?org", "label", "?lbl"))))
+    val got = out.select("person", "name", "org", "lbl").collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)), Option(r.getString(3)))).toSet
+    assert(got == Set(
+      ("d1", "alice", Some("o1"), Some("L1")),
+      ("d2", "bob", None, None),
+      ("d3", "carol", None, None)), got.toString)
+    intercept[IllegalArgumentException] {
+      TripleOps.bgpOptional(spo, Seq(("?x", "name", "?n")), Seq(Seq(("?a", "label", "?b"))))
+    }
+  }
+
   test("bgp: repeated variable within one pattern equi-filters; disjoint pattern rejected") {
     val s = spark
     import s.implicits._
