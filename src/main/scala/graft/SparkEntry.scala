@@ -290,6 +290,47 @@ object SparkEntry {
           coalesce(col("org"), lit("")).as("org"),
           coalesce(col("lbl"), lit("")).as("lbl"))
     }),
+    // SPARQL property path (linksTo|redirectsTo){1,3} over a synthetic
+    // ancestor forest (d_i -> d_{i div 2}, plus a sparser div-3
+    // redirect lane): alternation is one isin slice, the hop cap IS
+    // the semantics (unbounded p+ over a TB ABox is a different
+    // operator), pairs dedup at their minimum hop via the semi-naive
+    // frontier — noise predicates prove the slice pushes down
+    "q96_property_path" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.where(col("doc_id") > 0)
+          .select(dId.as("s"), lit("linksTo").as("p"),
+            concat(lit("d"), expr("doc_id div 2")).as("o"))
+        .unionByName(docs.where(col("doc_id") > 0 && pmod(col("doc_id"), lit(7)) === 0)
+          .select(dId.as("s"), lit("redirectsTo").as("p"),
+            concat(lit("d"), expr("doc_id div 3")).as("o")))
+        .unionByName(docs.select(dId.as("s"), lit("name").as("p"),
+          concat(lit("n"), pmod(col("doc_id"), lit(100))).as("o")))
+      TripleOps.boundedPath(spo, Seq("linksTo", "redirectsTo"), 3)
+        .select(col("src"), col("dst"))
+    }),
+    // SPARQL MINUS + FILTER over the q92/q95 spo table: docs with a
+    // name (except the filtered one) minus those working for a
+    // LABELED org — labels stop at o11, so even docs pointing at
+    // o12-o15 survive the minus (the group must match as a whole)
+    "q97_bgp_minus" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.select(dId.as("s"), lit("name").as("p"),
+          concat(lit("n"), pmod(col("doc_id"), lit(100))).as("o"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select(dId.as("s"), lit("worksFor").as("p"),
+            concat(lit("o"), pmod(col("doc_id"), lit(16))).as("o")))
+        .unionByName(s.range(0, 12).select(
+          concat(lit("o"), col("id")).as("s"), lit("label").as("p"),
+          concat(lit("L"), col("id")).as("o")))
+      TripleOps.bgpMinus(spo,
+        Seq(("?person", "name", "?name")),
+        Seq(Seq(("?person", "worksFor", "?org"), ("?org", "label", "?lbl"))))
+        .where(col("name") =!= "n7") // SPARQL FILTER: plain relational predicate
+        .select(col("person"), col("name"))
+    }),
     // learned spam/quality classifier: integer multinomial Naive
     // Bayes in whole-bit surprisals (the q70 primitive) — label-1
     // docs carry planted spam tokens, the model trains on the
@@ -1813,6 +1854,62 @@ object SparkEntry {
       |FROM spo n LEFT JOIN wl ON wl.s = n.s
       |WHERE n.p = 'name'""".stripMargin
 
+  /** DuckDB twin of q96: NAIVE hop unroll (hop2 = edges ⋈ edges, hop3 =
+    * hop2 ⋈ edges, union-distinct at the end) — deliberately independent
+    * of the Spark side's semi-naive frontier; value-equal because both
+    * compute the distinct ≤3-hop pair set. edges/hop2 are consumed more
+    * than once → AS MATERIALIZED (the q71 inlining rule). Spark `div`
+    * == DuckDB `//` on the non-negative doc_id.
+    */
+  private val q96Sql: String =
+    """WITH spo AS MATERIALIZED (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s, 'linksTo' AS p,
+      |         'd' || CAST(doc_id // 2 AS VARCHAR) AS o
+      |  FROM documents WHERE doc_id > 0
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'redirectsTo',
+      |         'd' || CAST(doc_id // 3 AS VARCHAR)
+      |  FROM documents WHERE doc_id > 0 AND doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'name',
+      |         'n' || CAST(doc_id % 100 AS VARCHAR) FROM documents
+      |), edges AS MATERIALIZED (
+      |  SELECT DISTINCT s AS src, o AS dst FROM spo
+      |  WHERE p IN ('linksTo', 'redirectsTo')
+      |), hop2 AS MATERIALIZED (
+      |  SELECT DISTINCT e1.src, e2.dst
+      |  FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+      |), hop3 AS (
+      |  SELECT DISTINCT h.src, e.dst
+      |  FROM hop2 h JOIN edges e ON e.src = h.dst
+      |)
+      |SELECT DISTINCT src, dst FROM (
+      |  SELECT * FROM edges UNION ALL
+      |  SELECT * FROM hop2 UNION ALL
+      |  SELECT * FROM hop3)""".stripMargin
+
+  /** DuckDB twin of q97: MINUS as NOT EXISTS over the whole minus
+    * group (worksFor ⋈ label — compatible-solution exclusion), FILTER
+    * as a plain predicate.
+    */
+  private val q97Sql: String =
+    """WITH spo AS (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s, 'name' AS p,
+      |         'n' || CAST(doc_id % 100 AS VARCHAR) AS o FROM documents
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'worksFor',
+      |         'o' || CAST(doc_id % 16 AS VARCHAR) FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT 'o' || CAST(i AS VARCHAR), 'label', 'L' || CAST(i AS VARCHAR)
+      |  FROM range(0, 12) t(i)
+      |)
+      |SELECT n.s AS person, n.o AS name
+      |FROM spo n
+      |WHERE n.p = 'name' AND n.o <> 'n7'
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM spo w JOIN spo l ON l.p = 'label' AND l.s = w.o
+      |    WHERE w.p = 'worksFor' AND w.s = n.s)""".stripMargin
+
   /** DuckDB twin of q94: same synthesized spo table and planted
     * violations; the checks are independent relational formulations
     * (LEFT-JOIN count for cardinality, NOT IN for the node check —
@@ -3029,6 +3126,8 @@ object SparkEntry {
     "q93_nb_classify" -> q93Sql,
     "q94_shacl_shapes" -> q94Sql,
     "q95_bgp_optional" -> q95Sql,
+    "q96_property_path" -> q96Sql,
+    "q97_bgp_minus" -> q97Sql,
     "q85_anchor_terms" -> q85Sql(),
     "q86_source_percentile" -> q86Sql,
     "q41_tfidf_topk" -> q41Sql,

@@ -199,4 +199,54 @@ object TripleOps {
         "OPTIONAL group shares no variable with the required pattern — cartesian product")
       acc.join(opt, shared, "left")
     }
+
+  /** SPARQL MINUS: drop required-pattern solutions that are compatible
+    * with ANY solution of a minus group — an anti-join on the shared
+    * variables. Faithful to the spec's domain rule: a minus group
+    * sharing NO variable with the required pattern removes NOTHING
+    * (dom(μ1) ∩ dom(μ2) = ∅ ⇒ not excluded), so unlike
+    * [[bgpOptional]] an unanchored group is a no-op, not an error.
+    */
+  def bgpMinus(triples: DataFrame, required: Seq[(String, String, String)],
+      minusGroups: Seq[Seq[(String, String, String)]]): DataFrame =
+    minusGroups.foldLeft(bgp(triples, required)) { (acc, group) =>
+      val m = bgp(triples, group)
+      val shared = acc.columns.intersect(m.columns).toSeq
+      if (shared.isEmpty) acc else acc.join(m, shared, "left_anti")
+    }
+
+  /** SPARQL property path `(p1|p2|…){1,maxHops}`: distinct (src, dst)
+    * pairs connected by 1..maxHops edges whose predicate is in `preds`
+    * (alternation = one isin slice; `p+` at corpus scale is always
+    * hop-capped — unbounded closure over a TB-sized ABox is a different
+    * operator). Semi-naive frontier: each round extends only LAST
+    * round's new pairs and anti-joins the accumulated closure, so a
+    * pair is found once at its minimum hop count and total join work is
+    * O(result), not O(hops × result) — the q69 frontier discipline
+    * applied to pairs. Rounds checkpoint eagerly (lineage truncation,
+    * the q26 rule); a fixpoint before the cap exits early. Unlike
+    * [[transitiveClosure]] the cap is the SEMANTICS here (path length
+    * bound), so hitting it is normal, never a throw.
+    */
+  def boundedPath(triples: DataFrame, preds: Seq[String], maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "path needs at least one hop")
+    val edges = triples.where(col("p").isin(preds: _*))
+      .select(col("s").cast("string").as("src"), col("o").cast("string").as("dst"))
+      .distinct().localCheckpoint(true)
+    val hop = edges.select(col("src").as("mid"), col("dst").as("ndst"))
+    var closure = edges
+    var delta = edges
+    var round = 1
+    while (round < maxHops) {
+      val next = delta.join(hop, delta("dst") === hop("mid"))
+        .select(col("src"), col("ndst").as("dst")).distinct()
+        .join(closure, Seq("src", "dst"), "left_anti")
+        .localCheckpoint(true)
+      if (next.isEmpty) return closure
+      closure = closure.unionByName(next).localCheckpoint(true)
+      delta = next
+      round += 1
+    }
+    closure
+  }
 }

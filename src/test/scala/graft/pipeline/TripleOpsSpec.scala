@@ -143,6 +143,48 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bgpMinus: compatible solutions drop; unanchored minus group is a spec no-op") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(
+      ("d1", "name", "alice"), ("d2", "name", "bob"), ("d3", "name", "carol"),
+      ("d1", "worksFor", "o1"), ("o1", "label", "L1"),
+      ("d2", "worksFor", "oX") // unlabeled org: the minus group does NOT match d2
+    ).toDF("s", "p", "o")
+    val out = TripleOps.bgpMinus(spo,
+      Seq(("?person", "name", "?name")),
+      Seq(Seq(("?person", "worksFor", "?org"), ("?org", "label", "?lbl"))))
+    assert(out.select("person").collect().map(_.getString(0)).toSet == Set("d2", "d3"))
+    // a minus group sharing NO variable removes nothing (SPARQL domain rule)
+    val noop = TripleOps.bgpMinus(spo,
+      Seq(("?person", "name", "?name")),
+      Seq(Seq(("?a", "label", "?b"))))
+    assert(noop.count() == 3L)
+  }
+
+  test("boundedPath: min-hop dedup under the cap; alternation; fixpoint early-exit") {
+    val s = spark
+    import s.implicits._
+    // chain a->b->c->d->e on 'link', plus a 'redir' shortcut a->d,
+    // plus a noise predicate that must not contribute edges
+    val spo = Seq(
+      ("a", "link", "b"), ("b", "link", "c"), ("c", "link", "d"), ("d", "link", "e"),
+      ("a", "redir", "d"),
+      ("a", "name", "z")).toDF("s", "p", "o")
+    val got = pairs(TripleOps.boundedPath(spo, Seq("link", "redir"), 3)
+      .select("src", "dst"))
+    // <=3 hops from a: b, c, d (1-hop via redir AND 3-hop via links — once), e (2 via redir+link)
+    val want = Set(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("a", "e"),
+      ("b", "c"), ("b", "d"), ("b", "e"),
+      ("c", "d"), ("c", "e"), ("d", "e"))
+    assert(got == want, got.toString)
+    // cap larger than the diameter: early fixpoint, full reachability, no hang
+    val all = pairs(TripleOps.boundedPath(spo, Seq("link"), 99).select("src", "dst"))
+    assert(all == (for { i <- 0 to 3; j <- (i + 1) to 4 }
+      yield ("abcde" (i).toString, "abcde" (j).toString)).toSet)
+  }
+
   test("bgp: repeated variable within one pattern equi-filters; disjoint pattern rejected") {
     val s = spark
     import s.implicits._
