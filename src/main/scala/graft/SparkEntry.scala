@@ -331,6 +331,69 @@ object SparkEntry {
         .where(col("name") =!= "n7") // SPARQL FILTER: plain relational predicate
         .select(col("person"), col("name"))
     }),
+    // owl:sameAs canonicalization: star identity clusters {5k..5k+4}
+    // (zero-padded ids so lexicographic min == numeric min in BOTH
+    // engines), name literals collapse within a cluster, knows edges
+    // rewrite on both ends; sameAs triples are consumed
+    "q98_sameas_rewrite" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val eId = format_string("e%05d", col("doc_id"))
+      val spo = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+          .select(eId.as("s"), lit("sameAs").as("p"),
+            format_string("e%05d", expr("doc_id - doc_id % 5")).as("o"))
+        .unionByName(docs.select(eId.as("s"), lit("name").as("p"),
+          concat(lit("n"), pmod(col("doc_id"), lit(100))).as("o")))
+        .unionByName(docs.where(col("doc_id") > 0)
+          .select(eId.as("s"), lit("knows").as("p"),
+            format_string("e%05d", expr("doc_id div 2")).as("o")))
+      TripleOps.sameAsCanonicalize(spo).select("s", "p", "o")
+    }),
+    // SPARQL UNION + VALUES: employment via worksFor OR memberOf+label
+    // (the label var is null on the first lane — spec alignment), then
+    // VALUES pins three orgs (broadcast inline-binding join)
+    "q99_bgp_union_values" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select(dId.as("s"), lit("worksFor").as("p"),
+            concat(lit("o"), pmod(col("doc_id"), lit(16))).as("o"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(3)) === 0)
+          .select(dId.as("s"), lit("memberOf").as("p"),
+            concat(lit("o"), pmod(col("doc_id"), lit(12))).as("o")))
+        .unionByName(s.range(0, 12).select(
+          concat(lit("o"), col("id")).as("s"), lit("label").as("p"),
+          concat(lit("L"), col("id")).as("o")))
+      val u = TripleOps.bgpUnion(spo, Seq(
+        Seq(("?x", "worksFor", "?org")),
+        Seq(("?x", "memberOf", "?org"), ("?org", "label", "?lbl"))))
+      TripleOps.values(u, Seq("o3", "o6", "o9").toDF("org"))
+        .groupBy(col("org"), col("lbl"))
+        .agg(count(lit(1)).as("n"), count(col("lbl")).as("n_labeled"))
+        .select(col("org"), coalesce(col("lbl"), lit("")).as("lbl"),
+          col("n"), col("n_labeled"))
+    }),
+    // SPARQL CONSTRUCT over an OPTIONAL-fed solution set: template rows
+    // materialize as a graph SET, entries referencing an unbound
+    // optional var emit nothing for that solution
+    "q100_construct" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select(dId.as("s"), lit("worksFor").as("p"),
+            concat(lit("o"), pmod(col("doc_id"), lit(16))).as("o"))
+        .unionByName(s.range(0, 12).select(
+          concat(lit("o"), col("id")).as("s"), lit("label").as("p"),
+          concat(lit("L"), col("id")).as("o")))
+      val sols = TripleOps.bgpOptional(spo,
+        Seq(("?x", "worksFor", "?org")),
+        Seq(Seq(("?org", "label", "?lbl"))))
+      TripleOps.construct(sols, Seq(
+        ("?x", "affiliatedWith", "?org"),
+        ("?org", "displayName", "?lbl"),
+        ("?org", "type", "Organization")))
+        .select("s", "p", "o")
+    }),
     // learned spam/quality classifier: integer multinomial Naive
     // Bayes in whole-bit surprisals (the q70 primitive) — label-1
     // docs carry planted spam tokens, the model trains on the
@@ -1910,6 +1973,95 @@ object SparkEntry {
       |    SELECT 1 FROM spo w JOIN spo l ON l.p = 'label' AND l.s = w.o
       |    WHERE w.p = 'worksFor' AND w.s = n.s)""".stripMargin
 
+  /** DuckDB twin of q98: q32-style recursive-CTE min-label components
+    * over the symmetrized sameAs slice, then the rewrite as two LEFT
+    * JOINs + coalesce + DISTINCT — an independent relational
+    * formulation of the Spark side's large-star/small-star fixpoint
+    * (both compute the connectivity min; clusters are ≤5 nodes by
+    * construction so the O(cluster²) reach is safe). Zero-padded
+    * entity ids via printf BOTH sides (DuckDB lpad would TRUNCATE past
+    * the pad width; printf matches Java format_string exactly), so
+    * lexicographic min == numeric min in both engines.
+    */
+  private val q98Sql: String =
+    """WITH RECURSIVE spo AS MATERIALIZED (
+      |  SELECT printf('e%05d', doc_id) AS s, 'sameAs' AS p,
+      |         printf('e%05d', doc_id - doc_id % 5) AS o
+      |  FROM documents WHERE doc_id % 5 <> 0
+      |  UNION ALL
+      |  SELECT printf('e%05d', doc_id), 'name',
+      |         'n' || CAST(doc_id % 100 AS VARCHAR) FROM documents
+      |  UNION ALL
+      |  SELECT printf('e%05d', doc_id), 'knows',
+      |         printf('e%05d', doc_id // 2) FROM documents WHERE doc_id > 0
+      |), sa AS (SELECT s AS a, o AS b FROM spo WHERE p = 'sameAs'),
+      |edges AS MATERIALIZED (SELECT a, b FROM sa UNION SELECT b, a FROM sa),
+      |nodes AS (SELECT DISTINCT a AS node FROM edges),
+      |reach AS (
+      |  SELECT node, node AS lab FROM nodes
+      |  UNION
+      |  SELECT e.b AS node, r.lab FROM edges e JOIN reach r ON e.a = r.node
+      |),
+      |cc AS MATERIALIZED (SELECT node, min(lab) AS canon FROM reach GROUP BY node)
+      |SELECT DISTINCT coalesce(cs.canon, t.s) AS s, t.p, coalesce(co.canon, t.o) AS o
+      |FROM spo t
+      |LEFT JOIN cc cs ON cs.node = t.s
+      |LEFT JOIN cc co ON co.node = t.o
+      |WHERE t.p <> 'sameAs'""".stripMargin
+
+  /** DuckDB twin of q99: the UNION lanes written directly (worksFor
+    * with a NULL label column; memberOf inner-joined to labels), the
+    * VALUES clause as a plain IN list, grouped counts cast to BIGINT.
+    */
+  private val q99Sql: String =
+    """WITH spo AS MATERIALIZED (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s, 'worksFor' AS p,
+      |         'o' || CAST(doc_id % 16 AS VARCHAR) AS o
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'memberOf',
+      |         'o' || CAST(doc_id % 12 AS VARCHAR)
+      |  FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT 'o' || CAST(i AS VARCHAR), 'label', 'L' || CAST(i AS VARCHAR)
+      |  FROM range(0, 12) t(i)
+      |), u AS (
+      |  SELECT w.s AS x, w.o AS org, NULL AS lbl FROM spo w WHERE w.p = 'worksFor'
+      |  UNION ALL
+      |  SELECT m.s, m.o, l.o FROM spo m JOIN spo l ON l.p = 'label' AND l.s = m.o
+      |  WHERE m.p = 'memberOf'
+      |)
+      |SELECT org, coalesce(lbl, '') AS lbl, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(count(lbl) AS BIGINT) AS n_labeled
+      |FROM u WHERE org IN ('o3', 'o6', 'o9')
+      |GROUP BY org, lbl""".stripMargin
+
+  /** DuckDB twin of q100: the OPTIONAL as a LEFT JOIN solution table,
+    * the CONSTRUCT template as three projections unioned + DISTINCT
+    * (the graph-set rule), the unbound-variable entry suppressed via
+    * IS NOT NULL.
+    */
+  private val q100Sql: String =
+    """WITH spo AS MATERIALIZED (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s, 'worksFor' AS p,
+      |         'o' || CAST(doc_id % 16 AS VARCHAR) AS o
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT 'o' || CAST(i AS VARCHAR), 'label', 'L' || CAST(i AS VARCHAR)
+      |  FROM range(0, 12) t(i)
+      |), sols AS (
+      |  SELECT w.s AS x, w.o AS org, l.o AS lbl
+      |  FROM spo w LEFT JOIN spo l ON l.p = 'label' AND l.s = w.o
+      |  WHERE w.p = 'worksFor'
+      |)
+      |SELECT DISTINCT s, p, o FROM (
+      |  SELECT x AS s, 'affiliatedWith' AS p, org AS o FROM sols
+      |  UNION ALL
+      |  SELECT org, 'displayName', lbl FROM sols WHERE lbl IS NOT NULL
+      |  UNION ALL
+      |  SELECT org, 'type', 'Organization' FROM sols
+      |)""".stripMargin
+
   /** DuckDB twin of q94: same synthesized spo table and planted
     * violations; the checks are independent relational formulations
     * (LEFT-JOIN count for cardinality, NOT IN for the node check —
@@ -3128,6 +3280,9 @@ object SparkEntry {
     "q95_bgp_optional" -> q95Sql,
     "q96_property_path" -> q96Sql,
     "q97_bgp_minus" -> q97Sql,
+    "q98_sameas_rewrite" -> q98Sql,
+    "q99_bgp_union_values" -> q99Sql,
+    "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),
     "q86_source_percentile" -> q86Sql,
     "q41_tfidf_topk" -> q41Sql,

@@ -215,6 +215,98 @@ object TripleOps {
       if (shared.isEmpty) acc else acc.join(m, shared, "left_anti")
     }
 
+  /** owl:sameAs canonicalization — the identity-resolution step of KG
+    * construction: cluster the `sameAsPred` link graph with
+    * [[KgPipeline.connectedComponents]] (alternating large-star/
+    * small-star, O(log n) rounds; sameAs is symmetric and transitive,
+    * which is exactly the connectivity closure), elect the
+    * lexicographic-minimum member as each cluster's canonical IRI, and
+    * rewrite EVERY other triple's subject and object onto the
+    * canonicals. Output is the set-deduped canonical graph with the
+    * consumed sameAs triples dropped.
+    *
+    * Scale shape: identity links are sparse relative to the corpus, so
+    * CC runs on the small predicate slice; the rewrite is two joins of
+    * the TB-sized triple table against the canonical map (AQE
+    * broadcasts it when small) plus the final set-dedup shuffle —
+    * which is the POINT of the operator: merging identities is what
+    * creates the duplicates the distinct removes. Entities with no
+    * sameAs link pass through via the left-join coalesce; literal
+    * objects never match the map and are untouched.
+    */
+  def sameAsCanonicalize(triples: DataFrame, sameAsPred: String = "sameAs"): DataFrame = {
+    val sa = triples.where(col("p") === sameAsPred)
+      .select(col("s").cast("string").as("a"), col("o").cast("string").as("b"))
+    val canon = KgPipeline.connectedComponents(sa)
+      .select(col("node"), col("component"))
+    val rest = triples.where(col("p") =!= sameAsPred).select(
+      col("s").cast("string").as("s"), col("p").cast("string").as("p"),
+      col("o").cast("string").as("o"))
+    rest
+      .join(canon.select(col("node").as("s"), col("component").as("sc")), Seq("s"), "left")
+      .join(canon.select(col("node").as("o"), col("component").as("oc")), Seq("o"), "left")
+      .select(coalesce(col("sc"), col("s")).as("s"), col("p"),
+        coalesce(col("oc"), col("o")).as("o"))
+      .distinct()
+  }
+
+  /** SPARQL UNION of BGP groups: solutions of every group, aligned on
+    * the union of their variable sets — a variable absent from a group
+    * is unbound (null) in that group's rows, the spec's semantics.
+    * SPARQL UNION is a bag union, but over a set-valued triple table
+    * each group is already duplicate-free; the cross-group result may
+    * repeat a binding found by two groups (kept — bag semantics; add
+    * `.distinct()` downstream for DISTINCT queries). Each group keeps
+    * [[bgp]]'s pushdown/join discipline; groups do NOT need to share
+    * variables (unlike OPTIONAL/joins, UNION never multiplies).
+    */
+  def bgpUnion(triples: DataFrame, groups: Seq[Seq[(String, String, String)]]): DataFrame = {
+    require(groups.nonEmpty, "empty UNION")
+    val solved = groups.map(bgp(triples, _))
+    val allVars = solved.flatMap(_.columns).distinct.sorted
+    solved.map { df =>
+      val have = df.columns.toSet
+      df.select(allVars.map(v =>
+        if (have(v)) col(v) else lit(null).cast("string").as(v)): _*)
+    }.reduceLeft(_ unionByName _)
+  }
+
+  /** SPARQL VALUES: restrict solutions to an inline binding table — a
+    * join on the shared variables (the spec's compatible-solution
+    * join). The binding table is query-sized by contract and is
+    * broadcast explicitly; bindings over variables the solutions don't
+    * carry are rejected (they could only cartesian-extend).
+    */
+  def values(solutions: DataFrame, bindings: DataFrame): DataFrame = {
+    val shared = solutions.columns.intersect(bindings.columns).toSeq
+    require(shared.nonEmpty, "VALUES shares no variable with the solutions")
+    solutions.join(broadcast(bindings.select(shared.map(col): _*).distinct()), shared)
+  }
+
+  /** SPARQL CONSTRUCT: instantiate a triple template per BGP solution —
+    * each template entry maps a solution to one (s, p, o) row, terms
+    * either constants or `?var` references into the solution columns —
+    * and set-dedup (CONSTRUCT emits an RDF GRAPH, a set). Solutions
+    * with an unbound (null) template variable emit nothing for that
+    * entry, the spec rule for OPTIONAL-fed templates. One projection
+    * per template entry + the graph-set distinct; no extra shuffles
+    * beyond the solutions' own plan.
+    */
+  def construct(solutions: DataFrame, template: Seq[(String, String, String)]): DataFrame = {
+    require(template.nonEmpty, "empty CONSTRUCT template")
+    val have = solutions.columns.toSet
+    template.flatMap(t => Seq(t._1, t._2, t._3)).filter(_.startsWith("?")).foreach(v =>
+      require(have(v.drop(1)), s"template variable $v not bound by the solutions"))
+    def term(t: String) =
+      if (t.startsWith("?")) col(t.drop(1)).cast("string") else lit(t)
+    template.map { case (ts, tp, to) =>
+      val bound = Seq(ts, tp, to).filter(_.startsWith("?"))
+        .map(t => col(t.drop(1)).isNotNull)
+      bound.foldLeft(solutions)(_ where _)
+        .select(term(ts).as("s"), term(tp).as("p"), term(to).as("o"))
+    }.reduceLeft(_ unionByName _).distinct()
+  }
+
   /** SPARQL property path `(p1|p2|…){1,maxHops}`: distinct (src, dst)
     * pairs connected by 1..maxHops edges whose predicate is in `preds`
     * (alternation = one isin slice; `p+` at corpus scale is always

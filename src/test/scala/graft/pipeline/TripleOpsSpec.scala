@@ -185,6 +185,65 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       yield ("abcde" (i).toString, "abcde" (j).toString)).toSet)
   }
 
+  test("sameAsCanonicalize: transitive identity cluster rewrites both ends; singletons pass; sameAs consumed") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(
+      ("c", "sameAs", "b"), ("b", "sameAs", "a"), // cluster {a,b,c}, canonical "a"
+      ("b", "name", "n1"), ("a", "name", "n1"),   // collapse to ONE canonical triple
+      ("c", "knows", "d"),                         // subject rewritten, object singleton kept
+      ("d", "name", "n2"),
+      ("e", "knows", "b")                          // object rewritten
+    ).toDF("s", "p", "o")
+    val got = TripleOps.sameAsCanonicalize(spo).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("a", "name", "n1"), ("a", "knows", "d"),
+      ("d", "name", "n2"), ("e", "knows", "a")))
+  }
+
+  test("bgpUnion aligns unshared variables as null; values restricts via inline bindings") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(
+      ("p1", "worksFor", "o1"), ("p2", "memberOf", "o2"), ("o2", "label", "L2"),
+      ("p3", "memberOf", "o3") // no label: second group does not match
+    ).toDF("s", "p", "o")
+    val u = TripleOps.bgpUnion(spo, Seq(
+      Seq(("?x", "worksFor", "?org")),
+      Seq(("?x", "memberOf", "?org"), ("?org", "label", "?lbl"))))
+    assert(u.columns.toSeq == Seq("lbl", "org", "x"))
+    val rows = u.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set((null, "o1", "p1"), ("L2", "o2", "p2")))
+    val v = TripleOps.values(u, Seq(("o1", "whatever")).toDF("org", "ignored"))
+    assert(v.select("x").collect().map(_.getString(0)).toSet == Set("p1"))
+    assertThrows[IllegalArgumentException] {
+      TripleOps.values(u, Seq(Tuple1("z")).toDF("unrelated"))
+    }
+  }
+
+  test("construct instantiates templates as a graph set; unbound optional vars emit nothing") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(
+      ("p1", "worksFor", "o1"), ("o1", "label", "L1"),
+      ("p2", "worksFor", "o2") // o2 unlabeled: OPTIONAL leaves ?lbl null
+    ).toDF("s", "p", "o")
+    val sols = TripleOps.bgpOptional(spo,
+      Seq(("?x", "worksFor", "?org")),
+      Seq(Seq(("?org", "label", "?lbl"))))
+    val g = TripleOps.construct(sols, Seq(
+      ("?x", "affiliatedWith", "?org"),
+      ("?org", "displayName", "?lbl")))
+    val got = g.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("p1", "affiliatedWith", "o1"), ("p2", "affiliatedWith", "o2"),
+      ("o1", "displayName", "L1"))) // no row for the unbound ?lbl of o2
+    assertThrows[IllegalArgumentException] {
+      TripleOps.construct(sols, Seq(("?x", "p", "?nosuch")))
+    }
+  }
+
   test("bgp: repeated variable within one pattern equi-filters; disjoint pattern rejected") {
     val s = spark
     import s.implicits._
