@@ -232,6 +232,7 @@ object SparkEntry {
     // integer both engines (length(bin(N div cnt)) - 1) — the log-scale
     // perplexity-filter signal with zero FP in the oracle output
     "q70_surprisal_bits" -> ((s, d) => CorpusOps.surprisalBits(t(s, d, "documents"))),
+    "q101_bigram_lm" -> ((s, d) => CorpusOps.bigramLmBits(t(s, d, "documents"))),
     // k-core of the q22 near-dup graph: iterative peeling to a
     // fixpoint (capped; non-convergence throws, the q26 rule) — the
     // density floor separating real clusters from incidental chains.
@@ -1632,6 +1633,44 @@ object SparkEntry {
       |  CAST(coalesce(ntok, 0) AS BIGINT) AS n_tokens,
       |  CAST(coalesce(bits, 0) AS BIGINT) AS surprisal_bits,
       |  CAST(CASE WHEN coalesce(ntok, 0) > 0 THEN bits * 100 // ntok ELSE 0 END AS BIGINT) AS mean_centibits
+      |FROM documents d LEFT JOIN perdoc USING (doc_id)""".stripMargin
+
+  /** DuckDB twin of q101: same tokenization (q70's), bigrams via the
+    * list `range` (empty when start > stop — the Spark side guards
+    * with CASE because `sequence` DESCENDS there), same add-one
+    * smoothed whole-bit conditional `floor(log2((c1+V) // (c2+1)))`
+    * with the HUGEINT quotient cast to BIGINT before bin() (the q70
+    * rule).
+    */
+  private def q101Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+      |  FROM documents
+      |), bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i + 1])) AS b
+      |  FROM base
+      |), c2 AS (
+      |  SELECT b, count(*) AS c2 FROM bg WHERE doc_id % 2 = 0 GROUP BY b
+      |), c1 AS (
+      |  SELECT split_part(b, ' ', 1) AS w1, sum(c2) AS c1 FROM c2 GROUP BY 1
+      |), voc AS (
+      |  SELECT count(DISTINCT t) AS v
+      |  FROM (SELECT unnest(words) AS t FROM base WHERE doc_id % 2 = 0)
+      |), k AS (
+      |  SELECT bg.doc_id,
+      |    length(bin(CAST((coalesce(c1.c1, 0) + v) // (coalesce(c2.c2, 0) + 1) AS BIGINT))) - 1 AS k
+      |  FROM bg
+      |  LEFT JOIN c2 USING (b)
+      |  LEFT JOIN c1 ON c1.w1 = split_part(bg.b, ' ', 1)
+      |  CROSS JOIN voc
+      |), perdoc AS (
+      |  SELECT doc_id, count(*) AS nbg, sum(k) AS bits FROM k GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(nbg, 0) AS BIGINT) AS n_bigrams,
+      |  CAST(coalesce(bits, 0) AS BIGINT) AS lm_bits,
+      |  CAST(CASE WHEN coalesce(nbg, 0) > 0 THEN bits * 100 // nbg ELSE 0 END AS BIGINT) AS mean_centibits
       |FROM documents d LEFT JOIN perdoc USING (doc_id)""".stripMargin
 
   /** DuckDB twin of q71 (k-core): same q22 pair graph, the peel cap
@@ -3255,6 +3294,7 @@ object SparkEntry {
     "q39_pack_chunks" -> q39Sql(),
     "q40_bigram_lm" -> q40Sql,
     "q70_surprisal_bits" -> q70Sql,
+    "q101_bigram_lm" -> q101Sql,
     "q71_kcore" -> q71Sql(),
     "q72_phrase_search" -> q72Sql(),
     "q73_crawl_schedule" -> q73Sql(),

@@ -213,6 +213,64 @@ object CorpusOps {
           .as("mean_centibits"))
   }
 
+  /** CCNet-style bigram language-model quality scoring (Wenzek et al.
+    * 2020, arXiv:1911.00359 — there a 5-gram KenLM; the bigram order
+    * keeps the model corpus-trainable here while preserving the
+    * operator shape): train add-one-smoothed bigram surprisals on the
+    * deterministic `doc_id % 2 = 0` half, score EVERY document by its
+    * mean bits-per-bigram under that model — low mean bits ≈ fluent,
+    * in-distribution text; high ≈ noise (the CCNet head/middle/tail
+    * cut is a quantile over exactly this score).
+    *
+    * Cross-engine exactness: per-bigram bits are the q70 whole-bit
+    * primitive applied to the smoothed conditional —
+    * `floor(log2((c1+V) div (c2+1)))` via `length(bin(·)) − 1`, exact
+    * in both engines; `c2 ≤ c1` and `V ≥ 1` keep the quotient ≥ 1.
+    * Bigrams are built INSIDE a once-per-row transform over the token
+    * array (the q34 Generate-narrowing exception; Spark `sequence`
+    * DESCENDS when start > stop, hence the size guard — DuckDB's
+    * list `range` is empty there).
+    *
+    * Scale shape: training is ONE map-side-combinable groupBy over the
+    * train half's bigrams; the context table c1 derives from the
+    * MODEL (sum of c2 over the left word), not a second corpus pass;
+    * V is a distinct-count scalar. Scoring is two model joins (AQE
+    * broadcasts them when vocab-bounded) + one doc-keyed count/sum.
+    */
+  def bigramLmBits(documents: DataFrame): DataFrame = {
+    val w = col("words")
+    val bigramsExpr = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val base = documents.select(col("doc_id"), wordsExpr.as("words"))
+      .select(col("doc_id"), bigramsExpr.as("bigrams"), col("words"))
+    val train = base.where(pmod(col("doc_id"), lit(2)) === 0)
+    val c2 = train.select(explode(col("bigrams")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(substring_index(col("b"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    val vocab = train.select(explode(col("words")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val scored = base.select(col("doc_id"), explode(col("bigrams")).as("b"))
+      .join(c2, Seq("b"), "left")
+      .withColumn("w1", substring_index(col("b"), " ", 1))
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        (length(bin(expr("(coalesce(c1, 0) + v) div (coalesce(c2, 0) + 1)"))) - 1)
+          .cast("bigint").as("k"))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nbg"), sum(col("k")).as("bits"))
+    documents.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nbg"), lit(0L)).cast("bigint").as("n_bigrams"),
+        coalesce(col("bits"), lit(0L)).cast("bigint").as("lm_bits"),
+        expr("CAST(CASE WHEN coalesce(nbg, 0) > 0 THEN bits * 100 div nbg ELSE 0 END AS BIGINT)")
+          .as("mean_centibits"))
+  }
+
   /** DSIR-style data selection scoring (Xie et al. 2023,
     * arXiv:2302.03169 "Data Selection for Language Models via
     * Importance Resampling"): score each raw document by how much its

@@ -1388,6 +1388,33 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L) == ((0L, 0L, 0L)), out(4L).toString)
   }
 
+  test("bigram-LM bits: add-one smoothed conditionals on the train half, unseen backoff, empties zero") {
+    val s = spark
+    import s.implicits._
+    // Train half = even doc_ids: doc 0 "a b a b", doc 2 "a c".
+    // Model: c2("a b")=2, c2("b a")=1, c2("a c")=1; c1(a)=3, c1(b)=1; V=|{a,b,c}|=3.
+    // k = floor(log2((c1+V) div (c2+1))):
+    //   "a b" -> (3+3) div 3 = 2 -> 1;  "b a" -> (1+3) div 2 = 2 -> 1
+    //   "a c" -> (3+3) div 2 = 3 -> 1;  "b x" (unseen bigram, seen ctx) -> 4 div 1 = 4 -> 2
+    //   "z z" (unseen ctx) -> (0+3) div 1 = 3 -> 1
+    val d = Seq(
+      (0L, "a b a b"), // bits 1+1+1=3, nbg 3, mean 100
+      (2L, "a c"),     // bits 1, nbg 1, mean 100
+      (1L, "a b x"),   // score-only: 1 + 2 = 3, nbg 2, mean 150
+      (5L, "z z"),     // score-only, fully unseen: 1, nbg 1, mean 100
+      (3L, "")         // no bigrams
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.bigramLmBits(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // (n_bigrams, lm_bits, mean_centibits)
+    assert(out(0L) == ((3L, 3L, 100L)), out(0L).toString)
+    assert(out(2L) == ((1L, 1L, 100L)), out(2L).toString)
+    assert(out(1L) == ((2L, 3L, 150L)), out(1L).toString)
+    assert(out(5L) == ((1L, 1L, 100L)), out(5L).toString)
+    assert(out(3L) == ((0L, 0L, 0L)), out(3L).toString)
+  }
+
   test("tf-idf top-k: integer tf-over-df scores, deterministic ties, k bound") {
     val s = spark
     import s.implicits._
