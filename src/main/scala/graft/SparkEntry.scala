@@ -395,6 +395,50 @@ object SparkEntry {
         ("?org", "type", "Organization")))
         .select("s", "p", "o")
     }),
+    // SPARQL FILTER EXISTS / NOT EXISTS chained over the q97 employment
+    // graph: employed persons (EXISTS worksFor) none of whose employers
+    // carry a label (NOT EXISTS worksFor⋈label) — labels stop at o11,
+    // so only even docs with doc_id % 16 in 12..15 survive; both
+    // polarities are semi/anti joins on the shared ?person variable
+    "q102_bgp_exists" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.select(dId.as("s"), lit("name").as("p"),
+          concat(lit("n"), pmod(col("doc_id"), lit(100))).as("o"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select(dId.as("s"), lit("worksFor").as("p"),
+            concat(lit("o"), pmod(col("doc_id"), lit(16))).as("o")))
+        .unionByName(s.range(0, 12).select(
+          concat(lit("o"), col("id")).as("s"), lit("label").as("p"),
+          concat(lit("L"), col("id")).as("o")))
+      val base = TripleOps.bgp(spo, Seq(("?person", "name", "?name")))
+      val employed = TripleOps.filterExists(base, spo,
+        Seq(("?person", "worksFor", "?org")))
+      TripleOps.filterExists(employed, spo,
+        Seq(("?person", "worksFor", "?org"), ("?org", "label", "?lbl")),
+        negate = true)
+        .select(col("person"), col("name"))
+    }),
+    // SPARQL solution modifiers: org headcount (GROUP BY + aggregate
+    // over a UNION of affiliation lanes) through the SELECT tail —
+    // ORDER BY n DESC with the org tiebreak (total order: LIMIT is
+    // deterministic), OFFSET 2, LIMIT 5; sort+limit collapses to
+    // per-partition top-k heaps, never a global sort
+    "q103_bgp_topk" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select(dId.as("s"), lit("worksFor").as("p"),
+            concat(lit("o"), pmod(col("doc_id"), lit(16))).as("o"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(3)) === 0)
+          .select(dId.as("s"), lit("memberOf").as("p"),
+            concat(lit("o"), pmod(col("doc_id"), lit(12))).as("o")))
+      val sols = TripleOps.bgpUnion(spo, Seq(
+        Seq(("?x", "worksFor", "?org")), Seq(("?x", "memberOf", "?org"))))
+      val counts = sols.groupBy(col("org")).agg(countDistinct(col("x")).as("n"))
+      TripleOps.solutionModifiers(counts,
+        orderBy = Seq(("n", false), ("org", true)), offset = 2, limit = 5)
+    }),
     // learned spam/quality classifier: integer multinomial Naive
     // Bayes in whole-bit surprisals (the q70 primitive) — label-1
     // docs carry planted spam tokens, the model trains on the
@@ -2012,6 +2056,51 @@ object SparkEntry {
       |    SELECT 1 FROM spo w JOIN spo l ON l.p = 'label' AND l.s = w.o
       |    WHERE w.p = 'worksFor' AND w.s = n.s)""".stripMargin
 
+  /** DuckDB twin of q102: the same spo fixture as q97, EXISTS and NOT
+    * EXISTS as native correlated subqueries — DuckDB's independent
+    * decorrelation vs the Spark side's explicit semi/anti joins.
+    */
+  private val q102Sql: String =
+    """WITH spo AS (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s, 'name' AS p,
+      |         'n' || CAST(doc_id % 100 AS VARCHAR) AS o FROM documents
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'worksFor',
+      |         'o' || CAST(doc_id % 16 AS VARCHAR) FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT 'o' || CAST(i AS VARCHAR), 'label', 'L' || CAST(i AS VARCHAR)
+      |  FROM range(0, 12) t(i)
+      |)
+      |SELECT n.s AS person, n.o AS name
+      |FROM spo n
+      |WHERE n.p = 'name'
+      |  AND EXISTS (SELECT 1 FROM spo w WHERE w.p = 'worksFor' AND w.s = n.s)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM spo w JOIN spo l ON l.p = 'label' AND l.s = w.o
+      |    WHERE w.p = 'worksFor' AND w.s = n.s)""".stripMargin
+
+  /** DuckDB twin of q103: same UNION-of-lanes solution set, native
+    * GROUP BY + ORDER BY + LIMIT/OFFSET — the (n DESC, org ASC)
+    * ordering is total (org ids are distinct), so the selected slice
+    * is deterministic in both engines.
+    */
+  private val q103Sql: String =
+    """WITH spo AS (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s, 'worksFor' AS p,
+      |         'o' || CAST(doc_id % 16 AS VARCHAR) AS o FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'memberOf',
+      |         'o' || CAST(doc_id % 12 AS VARCHAR) FROM documents WHERE doc_id % 3 = 0
+      |), sols AS (
+      |  SELECT s AS x, o AS org FROM spo WHERE p = 'worksFor'
+      |  UNION ALL
+      |  SELECT s, o FROM spo WHERE p = 'memberOf'
+      |)
+      |SELECT org, count(DISTINCT x) AS n
+      |FROM sols GROUP BY org
+      |ORDER BY n DESC, org ASC
+      |LIMIT 5 OFFSET 2""".stripMargin
+
   /** DuckDB twin of q98: q32-style recursive-CTE min-label components
     * over the symmetrized sameAs slice, then the rewrite as two LEFT
     * JOINs + coalesce + DISTINCT — an independent relational
@@ -3321,6 +3410,8 @@ object SparkEntry {
     "q96_property_path" -> q96Sql,
     "q97_bgp_minus" -> q97Sql,
     "q98_sameas_rewrite" -> q98Sql,
+    "q102_bgp_exists" -> q102Sql,
+    "q103_bgp_topk" -> q103Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

@@ -215,6 +215,76 @@ object TripleOps {
       if (shared.isEmpty) acc else acc.join(m, shared, "left_anti")
     }
 
+  /** SPARQL FILTER EXISTS / NOT EXISTS: keep (negate=false) or drop
+    * (negate=true) solutions for which the filter group — with the
+    * solution's bindings substituted — has at least one match. Over
+    * BGP solutions (bindings never null) substitution is exactly a
+    * semi/anti join on the shared variables, so both polarities are
+    * one shuffle-or-broadcast join with no row multiplication.
+    *
+    * Composable over a SOLUTIONS frame (the algebra's Filter applies
+    * to any group graph pattern's solutions), so EXISTS and NOT
+    * EXISTS chain over [[bgp]]/[[bgpOptional]]/[[bgpUnion]] output.
+    *
+    * The spec-famous divergence from [[bgpMinus]] is the
+    * disjoint-domain case: a group sharing NO variable is evaluated
+    * as a CLOSED pattern — if it matches anything at all, EXISTS
+    * keeps every solution and NOT EXISTS drops every one (whereas
+    * MINUS removes nothing there). That case reduces to a ≤1-row
+    * broadcast gate (`limit(1)`) — the q80 bounded-probe shape, an
+    * intentional 1-row nested loop, never a data-sized cartesian.
+    */
+  def filterExists(solutions: DataFrame, triples: DataFrame,
+      group: Seq[(String, String, String)], negate: Boolean = false): DataFrame = {
+    val g = bgp(triples, group)
+    val shared = solutions.columns.intersect(g.columns).toSeq
+    if (shared.nonEmpty)
+      solutions.join(g, shared, if (negate) "left_anti" else "left_semi")
+    else {
+      val gate = broadcast(g.limit(1).select(lit(1).as("__exists")))
+      if (negate)
+        solutions.join(gate, lit(true), "left").where(col("__exists").isNull)
+          .select(solutions.columns.map(col): _*)
+      else
+        solutions.join(gate, lit(true), "inner")
+          .select(solutions.columns.map(col): _*)
+    }
+  }
+
+  /** SPARQL solution modifiers — the SELECT-clause tail (DISTINCT →
+    * ORDER BY → OFFSET → LIMIT, the spec's application order) as one
+    * operator over any solution frame. Sort-then-limit collapses to
+    * TakeOrderedAndProject (per-partition top-(offset+limit) heaps, no
+    * global sort materialization), so a top-k over a TB solution set
+    * moves k rows per partition, not the set.
+    *
+    * Determinism discipline: when LIMIT/OFFSET is set the ordering
+    * must be TOTAL (include a tiebreak column — SPARQL leaves
+    * equal-key order undefined, a value-exact pipeline must not), and
+    * this is asserted, not assumed: `orderBy` must be non-empty.
+    */
+  def solutionModifiers(solutions: DataFrame, distinct: Boolean = false,
+      orderBy: Seq[(String, Boolean)] = Nil, offset: Int = 0,
+      limit: Int = -1): DataFrame = {
+    require(limit < 0 && offset == 0 || orderBy.nonEmpty,
+      "LIMIT/OFFSET without ORDER BY selects a nondeterministic slice")
+    val d = if (distinct) solutions.distinct() else solutions
+    val ordered =
+      if (orderBy.isEmpty) d
+      else d.orderBy(orderBy.map { case (v, asc) =>
+        if (asc) col(v).asc else col(v).desc }: _*)
+    val off = if (offset > 0) ordered.offset(offset) else ordered
+    if (limit >= 0) off.limit(limit) else off
+  }
+
+  /** SPARQL ASK: does the BGP have at least one solution? One row,
+    * one boolean column — `limit(1)` bounds the scan (the engine
+    * short-circuits the first match through the whole plan).
+    */
+  def ask(triples: DataFrame, patterns: Seq[(String, String, String)]): DataFrame =
+    bgp(triples, patterns).limit(1)
+      .agg(count(lit(1)).as("n")).select((col("n") > 0).as("matched"))
+
   /** owl:sameAs canonicalization — the identity-resolution step of KG
     * construction: cluster the `sameAsPred` link graph with
     * [[KgPipeline.connectedComponents]] (alternating large-star/

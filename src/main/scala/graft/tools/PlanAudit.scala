@@ -31,6 +31,8 @@ object PlanAudit {
                        // per-doc scores × 1-row broadcast prior frame
                        // — both the sanctioned q47/q62/q70 scalar
                        // shape (global constants attached map-side)
+    "q101_bigram_lm", // scored bigrams × 1-row broadcast vocab-size
+                      // frame — the q47/q62/q70 scalar shape
     "q91_rdfs_closure") // the FIXTURE's domain map is one row with a
                         // constant prop key — Catalyst folds the
                         // equi-condition away, leaving the bounded

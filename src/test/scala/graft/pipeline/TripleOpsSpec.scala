@@ -162,6 +162,54 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(noop.count() == 3L)
   }
 
+  test("filterExists: semi/anti on shared vars; disjoint group is a CLOSED gate, unlike MINUS") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(
+      ("d1", "name", "alice"), ("d2", "name", "bob"), ("d3", "name", "carol"),
+      ("d1", "worksFor", "o1"), ("o1", "label", "L1"),
+      ("d2", "worksFor", "oX") // unlabeled org
+    ).toDF("s", "p", "o")
+    val base = TripleOps.bgp(spo, Seq(("?person", "name", "?name")))
+    // EXISTS { ?person worksFor ?org } -> d1, d2
+    val employed = TripleOps.filterExists(base, spo, Seq(("?person", "worksFor", "?org")))
+    assert(employed.select("person").collect().map(_.getString(0)).toSet == Set("d1", "d2"))
+    // chained: employed AND NOT EXISTS labeled employer -> d2 only
+    val unlabeled = TripleOps.filterExists(employed, spo,
+      Seq(("?person", "worksFor", "?org"), ("?org", "label", "?lbl")), negate = true)
+    assert(unlabeled.select("person").collect().map(_.getString(0)).toSet == Set("d2"))
+    // disjoint-domain divergence from MINUS: the closed group matches
+    // somewhere, so NOT EXISTS drops EVERYTHING (MINUS keeps all 3)
+    val closed = Seq(("?a", "label", "?b"))
+    assert(TripleOps.filterExists(base, spo, closed, negate = true).count() == 0L)
+    assert(TripleOps.filterExists(base, spo, closed).count() == 3L)
+    // and a closed group with NO match: EXISTS empty, NOT EXISTS all
+    val nomatch = Seq(("?a", "ceoOf", "?b"))
+    assert(TripleOps.filterExists(base, spo, nomatch).count() == 0L)
+    assert(TripleOps.filterExists(base, spo, nomatch, negate = true).count() == 3L)
+  }
+
+  test("solutionModifiers: distinct->order->offset->limit; unordered slice rejected; ask short-circuits") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(
+      ("d1", "score", "30"), ("d2", "score", "20"), ("d3", "score", "20"),
+      ("d4", "score", "10"), ("d1", "score", "30") // duplicate binding
+    ).toDF("s", "p", "o")
+    val sols = TripleOps.bgp(spo, Seq(("?doc", "score", "?sc")))
+    // distinct collapses the dup; order desc by score with doc tiebreak;
+    // offset 1 limit 2 -> rows 2 and 3 of (d1,30),(d2,20),(d3,20),(d4,10)
+    val out = TripleOps.solutionModifiers(sols, distinct = true,
+      orderBy = Seq(("sc", false), ("doc", true)), offset = 1, limit = 2)
+      .collect().map(r => (r.getAs[String]("doc"), r.getAs[String]("sc")))
+    assert(out.toSet == Set(("d2", "20"), ("d3", "20")), out.mkString(","))
+    intercept[IllegalArgumentException] {
+      TripleOps.solutionModifiers(sols, limit = 2)
+    }
+    assert(TripleOps.ask(spo, Seq(("?x", "score", "30"))).collect()(0).getBoolean(0))
+    assert(!TripleOps.ask(spo, Seq(("?x", "score", "99"))).collect()(0).getBoolean(0))
+  }
+
   test("boundedPath: min-hop dedup under the cap; alternation; fixpoint early-exit") {
     val s = spark
     import s.implicits._
