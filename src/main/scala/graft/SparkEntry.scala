@@ -545,6 +545,17 @@ object SparkEntry {
       GraphOps.trustRank(edges, seeds, iters = 3, k = 20)
         .select(col("node").as("domain"), col("t"), col("rank"))
     }),
+    // HITS hubs/authorities over the DIRECTED q83 domain graph (no
+    // symmetrization — the q84 contrast): sites score as hubs,
+    // word-domains as authorities; integer max-rescale per half-step
+    "q104_hits" -> ((s, d) => {
+      val g = SparkEntry.queries("q83_link_graph")(s, d)
+      GraphOps.hits(
+        g.where(col("is_internal") === 0L)
+          .select(col("src_domain").as("src"), col("dst_domain").as("dst")),
+        iters = 3, k = 20)
+        .select(col("node").as("domain"), col("auth"), col("hub"), col("rank"))
+    }),
     // per-source percentile calibration: exact within-source percentile
     // rank via the q73 two-phase bucketed decomposition — the oracle is
     // the NAIVE per-source window (the q63/q73 rule)
@@ -1868,6 +1879,41 @@ object SparkEntry {
        |  CAST(count(*) AS BIGINT) AS n_pages,
        |  CAST(CASE WHEN src_domain = dst_domain THEN 1 ELSE 0 END AS BIGINT) AS is_internal
        |FROM pp GROUP BY 1, 2""".stripMargin
+  }
+
+  /** DuckDB twin of q104 (HITS): the q83 directed domain graph, each
+    * half-step unrolled as CTEs. Raw-sum CTEs are MATERIALIZED — each
+    * is consumed twice (the rescale join AND the scalar max subquery,
+    * the q71 multi-consumer rule); the rescale divisor
+    * `greatest(max(s) // 1000000, 1)` is the q68 non-negative
+    * truncating-div regime, HUGEINT sums cast to BIGINT only after
+    * the division (the q70 rule).
+    */
+  private def q104Sql(iters: Int = 3, k: Int = 20): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT e.dst AS node, sum(h.h) AS s FROM e0 e JOIN h${i - 1} h ON h.node = e.src GROUP BY e.dst
+         |), a$i AS MATERIALIZED (
+         |  SELECT n.node, CAST(coalesce(r.s, 0) // greatest((SELECT max(s) FROM ar$i) // 1000000, 1) AS BIGINT) AS a
+         |  FROM nodes n LEFT JOIN ar$i r USING (node)
+         |), hr$i AS MATERIALIZED (
+         |  SELECT e.src AS node, sum(a.a) AS s FROM e0 e JOIN a$i a ON a.node = e.dst GROUP BY e.src
+         |), h$i AS MATERIALIZED (
+         |  SELECT n.node, CAST(coalesce(r.s, 0) // greatest((SELECT max(s) FROM hr$i) // 1000000, 1) AS BIGINT) AS h
+         |  FROM nodes n LEFT JOIN hr$i r USING (node)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH g AS MATERIALIZED (${q83Sql}),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT src_domain AS src, dst_domain AS dst FROM g
+       |  WHERE src_domain <> dst_domain
+       |), nodes AS MATERIALIZED (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+       |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+       |$rounds
+       |SELECT node AS domain, a AS auth, h AS hub, CAST(rank AS BIGINT) AS rank
+       |FROM (SELECT a$iters.node AS node, a, h, row_number() OVER (ORDER BY a DESC, a$iters.node) AS rank
+       |      FROM a$iters JOIN h$iters ON h$iters.node = a$iters.node)
+       |WHERE rank <= $k""".stripMargin
   }
 
   /** DuckDB twin of q86: the NAIVE per-source window rank — the q73
@@ -3399,6 +3445,7 @@ object SparkEntry {
     "q83_link_graph" -> q83Sql,
     "q84_domain_pagerank" -> q84Sql(),
     "q87_trustrank" -> q87Sql(),
+    "q104_hits" -> q104Sql(),
     "q88_template_lines" -> q88Sql(),
     "q89_main_content" -> q89Sql(),
     "q90_rendezvous_shards" -> q90Sql(),

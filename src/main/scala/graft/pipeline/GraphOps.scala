@@ -310,4 +310,62 @@ object GraphOps {
         row_number().over(Window.orderBy(col("t").desc, col("node").asc)))
       .select(col("node"), col("t"), col("rank").cast("bigint").as("rank"))
   }
+
+  /** HITS hubs & authorities (Kleinberg, JACM 46(5) 1999) — the
+    * mutually-reinforcing bipartite scoring PageRank can't express:
+    * a(v) = Σ_{u→v} h(u), h(u) = Σ_{u→v} a(v), alternating, each
+    * half-step rescaled. On the crawl's DIRECTED site→content graph
+    * this needs no symmetrization (the q84 workaround) — directories
+    * score as hubs, cited domains as authorities.
+    *
+    * Exact-integer normalization: in place of the usual FP L2 norm,
+    * each half-step divides by `greatest(max(s) div 1_000_000, 1)` —
+    * truncating div on non-negative operands, identical both engines
+    * (the q68 non-negative regime), and overflow-free: scores stay
+    * ≤ ~1e6 so a degree-d sum is ≤ d·1e6, never multiplied back up.
+    * The max is a 1-row broadcast scalar frame (the sanctioned
+    * q47/q62/q70 shape — a global constant attached map-side, not an
+    * unpartitioned window funnel).
+    *
+    * Scale shape: per round, two edge-keyed equi-join + map-side-
+    * combinable groupBy passes (one per direction) and two scalar
+    * maxes; edges/nodes materialized once, per-round lineage
+    * truncated (the q26 rule). Nodes missing a side coalesce to 0 —
+    * both engines carry the full node set every round.
+    */
+  def hits(edges0: DataFrame, iters: Int = 3, k: Int = 20): DataFrame = {
+    require(iters >= 1 && iters <= 10, "iterations in [1,10]")
+    val edges = edges0
+      .select(col("src").cast("string").as("src"), col("dst").cast("string").as("dst"))
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    def rescale(raw: DataFrame, out: String): DataFrame = {
+      val scale = raw.agg(greatest(expr("max(s) div 1000000"), lit(1L)).as("scale"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(scale))
+        .select(col("node"),
+          expr("CAST(coalesce(s, 0) div scale AS BIGINT)").as(out))
+        .localCheckpoint(true) // bounded lineage across iterations
+    }
+    var hub = nodes.withColumn("h", lit(1000000L))
+    var auth = nodes.withColumn("a", lit(0L))
+    for (_ <- 1 to iters) {
+      auth = rescale(
+        edges.join(hub.select(col("node").as("src"), col("h")), Seq("src"))
+          .groupBy(col("dst")).agg(sum(col("h")).as("s"))
+          .select(col("dst").as("node"), col("s")), "a")
+      hub = rescale(
+        edges.join(auth.select(col("node").as("dst"), col("a")), Seq("dst"))
+          .groupBy(col("src")).agg(sum(col("a")).as("s"))
+          .select(col("src").as("node"), col("s")), "h")
+    }
+    auth.join(hub, Seq("node"))
+      .orderBy(col("a").desc, col("node").asc).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("a").desc, col("node").asc)))
+      .select(col("node"), col("a").as("auth"), col("h").as("hub"),
+        col("rank").cast("bigint").as("rank"))
+  }
 }

@@ -33,6 +33,8 @@ object PlanAudit {
                        // shape (global constants attached map-side)
     "q101_bigram_lm", // scored bigrams × 1-row broadcast vocab-size
                       // frame — the q47/q62/q70 scalar shape
+    "q104_hits", // per-half-step 1-row broadcast max-rescale frame —
+                 // the same sanctioned scalar shape, twice per round
     "q91_rdfs_closure") // the FIXTURE's domain map is one row with a
                         // constant prop key — Catalyst folds the
                         // equi-condition away, leaving the bounded

@@ -481,6 +481,21 @@ class EventCorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq(("a", 872500L, 1L), ("b", 127500L, 2L)), got.toSeq.toString)
   }
 
+  test("hits: alternating integer-rescaled hub/authority steps match hand computation; self-loops drop") {
+    val s = spark
+    import s.implicits._
+    // bipartite h1->{x,y}, h2->y (+ a self-loop that must drop):
+    //   r1: aRaw x=1e6 y=2e6, scale 2 -> a x=500000 y=1000000
+    //       hRaw h1=1.5e6 h2=1e6, scale 1 -> h as-is
+    //   r2: aRaw x=1.5e6 y=2.5e6, scale 2 -> a x=750000 y=1250000
+    //       hRaw h1=2e6 h2=1.25e6, scale 2 -> h h1=1000000 h2=625000
+    val e = Seq(("h1", "x"), ("h1", "y"), ("h2", "y"), ("x", "x")).toDF("src", "dst")
+    val got = GraphOps.hits(e, iters = 2, k = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("y", 1250000L, 0L, 1L), ("x", 750000L, 0L, 2L),
+      ("h1", 0L, 1000000L, 3L), ("h2", 0L, 625000L, 4L)), got.toSeq.toString)
+  }
+
   test("kCore: iterative peeling reaches the fixpoint, not just the degree filter") {
     // triangle {1,2,3} with tail 3-4-5: after round 1 node 5 drops
     // (deg 1), which EXPOSES 4 at deg 1 — only a second peel round
