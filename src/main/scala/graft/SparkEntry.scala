@@ -439,6 +439,30 @@ object SparkEntry {
       TripleOps.solutionModifiers(counts,
         orderBy = Seq(("n", false), ("org", true)), offset = 2, limit = 5)
     }),
+    // SPARQL aggregates over solutions: per-group COUNT (bag), COUNT
+    // DISTINCT, MIN, GROUP_CONCAT + HAVING — GROUP_CONCAT is the
+    // aggregate with the spec-undefined element order, pinned here by
+    // sorting the distinct member set (the q67/q77 determinism rule);
+    // output serializes as a comma STRING (the q79 rule: array columns
+    // hash-mismatch across engines even when equal)
+    "q105_bgp_aggregates" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select(dId.as("s"), lit("worksFor").as("p"),
+            concat(lit("o"), pmod(col("doc_id"), lit(16))).as("o"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(3)) === 0)
+          .select(dId.as("s"), lit("memberOf").as("p"),
+            concat(lit("o"), pmod(col("doc_id"), lit(12))).as("o")))
+      val sols = TripleOps.bgpUnion(spo, Seq(
+        Seq(("?x", "worksFor", "?org")), Seq(("?x", "memberOf", "?org"))))
+      sols.groupBy(col("org"))
+        .agg(count(lit(1)).as("n_affil"),
+          countDistinct(col("x")).as("n_members"),
+          min(col("x")).as("first_member"),
+          array_join(array_sort(collect_set(col("x"))), ",").as("members"))
+        .where(col("n_members") >= 2)
+    }),
     // learned spam/quality classifier: integer multinomial Naive
     // Bayes in whole-bit surprisals (the q70 primitive) — label-1
     // docs carry planted spam tokens, the model trains on the
@@ -555,6 +579,17 @@ object SparkEntry {
           .select(col("src_domain").as("src"), col("dst_domain").as("dst")),
         iters = 3, k = 20)
         .select(col("node").as("domain"), col("auth"), col("hub"), col("rank"))
+    }),
+    // label-propagation communities over the symmetrized q83 host
+    // graph: fixed sync rounds (oscillation-proof determinism), the
+    // (count DESC, label ASC) argmax total per node
+    "q106_lpa_communities" -> ((s, d) => {
+      val g = SparkEntry.queries("q83_link_graph")(s, d)
+      GraphOps.labelPropagation(
+        g.where(col("is_internal") === 0L)
+          .select(col("src_domain").as("src"), col("dst_domain").as("dst")),
+        iters = 4)
+        .select(col("node").as("domain"), col("community"))
     }),
     // per-source percentile calibration: exact within-source percentile
     // rank via the q73 two-phase bucketed decomposition — the oracle is
@@ -1916,6 +1951,37 @@ object SparkEntry {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** DuckDB twin of q106 (LPA): the symmetrized q83 graph (the
+    * q84/q87 e0 form), fixed sync rounds unrolled as CTEs; the
+    * per-round argmax replays as the identical
+    * row_number() OVER (PARTITION BY src ORDER BY c DESC, lab)
+    * window — total order per node, so rn = 1 is deterministic in
+    * both engines. Round count changes must regenerate the SQL (the
+    * q56 rule).
+    */
+  private def q106Sql(iters: Int = 4): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.src, l.lab, count(*) AS c FROM e0 e JOIN l${i - 1} l ON l.node = e.dst GROUP BY e.src, l.lab
+         |), l$i AS MATERIALIZED (
+         |  SELECT src AS node, lab FROM (
+         |    SELECT src, lab, row_number() OVER (PARTITION BY src ORDER BY c DESC, lab) AS rn FROM c$i)
+         |  WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH g AS MATERIALIZED (${q83Sql}),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src_domain AS src, dst_domain AS dst FROM g WHERE src_domain <> dst_domain
+       |    UNION ALL
+       |    SELECT dst_domain, src_domain FROM g WHERE src_domain <> dst_domain
+       |  )
+       |), nodes AS (SELECT DISTINCT src AS node FROM e0),
+       |l0 AS (SELECT node, node AS lab FROM nodes),
+       |$rounds
+       |SELECT node AS domain, lab AS community FROM l$iters""".stripMargin
+  }
+
   /** DuckDB twin of q86: the NAIVE per-source window rank — the q73
     * rule: the oracle never replays the two-phase bucket decomposition
     * under test; it must cancel exactly. Same lexical-diversity score,
@@ -2146,6 +2212,33 @@ object SparkEntry {
       |FROM sols GROUP BY org
       |ORDER BY n DESC, org ASC
       |LIMIT 5 OFFSET 2""".stripMargin
+
+  /** DuckDB twin of q105: bag count from the raw solution set,
+    * distinct-member stats from a pre-deduped grid (DuckDB's
+    * string_agg can't combine DISTINCT with ORDER BY — the grid makes
+    * the dedup explicit and the ORDER BY total), members as a comma
+    * string per the q79 rule.
+    */
+  private val q105Sql: String =
+    """WITH spo AS (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s, 'worksFor' AS p,
+      |         'o' || CAST(doc_id % 16 AS VARCHAR) AS o FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'memberOf',
+      |         'o' || CAST(doc_id % 12 AS VARCHAR) FROM documents WHERE doc_id % 3 = 0
+      |), sols AS (
+      |  SELECT s AS x, o AS org FROM spo WHERE p = 'worksFor'
+      |  UNION ALL
+      |  SELECT s, o FROM spo WHERE p = 'memberOf'
+      |), grid AS (SELECT DISTINCT org, x FROM sols),
+      |per_org AS (
+      |  SELECT org, count(*) AS n_members, min(x) AS first_member,
+      |         string_agg(x, ',' ORDER BY x) AS members
+      |  FROM grid GROUP BY org
+      |), bag AS (SELECT org, count(*) AS n_affil FROM sols GROUP BY org)
+      |SELECT b.org, b.n_affil, p.n_members, p.first_member, p.members
+      |FROM bag b JOIN per_org p USING (org)
+      |WHERE p.n_members >= 2""".stripMargin
 
   /** DuckDB twin of q98: q32-style recursive-CTE min-label components
     * over the symmetrized sameAs slice, then the rewrite as two LEFT
@@ -3446,6 +3539,7 @@ object SparkEntry {
     "q84_domain_pagerank" -> q84Sql(),
     "q87_trustrank" -> q87Sql(),
     "q104_hits" -> q104Sql(),
+    "q106_lpa_communities" -> q106Sql(),
     "q88_template_lines" -> q88Sql(),
     "q89_main_content" -> q89Sql(),
     "q90_rendezvous_shards" -> q90Sql(),
@@ -3459,6 +3553,7 @@ object SparkEntry {
     "q98_sameas_rewrite" -> q98Sql,
     "q102_bgp_exists" -> q102Sql,
     "q103_bgp_topk" -> q103Sql,
+    "q105_bgp_aggregates" -> q105Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

@@ -311,6 +311,45 @@ object GraphOps {
       .select(col("node"), col("t"), col("rank").cast("bigint").as("rank"))
   }
 
+  /** Synchronous label-propagation communities (Raghavan et al. 2007,
+    * Phys. Rev. E 76) — the near-linear community detector: each
+    * round every node adopts the most frequent label among its
+    * neighbors, ties broken by the lexicographically least label.
+    * FIXED rounds, not run-to-convergence: sync LPA can oscillate
+    * (period-2 on bipartite regions — a property of the algorithm,
+    * not a bug), so "converged" is undefined in general; a pinned
+    * round count is what makes the result an exact cross-engine
+    * replay. The argmax is deterministic: (count DESC, label ASC) is
+    * total per node because equal-count rows differ in label.
+    *
+    * Scale shape: per round ONE edge⋈labels equi-join into a
+    * map-side-combinable (node, label) count, then a per-node window
+    * argmax (partition key = node — no funnel); per-round lineage
+    * truncated (the q26 rule). Edges are symmetrized ONCE and
+    * materialized.
+    */
+  def labelPropagation(edges0: DataFrame, iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 10, "iterations in [1,10]")
+    val fwd = edges0
+      .select(col("src").cast("string").as("src"), col("dst").cast("string").as("dst"))
+      .where(col("src") =!= col("dst"))
+    val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node"))
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy(col("src")).orderBy(col("c").desc, col("lab").asc)
+      labels = edges
+        .join(labels.select(col("node").as("dst"), col("lab")), Seq("dst"))
+        .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("src").as("node"), col("lab"))
+        .localCheckpoint(true) // bounded lineage across iterations
+    }
+    labels.select(col("node"), col("lab").as("community"))
+  }
+
   /** HITS hubs & authorities (Kleinberg, JACM 46(5) 1999) — the
     * mutually-reinforcing bipartite scoring PageRank can't express:
     * a(v) = Σ_{u→v} h(u), h(u) = Σ_{u→v} a(v), alternating, each

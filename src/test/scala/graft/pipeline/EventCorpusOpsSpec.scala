@@ -496,6 +496,21 @@ class EventCorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("h1", 0L, 1000000L, 3L), ("h2", 0L, 625000L, 4L)), got.toSeq.toString)
   }
 
+  test("labelPropagation: sync rounds with min tiebreak split the barbell into its two triangles") {
+    val s = spark
+    import s.implicits._
+    // triangles {a,b,c} and {x,y,z} bridged by c-x; hand-run 4 sync
+    // rounds: r1 a<-b b<-a c<-a x<-c y<-x z<-x; r2 a<-a b<-a c<-a
+    // x<-x y<-c z<-c; r3 stabilizes the left triangle on 'a' and
+    // flips the right to 'c'; r4 confirms the fixpoint
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c"),
+      ("x", "y"), ("x", "z"), ("y", "z"), ("c", "x")).toDF("src", "dst")
+    val got = GraphOps.labelPropagation(e, iters = 4).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "c", "y" -> "c", "z" -> "c"), got.toString)
+  }
+
   test("kCore: iterative peeling reaches the fixpoint, not just the degree filter") {
     // triangle {1,2,3} with tail 3-4-5: after round 1 node 5 drops
     // (deg 1), which EXPOSES 4 at deg 1 — only a second peel round
