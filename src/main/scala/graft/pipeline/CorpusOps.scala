@@ -231,11 +231,17 @@ object CorpusOps {
     * DESCENDS when start > stop, hence the size guard — DuckDB's
     * list `range` is empty there).
     *
-    * Scale shape: training is ONE map-side-combinable groupBy over the
-    * train half's bigrams; the context table c1 derives from the
-    * MODEL (sum of c2 over the left word), not a second corpus pass;
-    * V is a distinct-count scalar. Scoring is two model joins (AQE
-    * broadcasts them when vocab-bounded) + one doc-keyed count/sum.
+    * Scale shape: the corpus is tokenized into (doc_id, bigram) rows
+    * ONCE and eagerly checkpointed — the frame feeds the train
+    * aggregation AND the scoring join, and without the checkpoint
+    * Catalyst re-expands the interpreted bigram-lambda subtree once
+    * per consumer (the LSH builders' measured failure; here 30s →
+    * ~2s at sf0.1). Training is ONE map-side-combinable groupBy over
+    * the checkpointed frame's even half; the context table c1 derives
+    * from the MODEL (sum of c2 over the left word), not a second
+    * corpus pass; V is a distinct-count scalar from a words-only
+    * projection. Scoring is two model joins (AQE broadcasts them when
+    * vocab-bounded) + one doc-keyed count/sum.
     */
   def bigramLmBits(documents: DataFrame): DataFrame = {
     val w = col("words")
@@ -243,16 +249,17 @@ object CorpusOps {
       transform(sequence(lit(1), size(w) - 1),
         i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
       .otherwise(array().cast("array<string>"))
-    val base = documents.select(col("doc_id"), wordsExpr.as("words"))
-      .select(col("doc_id"), bigramsExpr.as("bigrams"), col("words"))
-    val train = base.where(pmod(col("doc_id"), lit(2)) === 0)
-    val c2 = train.select(explode(col("bigrams")).as("b"))
+    val exploded = documents.select(col("doc_id"), wordsExpr.as("words"))
+      .select(col("doc_id"), explode(bigramsExpr).as("b"))
+      .localCheckpoint(true)
+    val c2 = exploded.where(pmod(col("doc_id"), lit(2)) === 0)
       .groupBy(col("b")).agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(substring_index(col("b"), " ", 1).as("w1"))
       .agg(sum(col("c2")).as("c1"))
-    val vocab = train.select(explode(col("words")).as("t"))
+    val vocab = documents.where(pmod(col("doc_id"), lit(2)) === 0)
+      .select(explode(wordsExpr).as("t"))
       .agg(countDistinct(col("t")).as("v"))
-    val scored = base.select(col("doc_id"), explode(col("bigrams")).as("b"))
+    val scored = exploded
       .join(c2, Seq("b"), "left")
       .withColumn("w1", substring_index(col("b"), " ", 1))
       .join(c1, Seq("w1"), "left")
