@@ -243,6 +243,129 @@ object SparkEntry {
     // (hash-mod would move k/(k+1)); pure projection, no shuffle
     "q90_rendezvous_shards" -> ((s, d) =>
       Curation.rendezvousShards(t(s, d, "documents"))),
+    // SPARQL DESCRIBE ?org WHERE { ?x worksFor ?org }: the
+    // subject-outbound description slice — one distinct solution
+    // column semi-joined against the graph. Only EVEN org ids are
+    // employers (even doc_ids mod 16 land on even residues), so half
+    // the label/sector rows survive and the person-subject name lane
+    // drops entirely — the semi-join is doing real work
+    "q107_describe" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.select(dId.as("s"), lit("name").as("p"),
+          concat(lit("n"), pmod(col("doc_id"), lit(100))).as("o"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select(dId.as("s"), lit("worksFor").as("p"),
+            concat(lit("o"), pmod(col("doc_id"), lit(16))).as("o")))
+        .unionByName(s.range(0, 12).select(
+          concat(lit("o"), col("id")).as("s"), lit("label").as("p"),
+          concat(lit("L"), col("id")).as("o")))
+        .unionByName(s.range(0, 16).select(
+          concat(lit("o"), col("id")).as("s"), lit("sector").as("p"),
+          concat(lit("s"), pmod(col("id"), lit(4))).as("o")))
+      TripleOps.describe(spo, Seq(("?x", "worksFor", "?org")), "?org")
+        .select("s", "p", "o")
+    }),
+    // SPARQL BIND + expression FILTER: Extend adds computed bindings
+    // (a concat tag, the name length) with no cardinality change,
+    // then FILTER selects on the bound expression — both stay inside
+    // whole-stage codegen, zero shuffles beyond the BGP join itself
+    "q108_bind_filter" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.select(dId.as("s"), lit("name").as("p"),
+          concat(lit("n"), pmod(col("doc_id"), lit(100))).as("o"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select(dId.as("s"), lit("worksFor").as("p"),
+            concat(lit("o"), pmod(col("doc_id"), lit(16))).as("o")))
+      val sols = TripleOps.bgp(spo,
+        Seq(("?x", "name", "?name"), ("?x", "worksFor", "?org")))
+      val bound = TripleOps.bind(
+        TripleOps.bind(sols, "tag", concat(col("org"), lit("/"), col("name"))),
+        "nlen", length(col("name")).cast("bigint"))
+      bound.where(col("nlen") >= 3)
+        .select(col("x"), col("name"), col("org"), col("tag"), col("nlen"))
+    }),
+    // SPARQL subquery: the inner { SELECT ?org (COUNT(*) AS ?n) …
+    // GROUP BY ?org } aggregates BEFORE the outer label join — the
+    // spec's bottom-up subquery evaluation, and at scale the reason
+    // subqueries exist: aggregate the TB-sized affiliation slice down
+    // to org cardinality FIRST, then join the small result
+    "q109_subquery" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select(dId.as("s"), lit("worksFor").as("p"),
+            concat(lit("o"), pmod(col("doc_id"), lit(16))).as("o"))
+        .unionByName(s.range(0, 12).select(
+          concat(lit("o"), col("id")).as("s"), lit("label").as("p"),
+          concat(lit("L"), col("id")).as("o")))
+      val inner = TripleOps.bgp(spo, Seq(("?x", "worksFor", "?org")))
+        .groupBy(col("org")).agg(count(lit(1)).as("n"))
+      TripleOps.bgp(spo, Seq(("?org", "label", "?lbl")))
+        .join(inner, Seq("org"))
+        .select(col("org"), col("lbl"), col("n"))
+    }),
+    // SPARQL sequence path with inverse: reportsTo/^reportsTo =
+    // "shares a direct manager" — each step is a predicate slice
+    // (inverse = o→s traversal), steps chain on the meeting node and
+    // dedup to the pair set; the self-pairs the round trip always
+    // produces are FILTERed off, the spec's `?x != ?y` idiom
+    "q110_path_seq" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.where(col("doc_id") > 0)
+          .select(dId.as("s"), lit("reportsTo").as("p"),
+            concat(lit("d"), expr("doc_id div 3")).as("o"))
+        .unionByName(docs.select(dId.as("s"), lit("name").as("p"),
+          concat(lit("n"), pmod(col("doc_id"), lit(100))).as("o")))
+      TripleOps.pathSteps(spo, Seq(("reportsTo", false), ("reportsTo", true)))
+        .where(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+    }),
+    // SPARQL GRAPH ?g { … } over quads: both patterns must hold in the
+    // SAME named graph — docs %3==0 carry their bucket quad in a
+    // different graph ('other') than their lang quad, so the shared ?g
+    // variable drops them; graph name = source shard, the provenance
+    // query a per-shard extraction corpus answers
+    "q111_graph_quads" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val quads = docs.select(col("source").as("g"), dId.as("s"),
+          lit("lang").as("p"), col("lang").as("o"))
+        .unionByName(docs.select(
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("other"))
+            .otherwise(col("source")).as("g"),
+          dId.as("s"), lit("bucket").as("p"),
+          concat(lit("b"), pmod(col("doc_id"), lit(7))).as("o")))
+      TripleOps.bgpQuads(quads, "?g",
+        Seq(("?x", "lang", "?l"), ("?x", "bucket", "?b")))
+        .select(col("g"), col("x"), col("l"), col("b"))
+    }),
+    // OWL-lite schema-driven entailment: partOf is declared
+    // owl:TransitiveProperty and owl:inverseOf hasPart — mirror the
+    // asserted hasPart edges in (inverseOf), close partOf over the
+    // div-2 forest (transitive), mirror the closure back out
+    // (inverseOf again = the fixpoint for this schema, since hasPart
+    // itself is not declared transitive); the name lane passes
+    // through untouched, proving the predicate slicing
+    "q112_owl_entail" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.where(col("doc_id") > 0)
+          .select(dId.as("s"), lit("partOf").as("p"),
+            concat(lit("d"), expr("doc_id div 2")).as("o"))
+        .unionByName(docs.where(col("doc_id") > 0 && pmod(col("doc_id"), lit(11)) === 0)
+          .select(concat(lit("d"), expr("doc_id div 2")).as("s"),
+            lit("hasPart").as("p"), dId.as("o")))
+        .unionByName(docs.select(dId.as("s"), lit("name").as("p"),
+          concat(lit("n"), pmod(col("doc_id"), lit(100))).as("o")))
+      val inv = Seq(("partOf", "hasPart")).toDF("p", "q")
+      val mirrored = TripleOps.inverseOfEntail(spo, inv)
+      val closed = TripleOps.transitivePropEntail(mirrored, Seq("partOf"))
+      TripleOps.inverseOfEntail(closed, inv).select("s", "p", "o")
+    }),
     // SHACL-lite shape validation over the q92-style spo table with
     // planted violations: docs %19==0 lose their name (minCount),
     // %13==0 gain a second one (maxCount), even docs %17==0 work for
@@ -2191,6 +2314,125 @@ object SparkEntry {
       |    SELECT 1 FROM spo w JOIN spo l ON l.p = 'label' AND l.s = w.o
       |    WHERE w.p = 'worksFor' AND w.s = n.s)""".stripMargin
 
+  /** DuckDB twin of q107 (DESCRIBE): the described-node set as a
+    * native EXISTS over the worksFor objects — subject-outbound slice.
+    */
+  private val q107Sql: String =
+    """WITH spo AS (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s, 'name' AS p,
+      |         'n' || CAST(doc_id % 100 AS VARCHAR) AS o FROM documents
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'worksFor',
+      |         'o' || CAST(doc_id % 16 AS VARCHAR) FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT 'o' || CAST(i AS VARCHAR), 'label', 'L' || CAST(i AS VARCHAR)
+      |  FROM range(0, 12) t(i)
+      |  UNION ALL
+      |  SELECT 'o' || CAST(i AS VARCHAR), 'sector', 's' || CAST(i % 4 AS VARCHAR)
+      |  FROM range(0, 16) t(i)
+      |)
+      |SELECT t.s, t.p, t.o FROM spo t
+      |WHERE EXISTS (SELECT 1 FROM spo w WHERE w.p = 'worksFor' AND w.o = t.s)""".stripMargin
+
+  /** DuckDB twin of q108 (BIND/Extend + expression FILTER): the bound
+    * expressions written directly in the SELECT list; length() counts
+    * characters in both engines (ASCII fixture).
+    */
+  private val q108Sql: String =
+    """WITH spo AS (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s, 'name' AS p,
+      |         'n' || CAST(doc_id % 100 AS VARCHAR) AS o FROM documents
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'worksFor',
+      |         'o' || CAST(doc_id % 16 AS VARCHAR) FROM documents WHERE doc_id % 2 = 0
+      |)
+      |SELECT n.s AS x, n.o AS name, w.o AS org, w.o || '/' || n.o AS tag,
+      |       CAST(length(n.o) AS BIGINT) AS nlen
+      |FROM spo n JOIN spo w ON w.s = n.s AND w.p = 'worksFor'
+      |WHERE n.p = 'name' AND length(n.o) >= 3""".stripMargin
+
+  /** DuckDB twin of q109 (subquery): the inner aggregation as a
+    * derived table joined to the label slice.
+    */
+  private val q109Sql: String =
+    """WITH spo AS (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s, 'worksFor' AS p,
+      |         'o' || CAST(doc_id % 16 AS VARCHAR) AS o FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT 'o' || CAST(i AS VARCHAR), 'label', 'L' || CAST(i AS VARCHAR)
+      |  FROM range(0, 12) t(i)
+      |)
+      |SELECT l.s AS org, l.o AS lbl, cnt.n AS n
+      |FROM spo l
+      |JOIN (SELECT o AS org, COUNT(*) AS n FROM spo WHERE p = 'worksFor' GROUP BY o) cnt
+      |  ON cnt.org = l.s
+      |WHERE l.p = 'label'""".stripMargin
+
+  /** DuckDB twin of q110 (sequence path with inverse): the
+    * shares-a-manager self-join written directly — (reportsTo edge) ⋈
+    * (reportsTo edge) on the manager, self-pairs excluded. The edge
+    * set has unique subjects, so no DISTINCT is needed either side.
+    */
+  private val q110Sql: String =
+    """WITH e AS (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s,
+      |         'd' || CAST(doc_id // 3 AS VARCHAR) AS o
+      |  FROM documents WHERE doc_id > 0
+      |)
+      |SELECT a.s AS src, b.s AS dst
+      |FROM e a JOIN e b ON a.o = b.o AND a.s <> b.s""".stripMargin
+
+  /** DuckDB twin of q111 (GRAPH block over quads): the shared-graph
+    * join written natively — b.g = a.g is the GRAPH ?g semantics.
+    */
+  private val q111Sql: String =
+    """WITH quads AS (
+      |  SELECT source AS g, 'd' || CAST(doc_id AS VARCHAR) AS s, 'lang' AS p,
+      |         lang AS o FROM documents
+      |  UNION ALL
+      |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'other' ELSE source END,
+      |         'd' || CAST(doc_id AS VARCHAR), 'bucket',
+      |         'b' || CAST(doc_id % 7 AS VARCHAR) FROM documents
+      |)
+      |SELECT a.g AS g, a.s AS x, a.o AS l, b.o AS b
+      |FROM quads a JOIN quads b ON b.g = a.g AND b.s = a.s AND b.p = 'bucket'
+      |WHERE a.p = 'lang'""".stripMargin
+
+  /** DuckDB twin of q112 (owl:inverseOf + owl:TransitiveProperty):
+    * the partOf closure as a native WITH RECURSIVE over the merged
+    * (asserted ∪ hasPart-mirrored) edge set, hasPart re-derived as the
+    * closure's mirror, names passed through; UNION dedups — the
+    * graph-set semantics both sides share.
+    */
+  private val q112Sql: String =
+    """WITH RECURSIVE base AS (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s, 'partOf' AS p,
+      |         'd' || CAST(doc_id // 2 AS VARCHAR) AS o
+      |  FROM documents WHERE doc_id > 0
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id // 2 AS VARCHAR), 'hasPart',
+      |         'd' || CAST(doc_id AS VARCHAR)
+      |  FROM documents WHERE doc_id > 0 AND doc_id % 11 = 0
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'name',
+      |         'n' || CAST(doc_id % 100 AS VARCHAR) FROM documents
+      |),
+      |part AS (
+      |  SELECT s, o FROM base WHERE p = 'partOf'
+      |  UNION
+      |  SELECT o AS s, s AS o FROM base WHERE p = 'hasPart'
+      |),
+      |anc AS (
+      |  SELECT s, o FROM part
+      |  UNION
+      |  SELECT a.s, p2.o FROM anc a JOIN part p2 ON p2.s = a.o
+      |)
+      |SELECT s, p, o FROM base WHERE p = 'name'
+      |UNION
+      |SELECT s, 'partOf', o FROM anc
+      |UNION
+      |SELECT o, 'hasPart', s FROM anc""".stripMargin
+
   /** DuckDB twin of q103: same UNION-of-lanes solution set, native
     * GROUP BY + ORDER BY + LIMIT/OFFSET — the (n DESC, org ASC)
     * ordering is total (org ids are distinct), so the selected slice
@@ -3554,6 +3796,12 @@ object SparkEntry {
     "q102_bgp_exists" -> q102Sql,
     "q103_bgp_topk" -> q103Sql,
     "q105_bgp_aggregates" -> q105Sql,
+    "q107_describe" -> q107Sql,
+    "q108_bind_filter" -> q108Sql,
+    "q109_subquery" -> q109Sql,
+    "q110_path_seq" -> q110Sql,
+    "q111_graph_quads" -> q111Sql,
+    "q112_owl_entail" -> q112Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

@@ -377,6 +377,150 @@ object TripleOps {
     }.reduceLeft(_ unionByName _).distinct()
   }
 
+  /** SPARQL DESCRIBE: the triples describing every node the query
+    * variable binds to. The spec leaves the description form
+    * implementation-defined; this engine emits the SUBJECT-OUTBOUND
+    * slice (every triple whose subject is a described node) — the
+    * practical one-hop concise-bounded-description over a corpus whose
+    * extraction pipeline keeps bnodes document-scoped (no cross-document
+    * bnode chains to chase, so the recursive CBD bnode closure
+    * degenerates to exactly this slice).
+    *
+    * Scale shape: the node set is `distinct` of one solution column and
+    * reaches the TB-sized triple table through a single semi-join (AQE
+    * broadcasts it when the solution set is small — the common DESCRIBE,
+    * a handful of matched resources). No row multiplication: semi-join
+    * keeps each described triple once regardless of how many solutions
+    * bind the node.
+    */
+  def describe(triples: DataFrame, patterns: Seq[(String, String, String)],
+      v: String): DataFrame = {
+    require(v.startsWith("?"), s"DESCRIBE target must be a variable, got $v")
+    val nodes = bgp(triples, patterns)
+      .select(col(v.drop(1)).cast("string").as("s")).distinct()
+    triples.select(col("s").cast("string").as("s"), col("p").cast("string").as("p"),
+        col("o").cast("string").as("o"))
+      .join(nodes, Seq("s"), "left_semi")
+  }
+
+  /** SPARQL BIND / Extend: add a computed binding to every solution —
+    * the algebra's Extend(μ, var, expr). The new variable must be fresh
+    * (binding an in-scope variable is a SPARQL syntax error, enforced
+    * here rather than silently overwriting), and the expression is an
+    * ordinary Catalyst Column, so it stays inside whole-stage codegen
+    * with zero extra shuffles — BIND never changes the solution
+    * cardinality, only the row width.
+    */
+  def bind(solutions: DataFrame, name: String, expr: org.apache.spark.sql.Column): DataFrame = {
+    require(!solutions.columns.contains(name),
+      s"BIND target ?$name is already in scope — SPARQL forbids rebinding")
+    solutions.withColumn(name, expr)
+  }
+
+  /** SPARQL sequence property path with per-step inverse — `p1/p2`,
+    * `^p`, and any mix (`worksFor/^worksFor` = "shares an employer").
+    * Each step is (predicate, inverse?): a predicate-constant slice of
+    * the triple table (pushes into the scan), traversed o→s when
+    * inverse. Steps chain as equi-joins on the meeting node and the
+    * result is the DISTINCT (src, dst) pair set — path semantics are
+    * existential, and deduping at each join keeps intermediate
+    * cardinality at |pairs|, not |paths| (a hub org with d employees
+    * contributes d² pairs once, not once per witnessing path).
+    */
+  def pathSteps(triples: DataFrame, steps: Seq[(String, Boolean)]): DataFrame = {
+    require(steps.nonEmpty, "empty path")
+    val hops = steps.map { case (p, inv) =>
+      val e = triples.where(col("p") === p)
+      val (a, b) = if (inv) ("o", "s") else ("s", "o")
+      e.select(col(a).cast("string").as("src"), col(b).cast("string").as("dst")).distinct()
+    }
+    hops.reduceLeft { (acc, nxt) =>
+      acc.join(nxt.select(col("src").as("mid"), col("dst").as("ndst")),
+          acc("dst") === col("mid"))
+        .select(col("src"), col("ndst").as("dst")).distinct()
+    }
+  }
+
+  /** SPARQL GRAPH block over a quad table (g, s, p, o): every pattern
+    * in the block matches within the SAME graph — the graph term is
+    * either a constant (one named graph: `g = '…'` pushes into the
+    * scan beside the predicate slice) or a variable, which joins across
+    * patterns like any other variable and surfaces as a binding (the
+    * `GRAPH ?g { … }` form that asks WHERE a pattern holds — per-source
+    * provenance queries over an extraction corpus whose graph name is
+    * the source shard). Same slice/pushdown/join discipline as [[bgp]];
+    * a variable graph term makes every slice share it, so the
+    * no-cartesian rule is satisfied even for patterns with otherwise
+    * disjoint variables.
+    */
+  def bgpQuads(quads: DataFrame, graphTerm: String,
+      patterns: Seq[(String, String, String)]): DataFrame = {
+    require(patterns.nonEmpty, "empty GRAPH block")
+    val gspo = Seq("g", "s", "p", "o")
+    def slice(pat: (String, String, String)): DataFrame = {
+      val terms = Seq(graphTerm, pat._1, pat._2, pat._3).zip(gspo)
+      val filtered = terms.foldLeft(quads) { case (df, (term, c)) =>
+        if (term.startsWith("?")) df else df.where(col(c) === lit(term))
+      }
+      val varCols = terms.collect { case (t, c) if t.startsWith("?") => (t.drop(1), c) }
+      require(varCols.nonEmpty, "pattern with no variables selects nothing")
+      val byVar = varCols.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val eqFiltered = byVar.values.filter(_.size > 1).foldLeft(filtered) { (df, cs) =>
+        cs.sliding(2).foldLeft(df)((d, pair) => d.where(col(pair(0)) === col(pair(1))))
+      }
+      eqFiltered.select(byVar.toSeq.sortBy(_._1).map { case (v, cs) => col(cs.head).as(v) }: _*)
+    }
+    patterns.map(slice).reduceLeft { (acc, nxt) =>
+      val shared = acc.columns.intersect(nxt.columns).toSeq
+      require(shared.nonEmpty,
+        "GRAPH pattern shares no variable with the prefix — cartesian product; reorder patterns")
+      acc.join(nxt, shared)
+    }
+  }
+
+  /** owl:inverseOf entailment — schema-driven edge mirroring: for every
+    * declared (p, q) inverse pair, each `s p o` asserts `o q s` (and the
+    * declaration is symmetric, so `s q o` asserts `o p s` too). The
+    * inverse map is ontology-sized and broadcasts; the TB-sized triple
+    * table is touched by one map-side join, then the graph-set dedup
+    * (derived edges may already be asserted). Literals never appear as
+    * subjects of the derived edges by RDF well-formedness — callers
+    * pass an object-property slice when the corpus mixes datatype
+    * properties under the same predicates.
+    */
+  def inverseOfEntail(triples: DataFrame, inverses: DataFrame): DataFrame = {
+    val t = triples.select(col("s").cast("string").as("s"),
+      col("p").cast("string").as("p"), col("o").cast("string").as("o"))
+    val inv = inverses.select(col("p").cast("string").as("p"), col("q").cast("string").as("q"))
+    val both = inv.unionByName(inv.select(col("q").as("p"), col("p").as("q"))).distinct()
+    val derived = t.join(broadcast(both), Seq("p"))
+      .select(col("o").as("s"), col("q").as("p"), col("s").as("o"))
+    t.unionByName(derived).distinct()
+  }
+
+  /** owl:TransitiveProperty entailment — materialize the transitive
+    * closure of each declared-transitive predicate's edge slice and
+    * merge it back as asserted triples. Unlike the schema-side
+    * [[transitiveClosure]] (TBox hierarchies), this closes ABox-sized
+    * relations (partOf, locatedIn, ancestorOf) — forest/DAG-shaped in
+    * practice, so the closure is O(n·depth) and the semi-naive rounds
+    * are O(depth). The same no-truncation rule applies: a round cap hit
+    * before the fixpoint throws rather than shipping an unsound graph.
+    */
+  def transitivePropEntail(triples: DataFrame, transPreds: Seq[String],
+      maxIters: Int = 64): DataFrame = {
+    require(transPreds.nonEmpty, "no transitive predicates declared")
+    val t = triples.select(col("s").cast("string").as("s"),
+      col("p").cast("string").as("p"), col("o").cast("string").as("o"))
+    val closed = transPreds.map { p =>
+      transitiveClosure(
+        t.where(col("p") === p).select(col("s").as("sub"), col("o").as("sup")),
+        maxIters)
+        .select(col("sub").as("s"), lit(p).as("p"), col("sup").as("o"))
+    }
+    (t +: closed).reduceLeft(_ unionByName _).distinct()
+  }
+
   /** SPARQL property path `(p1|p2|…){1,maxHops}`: distinct (src, dst)
     * pairs connected by 1..maxHops edges whose predicate is in `preds`
     * (alternation = one isin slice; `p+` at corpus scale is always

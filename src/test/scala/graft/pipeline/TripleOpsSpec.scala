@@ -292,6 +292,117 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("describe: subject-outbound slice of matched nodes, described once, non-matches drop") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(
+      ("p1", "worksFor", "o1"), ("p2", "worksFor", "o1"), // o1 matched TWICE
+      ("p3", "worksFor", "o2"),
+      ("o1", "label", "L1"), ("o1", "sector", "tech"),
+      ("o2", "label", "L2"),
+      ("o9", "label", "L9"),   // never an employer: drops
+      ("p1", "name", "alice")  // person subject: drops
+    ).toDF("s", "p", "o")
+    val got = TripleOps.describe(spo, Seq(("?x", "worksFor", "?org")), "?org")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // semi-join: o1's triples appear ONCE despite two solutions binding o1
+    assert(got.length == got.toSet.size, "described triples duplicated")
+    assert(got.toSet == Set(
+      ("o1", "label", "L1"), ("o1", "sector", "tech"), ("o2", "label", "L2")))
+    intercept[IllegalArgumentException] {
+      TripleOps.describe(spo, Seq(("?x", "worksFor", "?org")), "org")
+    }
+  }
+
+  test("bind: fresh variable extends every solution; rebinding an in-scope var rejected") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(("p1", "name", "al"), ("p2", "name", "bobby")).toDF("s", "p", "o")
+    val sols = TripleOps.bgp(spo, Seq(("?x", "name", "?n")))
+    val bound = TripleOps.bind(sols, "nlen",
+      org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("n")))
+    assert(bound.count() == 2L) // Extend never changes cardinality
+    assert(bound.where(org.apache.spark.sql.functions.col("nlen") >= 3)
+      .select("x").collect().map(_.getString(0)).toSet == Set("p2"))
+    intercept[IllegalArgumentException] {
+      TripleOps.bind(sols, "n", org.apache.spark.sql.functions.lit(1))
+    }
+  }
+
+  test("pathSteps: forward/inverse sequence; path semantics dedup multiple witnesses") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(
+      ("a", "reportsTo", "m"), ("b", "reportsTo", "m"), ("c", "reportsTo", "m2"),
+      ("a", "reportsTo", "m2"), // a ALSO reports to m2: (a,c) via one witness, (a,a) via two
+      ("a", "name", "z")        // noise predicate contributes nothing
+    ).toDF("s", "p", "o")
+    val got = pairs(TripleOps.pathSteps(spo,
+      Seq(("reportsTo", false), ("reportsTo", true))).select("src", "dst"))
+    // shares-a-manager INCLUDING self round-trips, each pair once
+    assert(got == Set(
+      ("a", "a"), ("b", "b"), ("c", "c"),
+      ("a", "b"), ("b", "a"), ("a", "c"), ("c", "a")), got.toString)
+    // pure inverse single step: o→s traversal
+    val inv = pairs(TripleOps.pathSteps(spo, Seq(("reportsTo", true))).select("src", "dst"))
+    assert(inv == Set(("m", "a"), ("m", "b"), ("m2", "c"), ("m2", "a")))
+  }
+
+  test("bgpQuads: shared graph variable binds and excludes cross-graph matches; constant graph slices") {
+    val s = spark
+    import s.implicits._
+    val quads = Seq(
+      ("g1", "d1", "lang", "en"), ("g1", "d1", "bucket", "b1"),
+      ("g1", "d2", "lang", "fr"), ("g2", "d2", "bucket", "b2"), // split across graphs: drops
+      ("g2", "d3", "lang", "de"), ("g2", "d3", "bucket", "b3")
+    ).toDF("g", "s", "p", "o")
+    val got = TripleOps.bgpQuads(quads, "?g",
+      Seq(("?x", "lang", "?l"), ("?x", "bucket", "?b")))
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[String]("x"),
+        r.getAs[String]("l"), r.getAs[String]("b"))).toSet
+    assert(got == Set(("g1", "d1", "en", "b1"), ("g2", "d3", "de", "b3")), got.toString)
+    // constant graph term: one named graph only
+    val g1 = TripleOps.bgpQuads(quads, "g1", Seq(("?x", "lang", "?l")))
+      .collect().map(r => (r.getAs[String]("x"), r.getAs[String]("l"))).toSet
+    assert(g1 == Set(("d1", "en"), ("d2", "fr")))
+  }
+
+  test("inverseOfEntail: both directions derive, declaration is symmetric, derived dedups against asserted") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(
+      ("x", "partOf", "y"),
+      ("y", "hasPart", "x"),  // already-asserted mirror: dedups
+      ("q", "hasPart", "r"),  // hasPart-only edge: partOf derives
+      ("a", "name", "n")      // unmapped predicate passes through
+    ).toDF("s", "p", "o")
+    val inv = Seq(("partOf", "hasPart")).toDF("p", "q")
+    val got = TripleOps.inverseOfEntail(spo, inv).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("x", "partOf", "y"), ("y", "hasPart", "x"),
+      ("q", "hasPart", "r"), ("r", "partOf", "q"),
+      ("a", "name", "n")), got.toString)
+  }
+
+  test("transitivePropEntail: declared predicate closes, others untouched; cap throws") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(
+      ("a", "partOf", "b"), ("b", "partOf", "c"), ("c", "partOf", "d"),
+      ("a", "knows", "b"), ("b", "knows", "c") // NOT transitive: no (a,knows,c)
+    ).toDF("s", "p", "o")
+    val got = TripleOps.transitivePropEntail(spo, Seq("partOf")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("a", "partOf", "b"), ("b", "partOf", "c"), ("c", "partOf", "d"),
+      ("a", "partOf", "c"), ("a", "partOf", "d"), ("b", "partOf", "d"),
+      ("a", "knows", "b"), ("b", "knows", "c")), got.toString)
+    intercept[IllegalStateException] {
+      TripleOps.transitivePropEntail(spo, Seq("partOf"), maxIters = 1).collect()
+    }
+  }
+
   test("bgp: repeated variable within one pattern equi-filters; disjoint pattern rejected") {
     val s = spark
     import s.implicits._
