@@ -65,6 +65,8 @@ object Bench {
     "q99_bgp_union_values", "q100_construct", "q101_bigram_lm",
     "q102_bgp_exists", "q103_bgp_topk", "q104_hits",
     "q105_bgp_aggregates", "q106_lpa_communities",
+    "q107_describe", "q108_bind_filter", "q109_subquery",
+    "q110_path_seq", "q111_graph_quads", "q112_owl_entail",
     "x_bpe_train", "x_bpe_encode",
     "x_minhash_lsh_dedup", "x_ngram_jaccard_lsh", "x_simhash_dedup",
     "x_embedding_neardup", "x_ann_brute", "x_ann_lsh", "x_ann_ivf",

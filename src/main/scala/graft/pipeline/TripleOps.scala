@@ -24,35 +24,40 @@ object TripleOps {
 
   /** Transitive closure of a (sub, sup) hierarchy — rdfs11 when the
     * edges are rdfs:subClassOf, rdfs5 when they are
-    * rdfs:subPropertyOf. Semi-naive evaluation: each round joins only
-    * the LAST round's new pairs against the direct edges, so total
-    * join work is O(closure size), not O(rounds × closure). Rounds
-    * are checkpointed eagerly (the q26 lineage discipline) and the
-    * loop THROWS if the cap is hit before the fixpoint (oracle-gated
-    * outputs must never ship an unstable prefix — the q26/q71 rule).
+    * rdfs:subPropertyOf (and the engine of [[transitivePropEntail]]'s
+    * ABox closures). Path-DOUBLING evaluation (repeated squaring):
+    * each round joins the accumulated closure with itself, so reach
+    * depth doubles per round and a depth-d relation converges in
+    * ⌈log₂ d⌉ rounds instead of the semi-naive d — per-round fixed
+    * costs (shuffle setup, driver sync, checkpoint) dominate closure
+    * work for hierarchy-shaped inputs, and at web scale a deep chain
+    * would turn O(d) rounds into the bottleneck. The distinct at
+    * every round collapses the |paths|-vs-|pairs| blowup before it
+    * compounds. Rounds are checkpointed eagerly (the q26 lineage
+    * discipline) and the loop THROWS if the cap is hit before the
+    * fixpoint (oracle-gated outputs must never ship an unstable
+    * prefix — the q26/q71 rule); a cap of k rounds certifies depth
+    * up to 2^k, so the default 64 is unreachable in practice.
     *
-    * The hierarchy is schema-sized by contract (ontologies are KBs;
-    * per-round driver actions on it are free). Cycles converge — the
-    * pair set is finite — they just yield mutual ancestry. Output is
-    * the STRICT closure (no reflexive pairs unless present in input).
+    * Cycles converge — the pair set is finite — they just yield
+    * mutual ancestry. Output is the STRICT closure (no reflexive
+    * pairs unless present in input).
     */
   def transitiveClosure(edges: DataFrame, maxIters: Int = 64): DataFrame = {
     val direct = edges
       .select(col("sub").cast("string").as("sub"), col("sup").cast("string").as("sup"))
       .where(col("sub") =!= col("sup"))
       .distinct().localCheckpoint(true)
-    val hop = direct.select(col("sub").as("mid"), col("sup").as("nsup"))
     var closure = direct
-    var delta = direct
     var round = 0
     while (round < maxIters) {
-      val next = delta.join(hop, delta("sup") === hop("mid"))
+      val hop = closure.select(col("sub").as("mid"), col("sup").as("nsup"))
+      val next = closure.join(hop, closure("sup") === hop("mid"))
         .select(col("sub"), col("nsup").as("sup")).distinct()
         .join(closure, Seq("sub", "sup"), "left_anti")
         .localCheckpoint(true)
       if (next.isEmpty) return closure
       closure = closure.unionByName(next).localCheckpoint(true)
-      delta = next
       round += 1
     }
     throw new IllegalStateException(
