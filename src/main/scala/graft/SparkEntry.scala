@@ -366,6 +366,58 @@ object SparkEntry {
       val closed = TripleOps.transitivePropEntail(mirrored, Seq("partOf"))
       TripleOps.inverseOfEntail(closed, inv).select("s", "p", "o")
     }),
+    // SPARQL UPDATE (DELETE/INSERT WHERE): migrate labeled-org
+    // employment edges to the inverted `employs` predicate in one
+    // atomic transformation — bindings against the PRE-update graph,
+    // delete via (s,p,o) anti-join, insert via construct, set-dedup;
+    // edges to unlabeled orgs (o12/o14) and the name lane survive
+    "q113_sparql_update" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.select(dId.as("s"), lit("name").as("p"),
+          concat(lit("n"), pmod(col("doc_id"), lit(100))).as("o"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select(dId.as("s"), lit("worksFor").as("p"),
+            concat(lit("o"), pmod(col("doc_id"), lit(16))).as("o")))
+        .unionByName(s.range(0, 12).select(
+          concat(lit("o"), col("id")).as("s"), lit("label").as("p"),
+          concat(lit("L"), col("id")).as("o")))
+      TripleOps.deleteInsert(spo,
+        wherePatterns = Seq(("?x", "worksFor", "?org"), ("?org", "label", "?lbl")),
+        deleteTemplate = Seq(("?x", "worksFor", "?org")),
+        insertTemplate = Seq(("?org", "employs", "?x")))
+        .select("s", "p", "o")
+    }),
+    // deterministic epoch shuffle: md5(seed:doc_id) ordering, first
+    // hex char as the shard (STRING — the q45 rule), rank within
+    // shard — the dataloader order/shard assignment, reproducible on
+    // any cluster size because order is a pure function of the data
+    "q114_epoch_shuffle" -> ((s, d) =>
+      CorpusOps.epochShuffle(t(s, d, "documents"), seed = "ep0", hexLen = 1)),
+    // OWL property-axiom violations: worksFor declared functional
+    // (planted second employer on even multiples of 21), reportsTo
+    // declared irreflexive (planted self-edge on multiples of 13);
+    // each axiom is a predicate slice — count-distinct per (s,p) or
+    // a pure filter, no joins
+    "q115_owl_constraints" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select(dId.as("s"), lit("worksFor").as("p"),
+            concat(lit("o"), pmod(col("doc_id"), lit(16))).as("o"))
+        .unionByName(docs
+          .where(pmod(col("doc_id"), lit(21)) === 0 && pmod(col("doc_id"), lit(2)) === 0)
+          .select(dId.as("s"), lit("worksFor").as("p"), lit("oX").as("o")))
+        .unionByName(docs.where(col("doc_id") > 0)
+          .select(dId.as("s"), lit("reportsTo").as("p"),
+            concat(lit("d"), expr("doc_id div 3")).as("o")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(13)) === 0)
+          .select(dId.as("s"), lit("reportsTo").as("p"), dId.as("o")))
+        .unionByName(docs.select(dId.as("s"), lit("name").as("p"),
+          concat(lit("n"), pmod(col("doc_id"), lit(100))).as("o")))
+      TripleOps.owlConstraintViolations(spo,
+        functional = Seq("worksFor"), irreflexive = Seq("reportsTo"))
+    }),
     // SHACL-lite shape validation over the q92-style spo table with
     // planted violations: docs %19==0 lose their name (minCount),
     // %13==0 gain a second one (maxCount), even docs %17==0 work for
@@ -2433,6 +2485,76 @@ object SparkEntry {
       |UNION
       |SELECT o, 'hasPart', s FROM anc""".stripMargin
 
+  /** DuckDB twin of q113 (SPARQL UPDATE): native EXCEPT/UNION set
+    * algebra — (graph EXCEPT delete-instantiation) UNION
+    * insert-instantiation, both templates from the same pre-update
+    * binding set (EXCEPT and UNION are left-associative equal
+    * precedence, so this parses as ((spo EXCEPT del) UNION ins)).
+    */
+  private val q113Sql: String =
+    """WITH spo AS (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s, 'name' AS p,
+      |         'n' || CAST(doc_id % 100 AS VARCHAR) AS o FROM documents
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'worksFor',
+      |         'o' || CAST(doc_id % 16 AS VARCHAR) FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT 'o' || CAST(i AS VARCHAR), 'label', 'L' || CAST(i AS VARCHAR)
+      |  FROM range(0, 12) t(i)
+      |),
+      |sols AS (
+      |  SELECT w.s AS x, w.o AS org FROM spo w
+      |  JOIN spo l ON l.p = 'label' AND l.s = w.o
+      |  WHERE w.p = 'worksFor'
+      |)
+      |SELECT s, p, o FROM spo
+      |EXCEPT
+      |SELECT x, 'worksFor', org FROM sols
+      |UNION
+      |SELECT org, 'employs', x FROM sols""".stripMargin
+
+  /** DuckDB twin of q114 (epoch shuffle): same md5 key, same hex
+    * STRING shard prefix, native window rank — (k, doc_id) is a
+    * total order, so the rank is deterministic in both engines.
+    */
+  private val q114Sql: String =
+    """WITH keyed AS (
+      |  SELECT doc_id, md5('ep0:' || CAST(doc_id AS VARCHAR)) AS k FROM documents
+      |)
+      |SELECT doc_id, substring(k, 1, 1) AS shard,
+      |       CAST(ROW_NUMBER() OVER (
+      |         PARTITION BY substring(k, 1, 1) ORDER BY k, doc_id) AS BIGINT) AS pos
+      |FROM keyed""".stripMargin
+
+  /** DuckDB twin of q115 (OWL property axioms): functional as a
+    * grouped distinct-count HAVING, irreflexive as the self-edge
+    * filter; the name lane and legal edges contribute nothing.
+    */
+  private val q115Sql: String =
+    """WITH spo AS (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s, 'worksFor' AS p,
+      |         'o' || CAST(doc_id % 16 AS VARCHAR) AS o FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'worksFor', 'oX'
+      |  FROM documents WHERE doc_id % 21 = 0 AND doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'reportsTo',
+      |         'd' || CAST(doc_id // 3 AS VARCHAR) FROM documents WHERE doc_id > 0
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'reportsTo',
+      |         'd' || CAST(doc_id AS VARCHAR) FROM documents WHERE doc_id % 13 = 0
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'name',
+      |         'n' || CAST(doc_id % 100 AS VARCHAR) FROM documents
+      |)
+      |SELECT s, p, 'functional' AS violation, n FROM (
+      |  SELECT s, p, CAST(COUNT(DISTINCT o) AS BIGINT) AS n
+      |  FROM spo WHERE p = 'worksFor' GROUP BY s, p) f
+      |WHERE n > 1
+      |UNION ALL
+      |SELECT s, p, 'irreflexive', CAST(1 AS BIGINT)
+      |FROM spo WHERE p = 'reportsTo' AND s = o""".stripMargin
+
   /** DuckDB twin of q103: same UNION-of-lanes solution set, native
     * GROUP BY + ORDER BY + LIMIT/OFFSET — the (n DESC, org ASC)
     * ordering is total (org ids are distinct), so the selected slice
@@ -3802,6 +3924,9 @@ object SparkEntry {
     "q110_path_seq" -> q110Sql,
     "q111_graph_quads" -> q111Sql,
     "q112_owl_entail" -> q112Sql,
+    "q113_sparql_update" -> q113Sql,
+    "q114_epoch_shuffle" -> q114Sql,
+    "q115_owl_constraints" -> q115Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

@@ -35,6 +35,34 @@ object CorpusOps {
     * cross join. n_ab·N·1e6 stays in BIGINT up to ~3·10^9-doc corpora;
     * beyond that widen to decimal.
     */
+  /** Deterministic epoch shuffle — the training-dataloader order/shard
+    * assignment step: every document gets an md5 shuffle key derived
+    * from (seed, doc_id), its shard is the key's first `hexLen` hex
+    * chars (kept as a STRING — the q45/q48 rule: engines disagree on
+    * hex→int, never convert), and its position within the shard is the
+    * rank by (key, doc_id). Changing the seed permutes everything;
+    * replaying the seed reproduces the epoch byte-for-byte on any
+    * cluster size — order is a pure function of the data, the property
+    * that makes checkpoint-resumable training possible.
+    *
+    * Scale shape: ONE shuffle (hash-partition by shard) + a sort
+    * within each shard — exactly the physical layout a dataloader
+    * wants (each worker reads its shard in position order). Shard
+    * count is 16^hexLen: pass 2-3 at corpus scale so no shard exceeds
+    * a worker's slice; the within-shard sort is the per-partition
+    * kind, never a global order.
+    */
+  def epochShuffle(documents: DataFrame, seed: String = "ep0", hexLen: Int = 1): DataFrame = {
+    require(hexLen >= 1 && hexLen <= 8, "shard prefix must be 1-8 hex chars")
+    val keyed = documents.select(col("doc_id"),
+      md5(concat(lit(seed), lit(":"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("shard", substring(col("k"), 1, hexLen))
+    keyed.withColumn("pos",
+        row_number().over(Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id")))
+          .cast("bigint"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   def pmiCooccur(documents: DataFrame, vocabTop: Int = 64, minPair: Long = 5): DataFrame = {
     require(vocabTop >= 2, "vocabulary cap must be >= 2")
     val toks = documents

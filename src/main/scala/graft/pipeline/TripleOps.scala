@@ -526,6 +526,66 @@ object TripleOps {
     (t +: closed).reduceLeft(_ unionByName _).distinct()
   }
 
+  /** SPARQL UPDATE `DELETE { … } INSERT { … } WHERE { … }` as one
+    * atomic graph transformation: solutions are computed against the
+    * PRE-update graph (the spec's evaluation order — deletes never
+    * starve the bindings the inserts need), the delete template's
+    * instantiation leaves via an anti-join on the full (s, p, o) key,
+    * the insert template's arrives via [[construct]], and the final
+    * set-dedup restores graph semantics (an insert may re-assert a
+    * surviving triple). Either template may be empty (DELETE WHERE /
+    * INSERT WHERE), not both.
+    *
+    * Scale shape: one BGP plan for the bindings + one anti-join and
+    * one union over the TB-sized graph — the update never touches
+    * triples outside the delete key set except through the final
+    * distinct, which is the point (graph stores are sets).
+    */
+  def deleteInsert(triples: DataFrame, wherePatterns: Seq[(String, String, String)],
+      deleteTemplate: Seq[(String, String, String)],
+      insertTemplate: Seq[(String, String, String)]): DataFrame = {
+    require(deleteTemplate.nonEmpty || insertTemplate.nonEmpty,
+      "UPDATE with neither DELETE nor INSERT template")
+    val t = triples.select(col("s").cast("string").as("s"),
+      col("p").cast("string").as("p"), col("o").cast("string").as("o"))
+    val sols = bgp(t, wherePatterns)
+    val afterDel =
+      if (deleteTemplate.isEmpty) t
+      else t.join(construct(sols, deleteTemplate), Seq("s", "p", "o"), "left_anti")
+    val out =
+      if (insertTemplate.isEmpty) afterDel
+      else afterDel.unionByName(construct(sols, insertTemplate))
+    out.distinct()
+  }
+
+  /** OWL-lite constraint checking — the property-axiom data-quality
+    * gate beside [[validateShapes]]: owl:FunctionalProperty (a subject
+    * carries more than one distinct value) and owl:IrreflexiveProperty
+    * (a self-edge) violations as rows (s, p, violation, n). A clean
+    * graph yields an EMPTY frame.
+    *
+    * Scale shape: each axiom class is a predicate-slice (`p IN (…)`
+    * pushes into the scan); functional is one map-side-combinable
+    * distinct-count per (s, p), irreflexive is a pure filter — no
+    * joins, no windows, no state.
+    */
+  def owlConstraintViolations(triples: DataFrame,
+      functional: Seq[String] = Nil, irreflexive: Seq[String] = Nil): DataFrame = {
+    require(functional.nonEmpty || irreflexive.nonEmpty, "no axioms declared")
+    val t = triples.select(col("s").cast("string").as("s"),
+      col("p").cast("string").as("p"), col("o").cast("string").as("o"))
+    val fv = if (functional.isEmpty) None else Some(
+      t.where(col("p").isin(functional: _*))
+        .groupBy(col("s"), col("p"))
+        .agg(countDistinct(col("o")).as("n"))
+        .where(col("n") > 1)
+        .select(col("s"), col("p"), lit("functional").as("violation"), col("n")))
+    val iv = if (irreflexive.isEmpty) None else Some(
+      t.where(col("p").isin(irreflexive: _*) && col("s") === col("o"))
+        .select(col("s"), col("p"), lit("irreflexive").as("violation"), lit(1L).as("n")))
+    Seq(fv, iv).flatten.reduceLeft(_ unionByName _)
+  }
+
   /** SPARQL property path `(p1|p2|…){1,maxHops}`: distinct (src, dst)
     * pairs connected by 1..maxHops edges whose predicate is in `preds`
     * (alternation = one isin slice; `p+` at corpus scale is always

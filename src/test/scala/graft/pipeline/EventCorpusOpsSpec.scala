@@ -707,4 +707,30 @@ class EventCorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       4L -> ((1L, 1L))  // day 5/6 trimmed past the data's end
     ), out.toString)
   }
+  test("epochShuffle: permutation per shard, deterministic replay, seed changes order") {
+    val s = spark
+    import s.implicits._
+    val d = (0L until 200L).map(i => (i, "t", "src")).toDF("doc_id", "text", "source")
+    val a = CorpusOps.epochShuffle(d, seed = "ep0", hexLen = 1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // every doc exactly once
+    assert(a.map(_._1).toSet == (0L until 200L).toSet && a.length == 200)
+    // positions within each shard are contiguous 1..n
+    a.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq, sh)
+    }
+    // byte-for-byte replay
+    val b = CorpusOps.epochShuffle(d, seed = "ep0", hexLen = 1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+    // a different seed is a different permutation (shard or pos moves)
+    val c = CorpusOps.epochShuffle(d, seed = "ep1", hexLen = 1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(a.sortBy(_._1).toSeq != c.sortBy(_._1).toSeq)
+    // hexLen 2 refines shards: 2-char shard prefixes extend 1-char ones
+    val fine = CorpusOps.epochShuffle(d, seed = "ep0", hexLen = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val coarse = a.map(r => (r._1, r._2)).toMap
+    assert(fine.forall { case (id, sh2) => sh2.startsWith(coarse(id)) })
+  }
 }

@@ -403,6 +403,54 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("deleteInsert: pre-update bindings, delete anti-joins, insert re-asserts dedup; one-sided forms") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(
+      ("p1", "worksFor", "o1"), ("o1", "label", "L1"),
+      ("p2", "worksFor", "o2"), // unlabeled: WHERE does not bind, edge survives
+      ("p1", "name", "alice")
+    ).toDF("s", "p", "o")
+    val where = Seq(("?x", "worksFor", "?org"), ("?org", "label", "?lbl"))
+    val got = TripleOps.deleteInsert(spo, where,
+      deleteTemplate = Seq(("?x", "worksFor", "?org")),
+      insertTemplate = Seq(("?org", "employs", "?x"))).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("o1", "label", "L1"), ("p2", "worksFor", "o2"),
+      ("p1", "name", "alice"), ("o1", "employs", "p1")), got.toString)
+    // DELETE WHERE (no insert) and INSERT WHERE (no delete)
+    val delOnly = TripleOps.deleteInsert(spo, where, Seq(("?x", "worksFor", "?org")), Nil)
+    assert(delOnly.count() == 3L)
+    // insert that re-asserts an existing triple dedups (graph set)
+    val insDup = TripleOps.deleteInsert(spo, where, Nil, Seq(("?org", "label", "?lbl")))
+    assert(insDup.count() == 4L)
+    intercept[IllegalArgumentException] {
+      TripleOps.deleteInsert(spo, where, Nil, Nil)
+    }
+  }
+
+  test("owlConstraintViolations: functional distinct-count, irreflexive self-edge; clean graph empty") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(
+      ("a", "worksFor", "o1"), ("a", "worksFor", "o2"), // functional violation n=2
+      ("b", "worksFor", "o1"), ("b", "worksFor", "o1"), // duplicate assertion: NOT a violation
+      ("c", "reportsTo", "c"),                          // irreflexive violation
+      ("d", "reportsTo", "e"),
+      ("a", "knows", "x"), ("a", "knows", "y")          // undeclared predicate: ignored
+    ).toDF("s", "p", "o")
+    val got = TripleOps.owlConstraintViolations(spo,
+      functional = Seq("worksFor"), irreflexive = Seq("reportsTo")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == Set(
+      ("a", "worksFor", "functional", 2L),
+      ("c", "reportsTo", "irreflexive", 1L)), got.toString)
+    val clean = Seq(("d", "reportsTo", "e")).toDF("s", "p", "o")
+    assert(TripleOps.owlConstraintViolations(clean,
+      functional = Seq("worksFor"), irreflexive = Seq("reportsTo")).count() == 0L)
+  }
+
   test("bgp: repeated variable within one pattern equi-filters; disjoint pattern rejected") {
     val s = spark
     import s.implicits._
