@@ -418,6 +418,49 @@ object SparkEntry {
       TripleOps.owlConstraintViolations(spo,
         functional = Seq("worksFor"), irreflexive = Seq("reportsTo"))
     }),
+    // incremental BGP view maintenance: the crawl increment (odd %3
+    // docs' employment edges — %6==0 re-asserts base triples, which
+    // must yield nothing — plus two new org labels) answered by
+    // delta-join telescoping against the base view, never a full
+    // recompute; the oracle is the DEFINITION (sols(base ∪ Δ) EXCEPT
+    // sols(base)), an independent formulation of the telescoped sum
+    "q116_bgp_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val work = docs.select(dId.as("s"), lit("worksFor").as("p"),
+        concat(lit("o"), pmod(col("doc_id"), lit(16))).as("o"))
+      val base = work.where(pmod(col("doc_id"), lit(2)) === 0)
+        .unionByName(s.range(0, 12).select(
+          concat(lit("o"), col("id")).as("s"), lit("label").as("p"),
+          concat(lit("L"), col("id")).as("o")))
+      val added = work.where(pmod(col("doc_id"), lit(3)) === 0)
+        .unionByName(s.range(12, 14).select(
+          concat(lit("o"), col("id")).as("s"), lit("label").as("p"),
+          concat(lit("L"), col("id")).as("o")))
+      TripleOps.bgpDelta(base, added,
+        Seq(("?x", "worksFor", "?org"), ("?org", "label", "?lbl")))
+        .select(col("x"), col("org"), col("lbl"))
+    }),
+    // strongly connected components (coloring/forward-backward) over
+    // a planted directed graph: 8-rings (each ring one SCC) plus a
+    // DAG of cross-ring edges (ring g → ring g div 2) that must NOT
+    // merge components; zero-padded ids via printf/format_string (the
+    // q98 rule) so the max-id coloring is the numeric max both sides;
+    // the oracle is generic mutual reachability (forward ∩ backward
+    // closure), independent of the coloring decomposition
+    "q117_scc" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val nid = (e: org.apache.spark.sql.Column) => format_string("d%06d", e)
+      val ring = docs.select(nid(col("doc_id")).as("src"),
+        nid(expr("(doc_id div 8) * 8 + (doc_id + 1) % 8")).as("dst"))
+      val cross = docs.where(pmod(col("doc_id"), lit(8)) === 0 && col("doc_id") > 0)
+        .select(nid(col("doc_id")).as("src"),
+          nid(expr("(doc_id div 16) * 8")).as("dst"))
+      val edges = ring.unionByName(cross)
+      val nodes = docs.select(nid(col("doc_id")).as("node"))
+        .unionByName(edges.select(col("dst").as("node")))
+      GraphOps.scc(nodes, edges)
+    }),
     // SHACL-lite shape validation over the q92-style spo table with
     // planted violations: docs %19==0 lose their name (minCount),
     // %13==0 gain a second one (maxCount), even docs %17==0 work for
@@ -2555,6 +2598,78 @@ object SparkEntry {
       |SELECT s, p, 'irreflexive', CAST(1 AS BIGINT)
       |FROM spo WHERE p = 'reportsTo' AND s = o""".stripMargin
 
+  /** DuckDB twin of q116 (incremental BGP): the DEFINITION of the
+    * delta — solutions over base ∪ Δ (set union) EXCEPT solutions
+    * over base — deliberately independent of the Spark side's
+    * delta-join telescoping. base and fullg are each consumed twice
+    * (the q71 rule → MATERIALIZED).
+    */
+  private val q116Sql: String =
+    """WITH base AS MATERIALIZED (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s, 'worksFor' AS p,
+      |         'o' || CAST(doc_id % 16 AS VARCHAR) AS o FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT 'o' || CAST(i AS VARCHAR), 'label', 'L' || CAST(i AS VARCHAR)
+      |  FROM range(0, 12) t(i)
+      |),
+      |delta AS (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s, 'worksFor' AS p,
+      |         'o' || CAST(doc_id % 16 AS VARCHAR) AS o FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT 'o' || CAST(i AS VARCHAR), 'label', 'L' || CAST(i AS VARCHAR)
+      |  FROM range(12, 14) t(i)
+      |),
+      |fullg AS MATERIALIZED (
+      |  SELECT s, p, o FROM base UNION SELECT s, p, o FROM delta
+      |),
+      |sols_full AS (
+      |  SELECT w.s AS x, w.o AS org, l.o AS lbl FROM fullg w
+      |  JOIN fullg l ON l.p = 'label' AND l.s = w.o WHERE w.p = 'worksFor'
+      |),
+      |sols_base AS (
+      |  SELECT w.s AS x, w.o AS org, l.o AS lbl FROM base w
+      |  JOIN base l ON l.p = 'label' AND l.s = w.o WHERE w.p = 'worksFor'
+      |)
+      |SELECT x, org, lbl FROM sols_full
+      |EXCEPT
+      |SELECT x, org, lbl FROM sols_base""".stripMargin
+
+  /** DuckDB twin of q117 (SCC): generic mutual reachability — the
+    * transitive closure of the edge set joined against its own
+    * transpose image, scc label = max over the mutually-reachable set
+    * (plus self for singletons) — an independent formulation of the
+    * Spark side's coloring/forward-backward decomposition. Closure is
+    * O(Σ|reach(v)|) rows, bounded here because rings are 8 nodes and
+    * the cross-ring DAG is the div-2 tree (log-depth ancestors only).
+    * printf zero-padding (the q98 rule) makes lexicographic max ==
+    * numeric max in both engines.
+    */
+  private val q117Sql: String =
+    """WITH RECURSIVE edges AS MATERIALIZED (
+      |  SELECT printf('d%06d', doc_id) AS src,
+      |         printf('d%06d', (doc_id // 8) * 8 + (doc_id + 1) % 8) AS dst
+      |  FROM documents
+      |  UNION
+      |  SELECT printf('d%06d', doc_id), printf('d%06d', (doc_id // 16) * 8)
+      |  FROM documents WHERE doc_id % 8 = 0 AND doc_id > 0
+      |),
+      |nodes AS (
+      |  SELECT printf('d%06d', doc_id) AS node FROM documents
+      |  UNION
+      |  SELECT dst FROM edges
+      |),
+      |reach AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+      |)
+      |SELECT node, max(m) AS scc FROM (
+      |  SELECT node, node AS m FROM nodes
+      |  UNION ALL
+      |  SELECT a.src AS node, a.dst AS m FROM reach a
+      |  JOIN reach b ON b.src = a.dst AND b.dst = a.src
+      |) u GROUP BY node""".stripMargin
+
   /** DuckDB twin of q103: same UNION-of-lanes solution set, native
     * GROUP BY + ORDER BY + LIMIT/OFFSET — the (n DESC, org ASC)
     * ordering is total (org ids are distinct), so the selected slice
@@ -3927,6 +4042,8 @@ object SparkEntry {
     "q113_sparql_update" -> q113Sql,
     "q114_epoch_shuffle" -> q114Sql,
     "q115_owl_constraints" -> q115Sql,
+    "q116_bgp_incremental" -> q116Sql,
+    "q117_scc" -> q117Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

@@ -350,6 +350,102 @@ object GraphOps {
     labels.select(col("node"), col("lab").as("community"))
   }
 
+  /** Strongly connected components of a DIRECTED graph — the coloring
+    * / forward-backward decomposition (Orzan 2004; Slota-Rajamanickam-
+    * Madduri 2014), the Pregel-style SCC recipe for graphs whose
+    * condensation is shallow (web link graphs, citation networks):
+    *
+    *  1. COLOR: propagate c(v) = max node id reachable forward from v
+    *     to fixpoint (max-label propagation — monotone, so rounds =
+    *     remaining graph's forward diameter);
+    *  2. CLAIM: every v with c(v) = v is a root; BFS forward from all
+    *     roots simultaneously along edges staying INSIDE the root's
+    *     color; reached nodes form the root's SCC (color(u) = c proves
+    *     u→c, in-color forward reach proves c→u — mutual);
+    *  3. PEEL claimed nodes/edges; repeat on the remainder.
+    *
+    * Every round claims at least the max-id remaining node, and claim
+    * work shrinks with the graph; outer rounds are bounded by the
+    * longest ascending-id chain in the condensation — O(1)-ish on id
+    * assignments that don't adversarially ascend along edges, n on a
+    * pathological ascending chain, which is why the cap THROWS (the
+    * q26/q71 rule: oracle-gated labels must never ship a truncated
+    * decomposition). Each SCC is labeled by its MAXIMUM member (the
+    * root's id — the natural label of the coloring family; the
+    * min-label mirror is a relabel away).
+    *
+    * Scale shape: per inner round one edge⋈label join + one map-side-
+    * combinable max per src (color) or one frontier extension +
+    * anti-join (claim); labels/frontiers checkpoint eagerly (lineage
+    * truncation, the q26 rule); self-loops drop (never change SCCs);
+    * isolated nodes are their own root and claim themselves in round
+    * one. `nodes` carries every vertex (including edge-free ones).
+    */
+  def scc(nodes0: DataFrame, edges0: DataFrame,
+      maxOuter: Int = 16, maxInner: Int = 128): DataFrame = {
+    var nodes = nodes0.select(col("node").cast("string").as("node"))
+      .distinct().localCheckpoint(true)
+    var edges = edges0
+      .select(col("src").cast("string").as("src"), col("dst").cast("string").as("dst"))
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    var done = nodes.limit(0).withColumn("scc", col("node"))
+    var outer = 0
+    while (outer < maxOuter) {
+      if (nodes.isEmpty) return done
+      // 1. color fixpoint: c(v) = max id forward-reachable from v
+      var colors = nodes.select(col("node"), col("node").as("color"))
+      var colorRounds = 0
+      var changed = 1L
+      while (changed > 0) {
+        if (colorRounds >= maxInner) throw new IllegalStateException(
+          s"scc color propagation did not converge in $maxInner rounds")
+        val nbrMax = edges
+          .join(colors.select(col("node").as("dst"), col("color").as("dc")), Seq("dst"))
+          .groupBy(col("src")).agg(max(col("dc")).as("nm"))
+        val merged = colors
+          .join(nbrMax.select(col("src").as("node"), col("nm")), Seq("node"), "left")
+          .select(col("node"), col("color"),
+            greatest(col("color"), coalesce(col("nm"), col("color"))).as("nc"))
+          .localCheckpoint(true)
+        changed = merged.where(col("nc") =!= col("color")).count()
+        colors = merged.select(col("node"), col("nc").as("color"))
+        colorRounds += 1
+      }
+      // 2. claim: forward BFS from the roots, restricted to the color
+      val roots = colors.where(col("node") === col("color"))
+        .select(col("node"), col("color").as("scc")).localCheckpoint(true)
+      var claimed = roots
+      var frontier = roots
+      var claimRounds = 0
+      while (!frontier.isEmpty) {
+        if (claimRounds >= maxInner) throw new IllegalStateException(
+          s"scc claim BFS did not terminate in $maxInner rounds")
+        val step = frontier.join(edges, frontier("node") === edges("src"))
+          .select(col("dst").as("node"), col("scc")).distinct()
+          .join(colors, Seq("node"))
+          .where(col("color") === col("scc"))
+          .select(col("node"), col("scc"))
+          .join(claimed, Seq("node"), "left_anti")
+          .localCheckpoint(true)
+        claimed = claimed.unionByName(step).localCheckpoint(true)
+        frontier = step
+        claimRounds += 1
+      }
+      // 3. peel and recurse on the remainder
+      done = done.unionByName(claimed).localCheckpoint(true)
+      nodes = nodes.join(claimed, Seq("node"), "left_anti").localCheckpoint(true)
+      edges = edges
+        .join(claimed.select(col("node").as("src")), Seq("src"), "left_anti")
+        .join(claimed.select(col("node").as("dst")), Seq("dst"), "left_anti")
+        .localCheckpoint(true)
+      outer += 1
+    }
+    if (nodes.isEmpty) done
+    else throw new IllegalStateException(
+      s"scc did not decompose the graph in $maxOuter outer rounds — " +
+        "refusing to return a partial decomposition")
+  }
+
   /** HITS hubs & authorities (Kleinberg, JACM 46(5) 1999) — the
     * mutually-reinforcing bipartite scoring PageRank can't express:
     * a(v) = Σ_{u→v} h(u), h(u) = Σ_{u→v} a(v), alternating, each

@@ -165,26 +165,77 @@ object TripleOps {
     */
   def bgp(triples: DataFrame, patterns: Seq[(String, String, String)]): DataFrame = {
     require(patterns.nonEmpty, "empty BGP")
-    val spo = Seq("s", "p", "o")
-    def slice(pat: (String, String, String)): DataFrame = {
-      val terms = Seq(pat._1, pat._2, pat._3).zip(spo)
-      val filtered = terms.foldLeft(triples) { case (df, (term, c)) =>
-        if (term.startsWith("?")) df else df.where(col(c) === lit(term))
-      }
-      val varCols = terms.collect { case (t, c) if t.startsWith("?") => (t.drop(1), c) }
-      require(varCols.nonEmpty, "pattern with no variables selects nothing")
-      val byVar = varCols.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-      val eqFiltered = byVar.values.filter(_.size > 1).foldLeft(filtered) { (df, cs) =>
-        cs.sliding(2).foldLeft(df)((d, pair) => d.where(col(pair(0)) === col(pair(1))))
-      }
-      eqFiltered.select(byVar.toSeq.sortBy(_._1).map { case (v, cs) => col(cs.head).as(v) }: _*)
-    }
-    patterns.map(slice).reduceLeft { (acc, nxt) =>
+    patterns.map(patternSlice(triples, _)).reduceLeft { (acc, nxt) =>
       val shared = acc.columns.intersect(nxt.columns).toSeq
       require(shared.nonEmpty,
         "BGP pattern shares no variable with the prefix — cartesian product; reorder patterns")
       acc.join(nxt, shared)
     }
+  }
+
+  /** One triple pattern's solution slice (shared by [[bgp]] and
+    * [[bgpDelta]]): constants filter, variables project, a variable
+    * repeated within the pattern equi-filters.
+    */
+  private def patternSlice(triples: DataFrame, pat: (String, String, String)): DataFrame = {
+    val terms = Seq(pat._1, pat._2, pat._3).zip(Seq("s", "p", "o"))
+    val filtered = terms.foldLeft(triples) { case (df, (term, c)) =>
+      if (term.startsWith("?")) df else df.where(col(c) === lit(term))
+    }
+    val varCols = terms.collect { case (t, c) if t.startsWith("?") => (t.drop(1), c) }
+    require(varCols.nonEmpty, "pattern with no variables selects nothing")
+    val byVar = varCols.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val eqFiltered = byVar.values.filter(_.size > 1).foldLeft(filtered) { (df, cs) =>
+      cs.sliding(2).foldLeft(df)((d, pair) => d.where(col(pair(0)) === col(pair(1))))
+    }
+    eqFiltered.select(byVar.toSeq.sortBy(_._1).map { case (v, cs) => col(cs.head).as(v) }: _*)
+  }
+
+  /** Incremental BGP view maintenance under triple ADDITIONS — the
+    * delta-join telescoping rule: the NEW solutions of a BGP after
+    * `added` lands are
+    *
+    *   Δ(P₁ ⋈ … ⋈ Pₙ) = Σᵢ  P₁..Pᵢ₋₁(old∪Δ) ⋈ Pᵢ(Δ) ⋈ Pᵢ₊₁..Pₙ(old)
+    *
+    * — each solution that uses at least one added triple is produced
+    * by exactly ONE term (the one whose i is its LAST delta position),
+    * so the union is exact without inter-term dedup; the final
+    * distinct only restores set semantics when the same binding has
+    * multiple witnesses, the same rule as [[bgp]] composition.
+    *
+    * This is the KG-construction maintenance operator: a TB-sized
+    * materialized view answers a crawl increment by joining the
+    * CRAWL-SIZED delta against the base — never re-running the view.
+    * Every term anchors on a Δ slice, so work scales with the
+    * increment (AQE broadcasts the delta slices); the old/full sides
+    * keep [[bgp]]'s predicate pushdown.
+    */
+  def bgpDelta(base: DataFrame, added: DataFrame,
+      patterns: Seq[(String, String, String)]): DataFrame = {
+    require(patterns.nonEmpty, "empty BGP")
+    // a re-asserted triple is NOT an addition to a graph SET — drop it
+    // before telescoping, which also makes the term union exact under
+    // set semantics (bgp projects every variable, so a binding
+    // determines its witness triples: no binding can have both an
+    // all-old and a delta-using witness once the delta is genuinely new)
+    def spo(df: DataFrame) = df.select(col("s").cast("string").as("s"),
+      col("p").cast("string").as("p"), col("o").cast("string").as("o"))
+    val baseT = spo(base)
+    val delta = spo(added).join(baseT, Seq("s", "p", "o"), "left_anti").localCheckpoint(true)
+    val full = baseT.unionByName(delta)
+    val terms = patterns.indices.map { i =>
+      val slices = patterns.zipWithIndex.map { case (pat, j) =>
+        val srcFrame = if (j < i) full else if (j == i) delta else baseT
+        patternSlice(srcFrame, pat)
+      }
+      slices.reduceLeft { (acc, nxt) =>
+        val shared = acc.columns.intersect(nxt.columns).toSeq
+        require(shared.nonEmpty,
+          "BGP pattern shares no variable with the prefix — cartesian product; reorder patterns")
+        acc.join(nxt, shared)
+      }
+    }
+    terms.reduceLeft(_ unionByName _).distinct()
   }
 
   /** BGP with SPARQL OPTIONAL semantics: each optional group is a BGP

@@ -511,6 +511,32 @@ class EventCorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "x" -> "c", "y" -> "c", "z" -> "c"), got.toString)
   }
 
+  test("scc: cycles are components, DAG cross edges never merge, acyclic nodes are singletons") {
+    val s = spark
+    import s.implicits._
+    // two 3-cycles {a,b,c} / {d,e,f} with a DAG bridge f→a (must NOT
+    // merge), a 2-cycle {g,h} fed by a→g, an acyclic chain i→j with a
+    // self-loop on i (dropped), and an isolated node k
+    val e = Seq(
+      ("a", "b"), ("b", "c"), ("c", "a"),
+      ("d", "e"), ("e", "f"), ("f", "d"),
+      ("f", "a"),
+      ("g", "h"), ("h", "g"), ("a", "g"),
+      ("i", "j"), ("i", "i")).toDF("src", "dst")
+    val nodes = Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k").toDF("node")
+    val got = GraphOps.scc(nodes, e).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      "a" -> "c", "b" -> "c", "c" -> "c",
+      "d" -> "f", "e" -> "f", "f" -> "f",
+      "g" -> "h", "h" -> "h",
+      "i" -> "i", "j" -> "j", "k" -> "k"), got.toString)
+    // outer-round cap throws rather than shipping a partial decomposition
+    intercept[IllegalStateException] {
+      GraphOps.scc(nodes, e, maxOuter = 1).count()
+    }
+  }
+
   test("kCore: iterative peeling reaches the fixpoint, not just the degree filter") {
     // triangle {1,2,3} with tail 3-4-5: after round 1 node 5 drops
     // (deg 1), which EXPOSES 4 at deg 1 — only a second peel round

@@ -451,6 +451,35 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       functional = Seq("worksFor"), irreflexive = Seq("reportsTo")).count() == 0L)
   }
 
+  test("bgpDelta: telescoped delta == full-minus-base; re-asserted triples yield nothing") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(
+      ("p1", "worksFor", "o1"), ("p2", "worksFor", "o2"),
+      ("o1", "label", "L1")).toDF("s", "p", "o")
+    // delta mixes every case: new edge joining an OLD label (p3→o1),
+    // an OLD triple re-asserted (p1→o1 — must yield nothing), a new
+    // label completing an OLD edge (o2), and a fully-new pair (p4/o3)
+    val added = Seq(
+      ("p3", "worksFor", "o1"), ("p1", "worksFor", "o1"),
+      ("o2", "label", "L2"),
+      ("p4", "worksFor", "o3"), ("o3", "label", "L3")).toDF("s", "p", "o")
+    val pats = Seq(("?x", "worksFor", "?org"), ("?org", "label", "?lbl"))
+    val got = TripleOps.bgpDelta(base, added, pats)
+      .select("x", "org", "lbl").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("p3", "o1", "L1"), ("p2", "o2", "L2"), ("p4", "o3", "L3")), got.toString)
+    // the definition: sols(base ∪ Δ) EXCEPT sols(base)
+    val full = base.unionByName(added)
+    val viaDef = TripleOps.bgp(full, pats).except(TripleOps.bgp(base, pats))
+      .select("x", "org", "lbl").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == viaDef)
+    // an all-old delta is the empty view increment
+    assert(TripleOps.bgpDelta(base, base.limit(2), pats).count() == 0L)
+  }
+
   test("bgp: repeated variable within one pattern equi-filters; disjoint pattern rejected") {
     val s = spark
     import s.implicits._
