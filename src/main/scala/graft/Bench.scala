@@ -68,7 +68,7 @@ object Bench {
     "q107_describe", "q108_bind_filter", "q109_subquery",
     "q110_path_seq", "q111_graph_quads", "q112_owl_entail",
     "q113_sparql_update", "q114_epoch_shuffle", "q115_owl_constraints",
-    "q116_bgp_incremental", "q117_scc",
+    "q116_bgp_incremental", "q117_scc", "q118_bgp_retract",
     "x_bpe_train", "x_bpe_encode",
     "x_minhash_lsh_dedup", "x_ngram_jaccard_lsh", "x_simhash_dedup",
     "x_embedding_neardup", "x_ann_brute", "x_ann_lsh", "x_ann_ivf",

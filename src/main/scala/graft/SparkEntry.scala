@@ -441,6 +441,28 @@ object SparkEntry {
         Seq(("?x", "worksFor", "?org"), ("?org", "label", "?lbl")))
         .select(col("x"), col("org"), col("lbl"))
     }),
+    // the retraction mirror of q116: a takedown batch (every fifth
+    // doc's employment edge — the odd ones were never asserted and
+    // must retract nothing — plus org 12's label) answered by the
+    // first-delta-position telescoped sum; the oracle is again the
+    // DEFINITION (sols(base) EXCEPT sols(base ∖ removed))
+    "q118_bgp_retract" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val work = docs.select(dId.as("s"), lit("worksFor").as("p"),
+        concat(lit("o"), pmod(col("doc_id"), lit(16))).as("o"))
+      val base = work.where(pmod(col("doc_id"), lit(2)) === 0)
+        .unionByName(s.range(0, 14).select(
+          concat(lit("o"), col("id")).as("s"), lit("label").as("p"),
+          concat(lit("L"), col("id")).as("o")))
+      val removed = work.where(pmod(col("doc_id"), lit(5)) === 0)
+        .unionByName(s.range(12, 13).select(
+          concat(lit("o"), col("id")).as("s"), lit("label").as("p"),
+          concat(lit("L"), col("id")).as("o")))
+      TripleOps.bgpDeltaRetract(base, removed,
+        Seq(("?x", "worksFor", "?org"), ("?org", "label", "?lbl")))
+        .select(col("x"), col("org"), col("lbl"))
+    }),
     // strongly connected components (coloring/forward-backward) over
     // a planted directed graph: 8-rings (each ring one SCC) plus a
     // DAG of cross-ring edges (ring g → ring g div 2) that must NOT
@@ -2634,6 +2656,41 @@ object SparkEntry {
       |EXCEPT
       |SELECT x, org, lbl FROM sols_base""".stripMargin
 
+  /** DuckDB twin of q118 (BGP retraction): the DEFINITION of the lost
+    * solutions — sols(base) EXCEPT sols(base ∖ removed) — independent
+    * of the Spark side's first-delta-position telescoping. EXCEPT on
+    * the triple level is exactly the Δ := removed ∩ base semi-join
+    * (retracting a never-asserted triple is a no-op on the set).
+    */
+  private val q118Sql: String =
+    """WITH base AS MATERIALIZED (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s, 'worksFor' AS p,
+      |         'o' || CAST(doc_id % 16 AS VARCHAR) AS o FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT 'o' || CAST(i AS VARCHAR), 'label', 'L' || CAST(i AS VARCHAR)
+      |  FROM range(0, 14) t(i)
+      |),
+      |removed AS (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s, 'worksFor' AS p,
+      |         'o' || CAST(doc_id % 16 AS VARCHAR) AS o FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT 'o12', 'label', 'L12'
+      |),
+      |remain AS MATERIALIZED (
+      |  SELECT s, p, o FROM base EXCEPT SELECT s, p, o FROM removed
+      |),
+      |sols_base AS (
+      |  SELECT w.s AS x, w.o AS org, l.o AS lbl FROM base w
+      |  JOIN base l ON l.p = 'label' AND l.s = w.o WHERE w.p = 'worksFor'
+      |),
+      |sols_remain AS (
+      |  SELECT w.s AS x, w.o AS org, l.o AS lbl FROM remain w
+      |  JOIN remain l ON l.p = 'label' AND l.s = w.o WHERE w.p = 'worksFor'
+      |)
+      |SELECT x, org, lbl FROM sols_base
+      |EXCEPT
+      |SELECT x, org, lbl FROM sols_remain""".stripMargin
+
   /** DuckDB twin of q117 (SCC): generic mutual reachability — the
     * transitive closure of the edge set joined against its own
     * transpose image, scc label = max over the mutually-reachable set
@@ -4044,6 +4101,7 @@ object SparkEntry {
     "q115_owl_constraints" -> q115Sql,
     "q116_bgp_incremental" -> q116Sql,
     "q117_scc" -> q117Sql,
+    "q118_bgp_retract" -> q118Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

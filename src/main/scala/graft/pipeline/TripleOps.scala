@@ -165,12 +165,35 @@ object TripleOps {
     */
   def bgp(triples: DataFrame, patterns: Seq[(String, String, String)]): DataFrame = {
     require(patterns.nonEmpty, "empty BGP")
-    patterns.map(patternSlice(triples, _)).reduceLeft { (acc, nxt) =>
-      val shared = acc.columns.intersect(nxt.columns).toSeq
-      require(shared.nonEmpty,
-        "BGP pattern shares no variable with the prefix — cartesian product; reorder patterns")
-      acc.join(nxt, shared)
+    patterns.map(patternSlice(triples, _)).reduceLeft(joinOnShared)
+  }
+
+  /** Left-deep equi-join of two solution slices on their shared
+    * variables; a sliceless join is a cartesian product and is
+    * rejected eagerly — at corpus scale that plan is never intended.
+    */
+  private def joinOnShared(acc: DataFrame, nxt: DataFrame): DataFrame = {
+    val shared = acc.columns.intersect(nxt.columns).toSeq
+    require(shared.nonEmpty,
+      "BGP pattern shares no variable with the prefix — cartesian product; reorder patterns")
+    acc.join(nxt, shared)
+  }
+
+  /** The telescoped delta sum shared by [[bgpDelta]] and
+    * [[bgpDeltaRetract]]: term i anchors pattern i on the `delta`
+    * slice, patterns before i on `prefix`, patterns after i on
+    * `suffix` — each delta-using solution is produced by exactly one
+    * term (its last delta position when prefix ⊇ suffix, its first
+    * when prefix ⊆ suffix).
+    */
+  private def telescope(prefix: DataFrame, delta: DataFrame, suffix: DataFrame,
+      patterns: Seq[(String, String, String)]): DataFrame = {
+    val terms = patterns.indices.map { i =>
+      patterns.zipWithIndex.map { case (pat, j) =>
+        patternSlice(if (j < i) prefix else if (j == i) delta else suffix, pat)
+      }.reduceLeft(joinOnShared)
     }
+    terms.reduceLeft(_ unionByName _).distinct()
   }
 
   /** One triple pattern's solution slice (shared by [[bgp]] and
@@ -218,25 +241,38 @@ object TripleOps {
     // set semantics (bgp projects every variable, so a binding
     // determines its witness triples: no binding can have both an
     // all-old and a delta-using witness once the delta is genuinely new)
-    def spo(df: DataFrame) = df.select(col("s").cast("string").as("s"),
-      col("p").cast("string").as("p"), col("o").cast("string").as("o"))
-    val baseT = spo(base)
-    val delta = spo(added).join(baseT, Seq("s", "p", "o"), "left_anti").localCheckpoint(true)
-    val full = baseT.unionByName(delta)
-    val terms = patterns.indices.map { i =>
-      val slices = patterns.zipWithIndex.map { case (pat, j) =>
-        val srcFrame = if (j < i) full else if (j == i) delta else baseT
-        patternSlice(srcFrame, pat)
-      }
-      slices.reduceLeft { (acc, nxt) =>
-        val shared = acc.columns.intersect(nxt.columns).toSeq
-        require(shared.nonEmpty,
-          "BGP pattern shares no variable with the prefix — cartesian product; reorder patterns")
-        acc.join(nxt, shared)
-      }
-    }
-    terms.reduceLeft(_ unionByName _).distinct()
+    val baseT = spoCols(base)
+    val delta = spoCols(added).join(baseT, Seq("s", "p", "o"), "left_anti").localCheckpoint(true)
+    telescope(baseT.unionByName(delta), delta, baseT, patterns)
   }
+
+  /** Incremental BGP view maintenance under triple DELETIONS — the
+    * retraction mirror of [[bgpDelta]]: the solutions a BGP LOSES when
+    * `removed` is retracted are
+    *
+    *   Δ⁻(P₁ ⋈ … ⋈ Pₙ) = Σᵢ  P₁..Pᵢ₋₁(base∖Δ) ⋈ Pᵢ(Δ) ⋈ Pᵢ₊₁..Pₙ(base)
+    *
+    * — each lost solution is produced by exactly ONE term (its FIRST
+    * delta position). Retracting a triple that was never asserted
+    * retracts nothing (Δ := removed ∩ base, a semi-join). Because
+    * [[bgp]] projects every variable, a binding determines its witness
+    * triples, so the telescoped sum IS sols(base) ∖ sols(base∖Δ) — no
+    * re-derivation pass is needed (the DRed over-delete/re-derive
+    * split collapses for full-projection BGPs). Work scales with the
+    * retraction batch, never the view.
+    */
+  def bgpDeltaRetract(base: DataFrame, removed: DataFrame,
+      patterns: Seq[(String, String, String)]): DataFrame = {
+    require(patterns.nonEmpty, "empty BGP")
+    val baseT = spoCols(base)
+    val delta = spoCols(removed).join(baseT, Seq("s", "p", "o"), "left_semi").localCheckpoint(true)
+    val remain = baseT.join(delta, Seq("s", "p", "o"), "left_anti")
+    telescope(remain, delta, baseT, patterns)
+  }
+
+  private def spoCols(df: DataFrame): DataFrame =
+    df.select(col("s").cast("string").as("s"),
+      col("p").cast("string").as("p"), col("o").cast("string").as("o"))
 
   /** BGP with SPARQL OPTIONAL semantics: each optional group is a BGP
     * of its own, left-joined onto the required match on their shared

@@ -480,6 +480,33 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TripleOps.bgpDelta(base, base.limit(2), pats).count() == 0L)
   }
 
+  test("bgpDeltaRetract: telescoped loss == base-minus-remain; absent retraction yields nothing") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(
+      ("p1", "worksFor", "o1"), ("p2", "worksFor", "o2"), ("p3", "worksFor", "o1"),
+      ("o1", "label", "L1"), ("o2", "label", "L2")).toDF("s", "p", "o")
+    // retract one edge (loses only p1's solution), one label (loses
+    // p2's), and a never-asserted triple (must lose nothing)
+    val removed = Seq(
+      ("p1", "worksFor", "o1"), ("o2", "label", "L2"),
+      ("p9", "worksFor", "o9")).toDF("s", "p", "o")
+    val pats = Seq(("?x", "worksFor", "?org"), ("?org", "label", "?lbl"))
+    val got = TripleOps.bgpDeltaRetract(base, removed, pats)
+      .select("x", "org", "lbl").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("p1", "o1", "L1"), ("p2", "o2", "L2")), got.toString)
+    // the definition: sols(base) EXCEPT sols(base ∖ removed)
+    val remain = base.except(removed)
+    val viaDef = TripleOps.bgp(base, pats).except(TripleOps.bgp(remain, pats))
+      .select("x", "org", "lbl").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == viaDef)
+    // retracting only never-asserted triples is the empty loss
+    val noop = Seq(("p9", "worksFor", "o9")).toDF("s", "p", "o")
+    assert(TripleOps.bgpDeltaRetract(base, noop, pats).count() == 0L)
+  }
+
   test("bgp: repeated variable within one pattern equi-filters; disjoint pattern rejected") {
     val s = spark
     import s.implicits._
