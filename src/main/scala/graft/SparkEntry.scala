@@ -441,6 +441,27 @@ object SparkEntry {
         Seq(("?x", "worksFor", "?org"), ("?org", "label", "?lbl")))
         .select(col("x"), col("org"), col("lbl"))
     }),
+    // SPARQL 1.1 negated-property-set + zero-or-one path:
+    // !(name)/worksFor? — follow any NON-schema link (employment or
+    // mentorship), then optionally hop to the employer; the
+    // zero-length leg of `?` keeps the direct link endpoints, the
+    // one-length leg adds the mentee's org — the "any related entity"
+    // traversal of a heterogeneous web KG
+    "q119_path_negated" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.select(dId.as("s"), lit("name").as("p"),
+          concat(lit("n"), pmod(col("doc_id"), lit(100))).as("o"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select(dId.as("s"), lit("worksFor").as("p"),
+            concat(lit("o"), pmod(col("doc_id"), lit(16))).as("o")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(7)) === 0 && col("doc_id") > 0)
+          .select(dId.as("s"), lit("mentorOf").as("p"),
+            concat(lit("d"), expr("doc_id div 7")).as("o")))
+      TripleOps.path(spo, Seq(TripleOps.NegatedSet(Seq("name")),
+        TripleOps.ZeroOrOne("worksFor")))
+        .select(col("src"), col("dst"))
+    }),
     // the retraction mirror of q116: a takedown batch (every fifth
     // doc's employment edge — the odd ones were never asserted and
     // must retract nothing — plus org 12's label) answered by the
@@ -462,6 +483,58 @@ object SparkEntry {
       TripleOps.bgpDeltaRetract(base, removed,
         Seq(("?x", "worksFor", "?org"), ("?org", "label", "?lbl")))
         .select(col("x"), col("org"), col("lbl"))
+    }),
+    // OWL property-chain + symmetric entailment: marriedTo is
+    // owl:SymmetricProperty (asserted one-way, mirrored), hasParent∘
+    // hasParent ⊑ hasGrandparent and hasGrandparent∘hasParent ⊑
+    // hasGreatGrandparent chain to a joint fixpoint — the second
+    // chain consumes the first's DERIVED edges, proving the
+    // semi-naive rounds (prp-spo2, the OWL RL rule)
+    "q121_owl_chain" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.where(col("doc_id") > 0)
+          .select(dId.as("s"), lit("hasParent").as("p"),
+            concat(lit("d"), expr("doc_id div 2")).as("o"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(10)) === 0)
+          .select(dId.as("s"), lit("marriedTo").as("p"),
+            concat(lit("d"), col("doc_id") + 1).as("o")))
+        .unionByName(docs.select(dId.as("s"), lit("name").as("p"),
+          concat(lit("n"), pmod(col("doc_id"), lit(100))).as("o")))
+      TripleOps.chainAxiomEntail(
+        TripleOps.symmetricPropEntail(spo, Seq("marriedTo")),
+        Seq(("hasParent", "hasParent", "hasGrandparent"),
+          ("hasGrandparent", "hasParent", "hasGreatGrandparent")))
+        .select("s", "p", "o")
+    }),
+    // co-citation relatedness (Small 1973) over the q83 external
+    // domain edges: target pairs sharing >= 2 citing domains — the
+    // link-analysis signal where direct edges are sparse
+    "q122_cocitation" -> ((s, d) => {
+      val g = SparkEntry.queries("q83_link_graph")(s, d)
+      GraphOps.coCitation(
+        g.where(col("is_internal") === 0L)
+          .select(col("src_domain").as("src"), col("dst_domain").as("dst")),
+        minCommon = 2L)
+    }),
+    // SPARQL 1.1 UPDATE graph management over per-source named graphs:
+    // MOVE src0 TO live, ADD src1 TO live (the shared corpus-version
+    // quad lands in live from BOTH sources — set-dedup must collapse
+    // it), CLEAR src2, COPY src3 TO mirror — the promote/merge/retire
+    // lifecycle of a per-shard extraction corpus
+    "q120_graph_mgmt" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val quads = docs.select(col("source").as("g"), dId.as("s"),
+          lit("lang").as("p"), col("lang").as("o"))
+        .unionByName(docs.select(col("source").as("g"), dId.as("s"),
+          lit("bucket").as("p"), concat(lit("b"), pmod(col("doc_id"), lit(7))).as("o")))
+        .unionByName(docs.select(col("source").as("g"), lit("corpus").as("s"),
+          lit("version").as("p"), lit("v1").as("o")).distinct())
+      TripleOps.manageGraphs(quads, Seq(
+        TripleOps.MoveGraph("src0", "live"), TripleOps.AddGraph("src1", "live"),
+        TripleOps.ClearGraph("src2"), TripleOps.CopyGraph("src3", "mirror")))
+        .select(col("g"), col("s"), col("p"), col("o"))
     }),
     // strongly connected components (coloring/forward-backward) over
     // a planted directed graph: 8-rings (each ring one SCC) plus a
@@ -2656,6 +2729,28 @@ object SparkEntry {
       |EXCEPT
       |SELECT x, org, lbl FROM sols_base""".stripMargin
 
+  /** DuckDB twin of q119 (negated set + zero-or-one path): the
+    * algebraic identity seq(A, B?) = A ∪ (A ⋈ B) written directly —
+    * independent of the Spark side's identity-universe hop frame.
+    */
+  private val q119Sql: String =
+    """WITH spo AS MATERIALIZED (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s, 'name' AS p,
+      |         'n' || CAST(doc_id % 100 AS VARCHAR) AS o FROM documents
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'worksFor',
+      |         'o' || CAST(doc_id % 16 AS VARCHAR) FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'mentorOf',
+      |         'd' || CAST(doc_id // 7 AS VARCHAR) FROM documents
+      |  WHERE doc_id % 7 = 0 AND doc_id > 0
+      |),
+      |e AS MATERIALIZED (SELECT DISTINCT s AS src, o AS dst FROM spo WHERE p <> 'name'),
+      |wf AS (SELECT DISTINCT s, o FROM spo WHERE p = 'worksFor')
+      |SELECT src, dst FROM e
+      |UNION
+      |SELECT e.src, w.o FROM e JOIN wf w ON w.s = e.dst""".stripMargin
+
   /** DuckDB twin of q118 (BGP retraction): the DEFINITION of the lost
     * solutions — sols(base) EXCEPT sols(base ∖ removed) — independent
     * of the Spark side's first-delta-position telescoping. EXCEPT on
@@ -2690,6 +2785,70 @@ object SparkEntry {
       |SELECT x, org, lbl FROM sols_base
       |EXCEPT
       |SELECT x, org, lbl FROM sols_remain""".stripMargin
+
+  /** DuckDB twin of q121 (OWL chain + symmetric): the chains UNROLLED
+    * as explicit join CTEs (gp = parent², ggp = gp ∘ parent) — the
+    * closed form of the Spark side's fixpoint, exact because the
+    * schema's chain depth is 2; par/gp are multi-consumed (the q71
+    * MATERIALIZED rule).
+    */
+  private val q121Sql: String =
+    """WITH spo AS MATERIALIZED (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s, 'hasParent' AS p,
+      |         'd' || CAST(doc_id // 2 AS VARCHAR) AS o FROM documents WHERE doc_id > 0
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'marriedTo',
+      |         'd' || CAST(doc_id + 1 AS VARCHAR) FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'name',
+      |         'n' || CAST(doc_id % 100 AS VARCHAR) FROM documents
+      |),
+      |par AS MATERIALIZED (SELECT s, o FROM spo WHERE p = 'hasParent'),
+      |gp AS MATERIALIZED (SELECT a.s, b.o FROM par a JOIN par b ON b.s = a.o),
+      |ggp AS (SELECT g.s, c.o FROM gp g JOIN par c ON c.s = g.o)
+      |SELECT s, p, o FROM spo
+      |UNION
+      |SELECT o, 'marriedTo', s FROM spo WHERE p = 'marriedTo'
+      |UNION
+      |SELECT s, 'hasGrandparent', o FROM gp
+      |UNION
+      |SELECT s, 'hasGreatGrandparent', o FROM ggp""".stripMargin
+
+  /** DuckDB twin of q122 (co-citation): the same q83 link-graph CTE
+    * both engines rebuild, then the pair self-join written natively —
+    * a < b orientation, HAVING over the plain count.
+    */
+  private def q122Sql: String =
+    s"""WITH g AS MATERIALIZED (${q83Sql}),
+      |e AS MATERIALIZED (
+      |  SELECT DISTINCT src_domain AS src, dst_domain AS dst FROM g WHERE is_internal = 0
+      |)
+      |SELECT a.dst AS a, b.dst AS b, CAST(COUNT(*) AS BIGINT) AS n_common
+      |FROM e a JOIN e b ON b.src = a.src AND a.dst < b.dst
+      |GROUP BY 1, 2
+      |HAVING COUNT(*) >= 2""".stripMargin
+
+  /** DuckDB twin of q120 (graph management): the FINAL state written
+    * directly as set algebra — surviving graphs pass through (src0
+    * moved away, src2 cleared), live = src0 ∪ src1 content, mirror =
+    * src3 content; UNION dedups the shared version quad — independent
+    * of the Spark side's op-by-op fold.
+    */
+  private val q120Sql: String =
+    """WITH quads AS MATERIALIZED (
+      |  SELECT source AS g, 'd' || CAST(doc_id AS VARCHAR) AS s,
+      |         'lang' AS p, lang AS o FROM documents
+      |  UNION ALL
+      |  SELECT source, 'd' || CAST(doc_id AS VARCHAR), 'bucket',
+      |         'b' || CAST(doc_id % 7 AS VARCHAR) FROM documents
+      |  UNION ALL
+      |  SELECT DISTINCT source, 'corpus', 'version', 'v1' FROM documents
+      |)
+      |SELECT g, s, p, o FROM quads WHERE g NOT IN ('src0', 'src2')
+      |UNION
+      |SELECT 'live', s, p, o FROM quads WHERE g IN ('src0', 'src1')
+      |UNION
+      |SELECT 'mirror', s, p, o FROM quads WHERE g = 'src3'""".stripMargin
 
   /** DuckDB twin of q117 (SCC): generic mutual reachability — the
     * transitive closure of the edge set joined against its own
@@ -4102,6 +4261,10 @@ object SparkEntry {
     "q116_bgp_incremental" -> q116Sql,
     "q117_scc" -> q117Sql,
     "q118_bgp_retract" -> q118Sql,
+    "q119_path_negated" -> q119Sql,
+    "q120_graph_mgmt" -> q120Sql,
+    "q121_owl_chain" -> q121Sql,
+    "q122_cocitation" -> q122Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

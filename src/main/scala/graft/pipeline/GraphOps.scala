@@ -350,6 +350,27 @@ object GraphOps {
     labels.select(col("node"), col("lab").as("community"))
   }
 
+  /** Co-citation pairs (Small, JASIS 24(4) 1973): two targets are
+    * co-cited when the same source links to both; `n_common` counts
+    * the distinct co-citing sources. The bipartite self-join shape:
+    * edges ⋈ edges on src with dst < dst2, then a map-side-combinable
+    * pair count — the relatedness signal citation/link analysis uses
+    * where direct edges are sparse (bibliographic coupling is the
+    * same op on the transposed edge set). Skew note: a hub SOURCE
+    * with out-degree d emits d² pairs — web pages cite tens of
+    * domains so the quadratic is bounded per row; for adversarial
+    * hubs apply the LSH hot-bucket suppression rule upstream.
+    */
+  def coCitation(edges: DataFrame, minCommon: Long = 2L): DataFrame = {
+    val e = edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst")).distinct()
+    e.join(e.select(col("src"), col("dst").as("dst2")), Seq("src"))
+      .where(col("dst") < col("dst2"))
+      .groupBy(col("dst").as("a"), col("dst2").as("b"))
+      .agg(count(lit(1)).cast("bigint").as("n_common"))
+      .where(col("n_common") >= minCommon)
+  }
+
   /** Strongly connected components of a DIRECTED graph — the coloring
     * / forward-backward decomposition (Orzan 2004; Slota-Rajamanickam-
     * Madduri 2014), the Pregel-style SCC recipe for graphs whose

@@ -519,12 +519,50 @@ object TripleOps {
     * cardinality at |pairs|, not |paths| (a hub org with d employees
     * contributes d² pairs once, not once per witnessing path).
     */
-  def pathSteps(triples: DataFrame, steps: Seq[(String, Boolean)]): DataFrame = {
+  def pathSteps(triples: DataFrame, steps: Seq[(String, Boolean)]): DataFrame =
+    path(triples, steps.map { case (p, inv) => PredStep(p, inv) })
+
+  /** One step of a SPARQL 1.1 property path, each evaluated to a
+    * distinct (src, dst) pair frame before chaining:
+    *  - [[PredStep]]    `p` / `^p` — a predicate-constant slice;
+    *  - [[NegatedSet]]  `!(p1|…|pk)` / `!(^p1|…|^pk)` — every edge
+    *    whose predicate is NOT in the set (the "any link except the
+    *    schema lanes" traversal of heterogeneous web KGs); the
+    *    NOT-IN filter still pushes into the scan;
+    *  - [[ZeroOrOne]]   `p?` / `^p?` — the p edge set plus the
+    *    reflexive identity over EVERY term of the graph (SPARQL's
+    *    zero-length-path universe: subjects ∪ objects), which under
+    *    sequence chaining gives exactly seq(A, B?) = A ∪ (A ⋈ B).
+    */
+  sealed trait PathStep
+  final case class PredStep(p: String, inverse: Boolean = false) extends PathStep
+  final case class NegatedSet(excluded: Seq[String], inverse: Boolean = false) extends PathStep
+  final case class ZeroOrOne(p: String, inverse: Boolean = false) extends PathStep
+
+  /** SPARQL sequence property path over [[PathStep]]s — `p1/p2`, `^p`,
+    * `!(…)`, `p?` and any mix. Steps chain as equi-joins on the
+    * meeting node and the result is the DISTINCT (src, dst) pair set —
+    * path semantics are existential, and deduping at each join keeps
+    * intermediate cardinality at |pairs|, not |paths| (a hub org with
+    * d employees contributes d² pairs once, not once per witnessing
+    * path).
+    */
+  def path(triples: DataFrame, steps: Seq[PathStep]): DataFrame = {
     require(steps.nonEmpty, "empty path")
-    val hops = steps.map { case (p, inv) =>
-      val e = triples.where(col("p") === p)
+    def pairs(e: DataFrame, inv: Boolean) = {
       val (a, b) = if (inv) ("o", "s") else ("s", "o")
       e.select(col(a).cast("string").as("src"), col(b).cast("string").as("dst")).distinct()
+    }
+    val hops = steps.map {
+      case PredStep(p, inv) => pairs(triples.where(col("p") === p), inv)
+      case NegatedSet(ex, inv) =>
+        require(ex.nonEmpty, "empty negated property set")
+        pairs(triples.where(!col("p").isInCollection(ex)), inv)
+      case ZeroOrOne(p, inv) =>
+        val terms = triples.select(col("s").cast("string").as("t"))
+          .unionByName(triples.select(col("o").cast("string").as("t"))).distinct()
+        terms.select(col("t").as("src"), col("t").as("dst"))
+          .unionByName(pairs(triples.where(col("p") === p), inv)).distinct()
     }
     hops.reduceLeft { (acc, nxt) =>
       acc.join(nxt.select(col("src").as("mid"), col("dst").as("ndst")),
@@ -588,6 +626,97 @@ object TripleOps {
     val derived = t.join(broadcast(both), Seq("p"))
       .select(col("o").as("s"), col("q").as("p"), col("s").as("o"))
     t.unionByName(derived).distinct()
+  }
+
+  /** owl:SymmetricProperty entailment — mirror every declared-
+    * symmetric predicate's edge slice back into the graph: one
+    * projection + set-dedup, and the symmetric closure is its own
+    * fixpoint after a single round (mirroring a mirror is the
+    * original), so no iteration is needed.
+    */
+  def symmetricPropEntail(triples: DataFrame, preds: Seq[String]): DataFrame = {
+    require(preds.nonEmpty, "no symmetric predicates declared")
+    val t = spoCols(triples)
+    val mirrored = t.where(col("p").isInCollection(preds))
+      .select(col("o").as("s"), col("p"), col("s").as("o"))
+    t.unionByName(mirrored).distinct()
+  }
+
+  /** owl:propertyChainAxiom entailment for length-2 chains (the OWL RL
+    * prp-spo2 shape): each (p, q, r) derives r(x, z) from
+    * p(x, y) ∧ q(y, z) — two predicate slices equi-joined on the
+    * meeting node. Derived predicates may feed OTHER chains (or their
+    * own), so all chains iterate to a JOINT fixpoint; convergence is
+    * detected by set-size stability (entailment only adds triples),
+    * and the round cap THROWS rather than shipping a partially-
+    * entailed graph (the q26 rule). Chain depth in real schemas is
+    * tiny (2-3 rounds); each round is predicate-sliced joins + one
+    * set-dedup, checkpointed to truncate lineage.
+    */
+  def chainAxiomEntail(triples: DataFrame,
+      chains: Seq[(String, String, String)], maxIters: Int = 16): DataFrame = {
+    require(chains.nonEmpty, "no chain axioms declared")
+    var t = spoCols(triples).distinct().localCheckpoint(true)
+    var n = t.count()
+    var rounds = 0
+    var stable = false
+    while (!stable) {
+      if (rounds >= maxIters) throw new IllegalStateException(
+        s"chain-axiom entailment did not reach the fixpoint in $maxIters rounds")
+      val derived = chains.map { case (p, q, r) =>
+        t.where(col("p") === p).select(col("s"), col("o").as("m"))
+          .join(t.where(col("p") === q).select(col("s").as("m"), col("o")), Seq("m"))
+          .select(col("s"), lit(r).as("p"), col("o"))
+      }.reduceLeft(_ unionByName _)
+      val next = t.unionByName(derived).distinct().localCheckpoint(true)
+      val n2 = next.count()
+      stable = n2 == n
+      t = next
+      n = n2
+      rounds += 1
+    }
+    t
+  }
+
+  /** One SPARQL 1.1 UPDATE graph-management operation over a quad
+    * table (g, s, p, o): CLEAR g (empty the graph — on a quad TABLE,
+    * DROP coincides), ADD from TO to (union into the target,
+    * set-dedup), COPY from TO to (replace the target with the
+    * source), MOVE from TO to (COPY + DROP the source).
+    */
+  sealed trait GraphMgmtOp
+  final case class ClearGraph(g: String) extends GraphMgmtOp
+  final case class AddGraph(from: String, to: String) extends GraphMgmtOp
+  final case class CopyGraph(from: String, to: String) extends GraphMgmtOp
+  final case class MoveGraph(from: String, to: String) extends GraphMgmtOp
+
+  /** SPARQL 1.1 UPDATE named-graph management: `ops` apply
+    * left-to-right, each over the previous result — the UPDATE
+    * request-sequence semantics. Every op is a graph-local filter /
+    * relabel / union: nothing shuffles except the ADD set-dedup (the
+    * target may already hold some of the source's quads), and COPY /
+    * MOVE skip even that (the relabeled source is a set, disjoint
+    * from the emptied rest by graph name). The quad set in = quad
+    * set out discipline of [[deleteInsert]] (reference decoder
+    * graph-identity semantics, decoder.ex:61-76).
+    */
+  def manageGraphs(quads: DataFrame, ops: Seq[GraphMgmtOp]): DataFrame = {
+    val init = quads.select(col("g").cast("string").as("g"),
+      col("s").cast("string").as("s"), col("p").cast("string").as("p"),
+      col("o").cast("string").as("o")).distinct()
+    ops.foldLeft(init) { (acc, op) =>
+      op match {
+        case ClearGraph(g) => acc.where(col("g") =!= g)
+        case AddGraph(f, t) =>
+          acc.unionByName(acc.where(col("g") === f).withColumn("g", lit(t))).distinct()
+        case CopyGraph(f, t) =>
+          acc.where(col("g") =!= t)
+            .unionByName(acc.where(col("g") === f).withColumn("g", lit(t)))
+        case MoveGraph(f, t) =>
+          acc.where(col("g") =!= t && col("g") =!= f)
+            .unionByName(acc.where(col("g") === f).withColumn("g", lit(t)))
+      }
+    }
   }
 
   /** owl:TransitiveProperty entailment — materialize the transitive

@@ -537,6 +537,22 @@ class EventCorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("coCitation: shared-source pairs, oriented a<b, threshold") {
+    val s = spark
+    import s.implicits._
+    // s1 cites {a,b,c}; s2 cites {a,b}; s3 cites {b} and a DUPLICATE
+    // (b) that must not double-count; pair (a,b) co-cited twice,
+    // (a,c)/(b,c) once — only (a,b) survives minCommon=2
+    val e = Seq(("s1", "a"), ("s1", "b"), ("s1", "c"),
+      ("s2", "a"), ("s2", "b"), ("s3", "b"), ("s3", "b")).toDF("src", "dst")
+    val got = GraphOps.coCitation(e, minCommon = 2L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("a", "b", 2L)), got.toString)
+    val all = GraphOps.coCitation(e, minCommon = 1L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(all == Set(("a", "b", 2L), ("a", "c", 1L), ("b", "c", 1L)), all.toString)
+  }
+
   test("kCore: iterative peeling reaches the fixpoint, not just the degree filter") {
     // triangle {1,2,3} with tail 3-4-5: after round 1 node 5 drops
     // (deg 1), which EXPOSES 4 at deg 1 — only a second peel round

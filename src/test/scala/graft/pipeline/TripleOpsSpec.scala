@@ -507,6 +507,76 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TripleOps.bgpDeltaRetract(base, noop, pats).count() == 0L)
   }
 
+  test("path: negated property set and zero-or-one steps") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(
+      ("a", "name", "n1"), ("b", "name", "n2"),
+      ("a", "worksFor", "o1"), ("c", "mentorOf", "a"),
+      ("c", "mentorOf", "b")).toDF("s", "p", "o")
+    // !(name): the worksFor + mentorOf edge set
+    val neg = pairs(TripleOps.path(spo, Seq(TripleOps.NegatedSet(Seq("name")))))
+    assert(neg == Set(("a", "o1"), ("c", "a"), ("c", "b")), neg.toString)
+    // worksFor? alone: identity over every term plus the worksFor edge
+    val terms = Set("a", "b", "c", "n1", "n2", "o1")
+    val zoo = pairs(TripleOps.path(spo, Seq(TripleOps.ZeroOrOne("worksFor"))))
+    assert(zoo == terms.map(t => (t, t)) + (("a", "o1")), zoo.toString)
+    // chained !(name)/worksFor?: direct endpoints plus a's employer via c
+    val chained = pairs(TripleOps.path(spo,
+      Seq(TripleOps.NegatedSet(Seq("name")), TripleOps.ZeroOrOne("worksFor"))))
+    assert(chained == Set(("a", "o1"), ("c", "a"), ("c", "b"), ("c", "o1")), chained.toString)
+    // inverse negated set traverses o→s
+    val negInv = pairs(TripleOps.path(spo,
+      Seq(TripleOps.NegatedSet(Seq("name", "worksFor"), inverse = true))))
+    assert(negInv == Set(("a", "c"), ("b", "c")), negInv.toString)
+  }
+
+  test("manageGraphs: MOVE/ADD dedup/CLEAR/COPY-overwrite request sequence") {
+    val s = spark
+    import s.implicits._
+    val quads = Seq(
+      ("g1", "x", "p", "1"), ("g1", "shared", "p", "v"),
+      ("g2", "y", "p", "2"), ("g2", "shared", "p", "v"),
+      ("g3", "z", "p", "3"),
+      ("tgt", "old", "p", "0")).toDF("g", "s", "p", "o")
+    val got = TripleOps.manageGraphs(quads, Seq(
+      TripleOps.MoveGraph("g1", "tgt"),   // tgt REPLACED by g1's content
+      TripleOps.AddGraph("g2", "tgt"),    // union; shared quad dedups
+      TripleOps.ClearGraph("g3"),
+      TripleOps.CopyGraph("g2", "mirror")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(got == Set(
+      ("tgt", "x", "p", "1"), ("tgt", "shared", "p", "v"), ("tgt", "y", "p", "2"),
+      ("g2", "y", "p", "2"), ("g2", "shared", "p", "v"),
+      ("mirror", "y", "p", "2"), ("mirror", "shared", "p", "v")), got.toString)
+  }
+
+  test("symmetricPropEntail + chainAxiomEntail: mirror, joint fixpoint, chained derived preds") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(
+      ("a", "marriedTo", "b"),
+      ("x", "hasParent", "y"), ("y", "hasParent", "z"), ("z", "hasParent", "w"),
+      ("x", "name", "n1")).toDF("s", "p", "o")
+    val sym = TripleOps.symmetricPropEntail(spo, Seq("marriedTo")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(sym.contains(("b", "marriedTo", "a")) && sym.size == 6, sym.toString)
+    // chain 2 consumes chain 1's DERIVED edges: ggp needs two rounds
+    val got = TripleOps.chainAxiomEntail(spo, Seq(
+      ("hasParent", "hasParent", "hasGrandparent"),
+      ("hasGrandparent", "hasParent", "hasGreatGrandparent"))).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("a", "marriedTo", "b"),
+      ("x", "hasParent", "y"), ("y", "hasParent", "z"), ("z", "hasParent", "w"),
+      ("x", "name", "n1"),
+      ("x", "hasGrandparent", "z"), ("y", "hasGrandparent", "w"),
+      ("x", "hasGreatGrandparent", "w")), got.toString)
+    // a self-feeding chain on a cycle still reaches a (finite) fixpoint
+    val cyc = Seq(("a", "r", "b"), ("b", "r", "a")).toDF("s", "p", "o")
+    assert(TripleOps.chainAxiomEntail(cyc, Seq(("r", "r", "r"))).count() == 4L)
+  }
+
   test("bgp: repeated variable within one pattern equi-filters; disjoint pattern rejected") {
     val s = spark
     import s.implicits._
