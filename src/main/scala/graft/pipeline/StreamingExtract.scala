@@ -425,6 +425,45 @@ object StreamingExtract {
       .agg(count(lit(1)).as("bcnt"))
   }
 
+  /** Streaming incremental BGP view maintenance — the
+    * [[TripleOps.bgpDelta]] telescoping applied per micro-batch via
+    * foreachBatch: the state is the accumulated base triple SET (here
+    * a checkpointed frame; in production a Delta/Iceberg table the
+    * batch side of foreachBatch reads), and each micro-batch emits to
+    * `sink` exactly the solutions the view GAINS from that batch's
+    * genuinely-new triples. Invariants (spec-pinned):
+    * per-batch emissions are pairwise DISJOINT (a solution is
+    * reported once, by the batch whose triples complete it — BGP
+    * views are monotone) and their union equals the batch
+    * [[TripleOps.bgp]] over the whole stream so far. Work per trigger
+    * scales with the increment, never the view — the streaming
+    * answer to "re-run the SPARQL query over the whole KG after
+    * every crawl increment".
+    *
+    * foreachBatch (not a stateful operator) is the right engine
+    * surface: the maintenance step is a multi-way JOIN against a
+    * table-sized base, which mapGroupsWithState cannot express and a
+    * stream-static join cannot update.
+    */
+  def streamingBgpMaintain(triples: DataFrame,
+      patterns: Seq[(String, String, String)],
+      sink: DataFrame => Unit): StreamingQuery = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    var base = Seq.empty[(String, String, String)].toDF("s", "p", "o")
+    val step: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, _) => {
+      val b = batch.select(col("s").cast("string").as("s"),
+        col("p").cast("string").as("p"), col("o").cast("string").as("o"))
+        .distinct().localCheckpoint(true)
+      sink(TripleOps.bgpDelta(base, b, patterns))
+      base = base.unionByName(b).distinct().localCheckpoint(true)
+    }
+    triples.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch(step)
+      .start()
+  }
+
   /** Wire a streaming page source to a parquet triple sink. */
   def start(pages: DataFrame, outDir: String, checkpointDir: String): StreamingQuery =
     triples(pages).writeStream

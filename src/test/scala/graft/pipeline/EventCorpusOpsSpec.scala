@@ -456,6 +456,38 @@ class EventCorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(est.nonEmpty && est.min >= 3L, est.toString)
   }
 
+  test("streamingBgpMaintain: per-batch emissions disjoint, union == batch bgp, re-assertions inert") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    val pats = Seq(("?x", "worksFor", "?org"), ("?org", "label", "?lbl"))
+    val b1 = Seq(("p1", "worksFor", "o1"), ("o1", "label", "L1"))
+    val b2 = Seq(("p2", "worksFor", "o1"), // new edge joining batch-1's label
+      ("p1", "worksFor", "o1"),            // re-assertion: must emit nothing
+      ("o2", "label", "L2"))               // label with no edge yet
+    val b3 = Seq(("p3", "worksFor", "o2")) // completes with batch-2's label
+    val mem = MemoryStream[(String, String, String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Set[(String, String, String)]]
+    val q = StreamingExtract.streamingBgpMaintain(
+      mem.toDF().toDF("s", "p", "o"), pats,
+      df => out += df.select("x", "org", "lbl").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet)
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    mem.addData(b3); q.processAllAvailable()
+    q.stop()
+    assert(out.toSeq == Seq(
+      Set(("p1", "o1", "L1")),
+      Set(("p2", "o1", "L1")),
+      Set(("p3", "o2", "L2"))), out.toString)
+    // union of emissions == the batch BGP over the whole stream
+    val batch = TripleOps.bgp((b1 ++ b2 ++ b3).toDF("s", "p", "o"), pats)
+      .select("x", "org", "lbl").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(out.flatten.toSet == batch)
+  }
+
   test("pageRankKeyed: string-keyed directed flow matches the hand-computed recurrence") {
     val s = spark
     import s.implicits._
