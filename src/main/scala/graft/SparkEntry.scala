@@ -484,6 +484,51 @@ object SparkEntry {
         Seq(("?x", "worksFor", "?org"), ("?org", "label", "?lbl")))
         .select(col("x"), col("org"), col("lbl"))
     }),
+    // reification reconstruction: qualified worksFor edges (stmt node
+    // + subject/predicate/object roles + a confidence annotation)
+    // rebuilt into (stmt, x, org, conf); planted malformed statements
+    // — %9-docs' stmt missing its object role, %8-docs' stmt carrying
+    // a CONFLICTING second object — must yield nothing (exactly-one)
+    "q123_reified" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val stId = concat(lit("st"), col("doc_id"))
+      val reifDocs = docs.where(pmod(col("doc_id"), lit(4)) === 0)
+      val spo = reifDocs.select(stId.as("s"), lit("subject").as("p"), dId.as("o"))
+        .unionByName(reifDocs.select(stId.as("s"), lit("predicate").as("p"),
+          lit("worksFor").as("o")))
+        .unionByName(reifDocs.where(pmod(col("doc_id"), lit(9)) =!= 0)
+          .select(stId.as("s"), lit("object").as("p"),
+            concat(lit("o"), pmod(col("doc_id"), lit(16))).as("o")))
+        .unionByName(reifDocs.where(pmod(col("doc_id"), lit(8)) === 0)
+          .select(stId.as("s"), lit("object").as("p"), lit("oX").as("o")))
+        .unionByName(reifDocs.select(stId.as("s"), lit("confidence").as("p"),
+          concat(lit("c"), pmod(col("doc_id"), lit(5))).as("o")))
+      TripleOps.unreify(spo, "subject", "predicate", "object")
+        .join(spo.where(col("p") === "confidence")
+          .select(col("s").as("stmt"), col("o").as("conf")), Seq("stmt"))
+        .select(col("stmt"), col("s").as("x"), col("o").as("org"), col("conf"))
+    }),
+    // VoID property-partition descriptor over the q92-style spo table:
+    // per predicate, triple count + exact distinct subject/object
+    // cardinalities — the publish-time dataset statistics of a KG
+    "q124_void_stats" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.select(dId.as("s"), lit("name").as("p"),
+          concat(lit("n"), pmod(col("doc_id"), lit(100))).as("o"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select(dId.as("s"), lit("worksFor").as("p"),
+            concat(lit("o"), pmod(col("doc_id"), lit(16))).as("o")))
+        .unionByName(docs.select(dId.as("s"), lit("type").as("p"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("Person"))
+            .otherwise(lit("Org")).as("o")))
+        .unionByName(s.range(0, 16).select(
+          concat(lit("o"), col("id")).as("s"), lit("label").as("p"),
+          concat(lit("L"), col("id")).as("o")))
+      TripleOps.voidPropertyPartition(spo)
+        .select(col("p"), col("n_triples"), col("n_subj"), col("n_obj"))
+    }),
     // OWL property-chain + symmetric entailment: marriedTo is
     // owl:SymmetricProperty (asserted one-way, mirrored), hasParent∘
     // hasParent ⊑ hasGrandparent and hasGrandparent∘hasParent ⊑
@@ -2786,6 +2831,60 @@ object SparkEntry {
       |EXCEPT
       |SELECT x, org, lbl FROM sols_remain""".stripMargin
 
+  /** DuckDB twin of q123 (reification): role CTEs with the exactly-one
+    * HAVING discipline, three stmt-keyed joins + the annotation join —
+    * the %9 missing-object and %8 conflicting-object plants must drop.
+    */
+  private val q123Sql: String =
+    """WITH spo AS MATERIALIZED (
+      |  SELECT 'st' || CAST(doc_id AS VARCHAR) AS s, 'subject' AS p,
+      |         'd' || CAST(doc_id AS VARCHAR) AS o FROM documents WHERE doc_id % 4 = 0
+      |  UNION ALL
+      |  SELECT 'st' || CAST(doc_id AS VARCHAR), 'predicate', 'worksFor'
+      |  FROM documents WHERE doc_id % 4 = 0
+      |  UNION ALL
+      |  SELECT 'st' || CAST(doc_id AS VARCHAR), 'object',
+      |         'o' || CAST(doc_id % 16 AS VARCHAR)
+      |  FROM documents WHERE doc_id % 4 = 0 AND doc_id % 9 <> 0
+      |  UNION ALL
+      |  SELECT 'st' || CAST(doc_id AS VARCHAR), 'object', 'oX'
+      |  FROM documents WHERE doc_id % 8 = 0
+      |  UNION ALL
+      |  SELECT 'st' || CAST(doc_id AS VARCHAR), 'confidence',
+      |         'c' || CAST(doc_id % 5 AS VARCHAR) FROM documents WHERE doc_id % 4 = 0
+      |),
+      |subj AS (SELECT s AS stmt, min(o) AS x FROM spo WHERE p = 'subject'
+      |         GROUP BY s HAVING COUNT(DISTINCT o) = 1),
+      |pred AS (SELECT s AS stmt, min(o) AS pv FROM spo WHERE p = 'predicate'
+      |         GROUP BY s HAVING COUNT(DISTINCT o) = 1),
+      |obj AS (SELECT s AS stmt, min(o) AS org FROM spo WHERE p = 'object'
+      |        GROUP BY s HAVING COUNT(DISTINCT o) = 1)
+      |SELECT subj.stmt, subj.x, obj.org, c.o AS conf
+      |FROM subj JOIN pred USING (stmt) JOIN obj USING (stmt)
+      |JOIN spo c ON c.p = 'confidence' AND c.s = subj.stmt""".stripMargin
+
+  /** DuckDB twin of q124 (VoID property partition): one grouped pass,
+    * native exact count-distinct both sides.
+    */
+  private val q124Sql: String =
+    """WITH spo AS (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s, 'name' AS p,
+      |         'n' || CAST(doc_id % 100 AS VARCHAR) AS o FROM documents
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'worksFor',
+      |         'o' || CAST(doc_id % 16 AS VARCHAR) FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'type',
+      |         CASE WHEN doc_id % 3 = 0 THEN 'Person' ELSE 'Org' END FROM documents
+      |  UNION ALL
+      |  SELECT 'o' || CAST(i AS VARCHAR), 'label', 'L' || CAST(i AS VARCHAR)
+      |  FROM range(0, 16) t(i)
+      |)
+      |SELECT p, CAST(COUNT(*) AS BIGINT) AS n_triples,
+      |       CAST(COUNT(DISTINCT s) AS BIGINT) AS n_subj,
+      |       CAST(COUNT(DISTINCT o) AS BIGINT) AS n_obj
+      |FROM spo GROUP BY p""".stripMargin
+
   /** DuckDB twin of q121 (OWL chain + symmetric): the chains UNROLLED
     * as explicit join CTEs (gp = parent², ggp = gp ∘ parent) — the
     * closed form of the Spark side's fixpoint, exact because the
@@ -4265,6 +4364,8 @@ object SparkEntry {
     "q120_graph_mgmt" -> q120Sql,
     "q121_owl_chain" -> q121Sql,
     "q122_cocitation" -> q122Sql,
+    "q123_reified" -> q123Sql,
+    "q124_void_stats" -> q124Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

@@ -628,6 +628,44 @@ object TripleOps {
     t.unionByName(derived).distinct()
   }
 
+  /** RDF reification reconstruction — the inverse of the decoder's
+    * `Shared.reify` (rdf:ID statement annotation, RdfXmlParser
+    * reify frames): collect each statement node's rdf:subject /
+    * rdf:predicate / rdf:object role triples back into the qualified
+    * edge (stmt, s, p, o). Role predicates are parameters (tests use
+    * bare names; production passes the rdf: IRIs). The EXACTLY-ONE
+    * discipline: a statement node missing a role (inner joins drop
+    * it) or carrying conflicting values for one (count-distinct
+    * filter) is malformed and yields nothing — reified provenance
+    * must never ship an ambiguous edge. Three predicate slices, each
+    * aggregated map-side before one stmt-keyed join.
+    */
+  def unreify(triples: DataFrame, subjectPred: String = "rdf:subject",
+      predicatePred: String = "rdf:predicate", objectPred: String = "rdf:object"): DataFrame = {
+    val t = spoCols(triples)
+    def role(pred: String, out: String) = t.where(col("p") === pred)
+      .groupBy(col("s")).agg(min(col("o")).as(s"v_$out"),
+        countDistinct(col("o")).as(s"n_$out"))
+      .where(col(s"n_$out") === 1)
+      .select(col("s").as("stmt"), col(s"v_$out").as(out))
+    role(subjectPred, "s")
+      .join(role(predicatePred, "p"), Seq("stmt"))
+      .join(role(objectPred, "o"), Seq("stmt"))
+      .select(col("stmt"), col("s"), col("p"), col("o"))
+  }
+
+  /** VoID-style property-partition statistics (the dataset descriptor
+    * a published KG ships, W3C VoID): per predicate, the triple
+    * count and the distinct subject / object cardinalities — one
+    * grouped pass, exact counts (count-distinct is the point of the
+    * descriptor; approximate twins live in the HLL sketches).
+    */
+  def voidPropertyPartition(triples: DataFrame): DataFrame =
+    spoCols(triples).groupBy(col("p"))
+      .agg(count(lit(1)).cast("bigint").as("n_triples"),
+        countDistinct(col("s")).cast("bigint").as("n_subj"),
+        countDistinct(col("o")).cast("bigint").as("n_obj"))
+
   /** owl:SymmetricProperty entailment — mirror every declared-
     * symmetric predicate's edge slice back into the graph: one
     * projection + set-dedup, and the symmetric closure is its own

@@ -577,6 +577,26 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TripleOps.chainAxiomEntail(cyc, Seq(("r", "r", "r"))).count() == 4L)
   }
 
+  test("unreify: exactly-one role discipline; voidPropertyPartition exact cardinalities") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(
+      ("st1", "subject", "a"), ("st1", "predicate", "knows"), ("st1", "object", "b"),
+      ("st2", "subject", "c"), ("st2", "predicate", "knows"), // missing object: dropped
+      ("st3", "subject", "d"), ("st3", "predicate", "knows"),
+      ("st3", "object", "e"), ("st3", "object", "f"),          // conflicting: dropped
+      ("st4", "subject", "g"), ("st4", "subject", "g"),        // duplicate SAME value: fine
+      ("st4", "predicate", "likes"), ("st4", "object", "h")).toDF("s", "p", "o")
+    val got = TripleOps.unreify(spo, "subject", "predicate", "object").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(got == Set(("st1", "a", "knows", "b"), ("st4", "g", "likes", "h")), got.toString)
+    val stats = TripleOps.voidPropertyPartition(spo).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // subject: 5 triples (st4's duplicate is a multiset row), 4 stmts, 4 values
+    assert(stats("subject") == ((5L, 4L, 4L)) && stats("object") == ((4L, 3L, 4L)),
+      stats.toString)
+  }
+
   test("bgp: repeated variable within one pattern equi-filters; disjoint pattern rejected") {
     val s = spark
     import s.implicits._
