@@ -71,6 +71,7 @@ object Bench {
     "q116_bgp_incremental", "q117_scc", "q118_bgp_retract",
     "q119_path_negated", "q120_graph_mgmt", "q121_owl_chain", "q122_cocitation",
     "q123_reified", "q124_void_stats",
+    "q125_typed_literals", "q126_skolemize", "q127_graph_digest",
     "x_bpe_train", "x_bpe_encode",
     "x_minhash_lsh_dedup", "x_ngram_jaccard_lsh", "x_simhash_dedup",
     "x_embedding_neardup", "x_ann_brute", "x_ann_lsh", "x_ann_ivf",

@@ -484,6 +484,60 @@ object SparkEntry {
         Seq(("?x", "worksFor", "?org"), ("?org", "label", "?lbl")))
         .select(col("x"), col("org"), col("lbl"))
     }),
+    // typed-literal access layer: object terms in N-Triples form
+    // ("lex"^^dt, "lex"@lang, "lex", bare IRIs) parsed into
+    // (lex, dt, lang, kind) by shared RE2 patterns (the q36 rule),
+    // then the SPARQL FILTER shape — integer-typed age > 50 OR an
+    // English label; the cast is guarded by the datatype and exact
+    // (integer lexical forms both engines)
+    "q125_typed_literals" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.select(dId.as("s"), lit("age").as("p"),
+          concat(lit("\""), pmod(col("doc_id"), lit(90)), lit("\"^^xsd:integer")).as("o"))
+        .unionByName(docs.select(dId.as("s"), lit("label").as("p"),
+          concat(lit("\"name"), pmod(col("doc_id"), lit(100)),
+            when(pmod(col("doc_id"), lit(2)) === 0, lit("\"@en"))
+              .otherwise(lit("\"@de"))).as("o")))
+        .unionByName(docs.select(dId.as("s"), lit("note").as("p"),
+          concat(lit("\"plain"), pmod(col("doc_id"), lit(10)), lit("\"")).as("o")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select(dId.as("s"), lit("worksFor").as("p"),
+            concat(lit("o"), pmod(col("doc_id"), lit(16))).as("o")))
+      val parsed = spo.select(Seq(col("s"), col("p")) ++ TripleOps.termColumns(col("o")): _*)
+      parsed.where(col("kind") === "literal" &&
+          ((col("dt") === "xsd:integer" && col("lex").cast("long") > 50) ||
+            col("lang") === "en"))
+        .select(col("s"), col("p"), col("lex"), col("dt"), col("lang"))
+    }),
+    // RDF 1.1 skolemization (§3.5): bnode authors become well-known
+    // genid IRIs (mergeable across datasets); the deskolemize inverse
+    // is spec-pinned — the oracle replicates the mangle directly
+    "q126_skolemize" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+          .select(dId.as("s"), lit("author").as("p"),
+            concat(lit("_:b"), pmod(col("doc_id"), lit(50))).as("o"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(3)) === 0)
+          .select(concat(lit("_:b"), pmod(col("doc_id"), lit(50))).as("s"),
+            lit("name").as("p"), concat(lit("n"), pmod(col("doc_id"), lit(50))).as("o")))
+        .unionByName(docs.select(dId.as("s"), lit("lang").as("p"), col("lang").as("o")))
+      TripleOps.skolemize(spo.distinct()).select("s", "p", "o")
+    }),
+    // canonical per-graph digests over the per-source named graphs:
+    // md5 of the binary-sorted distinct triple lines — the
+    // publish-time integrity stamp (ground graphs; bnodes would
+    // skolemize first, the spec's portability prescription)
+    "q127_graph_digest" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val quads = docs.select(col("source").as("g"), dId.as("s"),
+          lit("lang").as("p"), col("lang").as("o"))
+        .unionByName(docs.select(col("source").as("g"), dId.as("s"),
+          lit("bucket").as("p"), concat(lit("b"), pmod(col("doc_id"), lit(7))).as("o")))
+      TripleOps.graphDigest(quads).select(col("g"), col("digest"), col("n_triples"))
+    }),
     // reification reconstruction: qualified worksFor edges (stmt node
     // + subject/predicate/object roles + a confidence annotation)
     // rebuilt into (stmt, x, org, conf); planted malformed statements
@@ -2831,6 +2885,94 @@ object SparkEntry {
       |EXCEPT
       |SELECT x, org, lbl FROM sols_remain""".stripMargin
 
+  /** DuckDB twin of q125 (typed literals): the SAME RE2 patterns
+    * (TripleOps.TypedLitRe/LangLitRe/PlainLitRe, spliced — the q36
+    * shared-constant rule; they contain `"` and `\`, both inert
+    * inside single-quoted DuckDB strings), the same CASE parse, the
+    * dt-guarded TRY_CAST filter.
+    */
+  private def q125Sql: String = {
+    val ty = TripleOps.TypedLitRe
+    val la = TripleOps.LangLitRe
+    val pl = TripleOps.PlainLitRe
+    s"""WITH spo AS MATERIALIZED (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s, 'age' AS p,
+      |         '"' || CAST(doc_id % 90 AS VARCHAR) || '"^^xsd:integer' AS o FROM documents
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'label',
+      |         '"name' || CAST(doc_id % 100 AS VARCHAR) ||
+      |         CASE WHEN doc_id % 2 = 0 THEN '"@en' ELSE '"@de' END FROM documents
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'note',
+      |         '"plain' || CAST(doc_id % 10 AS VARCHAR) || '"' FROM documents
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'worksFor',
+      |         'o' || CAST(doc_id % 16 AS VARCHAR) FROM documents WHERE doc_id % 2 = 0
+      |),
+      |parsed AS (
+      |  SELECT s, p,
+      |    CASE WHEN regexp_matches(o, '$ty') THEN regexp_extract(o, '$ty', 1)
+      |         WHEN regexp_matches(o, '$la') THEN regexp_extract(o, '$la', 1)
+      |         WHEN regexp_matches(o, '$pl') THEN regexp_extract(o, '$pl', 1)
+      |         ELSE '' END AS lex,
+      |    CASE WHEN regexp_matches(o, '$ty') THEN regexp_extract(o, '$ty', 2)
+      |         ELSE '' END AS dt,
+      |    CASE WHEN regexp_matches(o, '$ty') THEN ''
+      |         WHEN regexp_matches(o, '$la') THEN regexp_extract(o, '$la', 2)
+      |         ELSE '' END AS lang,
+      |    CASE WHEN regexp_matches(o, '$ty') OR regexp_matches(o, '$la')
+      |              OR regexp_matches(o, '$pl') THEN 'literal'
+      |         ELSE 'iri_or_bnode' END AS kind
+      |  FROM spo
+      |)
+      |SELECT s, p, lex, dt, lang FROM parsed
+      |WHERE kind = 'literal' AND
+      |      ((dt = 'xsd:integer' AND TRY_CAST(lex AS BIGINT) > 50) OR lang = 'en')""".stripMargin
+  }
+
+  /** DuckDB twin of q126 (skolemization): the genid mangle written as
+    * a CASE/substring replacement over the SET-deduped graph.
+    */
+  private val q126Sql: String =
+    """WITH spo AS (
+      |  SELECT DISTINCT s, p, o FROM (
+      |    SELECT 'd' || CAST(doc_id AS VARCHAR) AS s, 'author' AS p,
+      |           '_:b' || CAST(doc_id % 50 AS VARCHAR) AS o FROM documents WHERE doc_id % 3 = 0
+      |    UNION ALL
+      |    SELECT '_:b' || CAST(doc_id % 50 AS VARCHAR), 'name',
+      |           'n' || CAST(doc_id % 50 AS VARCHAR) FROM documents WHERE doc_id % 3 = 0
+      |    UNION ALL
+      |    SELECT 'd' || CAST(doc_id AS VARCHAR), 'lang', lang FROM documents
+      |  ) u
+      |)
+      |SELECT
+      |  CASE WHEN s LIKE '\_:%' ESCAPE '\'
+      |       THEN 'https://graft.invalid/.well-known/genid/' || substring(s, 3)
+      |       ELSE s END AS s,
+      |  p,
+      |  CASE WHEN o LIKE '\_:%' ESCAPE '\'
+      |       THEN 'https://graft.invalid/.well-known/genid/' || substring(o, 3)
+      |       ELSE o END AS o
+      |FROM spo""".stripMargin
+
+  /** DuckDB twin of q127 (graph digest): ordered string_agg over the
+    * distinct triple lines — binary collation matches Spark's
+    * sort_array on the ASCII fixture (the digest itself is md5 both
+    * sides).
+    */
+  private val q127Sql: String =
+    """WITH quads AS (
+      |  SELECT source AS g, 'd' || CAST(doc_id AS VARCHAR) AS s,
+      |         'lang' AS p, lang AS o FROM documents
+      |  UNION ALL
+      |  SELECT source, 'd' || CAST(doc_id AS VARCHAR), 'bucket',
+      |         'b' || CAST(doc_id % 7 AS VARCHAR) FROM documents
+      |),
+      |lines AS (SELECT DISTINCT g, s || ' ' || p || ' ' || o AS line FROM quads)
+      |SELECT g, md5(string_agg(line, chr(10) ORDER BY line)) AS digest,
+      |       CAST(COUNT(*) AS BIGINT) AS n_triples
+      |FROM lines GROUP BY g""".stripMargin
+
   /** DuckDB twin of q123 (reification): role CTEs with the exactly-one
     * HAVING discipline, three stmt-keyed joins + the annotation join —
     * the %9 missing-object and %8 conflicting-object plants must drop.
@@ -4366,6 +4508,9 @@ object SparkEntry {
     "q122_cocitation" -> q122Sql,
     "q123_reified" -> q123Sql,
     "q124_void_stats" -> q124Sql,
+    "q125_typed_literals" -> q125Sql,
+    "q126_skolemize" -> q126Sql,
+    "q127_graph_digest" -> q127Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

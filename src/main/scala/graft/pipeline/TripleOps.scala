@@ -628,6 +628,84 @@ object TripleOps {
     t.unionByName(derived).distinct()
   }
 
+  /** Literal term-structure patterns, shared verbatim with the oracle
+    * SQL (the q36 rule: RE2-compatible, no quotes-in-quotes hazards —
+    * `"` is legal inside single-quoted SQL strings). Forms follow the
+    * N-Triples object grammar: typed `"lex"^^dt`, language-tagged
+    * `"lex"@tag`, plain `"lex"`.
+    */
+  val TypedLitRe = "^\"(.*)\"\\^\\^(.+)$"
+  val LangLitRe = "^\"(.*)\"@([A-Za-z][A-Za-z0-9-]*)$"
+  val PlainLitRe = "^\"(.*)\"$"
+
+  /** Parse an object-term column into its literal structure — the
+    * typed-literal access layer a SPARQL FILTER needs: columns
+    * (lex, dt, lang, kind) where kind ∈ literal | iri_or_bnode.
+    * Pure codegen'd regexp/CASE projection (no UDF, no shuffle);
+    * numeric comparison is then a plain TRY-cast of `lex` guarded by
+    * `dt` — exact for integer lexical forms in both engines.
+    */
+  def termColumns(term: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = {
+    val typedLex = regexp_extract(term, TypedLitRe, 1)
+    val langLex = regexp_extract(term, LangLitRe, 1)
+    val plainLex = regexp_extract(term, PlainLitRe, 1)
+    val isTyped = term.rlike(TypedLitRe)
+    val isLang = term.rlike(LangLitRe)
+    val isPlain = term.rlike(PlainLitRe)
+    Seq(
+      when(isTyped, typedLex).when(isLang, langLex)
+        .when(isPlain, plainLex).otherwise(lit("")).as("lex"),
+      when(isTyped, regexp_extract(term, TypedLitRe, 2)).otherwise(lit("")).as("dt"),
+      when(isTyped, lit("")).when(isLang, regexp_extract(term, LangLitRe, 2))
+        .otherwise(lit("")).as("lang"),
+      when(isTyped || isLang || isPlain, lit("literal"))
+        .otherwise(lit("iri_or_bnode")).as("kind"))
+  }
+
+  /** RDF 1.1 skolemization (§3.5): replace blank-node labels `_:x`
+    * with well-known genid IRIs under `authority` — the publish step
+    * that makes bnode-bearing graphs mergeable/linkable across
+    * datasets; [[deskolemize]] inverts it exactly (the label is
+    * carried verbatim in the IRI tail). Pure per-row projections.
+    */
+  def skolemize(triples: DataFrame,
+      authority: String = "https://graft.invalid/.well-known/genid/"): DataFrame = {
+    def sk(c: org.apache.spark.sql.Column) =
+      when(c.startsWith("_:"), concat(lit(authority), substring(c, 3, Int.MaxValue)))
+        .otherwise(c)
+    spoCols(triples).select(sk(col("s")).as("s"), col("p"), sk(col("o")).as("o"))
+  }
+
+  /** Inverse of [[skolemize]]: well-known genid IRIs back to bnode
+    * labels. */
+  def deskolemize(triples: DataFrame,
+      authority: String = "https://graft.invalid/.well-known/genid/"): DataFrame = {
+    def unsk(c: org.apache.spark.sql.Column) =
+      when(c.startsWith(authority),
+        concat(lit("_:"), substring(c, authority.length + 1, Int.MaxValue)))
+        .otherwise(c)
+    spoCols(triples).select(unsk(col("s")).as("s"), col("p"), unsk(col("o")).as("o"))
+  }
+
+  /** Canonical per-graph digest — the publish-time integrity stamp of
+    * a named-graph dataset: md5 over the newline-joined, BINARY-sorted
+    * distinct triple lines of each graph (sound as a canonical form
+    * for GROUND graphs; bnode-bearing graphs go through [[skolemize]]
+    * first, which is exactly RDF 1.1's prescription for making bnode
+    * identity portable). Per-graph collect is bounded by graph size
+    * (per-source shard graphs here); a web-scale monolith graph would
+    * split the digest Merkle-style by subject-hash prefix — same op,
+    * one more group key.
+    */
+  def graphDigest(quads: DataFrame): DataFrame =
+    quads.select(col("g").cast("string").as("g"),
+        concat_ws(" ", col("s").cast("string"), col("p").cast("string"),
+          col("o").cast("string")).as("line"))
+      .distinct()
+      .groupBy(col("g"))
+      .agg(md5(concat_ws("\n", sort_array(collect_list(col("line"))))).as("digest"),
+        count(lit(1)).cast("bigint").as("n_triples"))
+
   /** RDF reification reconstruction — the inverse of the decoder's
     * `Shared.reify` (rdf:ID statement annotation, RdfXmlParser
     * reify frames): collect each statement node's rdf:subject /

@@ -597,6 +597,41 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       stats.toString)
   }
 
+  test("termColumns: typed/lang/plain/IRI forms; skolemize round-trips; graphDigest is order-blind") {
+    val s = spark
+    import s.implicits._
+    val terms = Seq(
+      ("a", "\"42\"^^xsd:integer"), ("b", "\"hi\"@en"),
+      ("c", "\"plain\""), ("d", "http://x.example/e"), ("e", "_:b1")).toDF("s", "o")
+    import org.apache.spark.sql.functions.col
+    val parsed = terms.select(Seq(col("s")) ++ TripleOps.termColumns(col("o")): _*)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3), r.getString(4)))).toMap
+    assert(parsed("a") == (("42", "xsd:integer", "", "literal")), parsed("a").toString)
+    assert(parsed("b") == (("hi", "", "en", "literal")))
+    assert(parsed("c") == (("plain", "", "", "literal")))
+    assert(parsed("d") == (("", "", "", "iri_or_bnode")))
+    assert(parsed("e") == (("", "", "", "iri_or_bnode")))
+    // skolemize maps bnodes (and only bnodes) to genid IRIs; exact inverse
+    val g = Seq(("_:x", "p", "v"), ("a", "q", "_:x"), ("a", "r", "b")).toDF("s", "p", "o")
+    val sk = TripleOps.skolemize(g)
+    assert(sk.collect().map(_.getString(0)).toSet ==
+      Set("https://graft.invalid/.well-known/genid/x", "a"))
+    val back = TripleOps.deskolemize(sk).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(back == g.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet)
+    // digest: same triple set in any order/duplication → same digest
+    val q1 = Seq(("g1", "a", "p", "1"), ("g1", "b", "p", "2"), ("g2", "c", "p", "3"))
+      .toDF("g", "s", "p", "o")
+    val q2 = Seq(("g1", "b", "p", "2"), ("g1", "a", "p", "1"), ("g1", "a", "p", "1"),
+      ("g2", "c", "p", "3")).toDF("g", "s", "p", "o")
+    val d1 = TripleOps.graphDigest(q1).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val d2 = TripleOps.graphDigest(q2).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(d1 == d2 && d1("g1")._2 == 2L, s"$d1 vs $d2")
+  }
+
   test("bgp: repeated variable within one pattern equi-filters; disjoint pattern rejected") {
     val s = spark
     import s.implicits._
