@@ -136,6 +136,10 @@ object SparkEntry {
     "q22_wordset_lsh_md5" -> ((s, d) =>
       Dedup.minhashLshMd5(t(s, d, "documents"), threshold = 0.5, shingleWidth = 1)),
     "q23_ntriples_sink_docs" -> ((s, d) => graft.sources.RdfSources.ntDocLines(t(s, d, "documents"))),
+    // the N-Quads sink twin of q23: same object forms, graph-label
+    // lanes (IRI graph / bnode graph through the label mangle /
+    // default graph in triple form)
+    "q130_nquads_sink_docs" -> ((s, d) => graft.sources.RdfSources.nqDocLines(t(s, d, "documents"))),
     "q24_bpe_pretoken" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"), TextOps.bpePretokenCount(col("text")).as("bpe_tokens"))),
     // trained-vocab subword count: the shipped corpus-trained BPE merges
@@ -537,6 +541,59 @@ object SparkEntry {
         .unionByName(docs.select(col("source").as("g"), dId.as("s"),
           lit("bucket").as("p"), concat(lit("b"), pmod(col("doc_id"), lit(7))).as("o")))
       TripleOps.graphDigest(quads).select(col("g"), col("digest"), col("n_triples"))
+    }),
+    // RDFC-1.0 first-degree canonical labeling over per-source named
+    // graphs with bnode authors: bnodes relabeled _:c{rank} by
+    // first-degree hash (self = _:a, other bnodes = _:z), unique-hash
+    // regime enforced (collision throws); bnode-bnode knows edges
+    // exercise the _:z placeholder, and EVERY bnode carries its own
+    // per-doc literal (name/note) — a dangling edge-target bnode's
+    // only line would be '_:z knows _:a', indistinguishable from any
+    // other dangling target in the graph (measured: 20 collisions)
+    "q128_canonical_bnodes" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val bId = concat(lit("_:b"), pmod(col("doc_id"), lit(24)))
+      val quads = docs.select(col("source").as("g"), dId.as("s"),
+          lit("author").as("p"), bId.as("o"))
+        .unionByName(docs.select(col("source").as("g"), bId.as("s"),
+          lit("name").as("p"), concat(lit("n"), col("doc_id")).as("o")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(3)) === 0)
+          .select(col("source").as("g"), bId.as("s"), lit("knows").as("p"),
+            concat(lit("_:k"), col("doc_id")).as("o")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(3)) === 0)
+          .select(col("source").as("g"), concat(lit("_:k"), col("doc_id")).as("s"),
+            lit("note").as("p"), concat(lit("m"), col("doc_id")).as("o")))
+        .unionByName(docs.select(col("source").as("g"), dId.as("s"),
+          lit("lang").as("p"), col("lang").as("o")))
+      TripleOps.canonicalBNodeQuads(quads).select("g", "s", "p", "o")
+    }),
+    // SPARQL numeric aggregates over TYPED literals — the SUM / MAX /
+    // AVG / SAMPLE half of the aggregate surface (q105 carries the
+    // counting half): ?x worksFor ?org . ?x age ?age (xsd:integer)
+    // GROUP BY ?org. The lexical forms parse through the q125 term
+    // layer with the dt-guarded exact integer cast; AVG publishes the
+    // floor whole-unit quotient (sum div n on non-negative operands —
+    // the q68 regime, no FP); SAMPLE's spec-arbitrary pick is pinned
+    // to MIN (the q105 GROUP_CONCAT determinism rule)
+    "q129_bgp_num_aggregates" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.select(dId.as("s"), lit("age").as("p"),
+          concat(lit("\""), pmod(col("doc_id"), lit(90)), lit("\"^^xsd:integer")).as("o"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select(dId.as("s"), lit("worksFor").as("p"),
+            concat(lit("o"), pmod(col("doc_id"), lit(16))).as("o")))
+      val sols = TripleOps.bgp(spo, Seq(("?x", "worksFor", "?org"), ("?x", "age", "?a")))
+      val typed = sols.select(col("org") +: TripleOps.termColumns(col("a")): _*)
+        .where(col("kind") === "literal" && col("dt") === "xsd:integer")
+        .select(col("org"), col("lex").cast("long").as("v"))
+      typed.groupBy(col("org")).agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).as("sum_age"),
+        max(col("v")).as("max_age"),
+        expr("sum(v) div count(1)").as("avg_age_floor"),
+        min(col("v")).as("sample_age"))
     }),
     // reification reconstruction: qualified worksFor edges (stmt node
     // + subject/predicate/object roles + a confidence annotation)
@@ -1606,6 +1663,24 @@ object SparkEntry {
       |  UNION ALL SELECT doc_id, 2, '_:bxx' || doc_id || 'xadeadbeef <http://ex/p> _:oxx' || doc_id || 'xabeef .' FROM documents
       |  UNION ALL SELECT doc_id, 3, '_:bxx' || doc_id || 'xadeadbeef <http://ex/p> "' || t || '"@en .' FROM esc
       |  UNION ALL SELECT doc_id, 4, '_:bxx' || doc_id || 'xadeadbeef <http://ex/p> "' || doc_id || '"^^<http://www.w3.org/2001/XMLSchema#integer> .' FROM documents
+      |)
+      |SELECT doc_id, kind, line FROM l""".stripMargin
+
+  /** DuckDB twin of q130: the q23 escape/mangle chain with the three
+    * graph-label lanes appended by hand — '<http://ex/g/k>' (IRI),
+    * '_:gxx{k}xafeed' (bnode label through the mangle), and nothing
+    * (default graph).
+    */
+  private def q130Sql: String =
+    """WITH esc AS (
+      |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    text, '\\', '\\\\', 'g'), '"', '\\"', 'g'), chr(10), '\\n', 'g'), chr(13), '\\r', 'g') AS t
+      |  FROM documents
+      |), l AS (
+      |  SELECT doc_id, 1 AS kind, '_:bxx' || doc_id || 'xadeadbeef <http://ex/p> <http://ex/o/' || doc_id || '> <http://ex/g/' || (doc_id % 7) || '> .' AS line FROM documents
+      |  UNION ALL SELECT doc_id, 2, '_:bxx' || doc_id || 'xadeadbeef <http://ex/p> _:oxx' || doc_id || 'xabeef _:gxx' || (doc_id % 5) || 'xafeed .' FROM documents
+      |  UNION ALL SELECT doc_id, 3, '_:bxx' || doc_id || 'xadeadbeef <http://ex/p> "' || t || '"@en .' FROM esc
+      |  UNION ALL SELECT doc_id, 4, '_:bxx' || doc_id || 'xadeadbeef <http://ex/p> "' || doc_id || '"^^<http://www.w3.org/2001/XMLSchema#integer> <http://ex/g/' || (doc_id % 7) || '> .' FROM documents
       |)
       |SELECT doc_id, kind, line FROM l""".stripMargin
 
@@ -2930,6 +3005,37 @@ object SparkEntry {
       |      ((dt = 'xsd:integer' AND TRY_CAST(lex AS BIGINT) > 50) OR lang = 'en')""".stripMargin
   }
 
+  /** DuckDB twin of q129 (numeric aggregates): the q125 regex parse
+    * of the typed object terms (shared RE2 pattern, dt-guarded exact
+    * cast), then SUM / MAX / floor-AVG / MIN — the HUGEINT sum casts
+    * back to BIGINT (the q70 rule) and the avg quotient is `//` on
+    * non-negative operands only (the q68 regime, == Spark `div`).
+    */
+  private def q129Sql: String = {
+    val ty = TripleOps.TypedLitRe
+    s"""WITH spo AS (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s, 'age' AS p,
+      |         '"' || CAST(doc_id % 90 AS VARCHAR) || '"^^xsd:integer' AS o FROM documents
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'worksFor',
+      |         'o' || CAST(doc_id % 16 AS VARCHAR) FROM documents WHERE doc_id % 2 = 0
+      |), sols AS (
+      |  SELECT w.o AS org, a.o AS a
+      |  FROM spo w JOIN spo a ON a.s = w.s
+      |  WHERE w.p = 'worksFor' AND a.p = 'age'
+      |), typed AS (
+      |  SELECT org, TRY_CAST(regexp_extract(a, '$ty', 1) AS BIGINT) AS v
+      |  FROM sols
+      |  WHERE regexp_matches(a, '$ty') AND regexp_extract(a, '$ty', 2) = 'xsd:integer'
+      |)
+      |SELECT org, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(v) AS BIGINT) AS sum_age,
+      |       max(v) AS max_age,
+      |       CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_age_floor,
+      |       min(v) AS sample_age
+      |FROM typed GROUP BY org""".stripMargin
+  }
+
   /** DuckDB twin of q126 (skolemization): the genid mangle written as
     * a CASE/substring replacement over the SET-deduped graph.
     */
@@ -2972,6 +3078,57 @@ object SparkEntry {
       |SELECT g, md5(string_agg(line, chr(10) ORDER BY line)) AS digest,
       |       CAST(COUNT(*) AS BIGINT) AS n_triples
       |FROM lines GROUP BY g""".stripMargin
+
+  /** DuckDB twin of q128 (canonical bnode labeling): the same
+    * first-degree construction — per-mention lines with the reference
+    * bnode as _:a and other bnodes as _:z (self-mention contributes
+    * ONE line: the o-branch excludes s = o), md5 over the
+    * binary-ORDER-BY string_agg (the q127 rule), row_number over the
+    * collision-free hash order, two relabeling left joins. quads and
+    * labeled are multi-consumed → MATERIALIZED (the q71 rule).
+    */
+  private val q128Sql: String =
+    """WITH quads AS MATERIALIZED (
+      |  SELECT DISTINCT g, s, p, o FROM (
+      |    SELECT source AS g, 'd' || CAST(doc_id AS VARCHAR) AS s, 'author' AS p,
+      |           '_:b' || CAST(doc_id % 24 AS VARCHAR) AS o FROM documents
+      |    UNION ALL
+      |    SELECT source, '_:b' || CAST(doc_id % 24 AS VARCHAR), 'name',
+      |           'n' || CAST(doc_id AS VARCHAR) FROM documents
+      |    UNION ALL
+      |    SELECT source, '_:b' || CAST(doc_id % 24 AS VARCHAR), 'knows',
+      |           '_:k' || CAST(doc_id AS VARCHAR)
+      |    FROM documents WHERE doc_id % 3 = 0
+      |    UNION ALL
+      |    SELECT source, '_:k' || CAST(doc_id AS VARCHAR), 'note',
+      |           'm' || CAST(doc_id AS VARCHAR)
+      |    FROM documents WHERE doc_id % 3 = 0
+      |    UNION ALL
+      |    SELECT source, 'd' || CAST(doc_id AS VARCHAR), 'lang', lang FROM documents
+      |  ) u
+      |),
+      |mentions AS (
+      |  SELECT g, s AS b,
+      |         '_:a ' || p || ' ' ||
+      |         CASE WHEN o = s THEN '_:a'
+      |              WHEN o LIKE '\_:%' ESCAPE '\' THEN '_:z' ELSE o END AS line
+      |  FROM quads WHERE s LIKE '\_:%' ESCAPE '\'
+      |  UNION ALL
+      |  SELECT g, o AS b,
+      |         CASE WHEN s LIKE '\_:%' ESCAPE '\' THEN '_:z' ELSE s END ||
+      |         ' ' || p || ' _:a' AS line
+      |  FROM quads WHERE o LIKE '\_:%' ESCAPE '\' AND s <> o
+      |),
+      |labeled AS MATERIALIZED (
+      |  SELECT g, b,
+      |         '_:c' || CAST(row_number() OVER (PARTITION BY g ORDER BY h) - 1 AS VARCHAR) AS c
+      |  FROM (SELECT g, b, md5(string_agg(line, chr(10) ORDER BY line)) AS h
+      |        FROM mentions GROUP BY g, b) fd
+      |)
+      |SELECT q.g, COALESCE(ls.c, q.s) AS s, q.p, COALESCE(lo.c, q.o) AS o
+      |FROM quads q
+      |LEFT JOIN labeled ls ON ls.g = q.g AND ls.b = q.s
+      |LEFT JOIN labeled lo ON lo.g = q.g AND lo.b = q.o""".stripMargin
 
   /** DuckDB twin of q123 (reification): role CTEs with the exactly-one
     * HAVING discipline, three stmt-keyed joins + the annotation join —
@@ -4511,6 +4668,8 @@ object SparkEntry {
     "q125_typed_literals" -> q125Sql,
     "q126_skolemize" -> q126Sql,
     "q127_graph_digest" -> q127Sql,
+    "q128_canonical_bnodes" -> q128Sql,
+    "q129_bgp_num_aggregates" -> q129Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),
@@ -4560,6 +4719,7 @@ object SparkEntry {
     "q21_simhash_pairs_md5" -> q21Sql,
     "q22_wordset_lsh_md5" -> minhashLshSql(width = 1, threshold = 0.5),
     "q23_ntriples_sink_docs" -> q23Sql,
+    "q130_nquads_sink_docs" -> q130Sql,
     // whitespace spelled as an explicit class (java \s includes \x0B,
     // RE2 \s does not); coalesce matches the Spark side's NULL → 0
     "q24_bpe_pretoken" ->

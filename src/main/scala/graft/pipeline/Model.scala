@@ -28,6 +28,21 @@ final case class TripleRow(
     datatype: String // null unless typed literal
 )
 
+/** N-Quads row: [[TripleRow]] plus the graph label — null for the
+  * default graph, otherwise an IRI string or a scoped "_:label" bnode
+  * (same term convention as subj/obj).
+  */
+final case class QuadRow(
+    url: String,
+    subj: String,
+    pred: String,
+    obj: String,
+    objKind: String,
+    lang: String,
+    datatype: String,
+    graph: String
+)
+
 /** Per-partition lineage/metrics row (north_rule): one per extraction
   * task, written to the metrics table alongside stage outputs.
   */

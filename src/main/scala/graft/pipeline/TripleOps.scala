@@ -706,6 +706,73 @@ object TripleOps {
       .agg(md5(concat_ws("\n", sort_array(collect_list(col("line"))))).as("digest"),
         count(lit(1)).cast("bigint").as("n_triples"))
 
+  /** Canonical blank-node labeling per named graph — the RDFC-1.0
+    * (RDF dataset canonicalization) FIRST-DEGREE regime: each bnode
+    * is hashed by the binary-sorted multiset of its adjacent triple
+    * lines with itself written `_:a` and every other bnode `_:z`
+    * (hashFirstDegreeQuads), then relabeled `_:c0, _:c1, …` in hash
+    * order. Within this regime the labeling is a pure function of
+    * graph STRUCTURE — two isomorphic graphs canonicalize to the
+    * identical quad set, which upgrades [[graphDigest]] from
+    * ground-graphs-only to full isomorphism-invariant integrity
+    * stamps (reference Graph.isomorphic?, rdf_core graph.ex, is the
+    * pairwise-compare form of the same contract; this is the
+    * publishable one-sided form).
+    *
+    * Shared first-degree hashes (automorphic or locally
+    * indistinguishable bnodes) would need RDFC-1.0's recursive
+    * n-degree pass to order — out of scope here, and an ambiguous
+    * labeling must never ship under an oracle gate (the q26 rule),
+    * so the operator THROWS when any two bnodes in one graph
+    * collide. Real-world author/provenance bnodes are first-degree
+    * distinguishable by construction (distinct attached literals).
+    *
+    * Scale shape: the per-bnode aggregate is degree-bounded (an
+    * adjacency list, the q-range-adjacency rule), the relabel is two
+    * (g, term)-keyed left joins, and the one driver action is the
+    * collision-gate count. The multi-consumed distinct input is
+    * checkpointed eagerly (the LSH-builder rule — three consumers,
+    * ReuseExchange won't unify them).
+    */
+  def canonicalBNodeQuads(quads: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.expressions.Window
+    val q = quads.select(col("g").cast("string").as("g"),
+        col("s").cast("string").as("s"), col("p").cast("string").as("p"),
+        col("o").cast("string").as("o"))
+      .distinct().localCheckpoint(true)
+    def isB(c: Column) = c.startsWith("_:")
+    def fdTerm(c: Column, b: Column) =
+      when(c === b, lit("_:a")).when(isB(c), lit("_:z")).otherwise(c)
+    def lineFor(b: Column) =
+      concat_ws(" ", fdTerm(col("s"), b), col("p"), fdTerm(col("o"), b))
+    // one line per (quad, mentioned bnode); a self-mention quad
+    // (s == o, both the same bnode) contributes ONE line, not two
+    val mentions = q.where(isB(col("s")))
+        .select(col("g"), col("s").as("b"), lineFor(col("s")).as("line"))
+      .unionByName(q.where(isB(col("o")) && !(col("s") === col("o")))
+        .select(col("g"), col("o").as("b"), lineFor(col("o")).as("line")))
+    val hashed = mentions.groupBy(col("g"), col("b"))
+      .agg(md5(concat_ws("\n", sort_array(collect_list(col("line"))))).as("h"))
+      .localCheckpoint(true)
+    val collisions = hashed.groupBy(col("g"), col("h"))
+      .agg(count(lit(1)).as("n")).where(col("n") > 1).count()
+    if (collisions > 0)
+      throw new IllegalStateException(
+        s"canonicalBNodeQuads: $collisions shared first-degree hash(es) — " +
+          "indistinguishable bnodes need the RDFC-1.0 n-degree pass (not implemented)")
+    val labeled = hashed.select(col("g"), col("b"),
+      concat(lit("_:c"),
+        (row_number().over(Window.partitionBy(col("g")).orderBy(col("h"))) - 1)
+          .cast("string")).as("c"))
+    q.join(labeled.select(col("g"), col("b").as("s"), col("c").as("cs")),
+        Seq("g", "s"), "left")
+      .join(labeled.select(col("g"), col("b").as("o"), col("c").as("co")),
+        Seq("g", "o"), "left")
+      .select(col("g"), coalesce(col("cs"), col("s")).as("s"), col("p"),
+        coalesce(col("co"), col("o")).as("o"))
+  }
+
   /** RDF reification reconstruction — the inverse of the decoder's
     * `Shared.reify` (rdf:ID statement annotation, RdfXmlParser
     * reify frames): collect each statement node's rdf:subject /

@@ -632,6 +632,43 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d1 == d2 && d1("g1")._2 == 2L, s"$d1 vs $d2")
   }
 
+  test("canonicalBNodeQuads: labeling is isomorphism-invariant, ground terms pass through") {
+    val s = spark
+    import s.implicits._
+    // two bnodes per graph, distinguishable by attached literals; a
+    // bnode-bnode edge exercises the _:z placeholder, and g2 is an
+    // isomorphic copy of g1 under a label permutation
+    def graph(g: String, x: String, y: String) = Seq(
+      (g, "d1", "author", x), (g, x, "name", "n1"),
+      (g, y, "name", "n2"), (g, x, "knows", y), (g, "d1", "lang", "en"))
+    val quads = (graph("g1", "_:p", "_:q") ++ graph("g2", "_:zz9", "_:aa0"))
+      .toDF("g", "s", "p", "o")
+    val canon = TripleOps.canonicalBNodeQuads(quads).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    val byG = canon.groupBy(_._1).map { case (g, rows) =>
+      g -> rows.map { case (_, a, p, b) => (a, p, b) }.toSet
+    }
+    // the two isomorphic graphs canonicalize to the IDENTICAL triple set
+    assert(byG("g1") == byG("g2"), byG.toString)
+    // ground terms untouched; bnode labels are the dense canonical set
+    assert(byG("g1").contains(("d1", "lang", "en")))
+    val bLabels = byG("g1").flatMap { case (a, _, b) => Seq(a, b) }
+      .filter(_.startsWith("_:"))
+    assert(bLabels == Set("_:c0", "_:c1"), bLabels.toString)
+    // self-mention quad: one first-degree line, no double-count; and the
+    // whole thing stays deterministic end-to-end (digest equality)
+    val selfLoop = Seq(("g", "_:x", "likes", "_:x"), ("g", "_:x", "name", "n")).toDF("g", "s", "p", "o")
+    val c1 = TripleOps.graphDigest(TripleOps.canonicalBNodeQuads(selfLoop)).collect()
+    val selfLoop2 = Seq(("g", "_:renamed", "likes", "_:renamed"), ("g", "_:renamed", "name", "n"))
+      .toDF("g", "s", "p", "o")
+    val c2 = TripleOps.graphDigest(TripleOps.canonicalBNodeQuads(selfLoop2)).collect()
+    assert(c1.map(_.getString(1)).toSeq == c2.map(_.getString(1)).toSeq)
+    // indistinguishable bnodes (shared first-degree hash) must throw,
+    // never ship an arbitrary labeling
+    val twins = Seq(("g", "_:u", "name", "n"), ("g", "_:v", "name", "n")).toDF("g", "s", "p", "o")
+    intercept[IllegalStateException] { TripleOps.canonicalBNodeQuads(twins) }
+  }
+
   test("bgp: repeated variable within one pattern equi-filters; disjoint pattern rejected") {
     val s = spark
     import s.implicits._

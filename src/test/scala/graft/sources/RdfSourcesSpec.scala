@@ -64,6 +64,38 @@ class RdfSourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(r => r.url.endsWith("a.nt") || r.url.endsWith("b.nt")))
   }
 
+  test("nQuads round trip: named + bnode + default graphs survive write → read") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nqsrc")
+    // IRI graph, bnode graph, default graph (triple form), one malformed
+    java.nio.file.Files.writeString(dir.resolve("a.nq"),
+      "<http://s/1> <http://p> \"v1\" <http://g/1> .\n" +
+        "<http://s/2> <http://p> _:o2 _:g2 .\n" +
+        "<http://s/3> <http://p> \"line\\nbreak\"@en .\n" +
+        "<http://s/4> <http://p> \"dangling\" <http://g/4\n")
+    val rows = RdfSources.nQuadsFile(spark, dir.toString + "/a.nq").collect()
+    assert(rows.length == 3, rows.mkString("|"))
+    val byS = rows.map(r => r.subj -> r).toMap
+    assert(byS("http://s/1").graph == "http://g/1")
+    assert(byS("http://s/2").graph.startsWith("_:g2@") &&
+      byS("http://s/2").obj.startsWith("_:o2@"))
+    assert(byS("http://s/3").graph == null && byS("http://s/3").lang == "en" &&
+      byS("http://s/3").obj == "line\nbreak")
+    // write back and re-read: same (subj, graph-or-null) set, escapes intact
+    val out = dir.resolve("out").toString
+    RdfSources.writeNQuads(rows.toSeq.toDF(), out)
+    val back = RdfSources.nQuadsFile(spark, out + "/*.txt").collect()
+    assert(back.length == 3)
+    val byS2 = back.map(r => r.subj -> r).toMap
+    assert(byS2("http://s/1").graph == "http://g/1")
+    // bnode labels pass the export mangle ('@'→'xa') then re-scope on read
+    assert(byS2("http://s/2").graph.startsWith("_:g2xa") &&
+      byS2("http://s/2").obj.startsWith("_:o2xa"))
+    assert(byS2("http://s/3").graph == null &&
+      byS2("http://s/3").obj == "line\nbreak" && byS2("http://s/3").lang == "en")
+  }
+
   test("toNTriplesLines escapes quotes, backslashes and newlines") {
     val s = spark
     import s.implicits._
