@@ -595,6 +595,48 @@ object SparkEntry {
         expr("sum(v) div count(1)").as("avg_age_floor"),
         min(col("v")).as("sample_age"))
     }),
+    // SPARQL string/term function layer over lang-tagged literals:
+    // LANG()-guarded FILTER (en only) + STRSTARTS (substring equality,
+    // not LIKE — the q75 escaping rule), then the BIND battery —
+    // STRLEN / UCASE / SUBSTR / CONCAT / REPLACE. ASCII fixture keeps
+    // length/upper engine-identical; the regex is RE2-subset (q31
+    // rule) and single-match-per-string, with the 'g' flag pinned in
+    // the oracle anyway
+    "q131_sparql_strfuncs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.select(dId.as("s"), lit("label").as("p"),
+        concat(lit("\"name"), pmod(col("doc_id"), lit(100)),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("\"@en"))
+            .otherwise(lit("\"@de"))).as("o"))
+      val parsed = spo.select(Seq(col("s")) ++ TripleOps.termColumns(col("o")): _*)
+      parsed.where(col("kind") === "literal" && col("lang") === "en" &&
+          substring(col("lex"), 1, 5) === "name1")
+        .select(col("s"), col("lex"), col("lang"),
+          length(col("lex")).cast("bigint").as("len"),
+          upper(col("lex")).as("up"),
+          substring(col("lex"), 1, 4).as("pre"),
+          concat(col("lex"), lit("@"), col("lang")).as("full"),
+          regexp_replace(col("lex"), "[0-9]+", "N").as("masked"))
+    }),
+    // dataset diff + patch (the RDF-Patch shape): two ground graph
+    // versions — v2 rewrites %5-docs' lang, drops the odd half of the
+    // bucket lane and adds a %3 lane — diffed into tagged A/D rows;
+    // the spec pins applyPatch(prev, diff) == next
+    "q132_graph_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val prev = docs.select(dId.as("s"), lit("lang").as("p"), col("lang").as("o"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select(dId.as("s"), lit("bucket").as("p"),
+            concat(lit("b"), pmod(col("doc_id"), lit(7))).as("o")))
+      val next = docs.select(dId.as("s"), lit("lang").as("p"),
+          when(pmod(col("doc_id"), lit(5)) === 0, lit("xx")).otherwise(col("lang")).as("o"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(3)) === 0)
+          .select(dId.as("s"), lit("bucket").as("p"),
+            concat(lit("b"), pmod(col("doc_id"), lit(7))).as("o")))
+      TripleOps.graphDiff(prev, next).select("op", "s", "p", "o")
+    }),
     // reification reconstruction: qualified worksFor edges (stmt node
     // + subject/predicate/object roles + a confidence annotation)
     // rebuilt into (stmt, x, org, conf); planted malformed statements
@@ -3036,6 +3078,54 @@ object SparkEntry {
       |FROM typed GROUP BY org""".stripMargin
   }
 
+  /** DuckDB twin of q131 (string functions): the q125 regex parse,
+    * then the same function battery — substring is (start, LENGTH)
+    * 1-based in BOTH engines here (unlike list_slice, the q57 trap),
+    * regexp_replace carries the explicit 'g' flag (DuckDB defaults to
+    * first-match; Spark replaces all).
+    */
+  private def q131Sql: String = {
+    val la = TripleOps.LangLitRe
+    s"""WITH spo AS (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s,
+      |         '"name' || CAST(doc_id % 100 AS VARCHAR) ||
+      |         CASE WHEN doc_id % 2 = 0 THEN '"@en' ELSE '"@de' END AS o
+      |  FROM documents
+      |), parsed AS (
+      |  SELECT s, regexp_extract(o, '$la', 1) AS lex, regexp_extract(o, '$la', 2) AS lang
+      |  FROM spo WHERE regexp_matches(o, '$la')
+      |)
+      |SELECT s, lex, lang,
+      |       CAST(length(lex) AS BIGINT) AS len,
+      |       upper(lex) AS up,
+      |       substring(lex, 1, 4) AS pre,
+      |       lex || '@' || lang AS "full",
+      |       regexp_replace(lex, '[0-9]+', 'N', 'g') AS masked
+      |FROM parsed
+      |WHERE lang = 'en' AND substring(lex, 1, 5) = 'name1'""".stripMargin
+  }
+
+  /** DuckDB twin of q132 (graph diff): EXCEPT both directions over
+    * the two version CTEs — the definitional form, independent of the
+    * Spark side's anti-join plan.
+    */
+  private val q132Sql: String =
+    """WITH prev AS MATERIALIZED (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s, 'lang' AS p, lang AS o FROM documents
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'bucket', 'b' || CAST(doc_id % 7 AS VARCHAR)
+      |  FROM documents WHERE doc_id % 2 = 0
+      |), nxt AS MATERIALIZED (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s, 'lang' AS p,
+      |         CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS o FROM documents
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'bucket', 'b' || CAST(doc_id % 7 AS VARCHAR)
+      |  FROM documents WHERE doc_id % 3 = 0
+      |)
+      |SELECT 'A' AS op, s, p, o FROM (SELECT s, p, o FROM nxt EXCEPT SELECT s, p, o FROM prev)
+      |UNION ALL
+      |SELECT 'D', s, p, o FROM (SELECT s, p, o FROM prev EXCEPT SELECT s, p, o FROM nxt)""".stripMargin
+
   /** DuckDB twin of q126 (skolemization): the genid mangle written as
     * a CASE/substring replacement over the SET-deduped graph.
     */
@@ -4670,6 +4760,8 @@ object SparkEntry {
     "q127_graph_digest" -> q127Sql,
     "q128_canonical_bnodes" -> q128Sql,
     "q129_bgp_num_aggregates" -> q129Sql,
+    "q131_sparql_strfuncs" -> q131Sql,
+    "q132_graph_diff" -> q132Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

@@ -773,6 +773,38 @@ object TripleOps {
         coalesce(col("co"), col("o")).as("o"))
   }
 
+  /** Dataset diff — the incremental-publishing primitive (the
+    * RDF-Patch / LD-Patch shape): set difference both ways between two
+    * graph versions, tagged `op` ∈ A (added in `next`) | D (deleted
+    * from `prev`). Ground-term graphs (bnode-bearing versions go
+    * through [[canonicalBNodeQuads]] first, which is what makes a
+    * cross-version bnode diff well-defined at all). Two anti-joins on
+    * the full (s,p,o) key — each is one shuffle, both map-side
+    * prunable; unchanged triples never leave the scan.
+    */
+  def graphDiff(prev: DataFrame, next: DataFrame): DataFrame = {
+    val a = spoCols(prev).distinct()
+    val b = spoCols(next).distinct()
+    b.join(a, Seq("s", "p", "o"), "left_anti").select(lit("A").as("op"), col("s"), col("p"), col("o"))
+      .unionByName(a.join(b, Seq("s", "p", "o"), "left_anti")
+        .select(lit("D").as("op"), col("s"), col("p"), col("o")))
+  }
+
+  /** Apply a [[graphDiff]] patch to a graph version: delete the D
+    * rows (anti-join), add the A rows (union + set-dedup). By
+    * construction `applyPatch(prev, graphDiff(prev, next)) == next`
+    * as a set — the round-trip invariant the spec pins.
+    */
+  def applyPatch(prev: DataFrame, patch: DataFrame): DataFrame = {
+    val p = patch.select(col("op").cast("string").as("op"),
+      col("s").cast("string").as("s"), col("p").cast("string").as("p"),
+      col("o").cast("string").as("o"))
+    spoCols(prev).join(p.where(col("op") === "D").drop("op"),
+        Seq("s", "p", "o"), "left_anti")
+      .unionByName(p.where(col("op") === "A").drop("op"))
+      .distinct()
+  }
+
   /** RDF reification reconstruction — the inverse of the decoder's
     * `Shared.reify` (rdf:ID statement annotation, RdfXmlParser
     * reify frames): collect each statement node's rdf:subject /

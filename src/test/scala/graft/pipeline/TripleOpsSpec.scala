@@ -669,6 +669,28 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalStateException] { TripleOps.canonicalBNodeQuads(twins) }
   }
 
+  test("graphDiff/applyPatch: tagged set difference; patch round-trips to the next version") {
+    val s = spark
+    import s.implicits._
+    val prev = Seq(("a", "p", "1"), ("b", "p", "2"), ("c", "q", "3"), ("c", "q", "3"))
+      .toDF("s", "p", "o")
+    val next = Seq(("a", "p", "1"), ("b", "p", "CHANGED"), ("d", "r", "4"))
+      .toDF("s", "p", "o")
+    val diff = TripleOps.graphDiff(prev, next)
+    val got = diff.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(got == Set(
+      ("A", "b", "p", "CHANGED"), ("A", "d", "r", "4"),
+      ("D", "b", "p", "2"), ("D", "c", "q", "3")), got.toString)
+    // round-trip: applying the diff to prev reproduces next as a set
+    val patched = TripleOps.applyPatch(prev, diff).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val want = next.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(patched == want, patched.toString)
+    // identical versions diff to nothing
+    assert(TripleOps.graphDiff(next, next).count() == 0)
+  }
+
   test("bgp: repeated variable within one pattern equi-filters; disjoint pattern rejected") {
     val s = spark
     import s.implicits._
