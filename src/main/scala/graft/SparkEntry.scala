@@ -637,6 +637,43 @@ object SparkEntry {
             concat(lit("b"), pmod(col("doc_id"), lit(7))).as("o")))
       TripleOps.graphDiff(prev, next).select("op", "s", "p", "o")
     }),
+    // KG-embedding training prep: k=3 filtered tail corruptions per
+    // positive — dense entity indices via the q73 two-phase rank
+    // (oracle replays it as ONE naive ORDER BY (md5-prefix, ent)),
+    // integer multiplicative stepping picks the corrupt index, and
+    // corruptions colliding with true positives anti-join away
+    "q133_kg_negatives" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val edges = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select(dId.as("h"), lit("worksFor").as("r"),
+            concat(lit("o"), pmod(col("doc_id"), lit(16))).as("t"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(3)) === 0)
+          .select(dId.as("h"), lit("memberOf").as("r"),
+            concat(lit("o"), pmod(col("doc_id"), lit(12))).as("t")))
+      TripleOps.negativeSamples(edges, k = 3)
+        .select("h", "r", "t", "neg_k", "t_neg")
+    }),
+    // schema summary (quotient graph): class-level edge bundles of
+    // the typed instance graph — docs typed c{id%12}, orgs typed
+    // Org{k%3}, worksFor edges between them; multi-typed sources
+    // (%4-docs carry a second type) fan into one bundle row per
+    // class pair, the q91-closure-compatible semantics
+    "q134_schema_summary" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val types = docs.select(dId.as("inst"),
+          concat(lit("c"), pmod(col("doc_id"), lit(12))).as("cls"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(4)) === 0)
+          .select(dId.as("inst"), lit("cSpecial").as("cls")))
+        .unionByName(docs.select(concat(lit("o"), pmod(col("doc_id"), lit(16))).as("inst"),
+          concat(lit("Org"), pmod(pmod(col("doc_id"), lit(16)), lit(3))).as("cls")))
+      val edges = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+        .select(dId.as("s"), lit("worksFor").as("p"),
+          concat(lit("o"), pmod(col("doc_id"), lit(16))).as("o"))
+      TripleOps.schemaSummary(types, edges)
+        .select("src_cls", "p", "dst_cls", "n_edges", "n_src", "n_dst")
+    }),
     // reification reconstruction: qualified worksFor edges (stmt node
     // + subject/predicate/object roles + a confidence annotation)
     // rebuilt into (stmt, x, org, conf); planted malformed statements
@@ -3126,6 +3163,74 @@ object SparkEntry {
       |UNION ALL
       |SELECT 'D', s, p, o FROM (SELECT s, p, o FROM prev EXCEPT SELECT s, p, o FROM nxt)""".stripMargin
 
+  /** DuckDB twin of q133 (negative sampling): dense entity indices as
+    * the NAIVE row_number over (md5-prefix bucket, ent) — equal to
+    * the Spark side's two-phase rank because the bucket is the
+    * order's own prefix (the q73 rule) — then the same integer
+    * stepping, pool resolve and NOT EXISTS filtered-setting drop.
+    * All operands non-negative (idx, ridx, k ≥ 0), so DuckDB % ==
+    * Spark pmod.
+    */
+  private def q133Sql(k: Int = 3): String =
+    s"""WITH e AS MATERIALIZED (
+      |  SELECT DISTINCT h, r, t FROM (
+      |    SELECT 'd' || CAST(doc_id AS VARCHAR) AS h, 'worksFor' AS r,
+      |           'o' || CAST(doc_id % 16 AS VARCHAR) AS t FROM documents WHERE doc_id % 2 = 0
+      |    UNION ALL
+      |    SELECT 'd' || CAST(doc_id AS VARCHAR), 'memberOf',
+      |           'o' || CAST(doc_id % 12 AS VARCHAR) FROM documents WHERE doc_id % 3 = 0
+      |  ) u
+      |),
+      |ents AS (SELECT DISTINCT ent FROM (SELECT h AS ent FROM e UNION ALL SELECT t FROM e) v),
+      |pool AS MATERIALIZED (
+      |  SELECT ent, CAST(row_number() OVER (ORDER BY substring(md5(ent), 1, 2), ent) - 1 AS BIGINT) AS idx
+      |  FROM ents
+      |),
+      |rels AS (SELECT r, CAST(row_number() OVER (ORDER BY r) - 1 AS BIGINT) AS ridx
+      |         FROM (SELECT DISTINCT r FROM e) w),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_ent FROM pool),
+      |cand AS (
+      |  SELECT e.h, e.r, e.t, CAST(kk.k AS BIGINT) AS neg_k,
+      |         (ph.idx * 2654435761 + rels.ridx * 97 + pt.idx * 31 + kk.k * 40503) % n.n_ent AS nidx
+      |  FROM e
+      |  JOIN pool ph ON ph.ent = e.h
+      |  JOIN pool pt ON pt.ent = e.t
+      |  JOIN rels ON rels.r = e.r
+      |  CROSS JOIN n
+      |  CROSS JOIN unnest(range(0, $k)) kk(k)
+      |)
+      |SELECT c.h, c.r, c.t, c.neg_k, p.ent AS t_neg
+      |FROM cand c JOIN pool p ON p.idx = c.nidx
+      |WHERE NOT EXISTS (SELECT 1 FROM e x WHERE x.h = c.h AND x.r = c.r AND x.t = p.ent)""".stripMargin
+
+  /** DuckDB twin of q134 (schema summary): the same two typing joins
+    * + grouped counts, types deduped first (the multi-type fan-out is
+    * the semantics, duplicate type rows are not).
+    */
+  private val q134Sql: String =
+    """WITH types AS MATERIALIZED (
+      |  SELECT DISTINCT inst, cls FROM (
+      |    SELECT 'd' || CAST(doc_id AS VARCHAR) AS inst,
+      |           'c' || CAST(doc_id % 12 AS VARCHAR) AS cls FROM documents
+      |    UNION ALL
+      |    SELECT 'd' || CAST(doc_id AS VARCHAR), 'cSpecial' FROM documents WHERE doc_id % 4 = 0
+      |    UNION ALL
+      |    SELECT 'o' || CAST(doc_id % 16 AS VARCHAR),
+      |           'Org' || CAST((doc_id % 16) % 3 AS VARCHAR) FROM documents
+      |  ) u
+      |), edges AS (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s, 'worksFor' AS p,
+      |         'o' || CAST(doc_id % 16 AS VARCHAR) AS o FROM documents WHERE doc_id % 2 = 0
+      |)
+      |SELECT ts.cls AS src_cls, ed.p, tt.cls AS dst_cls,
+      |       CAST(count(*) AS BIGINT) AS n_edges,
+      |       CAST(count(DISTINCT ed.s) AS BIGINT) AS n_src,
+      |       CAST(count(DISTINCT ed.o) AS BIGINT) AS n_dst
+      |FROM edges ed
+      |JOIN types ts ON ts.inst = ed.s
+      |JOIN types tt ON tt.inst = ed.o
+      |GROUP BY ts.cls, ed.p, tt.cls""".stripMargin
+
   /** DuckDB twin of q126 (skolemization): the genid mangle written as
     * a CASE/substring replacement over the SET-deduped graph.
     */
@@ -4762,6 +4867,8 @@ object SparkEntry {
     "q129_bgp_num_aggregates" -> q129Sql,
     "q131_sparql_strfuncs" -> q131Sql,
     "q132_graph_diff" -> q132Sql,
+    "q133_kg_negatives" -> q133Sql(),
+    "q134_schema_summary" -> q134Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

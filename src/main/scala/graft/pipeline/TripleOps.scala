@@ -805,6 +805,81 @@ object TripleOps {
       .distinct()
   }
 
+  /** Schema summary (quotient graph) — the class-level view of an
+    * instance graph that KG exploration and mapping tools ship:
+    * every (source class, predicate, target class) edge bundle with
+    * its triple count and distinct endpoint cardinalities. Instances
+    * may carry multiple types (the q91 entailment closure feeds this)
+    * — each class pair gets its own bundle row. Two equi-joins
+    * against the typing table + one grouped pass; the typing side is
+    * the smaller relation at web scale (types ≪ edges) and both
+    * joins key on the instance.
+    */
+  def schemaSummary(types: DataFrame, edges: DataFrame): DataFrame = {
+    val ty = types.select(col("inst").cast("string").as("inst"),
+      col("cls").cast("string").as("cls")).distinct()
+    spoCols(edges)
+      .join(ty.select(col("inst").as("s"), col("cls").as("src_cls")), Seq("s"))
+      .join(ty.select(col("inst").as("o"), col("cls").as("dst_cls")), Seq("o"))
+      .groupBy(col("src_cls"), col("p"), col("dst_cls"))
+      .agg(count(lit(1)).cast("bigint").as("n_edges"),
+        countDistinct(col("s")).cast("bigint").as("n_src"),
+        countDistinct(col("o")).cast("bigint").as("n_dst"))
+  }
+
+  /** Filtered negative sampling over (h, r, t) edges — the
+    * KG-embedding training-prep step (TransE-family corruption, the
+    * "filtered setting" of the KBC literature): k deterministic
+    * tail corruptions per positive, drawn from the closed entity
+    * pool by integer multiplicative stepping over dense entity
+    * indices, with any corruption that collides with a TRUE positive
+    * anti-joined away. Fully relational and reproducible — no RNG,
+    * no driver loop.
+    *
+    * The dense 0-based entity index is assigned by the q73 two-phase
+    * rank (per-md5-bucket row_number + earlier-bucket offsets) so no
+    * global single-partition window appears on the entity pool; the
+    * global order it realizes is (md5-prefix bucket, entity), which
+    * the oracle replays as one naive ORDER BY. The relation index
+    * uses a plain window — relations are schema-sized. The entity
+    * count rides a 1-row broadcast scalar frame (the q47/q62 shape).
+    */
+  def negativeSamples(edges: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("h").cast("string").as("h"),
+        col("r").cast("string").as("r"), col("t").cast("string").as("t"))
+      .distinct().localCheckpoint(true) // 4 consumers (pool, rels, expand, anti-join)
+    val ents = e.select(col("h").as("ent")).unionByName(e.select(col("t").as("ent"))).distinct()
+    val withBkt = ents.withColumn("bkt", substring(md5(col("ent")), 1, 2))
+    val inBkt = row_number().over(Window.partitionBy(col("bkt")).orderBy(col("ent")))
+    val offsets = withBkt.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(
+        Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val pool = withBkt.withColumn("rn", inBkt).join(offsets, Seq("bkt"))
+      .select(col("ent"), (col("off") + col("rn") - 1).cast("bigint").as("idx"))
+      .localCheckpoint(true) // consumed by hIdx/tIdx attach + corruption resolve
+    val rels = e.select(col("r")).distinct()
+      .select(col("r"), (row_number().over(Window.orderBy(col("r"))) - 1)
+        .cast("bigint").as("ridx"))
+    val nFrame = pool.agg(count(lit(1)).cast("bigint").as("n_ent"))
+    val cand = e
+      .join(pool.select(col("ent").as("h"), col("idx").as("hidx")), Seq("h"))
+      .join(pool.select(col("ent").as("t"), col("idx").as("tidx")), Seq("t"))
+      .join(broadcast(rels), Seq("r"))
+      .crossJoin(broadcast(nFrame))
+      .withColumn("neg_k", explode(sequence(lit(0L), lit(k - 1L))))
+      .select(col("h"), col("r"), col("t"), col("neg_k"),
+        pmod(col("hidx") * 2654435761L + col("ridx") * 97L +
+          col("tidx") * 31L + col("neg_k") * 40503L, col("n_ent")).as("nidx"))
+    cand.join(pool.select(col("idx").as("nidx"), col("ent").as("t_neg")), Seq("nidx"))
+      // filtered setting: a corruption that IS a true positive drops
+      .join(e.select(col("h"), col("r"), col("t").as("t_neg")),
+        Seq("h", "r", "t_neg"), "left_anti")
+      .select(col("h"), col("r"), col("t"), col("neg_k"), col("t_neg"))
+  }
+
   /** RDF reification reconstruction — the inverse of the decoder's
     * `Shared.reify` (rdf:ID statement annotation, RdfXmlParser
     * reify frames): collect each statement node's rdf:subject /

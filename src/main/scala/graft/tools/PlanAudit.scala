@@ -33,6 +33,9 @@ object PlanAudit {
                        // shape (global constants attached map-side)
     "q101_bigram_lm", // scored bigrams × 1-row broadcast vocab-size
                       // frame — the q47/q62/q70 scalar shape
+    "q133_kg_negatives", // positives × 1-row broadcast entity-count
+                         // frame (the q47/q62 scalar shape) feeding
+                         // the corruption-index modulus
     "q104_hits", // per-half-step 1-row broadcast max-rescale frame —
                  // the same sanctioned scalar shape, twice per round
     "q91_rdfs_closure") // the FIXTURE's domain map is one row with a

@@ -691,6 +691,49 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TripleOps.graphDiff(next, next).count() == 0)
   }
 
+  test("negativeSamples: k per positive minus filtered collisions; deterministic; corrupt tails in-pool") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq(
+      ("h1", "r1", "t1"), ("h1", "r1", "t2"), ("h2", "r1", "t1"),
+      ("h2", "r2", "t3"), ("h3", "r2", "t3")).toDF("h", "r", "t")
+    val neg = TripleOps.negativeSamples(edges, k = 4)
+    val rows = neg.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getLong(3), r.getString(4)))
+    // every emitted corruption is (a) from the entity pool, (b) NOT a
+    // true positive, (c) keyed back to its source positive
+    val pool = Set("h1", "h2", "h3", "t1", "t2", "t3")
+    val pos = edges.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows.nonEmpty && rows.forall { case (h, r, t, k, tn) =>
+      pool.contains(tn) && !pos.contains((h, r, tn)) && pos.contains((h, r, t)) && k >= 0 && k < 4
+    }, rows.mkString("|"))
+    // at most k corruptions per positive, and at least one positive
+    // keeps all k (the pool is big enough that not everything collides)
+    val perPos = rows.groupBy(t => (t._1, t._2, t._3)).view.mapValues(_.length)
+    assert(perPos.values.forall(_ <= 4) && perPos.values.exists(_ >= 2), perPos.toMap.toString)
+    // determinism: a second run emits the identical multiset
+    val again = TripleOps.negativeSamples(edges, k = 4).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getLong(3), r.getString(4)))
+    assert(again.sorted.toSeq == rows.sorted.toSeq)
+  }
+
+  test("schemaSummary: class-pair bundles with counts; multi-typed instances fan out") {
+    val s = spark
+    import s.implicits._
+    val types = Seq(("a", "Person"), ("a", "Agent"), ("b", "Person"),
+      ("x", "Org"), ("y", "Org")).toDF("inst", "cls")
+    val edges = Seq(("a", "worksFor", "x"), ("b", "worksFor", "x"), ("b", "worksFor", "y"),
+      ("a", "knows", "b")).toDF("s", "p", "o")
+    val got = TripleOps.schemaSummary(types, edges).collect().map(r =>
+      ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(("Person", "worksFor", "Org")) == ((3L, 2L, 2L)), got.toString)
+    assert(got(("Agent", "worksFor", "Org")) == ((1L, 1L, 1L)))
+    assert(got(("Person", "knows", "Person")) == ((1L, 1L, 1L)))
+    assert(got(("Agent", "knows", "Person")) == ((1L, 1L, 1L)))
+    assert(got.size == 4, got.keys.toString)
+  }
+
   test("bgp: repeated variable within one pattern equi-filters; disjoint pattern rejected") {
     val s = spark
     import s.implicits._
