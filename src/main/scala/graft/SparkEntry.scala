@@ -674,6 +674,53 @@ object SparkEntry {
       TripleOps.schemaSummary(types, edges)
         .select("src_cls", "p", "dst_cls", "n_edges", "n_src", "n_dst")
     }),
+    // the composition the q128 machinery exists FOR: canonical
+    // labeling then the q127 digest = isomorphism-invariant integrity
+    // stamps for bnode-BEARING named graphs (the q128 fixture's quads,
+    // so the oracle is q128's pipeline with q127's digest tail)
+    "q135_canonical_digest" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val bId = concat(lit("_:b"), pmod(col("doc_id"), lit(24)))
+      val quads = docs.select(col("source").as("g"), dId.as("s"),
+          lit("author").as("p"), bId.as("o"))
+        .unionByName(docs.select(col("source").as("g"), bId.as("s"),
+          lit("name").as("p"), concat(lit("n"), col("doc_id")).as("o")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(3)) === 0)
+          .select(col("source").as("g"), bId.as("s"), lit("knows").as("p"),
+            concat(lit("_:k"), col("doc_id")).as("o")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(3)) === 0)
+          .select(col("source").as("g"), concat(lit("_:k"), col("doc_id")).as("s"),
+            lit("note").as("p"), concat(lit("m"), col("doc_id")).as("o")))
+        .unionByName(docs.select(col("source").as("g"), dId.as("s"),
+          lit("lang").as("p"), col("lang").as("o")))
+      TripleOps.graphDigest(TripleOps.canonicalBNodeQuads(quads))
+        .select(col("g"), col("digest"), col("n_triples"))
+    }),
+    // time-travel snapshots of a versioned assertion log: lang
+    // asserted at 1000+id%7, retracted for %5-docs at 2000,
+    // re-asserted 'yy' for %10-docs at 3000; bucket lane at 1500.
+    // Snapshot semantics: latest event ≤ T wins, asserts survive —
+    // evaluated at T=2500 (retractions visible, re-asserts not) and
+    // T=3500 (re-asserts back), union-tagged by t_at
+    "q136_triple_snapshot" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val log = docs.select((lit(1000) + pmod(col("doc_id"), lit(7))).cast("bigint").as("ts"),
+          lit("A").as("op"), dId.as("s"), lit("lang").as("p"), col("lang").as("o"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(5)) === 0)
+          .select(lit(2000L).as("ts"), lit("D").as("op"), dId.as("s"),
+            lit("lang").as("p"), col("lang").as("o")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(10)) === 0)
+          .select(lit(3000L).as("ts"), lit("A").as("op"), dId.as("s"),
+            lit("lang").as("p"), lit("yy").as("o")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select(lit(1500L).as("ts"), lit("A").as("op"), dId.as("s"),
+            lit("bucket").as("p"), concat(lit("b"), pmod(col("doc_id"), lit(7))).as("o")))
+      TripleOps.snapshotAt(log, 2500L).select(lit(2500L).as("t_at"), col("s"), col("p"), col("o"))
+        .unionByName(TripleOps.snapshotAt(log, 3500L)
+          .select(lit(3500L).as("t_at"), col("s"), col("p"), col("o")))
+    }),
     // reification reconstruction: qualified worksFor edges (stmt node
     // + subject/predicate/object roles + a confidence annotation)
     // rebuilt into (stmt, x, org, conf); planted malformed statements
@@ -3282,8 +3329,10 @@ object SparkEntry {
     * collision-free hash order, two relabeling left joins. quads and
     * labeled are multi-consumed → MATERIALIZED (the q71 rule).
     */
-  private val q128Sql: String =
-    """WITH quads AS MATERIALIZED (
+  /** The q128 CTE chain (quads → mentions → labeled), shared with the
+    * q135 digest composition. */
+  private val q128Ctes: String =
+    """quads AS MATERIALIZED (
       |  SELECT DISTINCT g, s, p, o FROM (
       |    SELECT source AS g, 'd' || CAST(doc_id AS VARCHAR) AS s, 'author' AS p,
       |           '_:b' || CAST(doc_id % 24 AS VARCHAR) AS o FROM documents
@@ -3319,11 +3368,59 @@ object SparkEntry {
       |         '_:c' || CAST(row_number() OVER (PARTITION BY g ORDER BY h) - 1 AS VARCHAR) AS c
       |  FROM (SELECT g, b, md5(string_agg(line, chr(10) ORDER BY line)) AS h
       |        FROM mentions GROUP BY g, b) fd
-      |)
+      |)""".stripMargin
+
+  private val q128Sql: String =
+    s"""WITH $q128Ctes
       |SELECT q.g, COALESCE(ls.c, q.s) AS s, q.p, COALESCE(lo.c, q.o) AS o
       |FROM quads q
       |LEFT JOIN labeled ls ON ls.g = q.g AND ls.b = q.s
       |LEFT JOIN labeled lo ON lo.g = q.g AND lo.b = q.o""".stripMargin
+
+  /** DuckDB twin of q135: the q128 canonicalization pipeline with the
+    * q127 digest tail over the relabeled lines.
+    */
+  private val q135Sql: String = {
+    s"""WITH $q128Ctes
+      |, relabeled AS (
+      |  SELECT DISTINCT q.g, COALESCE(ls.c, q.s) || ' ' || q.p || ' ' || COALESCE(lo.c, q.o) AS line
+      |  FROM quads q
+      |  LEFT JOIN labeled ls ON ls.g = q.g AND ls.b = q.s
+      |  LEFT JOIN labeled lo ON lo.g = q.g AND lo.b = q.o
+      |)
+      |SELECT g, md5(string_agg(line, chr(10) ORDER BY line)) AS digest,
+      |       CAST(COUNT(*) AS BIGINT) AS n_triples
+      |FROM relabeled GROUP BY g""".stripMargin
+  }
+
+  /** DuckDB twin of q136 (snapshots): the same last-event-wins
+    * formulation — grouped max(ts) per (cut, triple) joined back to
+    * the event log, asserts survive — evaluated for both cuts via a
+    * cross join with the unnested cutoff list.
+    */
+  private val q136Sql: String =
+    """WITH log AS MATERIALIZED (
+      |  SELECT CAST(1000 + doc_id % 7 AS BIGINT) AS ts, 'A' AS op,
+      |         'd' || CAST(doc_id AS VARCHAR) AS s, 'lang' AS p, lang AS o FROM documents
+      |  UNION ALL
+      |  SELECT 2000, 'D', 'd' || CAST(doc_id AS VARCHAR), 'lang', lang
+      |  FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT 3000, 'A', 'd' || CAST(doc_id AS VARCHAR), 'lang', 'yy'
+      |  FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT 1500, 'A', 'd' || CAST(doc_id AS VARCHAR), 'bucket',
+      |         'b' || CAST(doc_id % 7 AS VARCHAR) FROM documents WHERE doc_id % 2 = 0
+      |), cuts AS (SELECT CAST(unnest([2500, 3500]) AS BIGINT) AS t_at),
+      |ev AS MATERIALIZED (
+      |  SELECT c.t_at, l.ts, l.op, l.s, l.p, l.o
+      |  FROM log l CROSS JOIN cuts c WHERE l.ts <= c.t_at
+      |), last AS (
+      |  SELECT t_at, s, p, o, max(ts) AS ts FROM ev GROUP BY t_at, s, p, o
+      |)
+      |SELECT la.t_at, la.s, la.p, la.o
+      |FROM last la JOIN ev USING (t_at, s, p, o, ts)
+      |WHERE ev.op = 'A'""".stripMargin
 
   /** DuckDB twin of q123 (reification): role CTEs with the exactly-one
     * HAVING discipline, three stmt-keyed joins + the annotation join —
@@ -4869,6 +4966,8 @@ object SparkEntry {
     "q132_graph_diff" -> q132Sql,
     "q133_kg_negatives" -> q133Sql(),
     "q134_schema_summary" -> q134Sql,
+    "q135_canonical_digest" -> q135Sql,
+    "q136_triple_snapshot" -> q136Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

@@ -880,6 +880,29 @@ object TripleOps {
       .select(col("h"), col("r"), col("t"), col("neg_k"), col("t_neg"))
   }
 
+  /** Snapshot of a versioned assertion log at time `atTs` — the
+    * AS-OF reconstruction a maintained KG needs for time-travel
+    * queries and reproducible training-data cuts: the log carries
+    * (ts, op A|D, s, p, o) assert/retract events, and the snapshot
+    * is every triple whose LATEST event at ts ≤ atTs is an assert.
+    * Requires at most one event per (s, p, o, ts) — an assert and a
+    * retract of the same triple in the same instant has no defined
+    * winner (enforced by the last-event join collapsing to one row;
+    * a violating log would fan out and the digest/oracle diverge).
+    * Shape: one grouped max(ts) per triple key + one join back to
+    * the log — both shuffle on the same (s,p,o) key, so AQE plans
+    * the join shuffle-free off the aggregate's exchange.
+    */
+  def snapshotAt(log: DataFrame, atTs: Long): DataFrame = {
+    val l = log.select(col("ts").cast("bigint").as("ts"),
+      col("op").cast("string").as("op"), col("s").cast("string").as("s"),
+      col("p").cast("string").as("p"), col("o").cast("string").as("o"))
+      .where(col("ts") <= atTs)
+    val last = l.groupBy(col("s"), col("p"), col("o")).agg(max(col("ts")).as("ts"))
+    last.join(l, Seq("s", "p", "o", "ts")).where(col("op") === "A")
+      .select(col("s"), col("p"), col("o"))
+  }
+
   /** RDF reification reconstruction — the inverse of the decoder's
     * `Shared.reify` (rdf:ID statement annotation, RdfXmlParser
     * reify frames): collect each statement node's rdf:subject /

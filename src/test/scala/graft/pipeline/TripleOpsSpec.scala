@@ -734,6 +734,20 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 4, got.keys.toString)
   }
 
+  test("snapshotAt: last event ≤ T wins; retract hides, re-assert restores, future invisible") {
+    val s = spark
+    import s.implicits._
+    val log = Seq(
+      (100L, "A", "a", "p", "v1"), (200L, "D", "a", "p", "v1"), (300L, "A", "a", "p", "v1"),
+      (100L, "A", "b", "p", "v2"), (400L, "A", "c", "p", "v3")).toDF("ts", "op", "s", "p", "o")
+    def snap(t: Long) = TripleOps.snapshotAt(log, t).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(snap(150) == Set(("a", "p", "v1"), ("b", "p", "v2")))
+    assert(snap(250) == Set(("b", "p", "v2"))) // a retracted, c not yet
+    assert(snap(350) == Set(("a", "p", "v1"), ("b", "p", "v2"))) // re-asserted
+    assert(snap(50).isEmpty)
+  }
+
   test("bgp: repeated variable within one pattern equi-filters; disjoint pattern rejected") {
     val s = spark
     import s.implicits._
