@@ -721,6 +721,37 @@ object SparkEntry {
         .unionByName(TripleOps.snapshotAt(log, 3500L)
           .select(lit(3500L).as("t_at"), col("s"), col("p"), col("o")))
     }),
+    // CONSTRUCT with template BLANK NODES (SPARQL spec: fresh bnodes
+    // per solution, one node per template label within a solution):
+    // each worksFor solution grows a qualified role node _:r carrying
+    // the employee, the org and a type — the deterministic label is
+    // name + 'x' + md5 over the sorted-column binding tuple, which
+    // the oracle replays verbatim
+    "q137_construct_bnodes" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+        .select(dId.as("s"), lit("worksFor").as("p"),
+          concat(lit("o"), pmod(col("doc_id"), lit(16))).as("o"))
+      val sols = TripleOps.bgp(spo, Seq(("?x", "worksFor", "?org")))
+      TripleOps.construct(sols, Seq(
+        ("?x", "hasRole", "_:r"), ("_:r", "roleIn", "?org"), ("_:r", "type", "Role")))
+        .select("s", "p", "o")
+    }),
+    // SPARQL results-CSV serialization: RFC-4180 quoting over a
+    // solution table whose values exercise every lane — embedded
+    // comma, embedded quote (doubled), and plain — plus the
+    // header-first discipline (is_header column; an empty solution
+    // set still yields the header line)
+    "q138_results_csv" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sols = docs.select(concat(lit("d"), col("doc_id")).as("x"),
+        concat(lit("v,"), pmod(col("doc_id"), lit(10))).as("a"),
+        concat(lit("q\""), pmod(col("doc_id"), lit(7))).as("b"),
+        col("lang").as("c"))
+      TripleOps.resultsCsv(sols, Seq("x", "a", "b", "c"))
+        .select("is_header", "line")
+    }),
     // reification reconstruction: qualified worksFor edges (stmt node
     // + subject/predicate/object roles + a confidence annotation)
     // rebuilt into (stmt, x, org, conf); planted malformed statements
@@ -3422,6 +3453,49 @@ object SparkEntry {
       |FROM last la JOIN ev USING (t_at, s, p, o, ts)
       |WHERE ev.op = 'A'""".stripMargin
 
+  /** DuckDB twin of q137 (CONSTRUCT bnodes): the same deterministic
+    * per-solution label — 'rx' || md5(org || chr(1) || x), the
+    * solution's columns in sorted-name order (org, x) — across the
+    * three template lanes, then the graph-set DISTINCT.
+    */
+  private val q137Sql: String =
+    """WITH sols AS MATERIALIZED (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS x,
+      |         'o' || CAST(doc_id % 16 AS VARCHAR) AS org
+      |  FROM documents WHERE doc_id % 2 = 0
+      |), bn AS MATERIALIZED (
+      |  SELECT x, org, '_:rx' || md5(org || chr(1) || x) AS r FROM sols
+      |)
+      |SELECT DISTINCT s, p, o FROM (
+      |  SELECT x AS s, 'hasRole' AS p, r AS o FROM bn
+      |  UNION ALL SELECT r, 'roleIn', org FROM bn
+      |  UNION ALL SELECT r, 'type', 'Role' FROM bn
+      |) u""".stripMargin
+
+  /** DuckDB twin of q138 (results CSV): the same RFC-4180 CASE per
+    * field — regexp_matches on the quote/comma/CR/LF class, inner
+    * quotes doubled via replace — and the header as its own
+    * constant-select lane.
+    */
+  private val q138Sql: String =
+    """WITH sols AS (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS x,
+      |         'v,' || CAST(doc_id % 10 AS VARCHAR) AS a,
+      |         'q"' || CAST(doc_id % 7 AS VARCHAR) AS b,
+      |         lang AS c
+      |  FROM documents
+      |), fields AS (
+      |  SELECT
+      |    CASE WHEN regexp_matches(x, '[",\r\n]') THEN '"' || replace(x, '"', '""') || '"' ELSE x END AS fx,
+      |    CASE WHEN regexp_matches(a, '[",\r\n]') THEN '"' || replace(a, '"', '""') || '"' ELSE a END AS fa,
+      |    CASE WHEN regexp_matches(b, '[",\r\n]') THEN '"' || replace(b, '"', '""') || '"' ELSE b END AS fb,
+      |    CASE WHEN regexp_matches(c, '[",\r\n]') THEN '"' || replace(c, '"', '""') || '"' ELSE c END AS fc
+      |  FROM sols
+      |)
+      |SELECT CAST(0 AS BIGINT) AS is_header, 'x,a,b,c' AS line
+      |UNION ALL
+      |SELECT 1, fx || ',' || fa || ',' || fb || ',' || fc FROM fields""".stripMargin
+
   /** DuckDB twin of q123 (reification): role CTEs with the exactly-one
     * HAVING discipline, three stmt-keyed joins + the annotation join —
     * the %9 missing-object and %8 conflicting-object plants must drop.
@@ -4968,6 +5042,8 @@ object SparkEntry {
     "q134_schema_summary" -> q134Sql,
     "q135_canonical_digest" -> q135Sql,
     "q136_triple_snapshot" -> q136Sql,
+    "q137_construct_bnodes" -> q137Sql,
+    "q138_results_csv" -> q138Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

@@ -453,20 +453,61 @@ object TripleOps {
     * entry, the spec rule for OPTIONAL-fed templates. One projection
     * per template entry + the graph-set distinct; no extra shuffles
     * beyond the solutions' own plan.
+    *
+    * Template blank nodes (`_:name`): the spec scopes template bnode
+    * labels per solution — each solution instantiates FRESH bnodes,
+    * the same name sharing one node across the solution's template
+    * entries. Realized deterministically (no RNG, the engine-wide
+    * rule): label = name + 'x' + md5 of the solution's bindings
+    * (columns in sorted-name order, \u0001-separated, nulls as
+    * \u0000). Identical duplicate solutions therefore collapse to one
+    * bnode — set semantics, consistent with the graph-set distinct.
     */
   def construct(solutions: DataFrame, template: Seq[(String, String, String)]): DataFrame = {
     require(template.nonEmpty, "empty CONSTRUCT template")
     val have = solutions.columns.toSet
     template.flatMap(t => Seq(t._1, t._2, t._3)).filter(_.startsWith("?")).foreach(v =>
       require(have(v.drop(1)), s"template variable $v not bound by the solutions"))
+    val solHash = md5(concat_ws("\u0001",
+      solutions.columns.sorted.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
     def term(t: String) =
-      if (t.startsWith("?")) col(t.drop(1)).cast("string") else lit(t)
+      if (t.startsWith("?")) col(t.drop(1)).cast("string")
+      else if (t.startsWith("_:")) concat(lit("_:"), lit(t.drop(2)), lit("x"), solHash)
+      else lit(t)
     template.map { case (ts, tp, to) =>
       val bound = Seq(ts, tp, to).filter(_.startsWith("?"))
         .map(t => col(t.drop(1)).isNotNull)
       bound.foldLeft(solutions)(_ where _)
         .select(term(ts).as("s"), term(tp).as("p"), term(to).as("o"))
     }.reduceLeft(_ unionByName _).distinct()
+  }
+
+  /** W3C SPARQL 1.1 Query Results CSV serialization of a solution
+    * table — the interchange format a query endpoint ships: one
+    * header line of variable names, one line per solution with
+    * RFC-4180 quoting (a field containing a quote, comma, CR or LF
+    * is wrapped in quotes with inner quotes doubled), unbound
+    * variables as empty fields. Codegen column algebra, no UDF;
+    * output is (is_header, line) — the header rides its own 1-row
+    * frame so an empty solution set still serializes a valid
+    * document. Line ORDER is the writer's concern (the spec's CSV
+    * has no row-order semantics beyond the header-first rule that
+    * is_header encodes).
+    */
+  def resultsCsv(solutions: DataFrame, vars: Seq[String]): DataFrame = {
+    require(vars.nonEmpty, "no projected variables")
+    val have = solutions.columns.toSet
+    vars.foreach(v => require(have(v), s"variable $v not bound by the solutions"))
+    val fields = vars.map { v =>
+      val c = col(v).cast("string")
+      when(c.rlike("[\",\r\n]"),
+        concat(lit("\""), regexp_replace(c, "\"", "\"\""), lit("\"")))
+        .otherwise(coalesce(c, lit("")))
+    }
+    val header = solutions.sparkSession.range(1)
+      .select(lit(0L).as("is_header"), lit(vars.mkString(",")).as("line"))
+    header.unionByName(solutions.select(lit(1L).as("is_header"),
+      concat_ws(",", fields: _*).as("line")))
   }
 
   /** SPARQL DESCRIBE: the triples describing every node the query

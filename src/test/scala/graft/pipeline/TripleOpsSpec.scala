@@ -290,6 +290,21 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertThrows[IllegalArgumentException] {
       TripleOps.construct(sols, Seq(("?x", "p", "?nosuch")))
     }
+    // template bnodes: fresh per solution, shared across entries of the
+    // SAME solution, deterministic across runs
+    val two = Seq(("p1", "o1"), ("p2", "o2")).toDF("x", "org")
+    val bg = TripleOps.construct(two, Seq(
+      ("?x", "hasRole", "_:r"), ("_:r", "roleIn", "?org")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val roleOf = bg.collect { case (x, "hasRole", r) => x -> r }.toMap
+    val inOf = bg.collect { case (r, "roleIn", org) => r -> org }.toMap
+    assert(roleOf.size == 2 && roleOf.values.toSet.size == 2) // distinct per solution
+    assert(roleOf.values.forall(_.startsWith("_:rx")))
+    assert(inOf(roleOf("p1")) == "o1" && inOf(roleOf("p2")) == "o2") // shared within
+    val again = TripleOps.construct(two, Seq(
+      ("?x", "hasRole", "_:r"), ("_:r", "roleIn", "?org")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(again == bg.toSet) // deterministic labels
   }
 
   test("describe: subject-outbound slice of matched nodes, described once, non-matches drop") {
@@ -746,6 +761,22 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(snap(250) == Set(("b", "p", "v2"))) // a retracted, c not yet
     assert(snap(350) == Set(("a", "p", "v1"), ("b", "p", "v2"))) // re-asserted
     assert(snap(50).isEmpty)
+  }
+
+  test("resultsCsv: RFC-4180 quoting, unbound → empty field, header survives empty solutions") {
+    val s = spark
+    import s.implicits._
+    val sols = Seq(
+      ("plain", "with,comma", "say \"hi\"", null.asInstanceOf[String]),
+      ("line\nbreak", "ok", "x", "y")).toDF("a", "b", "c", "d")
+    val got = TripleOps.resultsCsv(sols, Seq("a", "b", "c", "d")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(
+      (0L, "a,b,c,d"),
+      (1L, "plain,\"with,comma\",\"say \"\"hi\"\"\","),
+      (1L, "\"line\nbreak\",ok,x,y")), got.toString)
+    val empty = TripleOps.resultsCsv(sols.limit(0), Seq("a", "b")).collect()
+    assert(empty.length == 1 && empty(0).getString(1) == "a,b")
   }
 
   test("bgp: repeated variable within one pattern equi-filters; disjoint pattern rejected") {
