@@ -752,6 +752,53 @@ object SparkEntry {
       TripleOps.resultsCsv(sols, Seq("x", "a", "b", "c"))
         .select("is_header", "line")
     }),
+    // incremental AGGREGATE-view maintenance: the q134 schema summary
+    // refreshed under edge additions — additive n_added telescopes
+    // from the delta, distinct cardinalities re-derive over TOUCHED
+    // class pairs only; %6-docs' added edges land on a new predicate
+    // (fundedBy), %4-docs duplicate existing worksFor edges (must not
+    // touch). Oracle = the definitional full summary semi-joined to
+    // the genuinely-new delta's groups
+    "q139_schema_summary_delta" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val oId = concat(lit("o"), pmod(col("doc_id"), lit(16)))
+      val types = docs.select(dId.as("inst"),
+          concat(lit("c"), pmod(col("doc_id"), lit(12))).as("cls"))
+        .unionByName(docs.select(oId.as("inst"),
+          concat(lit("Org"), pmod(pmod(col("doc_id"), lit(16)), lit(3))).as("cls")))
+      val base = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+        .select(dId.as("s"), lit("worksFor").as("p"), oId.as("o"))
+      val added = docs.where(pmod(col("doc_id"), lit(6)) === 0)
+          .select(dId.as("s"), lit("fundedBy").as("p"), oId.as("o"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(4)) === 0)
+          .select(dId.as("s"), lit("worksFor").as("p"), oId.as("o")))
+      TripleOps.schemaSummaryDelta(types, base, added)
+        .select("src_cls", "p", "dst_cls", "n_added", "n_edges", "n_src", "n_dst")
+    }),
+    // PROJECTED-view retraction (full DRed): the view projects ?x out
+    // of (?x worksFor ?org)(?org label ?lbl) — removing the labels of
+    // orgs o0..o7 over-deletes every x working for them, but %4-docs
+    // re-derive through their second (oX) affiliation and survive;
+    // oracle is the definitional proj(sols(base)) EXCEPT
+    // proj(sols(base∖removed))
+    "q140_bgp_retract_projected" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val oId = concat(lit("o"), pmod(col("doc_id"), lit(16)))
+      val base = docs.select(dId.as("s"), lit("worksFor").as("p"), oId.as("o"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(4)) === 0)
+          .select(dId.as("s"), lit("worksFor").as("p"), lit("oX").as("o")))
+        .unionByName(s.range(16).select(concat(lit("o"), col("id")).as("s"),
+          lit("label").as("p"), concat(lit("L"), col("id")).as("o")))
+        .unionByName(s.range(1).select(lit("oX").as("s"),
+          lit("label").as("p"), lit("LX").as("o")))
+      val removed = s.range(8).select(concat(lit("o"), col("id")).as("s"),
+        lit("label").as("p"), concat(lit("L"), col("id")).as("o"))
+      TripleOps.bgpDeltaRetractProjected(base, removed,
+        Seq(("?x", "worksFor", "?org"), ("?org", "label", "?lbl")), Seq("?x"))
+        .select("x")
+    }),
     // reification reconstruction: qualified worksFor edges (stmt node
     // + subject/predicate/object roles + a confidence annotation)
     // rebuilt into (stmt, x, org, conf); planted malformed statements
@@ -3496,6 +3543,87 @@ object SparkEntry {
       |UNION ALL
       |SELECT 1, fx || ',' || fa || ',' || fb || ',' || fc FROM fields""".stripMargin
 
+  /** DuckDB twin of q139 (summary delta): the DEFINITIONAL form —
+    * full summary of base ∪ added, restricted to the class-pair
+    * groups of the genuinely-new delta (added EXCEPT base), with the
+    * delta's own per-group count joined in — independent of the
+    * Spark side's semi-join telescoping.
+    */
+  private val q139Sql: String =
+    """WITH types AS MATERIALIZED (
+      |  SELECT DISTINCT inst, cls FROM (
+      |    SELECT 'd' || CAST(doc_id AS VARCHAR) AS inst,
+      |           'c' || CAST(doc_id % 12 AS VARCHAR) AS cls FROM documents
+      |    UNION ALL
+      |    SELECT 'o' || CAST(doc_id % 16 AS VARCHAR),
+      |           'Org' || CAST((doc_id % 16) % 3 AS VARCHAR) FROM documents
+      |  ) u
+      |), base AS MATERIALIZED (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s, 'worksFor' AS p,
+      |         'o' || CAST(doc_id % 16 AS VARCHAR) AS o FROM documents WHERE doc_id % 2 = 0
+      |), added AS MATERIALIZED (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s, 'fundedBy' AS p,
+      |         'o' || CAST(doc_id % 16 AS VARCHAR) AS o FROM documents WHERE doc_id % 6 = 0
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'worksFor',
+      |         'o' || CAST(doc_id % 16 AS VARCHAR) FROM documents WHERE doc_id % 4 = 0
+      |), addnew AS MATERIALIZED (
+      |  SELECT s, p, o FROM added EXCEPT SELECT s, p, o FROM base
+      |), delta AS MATERIALIZED (
+      |  SELECT ts.cls AS src_cls, an.p, tt.cls AS dst_cls,
+      |         CAST(count(*) AS BIGINT) AS n_added
+      |  FROM addnew an JOIN types ts ON ts.inst = an.s JOIN types tt ON tt.inst = an.o
+      |  GROUP BY ts.cls, an.p, tt.cls
+      |), allq AS (
+      |  SELECT DISTINCT s, p, o FROM (SELECT * FROM base UNION ALL SELECT * FROM added) v
+      |), full_sum AS (
+      |  SELECT ts.cls AS src_cls, e.p, tt.cls AS dst_cls,
+      |         CAST(count(*) AS BIGINT) AS n_edges,
+      |         CAST(count(DISTINCT e.s) AS BIGINT) AS n_src,
+      |         CAST(count(DISTINCT e.o) AS BIGINT) AS n_dst
+      |  FROM allq e JOIN types ts ON ts.inst = e.s JOIN types tt ON tt.inst = e.o
+      |  GROUP BY ts.cls, e.p, tt.cls
+      |)
+      |SELECT f.src_cls, f.p, f.dst_cls, d.n_added, f.n_edges, f.n_src, f.n_dst
+      |FROM full_sum f JOIN delta d
+      |  ON d.src_cls = f.src_cls AND d.p = f.p AND d.dst_cls = f.dst_cls""".stripMargin
+
+  /** DuckDB twin of q140 (projected retraction): the DEFINITIONAL
+    * proj(sols(base)) EXCEPT proj(sols(base ∖ removed)) — the q132
+    * rule: keep the oracle the definition, independent of the Spark
+    * side's over-delete/re-derive (DRed) split. remain is EXCEPT-set,
+    * matching the Spark anti-join on exact (s,p,o).
+    */
+  private val q140Sql: String =
+    """WITH base AS MATERIALIZED (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s, 'worksFor' AS p,
+      |         'o' || CAST(doc_id % 16 AS VARCHAR) AS o FROM documents
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'worksFor', 'oX'
+      |  FROM documents WHERE doc_id % 4 = 0
+      |  UNION ALL
+      |  SELECT 'o' || CAST(i AS VARCHAR), 'label', 'L' || CAST(i AS VARCHAR)
+      |  FROM range(0, 16) t(i)
+      |  UNION ALL
+      |  SELECT 'oX', 'label', 'LX'
+      |),
+      |removed AS (
+      |  SELECT 'o' || CAST(i AS VARCHAR) AS s, 'label' AS p,
+      |         'L' || CAST(i AS VARCHAR) AS o FROM range(0, 8) t(i)
+      |),
+      |remain AS MATERIALIZED (
+      |  SELECT s, p, o FROM base EXCEPT SELECT s, p, o FROM removed
+      |),
+      |proj_base AS (
+      |  SELECT DISTINCT w.s AS x FROM base w
+      |  JOIN base l ON l.p = 'label' AND l.s = w.o WHERE w.p = 'worksFor'
+      |),
+      |proj_remain AS (
+      |  SELECT DISTINCT w.s AS x FROM remain w
+      |  JOIN remain l ON l.p = 'label' AND l.s = w.o WHERE w.p = 'worksFor'
+      |)
+      |SELECT x FROM proj_base EXCEPT SELECT x FROM proj_remain""".stripMargin
+
   /** DuckDB twin of q123 (reification): role CTEs with the exactly-one
     * HAVING discipline, three stmt-keyed joins + the annotation join —
     * the %9 missing-object and %8 conflicting-object plants must drop.
@@ -5044,6 +5172,8 @@ object SparkEntry {
     "q136_triple_snapshot" -> q136Sql,
     "q137_construct_bnodes" -> q137Sql,
     "q138_results_csv" -> q138Sql,
+    "q139_schema_summary_delta" -> q139Sql,
+    "q140_bgp_retract_projected" -> q140Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

@@ -270,6 +270,41 @@ object TripleOps {
     telescope(remain, delta, baseT, patterns)
   }
 
+  /** Retraction maintenance for a PROJECTED BGP view — the case where
+    * the [[bgpDeltaRetract]] collapse does NOT apply: once the view
+    * projects away variables, one projected tuple can have MANY
+    * witness derivations, so losing a witness is not losing the tuple.
+    * This is the full DRed split the q116/q118 Scaladoc fences off:
+    *
+    *   over-delete: projections of every full solution that used a
+    *     removed triple — the q118 first-delta telescope, work ∝ the
+    *     retraction batch;
+    *   re-derive:  an over-deleted tuple SURVIVES if any alternative
+    *     derivation remains in base∖Δ — checked by anti-joining the
+    *     candidates against the remaining view's projection.
+    *
+    * The re-derive pass here evaluates the remaining BGP and
+    * semi-restricts to candidates; at 100 TB the refinement is to SEED
+    * the pattern slices with the candidate bindings (making re-derive
+    * work ∝ candidates, DRed's production form) — the two are
+    * value-identical, and the oracle is the definitional
+    * proj(sols(base)) ∖ proj(sols(base∖Δ)) either way.
+    */
+  def bgpDeltaRetractProjected(base: DataFrame, removed: DataFrame,
+      patterns: Seq[(String, String, String)], projectVars: Seq[String]): DataFrame = {
+    require(patterns.nonEmpty, "empty BGP")
+    require(projectVars.nonEmpty, "no projected variables")
+    val names = projectVars.map(_.stripPrefix("?"))
+    val baseT = spoCols(base)
+    val delta = spoCols(removed).join(baseT, Seq("s", "p", "o"), "left_semi")
+      .localCheckpoint(true)
+    val remain = baseT.join(delta, Seq("s", "p", "o"), "left_anti").localCheckpoint(true)
+    val overDel = telescope(remain, delta, baseT, patterns)
+      .select(names.map(col): _*).distinct()
+    val reDerived = bgp(remain, patterns).select(names.map(col): _*).distinct()
+    overDel.join(reDerived, names, "left_anti")
+  }
+
   private def spoCols(df: DataFrame): DataFrame =
     df.select(col("s").cast("string").as("s"),
       col("p").cast("string").as("p"), col("o").cast("string").as("o"))
@@ -866,6 +901,43 @@ object TripleOps {
       .agg(count(lit(1)).cast("bigint").as("n_edges"),
         countDistinct(col("s")).cast("bigint").as("n_src"),
         countDistinct(col("o")).cast("bigint").as("n_dst"))
+  }
+
+  /** Incremental maintenance of the [[schemaSummary]] AGGREGATE view
+    * under edge additions — the q116 IVM discipline extended from BGP
+    * views to grouped aggregates: the additive measure (n_edges)
+    * telescopes from the delta alone, while the NON-additive distinct
+    * cardinalities (n_src/n_dst) re-derive — but only over the class
+    * pairs the delta TOUCHES (the aggregate analogue of DRed's
+    * re-derive pass; an untouched group provably cannot change).
+    * Emits the refreshed bundle rows for touched groups plus the
+    * delta's own edge count; per-refresh work scales with the touched
+    * slice, not the full graph — the semi-join prunes before the
+    * expensive count-distinct, and the typing joins key on instances
+    * exactly as the batch view does.
+    */
+  def schemaSummaryDelta(types: DataFrame, base: DataFrame, added: DataFrame): DataFrame = {
+    val ty = types.select(col("inst").cast("string").as("inst"),
+      col("cls").cast("string").as("cls")).distinct()
+    def typed(edges: DataFrame) = spoCols(edges)
+      .join(ty.select(col("inst").as("s"), col("cls").as("src_cls")), Seq("s"))
+      .join(ty.select(col("inst").as("o"), col("cls").as("dst_cls")), Seq("o"))
+    // genuinely-new edges only: an "added" edge already in the base
+    // changes nothing and must not mark its group touched
+    val addNew = spoCols(added).distinct()
+      .join(spoCols(base).distinct(), Seq("s", "p", "o"), "left_anti")
+    val deltaCounts = typed(addNew).groupBy(col("src_cls"), col("p"), col("dst_cls"))
+      .agg(count(lit(1)).cast("bigint").as("n_added"))
+    val full = typed(spoCols(base).unionByName(spoCols(added)).distinct())
+      .join(deltaCounts.select(col("src_cls"), col("p"), col("dst_cls")),
+        Seq("src_cls", "p", "dst_cls"), "left_semi")
+      .groupBy(col("src_cls"), col("p"), col("dst_cls"))
+      .agg(count(lit(1)).cast("bigint").as("n_edges"),
+        countDistinct(col("s")).cast("bigint").as("n_src"),
+        countDistinct(col("o")).cast("bigint").as("n_dst"))
+    full.join(deltaCounts, Seq("src_cls", "p", "dst_cls"))
+      .select(col("src_cls"), col("p"), col("dst_cls"),
+        col("n_added"), col("n_edges"), col("n_src"), col("n_dst"))
   }
 
   /** Filtered negative sampling over (h, r, t) edges — the

@@ -522,6 +522,29 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TripleOps.bgpDeltaRetract(base, noop, pats).count() == 0L)
   }
 
+  test("bgpDeltaRetractProjected: alternative derivations survive the over-delete") {
+    val s = spark
+    import s.implicits._
+    // p1 derives through BOTH o1 and o2; p2 only through o1
+    val base = Seq(
+      ("p1", "worksFor", "o1"), ("p1", "worksFor", "o2"), ("p2", "worksFor", "o1"),
+      ("o1", "label", "L1"), ("o2", "label", "L2")).toDF("s", "p", "o")
+    val removed = Seq(("o1", "label", "L1")).toDF("s", "p", "o")
+    val pats = Seq(("?x", "worksFor", "?org"), ("?org", "label", "?lbl"))
+    val got = TripleOps.bgpDeltaRetractProjected(base, removed, pats, Seq("?x"))
+      .collect().map(_.getString(0)).toSet
+    // p1 re-derives via (o2, L2); p2 loses its only witness
+    assert(got == Set("p2"), got.toString)
+    // the definition: proj(sols(base)) EXCEPT proj(sols(base ∖ removed))
+    val viaDef = TripleOps.bgp(base, pats).select("x").distinct()
+      .except(TripleOps.bgp(base.except(removed), pats).select("x").distinct())
+      .collect().map(_.getString(0)).toSet
+    assert(got == viaDef)
+    // retracting a never-asserted triple deletes nothing
+    val noop = Seq(("o9", "label", "L9")).toDF("s", "p", "o")
+    assert(TripleOps.bgpDeltaRetractProjected(base, noop, pats, Seq("?x")).count() == 0L)
+  }
+
   test("path: negated property set and zero-or-one steps") {
     val s = spark
     import s.implicits._
@@ -777,6 +800,31 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, "\"line\nbreak\",ok,x,y")), got.toString)
     val empty = TripleOps.resultsCsv(sols.limit(0), Seq("a", "b")).collect()
     assert(empty.length == 1 && empty(0).getString(1) == "a,b")
+  }
+
+  test("schemaSummaryDelta: touched groups refresh to batch parity; duplicate adds touch nothing") {
+    val s = spark
+    import s.implicits._
+    val types = Seq(("a", "P"), ("b", "P"), ("x", "O"), ("y", "O")).toDF("inst", "cls")
+    val base = Seq(("a", "w", "x"), ("b", "w", "x"), ("a", "k", "b")).toDF("s", "p", "o")
+    // one new edge in the (P,w,O) group, one duplicate of a base edge,
+    // one edge in a brand-new group (P,f,O)
+    val added = Seq(("b", "w", "y"), ("a", "w", "x"), ("a", "f", "y")).toDF("s", "p", "o")
+    val got = TripleOps.schemaSummaryDelta(types, base, added).collect().map(r =>
+      ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // (P,k,P) untouched → absent; touched groups match the batch view
+    assert(got.keySet == Set(("P", "w", "O"), ("P", "f", "O")), got.toString)
+    assert(got(("P", "w", "O")) == ((1L, 3L, 2L, 2L)), got.toString)
+    assert(got(("P", "f", "O")) == ((1L, 1L, 1L, 1L)))
+    val batch = TripleOps.schemaSummary(types,
+      base.unionByName(added).distinct()).collect().map(r =>
+      ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    got.foreach { case (k, (_, ne, ns, nd)) => assert(batch(k) == ((ne, ns, nd)), k.toString) }
+    // a delta that only duplicates base edges refreshes nothing
+    assert(TripleOps.schemaSummaryDelta(types, base,
+      Seq(("a", "w", "x")).toDF("s", "p", "o")).count() == 0)
   }
 
   test("bgp: repeated variable within one pattern equi-filters; disjoint pattern rejected") {
