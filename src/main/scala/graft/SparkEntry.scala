@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.pipeline._
 
@@ -798,6 +798,45 @@ object SparkEntry {
       TripleOps.bgpDeltaRetractProjected(base, removed,
         Seq(("?x", "worksFor", "?org"), ("?org", "label", "?lbl")), Seq("?x"))
         .select("x")
+    }),
+    // RDF collection (rdf:List) reconstruction: per-doc cons-cell
+    // chains of length 1 + doc_id%4 unrolled into ordered
+    // (s, p, idx, elem) rows; %10-docs also enter mid-chain (suffix
+    // re-based at idx 0), %5-docs carry an empty-list (nil) entry
+    // that emits nothing. Oracle walks the same chains with a
+    // recursive CTE
+    "q141_rdf_list_unroll" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val lm1 = pmod(col("doc_id"), lit(4))
+      val cell = (i: Column) => concat(lit("c"), col("doc_id"), lit("_"), i)
+      val cells = docs.select(col("doc_id"), lm1.as("lm1"),
+        explode(sequence(lit(0), lm1)).as("i"))
+      val firsts = cells.select(cell(col("i")).as("s"), lit("first").as("p"),
+        concat(lit("e"), pmod(col("doc_id") + col("i"), lit(7))).as("o"))
+      val rests = cells.select(cell(col("i")).as("s"), lit("rest").as("p"),
+        when(col("i") < col("lm1"), cell(col("i") + 1)).otherwise(lit("nil")).as("o"))
+      val entries = docs.select(concat(lit("d"), col("doc_id")).as("s"),
+          lit("keywords").as("p"), cell(lit(0)).as("o"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(10)) === 0 && lm1 >= 1)
+          .select(concat(lit("d"), col("doc_id")).as("s"),
+            lit("top2").as("p"), cell(lit(1)).as("o")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(5)) === 0)
+          .select(concat(lit("d"), col("doc_id")).as("s"),
+            lit("alsoTags").as("p"), lit("nil").as("o")))
+      TripleOps.rdfListUnroll(firsts.unionByName(rests).unionByName(entries))
+        .select("s", "p", "idx", "elem")
+    }),
+    // SPARQL GROUP_CONCAT: per-org member lists, order pinned to the
+    // zero-padded subject id (the q117/q98 rule: lexicographic ==
+    // numeric) — SPARQL leaves concat order implementation-defined,
+    // so both engines sort explicitly on the same unique key
+    "q142_group_concat" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val spo = docs.select(format_string("d%06d", col("doc_id")).as("s"),
+        lit("worksFor").as("p"), concat(lit("o"), pmod(col("doc_id"), lit(16))).as("o"))
+      val sols = TripleOps.bgp(spo, Seq(("?x", "worksFor", "?org")))
+      TripleOps.groupConcat(sols, Seq("org"), "x", "x", ",", out = "members")
+        .select("org", "members")
     }),
     // reification reconstruction: qualified worksFor edges (stmt node
     // + subject/predicate/object roles + a confidence annotation)
@@ -3624,6 +3663,56 @@ object SparkEntry {
       |)
       |SELECT x FROM proj_base EXCEPT SELECT x FROM proj_remain""".stripMargin
 
+  /** DuckDB twin of q141 (rdf:List unroll): the same cons-cell
+    * fixture rebuilt via unnest(range(...)), then a RECURSIVE walk
+    * down the rest-chain carrying the index — an independent O(len)
+    * formulation of the Spark side's pointer doubling. Safe here
+    * because chains cap at 4 cells (the q117 don't-fatten rule).
+    * Empty-list (nil) entries never seed the walk.
+    */
+  private val q141Sql: String =
+    """WITH RECURSIVE cells AS MATERIALIZED (
+      |  SELECT doc_id, doc_id % 4 AS lm1, unnest(range(0, doc_id % 4 + 1)) AS i
+      |  FROM documents
+      |), firsts AS MATERIALIZED (
+      |  SELECT 'c' || CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR) AS s,
+      |         'e' || CAST((doc_id + i) % 7 AS VARCHAR) AS o FROM cells
+      |), rests AS MATERIALIZED (
+      |  SELECT 'c' || CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR) AS s,
+      |         CASE WHEN i < lm1
+      |              THEN 'c' || CAST(doc_id AS VARCHAR) || '_' || CAST(i + 1 AS VARCHAR)
+      |              ELSE 'nil' END AS o
+      |  FROM cells
+      |), entries AS (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s, 'keywords' AS p,
+      |         'c' || CAST(doc_id AS VARCHAR) || '_0' AS head FROM documents
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'top2',
+      |         'c' || CAST(doc_id AS VARCHAR) || '_1'
+      |  FROM documents WHERE doc_id % 10 = 0 AND doc_id % 4 >= 1
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'alsoTags', 'nil'
+      |  FROM documents WHERE doc_id % 5 = 0
+      |), walk AS (
+      |  SELECT e.s, e.p, e.head AS cell, 0 AS idx FROM entries e WHERE e.head <> 'nil'
+      |  UNION ALL
+      |  SELECT w.s, w.p, r.o, w.idx + 1 FROM walk w
+      |  JOIN rests r ON r.s = w.cell AND r.o <> 'nil'
+      |)
+      |SELECT w.s, w.p, CAST(w.idx AS BIGINT) AS idx, f.o AS elem
+      |FROM walk w JOIN firsts f ON f.s = w.cell""".stripMargin
+
+  /** DuckDB twin of q142 (GROUP_CONCAT): string_agg with an explicit
+    * ORDER BY on the zero-padded unique member id — the q103 rule
+    * (never an implementation-defined concat order) on the q117
+    * printf == format_string identity.
+    */
+  private val q142Sql: String =
+    """SELECT 'o' || CAST(doc_id % 16 AS VARCHAR) AS org,
+      |       string_agg(printf('d%06d', doc_id), ','
+      |                  ORDER BY printf('d%06d', doc_id)) AS members
+      |FROM documents GROUP BY 1""".stripMargin
+
   /** DuckDB twin of q123 (reification): role CTEs with the exactly-one
     * HAVING discipline, three stmt-keyed joins + the annotation join —
     * the %9 missing-object and %8 conflicting-object plants must drop.
@@ -5174,6 +5263,8 @@ object SparkEntry {
     "q138_results_csv" -> q138Sql,
     "q139_schema_summary_delta" -> q139Sql,
     "q140_bgp_retract_projected" -> q140Sql,
+    "q141_rdf_list_unroll" -> q141Sql,
+    "q142_group_concat" -> q142Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

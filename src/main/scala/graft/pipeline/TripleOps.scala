@@ -940,6 +940,93 @@ object TripleOps {
         col("n_added"), col("n_edges"), col("n_src"), col("n_dst"))
   }
 
+  /** RDF collection (rdf:List) reconstruction — the query-side
+    * inverse of the parser's parseType="Collection" encoding
+    * (reference rdf/xml/decoder.ex collection handling): cons-cell
+    * chains (cell −firstP→ elem, cell −restP→ next | nil) are
+    * unrolled into ordered (s, p, idx, elem) rows for every ENTRY
+    * edge (s, p, headCell) whose object is a list cell. An entry
+    * pointing mid-chain unrolls the suffix with idx re-based at 0
+    * (it IS a valid list from there); an entry pointing at nil is
+    * the empty list and emits nothing.
+    *
+    * Positions are computed by POINTER DOUBLING over the rest edges —
+    * O(log maxLen) full-shuffle rounds, not O(maxLen) — with an eager
+    * localCheckpoint per round (the q26 lineage rule). Pair volume is
+    * O(len²) per chain, bounded by the longest list, not the corpus:
+    * chains are disjoint, so at 100 TB the quadratic term is per-list
+    * and lists are short by construction (they're authored documents,
+    * not the corpus). A malformed CYCLIC rest-chain THROWS: the pair
+    * set saturates (the anti-join key is the pair, so the doubling
+    * always converges), and a post-convergence mutual-reachability
+    * check rejects any cycle in the input — positions on a cycle are
+    * undefined and must never ship under an oracle gate. A chain whose
+    * last cell simply lacks a rest edge is treated as terminated
+    * (lenient, like the parser's lax lanes).
+    */
+  def rdfListUnroll(triples: DataFrame, firstP: String = "first",
+      restP: String = "rest", nil: String = "nil", maxIters: Int = 32): DataFrame = {
+    val spo = spoCols(triples)
+    val firsts = spo.where(col("p") === firstP)
+      .select(col("s").as("cell"), col("o").as("elem"))
+      .distinct().localCheckpoint(true)
+    val rests = spo.where(col("p") === restP && col("o") =!= nil)
+      .select(col("s").as("a"), col("o").as("b"))
+      .distinct().localCheckpoint(true)
+    val entries = spo.where(col("p") =!= firstP && col("p") =!= restP)
+      .join(firsts.select(col("cell").as("o")), Seq("o"), "left_semi")
+      .select(col("s"), col("p"), col("o").as("head"))
+      .distinct().localCheckpoint(true)
+    // (a, b, d): b is exactly d rest-steps below a. Functional acyclic
+    // chains make (a, b) → d unique, so the anti-join key is the pair.
+    var reach = rests.select(col("a"), col("b"), lit(1L).as("d"))
+      .unionByName(firsts.select(col("cell").as("a"), col("cell").as("b"), lit(0L).as("d")))
+      .distinct().localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIters) {
+      val hop = reach.select(col("a").as("m"), col("b").as("nb"), col("d").as("d2"))
+      val next = reach.join(hop, reach("b") === hop("m"))
+        .select(col("a"), col("nb").as("b"), (col("d") + col("d2")).as("d"))
+        .distinct()
+        .join(reach, Seq("a", "b"), "left_anti")
+        .localCheckpoint(true)
+      if (next.isEmpty) converged = true
+      else { reach = reach.unionByName(next).localCheckpoint(true); round += 1 }
+    }
+    if (!converged) throw new IllegalStateException(
+      s"rdfListUnroll did not converge in $maxIters doubling rounds — " +
+        "absurd list length; refusing truncated positions")
+    val strict = reach.where(col("a") =!= col("b"))
+    val cyclic = strict.join(
+      strict.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"), "left_semi")
+    if (!cyclic.isEmpty) throw new IllegalStateException(
+      "rdfListUnroll: cyclic rest-chain — list positions are undefined on a cycle")
+    entries
+      .join(reach.select(col("a").as("head"), col("b").as("cell"), col("d").as("idx")), Seq("head"))
+      .join(firsts, Seq("cell"))
+      .select(col("s"), col("p"), col("idx").cast("bigint").as("idx"), col("elem"))
+  }
+
+  /** SPARQL 1.1 GROUP_CONCAT with the q103 ordering discipline: the
+    * concatenation order is an EXPLICIT (ordCol, valCol) sort, never
+    * the engine's arrival order — SPARQL leaves GROUP_CONCAT order
+    * implementation-defined, so a cross-engine-exact result must pin
+    * it, and the tiebreak on the value keeps equal order-keys
+    * deterministic. Values collect per group (bounded by group size,
+    * the standard string_agg shape), sort once, join once; the
+    * transform lambda runs once per GROUP on a small array (the
+    * CLAUDE.md lambda policy), not per element on the scale path.
+    */
+  def groupConcat(sols: DataFrame, keyCols: Seq[String], ordCol: String,
+      valCol: String, sep: String, out: String = "vals"): DataFrame =
+    sols.groupBy(keyCols.map(col): _*)
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col(ordCol).as("o"), col(valCol).as("v")))),
+          x => x("v")),
+        sep).as(out))
+
   /** Filtered negative sampling over (h, r, t) edges — the
     * KG-embedding training-prep step (TransE-family corruption, the
     * "filtered setting" of the KBC literature): k deterministic

@@ -827,6 +827,45 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("a", "w", "x")).toDF("s", "p", "o")).count() == 0)
   }
 
+  test("rdfListUnroll: ordered unroll, mid-chain entry re-bases, nil entry empty, cycle throws") {
+    val s = spark
+    import s.implicits._
+    // list A: e1 → e2 → e3; entry at head AND at the second cell;
+    // an empty-list entry; a stray non-list triple
+    val spo = Seq(
+      ("a0", "first", "e1"), ("a0", "rest", "a1"),
+      ("a1", "first", "e2"), ("a1", "rest", "a2"),
+      ("a2", "first", "e3"), ("a2", "rest", "nil"),
+      ("d1", "keywords", "a0"), ("d2", "suffix", "a1"),
+      ("d3", "tags", "nil"), ("d1", "label", "L")).toDF("s", "p", "o")
+    val got = TripleOps.rdfListUnroll(spo).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    assert(got == Set(
+      ("d1", "keywords", 0L, "e1"), ("d1", "keywords", 1L, "e2"), ("d1", "keywords", 2L, "e3"),
+      ("d2", "suffix", 0L, "e2"), ("d2", "suffix", 1L, "e3")), got.toString)
+    // a cyclic rest-chain must throw, never ship truncated positions
+    val cyc = Seq(
+      ("c0", "first", "x"), ("c0", "rest", "c1"),
+      ("c1", "first", "y"), ("c1", "rest", "c0"),
+      ("d9", "keywords", "c0")).toDF("s", "p", "o")
+    assertThrows[IllegalStateException] {
+      TripleOps.rdfListUnroll(cyc, maxIters = 6).count()
+    }
+  }
+
+  test("groupConcat: explicit order key pins concat order; value tiebreak on equal keys") {
+    val s = spark
+    import s.implicits._
+    val sols = Seq(
+      ("g1", 2L, "b"), ("g1", 1L, "a"), ("g1", 3L, "c"),
+      ("g2", 1L, "z"), ("g2", 1L, "y")).toDF("k", "ord", "v")
+    val got = TripleOps.groupConcat(sols, Seq("k"), "ord", "v", "|")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got("g1") == "a|b|c")
+    // equal order keys fall back to the value tiebreak (y before z)
+    assert(got("g2") == "y|z")
+  }
+
   test("bgp: repeated variable within one pattern equi-filters; disjoint pattern rejected") {
     val s = spark
     import s.implicits._
