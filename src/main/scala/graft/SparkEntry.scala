@@ -838,6 +838,35 @@ object SparkEntry {
       TripleOps.groupConcat(sols, Seq("org"), "x", "x", ",", out = "members")
         .select("org", "members")
     }),
+    // IFP entity resolution end-to-end: subjects sharing an email
+    // (doc_id%17 classes) are inferred sameAs (star-to-min links),
+    // then the graph is canonicalized — emails collapse to one row
+    // per identity class, labels re-subject onto the class minimum.
+    // Zero-padded ids make the CC's lexicographic min numeric (q98)
+    "q143_ifp_entity_resolution" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = format_string("d%06d", col("doc_id"))
+      val spo = docs.select(dId.as("s"), lit("email").as("p"),
+          concat(lit("e"), pmod(col("doc_id"), lit(17))).as("o"))
+        .unionByName(docs.select(dId.as("s"), lit("label").as("p"),
+          concat(lit("L"), col("doc_id")).as("o")))
+      val sa = TripleOps.ifpSameAs(spo, Seq("email"))
+      TripleOps.sameAsCanonicalize(spo.unionByName(sa))
+        .select("s", "p", "o")
+    }),
+    // SPARQL p+ (unbounded one-or-more path) over the div-2 link
+    // tree: every node reaches all its ancestors down to the root —
+    // transitive closure via pair doubling, oracled by an
+    // independent recursive walk
+    "q144_path_closure" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val edges = docs.where(col("doc_id") >= 1)
+        .select(format_string("n%06d", col("doc_id")).as("s"),
+          lit("linksTo").as("p"),
+          format_string("n%06d", expr("doc_id div 2")).as("o"))
+      TripleOps.path(edges, Seq(TripleOps.OneOrMore("linksTo")))
+        .select("src", "dst")
+    }),
     // reification reconstruction: qualified worksFor edges (stmt node
     // + subject/predicate/object roles + a confidence annotation)
     // rebuilt into (stmt, x, org, conf); planted malformed statements
@@ -3713,6 +3742,39 @@ object SparkEntry {
       |                  ORDER BY printf('d%06d', doc_id)) AS members
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** DuckDB twin of q143 (IFP resolution): the canonical member of
+    * each email class is the window min over the zero-padded id
+    * (q98: lexicographic == numeric) — an independent formulation of
+    * infer-star-links-then-CC, valid because email classes are
+    * DISJOINT by construction (single IFP, one value per subject);
+    * cross-value chaining is the unit spec's job, not this fixture's.
+    */
+  private val q143Sql: String =
+    """WITH canon AS MATERIALIZED (
+      |  SELECT printf('d%06d', doc_id) AS node,
+      |         'e' || CAST(doc_id % 17 AS VARCHAR) AS em,
+      |         'L' || CAST(doc_id AS VARCHAR) AS lbl,
+      |         min(printf('d%06d', doc_id)) OVER (PARTITION BY doc_id % 17) AS c
+      |  FROM documents
+      |)
+      |SELECT DISTINCT c AS s, 'email' AS p, em AS o FROM canon
+      |UNION
+      |SELECT c, 'label', lbl FROM canon""".stripMargin
+
+  /** DuckDB twin of q144 (p+ closure): recursive ancestor walk over
+    * the div-2 tree — `doc_id // 2` on non-negatives is Spark's
+    * `div` (q62 rule); UNION-dedup recursion terminates at the root.
+    */
+  private val q144Sql: String =
+    """WITH RECURSIVE e AS MATERIALIZED (
+      |  SELECT doc_id AS a, doc_id // 2 AS b FROM documents WHERE doc_id >= 1
+      |), walk AS (
+      |  SELECT a, b FROM e
+      |  UNION
+      |  SELECT w.a, e2.b FROM walk w JOIN e e2 ON e2.a = w.b
+      |)
+      |SELECT printf('n%06d', a) AS src, printf('n%06d', b) AS dst FROM walk""".stripMargin
+
   /** DuckDB twin of q123 (reification): role CTEs with the exactly-one
     * HAVING discipline, three stmt-keyed joins + the annotation join —
     * the %9 missing-object and %8 conflicting-object plants must drop.
@@ -5265,6 +5327,8 @@ object SparkEntry {
     "q140_bgp_retract_projected" -> q140Sql,
     "q141_rdf_list_unroll" -> q141Sql,
     "q142_group_concat" -> q142Sql,
+    "q143_ifp_entity_resolution" -> q143Sql,
+    "q144_path_closure" -> q144Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

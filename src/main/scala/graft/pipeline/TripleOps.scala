@@ -447,6 +447,34 @@ object TripleOps {
       .distinct()
   }
 
+  /** owl:InverseFunctionalProperty sameAs INFERENCE — the discovery
+    * half of KG identity resolution ([[sameAsCanonicalize]] is the
+    * consumption half): two subjects asserting the SAME value under an
+    * IFP (email, ISBN, …) denote the same entity, so each shared
+    * (p, o) value group yields sameAs links. Emitted as a STAR to the
+    * group's lexicographic-minimum subject, not all-pairs: a hot value
+    * shared by k subjects costs k−1 links instead of k², and the star
+    * has the identical connected-component closure (every member
+    * reaches the min directly), so downstream canonicalization is
+    * value-equivalent to the quadratic form. Chains ACROSS values and
+    * across different IFPs merge in the CC pass, not here — this
+    * operator is deliberately one window pass over the IFP slice
+    * (predicate filter pushes into the scan; the window partitions by
+    * the (p, o) value, the natural shuffle key).
+    */
+  def ifpSameAs(triples: DataFrame, ifpPreds: Seq[String],
+      sameAsPred: String = "sameAs"): DataFrame = {
+    require(ifpPreds.nonEmpty, "no inverse-functional predicates")
+    import org.apache.spark.sql.expressions.Window
+    val slice = spoCols(triples).where(col("p").isInCollection(ifpPreds))
+      .select(col("p"), col("o"), col("s")).distinct()
+    slice
+      .withColumn("m", min(col("s")).over(Window.partitionBy(col("p"), col("o"))))
+      .where(col("s") =!= col("m"))
+      .select(col("m").as("s"), lit(sameAsPred).as("p"), col("s").as("o"))
+      .distinct()
+  }
+
   /** SPARQL UNION of BGP groups: solutions of every group, aligned on
     * the union of their variable sets — a variable absent from a group
     * is unbound (null) in that group's rows, the spec's semantics.
@@ -609,11 +637,23 @@ object TripleOps {
     *    reflexive identity over EVERY term of the graph (SPARQL's
     *    zero-length-path universe: subjects ∪ objects), which under
     *    sequence chaining gives exactly seq(A, B?) = A ∪ (A ⋈ B).
+    *  - [[OneOrMore]]   `p+` / `^p+` — the UNBOUNDED transitive
+    *    closure of the p edge set via [[transitiveClosure]]'s
+    *    pair-doubling (O(log diameter) rounds, cycle-safe: a cycle
+    *    yields the spec's x p+ x self-pairs). Pair volume is the
+    *    closure size — per-component quadratic worst case, the
+    *    inherent cost of SPARQL's existential pair semantics, kept
+    *    off all-paths blowup by the per-round distinct.
+    *  - [[ZeroOrMore]]  `p*` / `^p*` — the closure plus the
+    *    zero-length identity over every term (same universe rule as
+    *    ZeroOrOne).
     */
   sealed trait PathStep
   final case class PredStep(p: String, inverse: Boolean = false) extends PathStep
   final case class NegatedSet(excluded: Seq[String], inverse: Boolean = false) extends PathStep
   final case class ZeroOrOne(p: String, inverse: Boolean = false) extends PathStep
+  final case class OneOrMore(p: String, inverse: Boolean = false) extends PathStep
+  final case class ZeroOrMore(p: String, inverse: Boolean = false) extends PathStep
 
   /** SPARQL sequence property path over [[PathStep]]s — `p1/p2`, `^p`,
     * `!(…)`, `p?` and any mix. Steps chain as equi-joins on the
@@ -639,6 +679,19 @@ object TripleOps {
           .unionByName(triples.select(col("o").cast("string").as("t"))).distinct()
         terms.select(col("t").as("src"), col("t").as("dst"))
           .unionByName(pairs(triples.where(col("p") === p), inv)).distinct()
+      case OneOrMore(p, inv) =>
+        transitiveClosure(pairs(triples.where(col("p") === p), inv)
+            .select(col("src").as("sub"), col("dst").as("sup")))
+          .select(col("sub").as("src"), col("sup").as("dst"))
+      case ZeroOrMore(p, inv) =>
+        val terms = triples.select(col("s").cast("string").as("t"))
+          .unionByName(triples.select(col("o").cast("string").as("t"))).distinct()
+        terms.select(col("t").as("src"), col("t").as("dst"))
+          .unionByName(
+            transitiveClosure(pairs(triples.where(col("p") === p), inv)
+                .select(col("src").as("sub"), col("dst").as("sup")))
+              .select(col("sub").as("src"), col("sup").as("dst")))
+          .distinct()
     }
     hops.reduceLeft { (acc, nxt) =>
       acc.join(nxt.select(col("src").as("mid"), col("dst").as("ndst")),

@@ -866,6 +866,51 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("g2") == "y|z")
   }
 
+  test("ifpSameAs: star-to-min links; cross-value chains merge only in canonicalization") {
+    val s = spark
+    import s.implicits._
+    // email groups {a,b,c} and {d,e}; phone chains c↔d ACROSS groups;
+    // f shares nothing; 'note' is not an IFP and must be ignored
+    val spo = Seq(
+      ("a", "email", "e1"), ("b", "email", "e1"), ("c", "email", "e1"),
+      ("d", "email", "e2"), ("e", "email", "e2"),
+      ("c", "phone", "p1"), ("d", "phone", "p1"),
+      ("f", "email", "e9"), ("a", "note", "e1")).toDF("s", "p", "o")
+    val sa = TripleOps.ifpSameAs(spo, Seq("email", "phone")).collect()
+      .map(r => (r.getString(0), r.getString(2))).toSet
+    // stars: e1-group → a, e2-group → d, phone pair → c; singleton f emits nothing
+    assert(sa == Set(("a", "b"), ("a", "c"), ("d", "e"), ("c", "d")), sa.toString)
+    // canonicalization chains the two email groups through the shared phone
+    val canon = TripleOps.sameAsCanonicalize(
+      spo.unionByName(TripleOps.ifpSameAs(spo, Seq("email", "phone"))
+        .toDF("s", "p", "o")))
+    val subs = canon.where($"p" === "email").select("s").collect()
+      .map(_.getString(0)).toSet
+    assert(subs == Set("a", "f"), subs.toString)
+  }
+
+  test("path: OneOrMore closure with cycle self-pairs; ZeroOrMore adds the term universe") {
+    val s = spark
+    import s.implicits._
+    // chain x→y→z plus a 2-cycle u↔v
+    val spo = Seq(
+      ("x", "next", "y"), ("y", "next", "z"),
+      ("u", "next", "v"), ("v", "next", "u")).toDF("s", "p", "o")
+    val plus = TripleOps.path(spo, Seq(TripleOps.OneOrMore("next"))).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(plus == Set(
+      ("x", "y"), ("y", "z"), ("x", "z"),
+      ("u", "v"), ("v", "u"), ("u", "u"), ("v", "v")), plus.toString)
+    val star = TripleOps.path(spo, Seq(TripleOps.ZeroOrMore("next"))).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(star == plus ++ Set("x", "y", "z", "u", "v").map(t => (t, t)), star.toString)
+    // sequence chaining: one hop then any number more == full closure from x
+    val seqd = TripleOps.path(spo,
+      Seq(TripleOps.PredStep("next"), TripleOps.ZeroOrMore("next"))).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(seqd == plus, seqd.toString)
+  }
+
   test("bgp: repeated variable within one pattern equi-filters; disjoint pattern rejected") {
     val s = spark
     import s.implicits._
