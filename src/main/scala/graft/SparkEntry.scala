@@ -867,6 +867,64 @@ object SparkEntry {
       TripleOps.path(edges, Seq(TripleOps.OneOrMore("linksTo")))
         .select("src", "dst")
     }),
+    // HTML Microdata extraction, VALUE-EXACT: each page is a pure
+    // function of doc_id (lane 0 well-formed item with itemid, lane 1
+    // malformed unquoted/unclosed markup, lane 2 nested bnode item,
+    // lane 3 meta content + time datetime inference), so the oracle
+    // states the expected triples directly. The bnode label contract —
+    // md<counter> under the md5(url) document scope — is pinned
+    // cross-engine (both compute md5 hex of the same url string).
+    "q145_microdata_extract" -> ((s, d) => {
+      import s.implicits._
+      val pages = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val url = s"http://md.example/$id"
+        val html = (id % 4).toInt match {
+          case 0 =>
+            s"""<html><body><div itemscope itemtype="http://schema.org/Person" itemid="http://e/p$id"><span itemprop="name">N$id</span><img itemprop="image" src="http://e/i$id.png"></div></body></html>"""
+          case 1 =>
+            s"<div itemscope itemtype=http://schema.org/Person itemid=http://e/p$id><span itemprop=name>N$id"
+          case 2 =>
+            s"""<div itemscope itemtype="http://schema.org/Person" itemid="http://e/p$id"><div itemprop="address" itemscope itemtype="http://schema.org/PostalAddress"><span itemprop="addressLocality">C${id % 50}</span></div></div>"""
+          case _ =>
+            s"""<div itemscope itemtype="http://schema.org/Event" itemid="http://e/v$id"><meta itemprop="name" content="E$id"><time itemprop="startDate" datetime="2024-01-${"%02d".format(2 + id % 27)}">x</time></div>"""
+        }
+        (url, html)
+      }
+      pages.flatMap { case (url, html) =>
+        Extract.triplesOf(url, html.getBytes("UTF-8")).toOption.get
+          .map(r => (r.subj, r.pred, r.obj, r.objKind, Option(r.datatype).getOrElse("")))
+      }.toDF("s", "p", "o", "ok", "dt")
+    }),
+    // JSON-LD script-island extraction, VALUE-EXACT: lane 0 typed node
+    // with integer literal, lane 1 nested author bnode (jl<block>_<n>
+    // label contract under the md5(url) scope), lane 2 malformed first
+    // block skipped + valid second block (per-block bnode namespacing
+    // exercised via the block index), lane 3 term-def context with
+    // @type:@id coercion (base-resolved IRI) and context @language.
+    "q146_jsonld_extract" -> ((s, d) => {
+      import s.implicits._
+      val pages = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val url = s"http://jl.example/$id"
+        def script(j: String) = s"""<script type="application/ld+json">$j</script>"""
+        val html = (id % 4).toInt match {
+          case 0 =>
+            script(s"""{"@context":"https://schema.org","@id":"http://e/a$id","@type":"Article","name":"T$id","wordCount":${id % 1000}}""")
+          case 1 =>
+            script(s"""{"@context":"https://schema.org","@id":"http://e/a$id","author":{"@type":"Person","name":"A${id % 100}"}}""")
+          case 2 =>
+            script("{oops") + "\n" +
+              script(s"""{"@context":"https://schema.org","@id":"http://e/b$id","name":"B$id"}""")
+          case _ =>
+            script(s"""{"@context":{"sc":"http://schema.org/","name":"sc:name","url":{"@id":"sc:url","@type":"@id"},"@language":"en"},"@id":"http://e/c$id","name":"C$id","url":"/p$id"}""")
+        }
+        (url, s"<html><body>$html</body></html>")
+      }
+      pages.flatMap { case (url, html) =>
+        Extract.triplesOf(url, html.getBytes("UTF-8")).toOption.get
+          .map(r => (r.subj, r.pred, r.obj, r.objKind,
+            Option(r.lang).getOrElse(""), Option(r.datatype).getOrElse("")))
+      }.toDF("s", "p", "o", "ok", "lang", "dt")
+    }),
     // reification reconstruction: qualified worksFor edges (stmt node
     // + subject/predicate/object roles + a confidence annotation)
     // rebuilt into (stmt, x, org, conf); planted malformed statements
@@ -3775,6 +3833,106 @@ object SparkEntry {
       |)
       |SELECT printf('n%06d', a) AS src, printf('n%06d', b) AS dst FROM walk""".stripMargin
 
+  /** DuckDB twin of q145 (Microdata extraction): the expected triples
+    * stated DIRECTLY per doc_id lane (the q120 rule — the oracle writes
+    * the final state, it does not replay the parser). Blank-node labels
+    * replay cross-engine because the extractor's contract is pinned:
+    * md<counter> in document order, '@' + md5(url) document scope —
+    * DuckDB's md5 hex == the Scala urlScope hex.
+    */
+  private val q145Sql: String = {
+    val rdfT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    val xsdDate = "http://www.w3.org/2001/XMLSchema#date"
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT doc_id AS id, CAST(doc_id AS VARCHAR) AS ids,
+       |         md5('http://md.example/' || CAST(doc_id AS VARCHAR)) AS scope
+       |  FROM documents
+       |)
+       |SELECT s, p, o, ok, dt FROM (
+       |  SELECT 'http://e/p' || ids AS s, '$rdfT' AS p,
+       |         'http://schema.org/Person' AS o, 'iri' AS ok, '' AS dt
+       |  FROM d WHERE id % 4 IN (0, 1, 2)
+       |  UNION ALL
+       |  SELECT 'http://e/p' || ids, 'http://schema.org/name', 'N' || ids, 'literal', ''
+       |  FROM d WHERE id % 4 IN (0, 1)
+       |  UNION ALL
+       |  SELECT 'http://e/p' || ids, 'http://schema.org/image',
+       |         'http://e/i' || ids || '.png', 'iri', ''
+       |  FROM d WHERE id % 4 = 0
+       |  UNION ALL
+       |  SELECT 'http://e/p' || ids, 'http://schema.org/address', '_:md0@' || scope, 'bnode', ''
+       |  FROM d WHERE id % 4 = 2
+       |  UNION ALL
+       |  SELECT '_:md0@' || scope, '$rdfT', 'http://schema.org/PostalAddress', 'iri', ''
+       |  FROM d WHERE id % 4 = 2
+       |  UNION ALL
+       |  SELECT '_:md0@' || scope, 'http://schema.org/addressLocality',
+       |         'C' || CAST(id % 50 AS VARCHAR), 'literal', ''
+       |  FROM d WHERE id % 4 = 2
+       |  UNION ALL
+       |  SELECT 'http://e/v' || ids, '$rdfT', 'http://schema.org/Event', 'iri', ''
+       |  FROM d WHERE id % 4 = 3
+       |  UNION ALL
+       |  SELECT 'http://e/v' || ids, 'http://schema.org/name', 'E' || ids, 'literal', ''
+       |  FROM d WHERE id % 4 = 3
+       |  UNION ALL
+       |  SELECT 'http://e/v' || ids, 'http://schema.org/startDate',
+       |         '2024-01-' || printf('%02d', 2 + id % 27), 'literal', '$xsdDate'
+       |  FROM d WHERE id % 4 = 3
+       |)""".stripMargin
+  }
+
+  /** DuckDB twin of q146 (JSON-LD extraction): expected triples stated
+    * directly per lane (the q145/q120 rule). The jl<block>_<n> bnode
+    * label pins BOTH the fresh-counter contract and the per-script-
+    * block namespacing (lane 2's malformed block 0 must shift the valid
+    * block to index 1 without emitting anything itself).
+    */
+  private val q146Sql: String = {
+    val rdfT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    val langStr = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+    val xsdInt = "http://www.w3.org/2001/XMLSchema#integer"
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT doc_id AS id, CAST(doc_id AS VARCHAR) AS ids,
+       |         md5('http://jl.example/' || CAST(doc_id AS VARCHAR)) AS scope
+       |  FROM documents
+       |)
+       |SELECT s, p, o, ok, lang, dt FROM (
+       |  SELECT 'http://e/a' || ids AS s, '$rdfT' AS p, 'https://schema.org/Article' AS o,
+       |         'iri' AS ok, '' AS lang, '' AS dt
+       |  FROM d WHERE id % 4 = 0
+       |  UNION ALL
+       |  SELECT 'http://e/a' || ids, 'https://schema.org/name', 'T' || ids, 'literal', '', ''
+       |  FROM d WHERE id % 4 = 0
+       |  UNION ALL
+       |  SELECT 'http://e/a' || ids, 'https://schema.org/wordCount',
+       |         CAST(id % 1000 AS VARCHAR), 'literal', '', '$xsdInt'
+       |  FROM d WHERE id % 4 = 0
+       |  UNION ALL
+       |  SELECT '_:jl0_0@' || scope, '$rdfT', 'https://schema.org/Person', 'iri', '', ''
+       |  FROM d WHERE id % 4 = 1
+       |  UNION ALL
+       |  SELECT '_:jl0_0@' || scope, 'https://schema.org/name',
+       |         'A' || CAST(id % 100 AS VARCHAR), 'literal', '', ''
+       |  FROM d WHERE id % 4 = 1
+       |  UNION ALL
+       |  SELECT 'http://e/a' || ids, 'https://schema.org/author', '_:jl0_0@' || scope,
+       |         'bnode', '', ''
+       |  FROM d WHERE id % 4 = 1
+       |  UNION ALL
+       |  SELECT 'http://e/b' || ids, 'https://schema.org/name', 'B' || ids, 'literal', '', ''
+       |  FROM d WHERE id % 4 = 2
+       |  UNION ALL
+       |  SELECT 'http://e/c' || ids, 'http://schema.org/name', 'C' || ids, 'literal',
+       |         'en', '$langStr'
+       |  FROM d WHERE id % 4 = 3
+       |  UNION ALL
+       |  SELECT 'http://e/c' || ids, 'http://schema.org/url',
+       |         'http://jl.example/p' || ids, 'iri', '', ''
+       |  FROM d WHERE id % 4 = 3
+       |)""".stripMargin
+  }
+
   /** DuckDB twin of q123 (reification): role CTEs with the exactly-one
     * HAVING discipline, three stmt-keyed joins + the annotation join —
     * the %9 missing-object and %8 conflicting-object plants must drop.
@@ -5329,6 +5487,8 @@ object SparkEntry {
     "q142_group_concat" -> q142Sql,
     "q143_ifp_entity_resolution" -> q143Sql,
     "q144_path_closure" -> q144Sql,
+    "q145_microdata_extract" -> q145Sql,
+    "q146_jsonld_extract" -> q146Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

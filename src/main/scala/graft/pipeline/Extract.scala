@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.rdf.{BNode, Iri, Lit, RdfGraph, Triple, Vocab}
-import graft.xml.{RdfXmlParser, RdfaLite}
+import graft.xml.{JsonLd, Microdata, RdfXmlParser, RdfaLite}
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Dataset, SparkSession}
 
@@ -174,9 +174,25 @@ object Extract {
           }
         case None => Iterator.empty
       }
-      (xmlRows ++ rdfaRows).toVector
+      // microdata / JSON-LD islands: byte-marker pre-filter first, so
+      // pages without them (the overwhelming majority of any crawl
+      // slice) never pay the String conversion or a second scan; the
+      // String materializes at most once for both
+      val mdHit = byteIndexOf(html, microdataMarker, 0) >= 0
+      val jlHit = byteIndexOf(html, jsonldMarker, 0) >= 0
+      lazy val htmlStr = new String(html, "UTF-8")
+      val mdRows =
+        if (!mdHit) Iterator.empty
+        else toRows(Microdata.parse(htmlStr, Some(url)), url, scope)
+      val jlRows =
+        if (!jlHit) Iterator.empty
+        else toRows(JsonLd.parseHtml(htmlStr, Some(url)), url, scope)
+      (xmlRows ++ rdfaRows ++ mdRows ++ jlRows).toVector
     }
   }
+
+  private val microdataMarker = Microdata.marker.getBytes("US-ASCII")
+  private val jsonldMarker = JsonLd.marker.getBytes("US-ASCII")
 
   /** Single-pass extraction emitting triples AND a per-partition lineage
     * tail row. Persist the result once, then split by kind (KgPipeline);

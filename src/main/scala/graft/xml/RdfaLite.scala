@@ -148,6 +148,20 @@ object RdfaLite {
     */
   def parseLenient(html: String, base: Option[String]): Vector[Triple] = {
     val handler = new RdfaHandler(base.map(Iris.normalizeBase).orNull)
+    tokenize(html, handler)
+    handler.triples.toVector
+  }
+
+  /** The lenient HTML tokenizer, decoupled from the RDFa handler so
+    * other island extractors ([[Microdata]]) drive the same hardened
+    * scan: explicit close tags pop to their nearest matching open
+    * (orphans ignored), void/self-closing elements auto-close,
+    * raw-text elements (script/style) skip their content, lenient
+    * entity decode, everything still open closes at input end.
+    * Attribute names reach the handler lowercased; boolean attributes
+    * carry the value "".
+    */
+  private[xml] def tokenize(html: String, handler: DefaultHandler): Unit = {
     val open = mutable.ArrayBuffer.empty[String]
     val text = new StringBuilder
     val n = html.length
@@ -231,7 +245,6 @@ object RdfaLite {
     }
     flushText()
     while (open.nonEmpty) closeOne() // island end closes every orphan
-    handler.triples.toVector
   }
 
   /** Plain `@rel` terms honored without a vocab/prefix: the stable
@@ -317,7 +330,7 @@ object RdfaLite {
     * or null when no datetime shape matches (→ plain/lang literal).
     * "P" alone is not a duration (the grammar requires a component).
     */
-  private def inferDatatype(lex: String): String = {
+  private[xml] def inferDatatype(lex: String): String = {
     val t = lex.trim
     if (t.length > 1 && DurationRe.matches(t)) Vocab.xsdNs + "duration"
     else if (DateTimeRe.matches(t)) Vocab.xsdNs + "dateTime"
@@ -332,7 +345,7 @@ object RdfaLite {
     * `datatype` wins over the language; `datatype=""` forces the
     * plain/lang form.
     */
-  private def mkLit(lexical: String, datatype: String, lang: String): Lit =
+  private[xml] def mkLit(lexical: String, datatype: String, lang: String): Lit =
     if (datatype != null) Lit.typed(lexical, datatype)
     else if (lang != null && lang.nonEmpty) Lit.lang(lexical, lang)
     else Lit.plain(lexical)
