@@ -867,6 +867,43 @@ object SparkEntry {
       TripleOps.path(edges, Seq(TripleOps.OneOrMore("linksTo")))
         .select("src", "dst")
     }),
+    // SPARQL path alternation under closure — (a|^b)+ over a div-2
+    // link forest where predicate lanes split by doc_id%3: 'a' edges
+    // stored child→parent, 'b' edges stored REVERSED (so only the
+    // inverse step recovers them), 'c' edges excluded — the closure
+    // truncates at every c-lane link, which is what distinguishes
+    // this from q144's single-predicate full-tree walk
+    "q147_path_alt" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") >= 1)
+      val a = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+        .select(format_string("n%06d", col("doc_id")).as("s"), lit("a").as("p"),
+          format_string("n%06d", expr("doc_id div 2")).as("o"))
+      val b = docs.where(pmod(col("doc_id"), lit(3)) === 1)
+        .select(format_string("n%06d", expr("doc_id div 2")).as("s"), lit("b").as("p"),
+          format_string("n%06d", col("doc_id")).as("o"))
+      val c = docs.where(pmod(col("doc_id"), lit(3)) === 2)
+        .select(format_string("n%06d", col("doc_id")).as("s"), lit("c").as("p"),
+          format_string("n%06d", expr("doc_id div 2")).as("o"))
+      val edges = a.unionByName(b).unionByName(c)
+      TripleOps.path(edges, Seq(TripleOps.Plus(TripleOps.Alt(Seq(
+          TripleOps.PredStep("a"), TripleOps.PredStep("b", inverse = true))))))
+        .select("src", "dst")
+    }),
+    // OWL FunctionalProperty entity resolution (prp-fp, the mirror of
+    // q143's prp-ifp): every item doc_id%23 accumulates one asserted
+    // owner per doc — all owners of an item are inferred sameAs, as
+    // star links to the per-item minimum owner (zero-padded ids: q98
+    // lexicographic == numeric); the non-functional 'note' lane must
+    // be ignored
+    "q148_fp_entity_resolution" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val item = concat(lit("i"), pmod(col("doc_id"), lit(23)))
+      val spo = docs.select(item.as("s"), lit("ownedBy").as("p"),
+          format_string("o%06d", col("doc_id")).as("o"))
+        .unionByName(docs.select(item.as("s"), lit("note").as("p"),
+          concat(lit("x"), col("doc_id")).as("o")))
+      TripleOps.fpSameAs(spo, Seq("ownedBy")).select("s", "p", "o")
+    }),
     // HTML Microdata extraction, VALUE-EXACT: each page is a pure
     // function of doc_id (lane 0 well-formed item with itemid, lane 1
     // malformed unquoted/unclosed markup, lane 2 nested bnode item,
@@ -3833,6 +3870,37 @@ object SparkEntry {
       |)
       |SELECT printf('n%06d', a) AS src, printf('n%06d', b) AS dst FROM walk""".stripMargin
 
+  /** DuckDB twin of q147 ((a|^b)+ closure): the alternation collapses
+    * to one child→parent edge set (a stored forward, b recovered by
+    * the inverse step), so the oracle walks the %3∈{0,1} subgraph —
+    * `//` on non-negatives == Spark div (q62 rule); e is consumed
+    * twice → MATERIALIZED (q71 rule).
+    */
+  private val q147Sql: String =
+    """WITH RECURSIVE e AS MATERIALIZED (
+      |  SELECT doc_id AS x, doc_id // 2 AS y FROM documents
+      |  WHERE doc_id >= 1 AND doc_id % 3 IN (0, 1)
+      |), walk AS (
+      |  SELECT x, y FROM e
+      |  UNION
+      |  SELECT w.x, e2.y FROM walk w JOIN e e2 ON e2.x = w.y
+      |)
+      |SELECT printf('n%06d', x) AS src, printf('n%06d', y) AS dst FROM walk""".stripMargin
+
+  /** DuckDB twin of q148 (prp-fp): window-min over each item's owner
+    * set — an independent formulation of the star-link inference,
+    * valid because the fixture's item groups are disjoint (q143 rule);
+    * the note lane never enters the slice.
+    */
+  private val q148Sql: String =
+    """WITH slice AS (
+      |  SELECT 'i' || CAST(doc_id % 23 AS VARCHAR) AS item, printf('o%06d', doc_id) AS o
+      |  FROM documents
+      |)
+      |SELECT m AS s, 'sameAs' AS p, o
+      |FROM (SELECT o, min(o) OVER (PARTITION BY item) AS m FROM slice)
+      |WHERE o <> m""".stripMargin
+
   /** DuckDB twin of q145 (Microdata extraction): the expected triples
     * stated DIRECTLY per doc_id lane (the q120 rule — the oracle writes
     * the final state, it does not replay the parser). Blank-node labels
@@ -5489,6 +5557,8 @@ object SparkEntry {
     "q144_path_closure" -> q144Sql,
     "q145_microdata_extract" -> q145Sql,
     "q146_jsonld_extract" -> q146Sql,
+    "q147_path_alt" -> q147Sql,
+    "q148_fp_entity_resolution" -> q148Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

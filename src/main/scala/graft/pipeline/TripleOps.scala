@@ -475,6 +475,29 @@ object TripleOps {
       .distinct()
   }
 
+  /** owl:FunctionalProperty sameAs inference (OWL 2 RL prp-fp) — the
+    * mirror of [[ifpSameAs]]: a functional property has at most ONE
+    * value per subject, so two OBJECTS asserted for the same subject
+    * denote the same entity. Star links to the per-(p, s) minimum
+    * object (the q143 k−1 topology: identical CC closure as all-pairs,
+    * linear cost on hot subjects); chains across subjects/properties
+    * merge in the downstream canonicalization pass, not here. One
+    * window pass over the FP slice; the predicate filter pushes into
+    * the scan and (p, s) is the natural shuffle key.
+    */
+  def fpSameAs(triples: DataFrame, fpPreds: Seq[String],
+      sameAsPred: String = "sameAs"): DataFrame = {
+    require(fpPreds.nonEmpty, "no functional predicates")
+    import org.apache.spark.sql.expressions.Window
+    val slice = spoCols(triples).where(col("p").isInCollection(fpPreds))
+      .select(col("p"), col("s"), col("o")).distinct()
+    slice
+      .withColumn("m", min(col("o")).over(Window.partitionBy(col("p"), col("s"))))
+      .where(col("o") =!= col("m"))
+      .select(col("m").as("s"), lit(sameAsPred).as("p"), col("o"))
+      .distinct()
+  }
+
   /** SPARQL UNION of BGP groups: solutions of every group, aligned on
     * the union of their variable sets — a variable absent from a group
     * is unbound (null) in that group's rows, the spec's semantics.
@@ -647,6 +670,18 @@ object TripleOps {
     *  - [[ZeroOrMore]]  `p*` / `^p*` — the closure plus the
     *    zero-length identity over every term (same universe rule as
     *    ZeroOrOne).
+    *
+    * The algebra is COMPOSITIONAL (SPARQL 1.1 §9.1 path grammar):
+    *  - [[Alt]]     `e1|e2|…` — union of the alternatives' pair sets
+    *    (each alternative any sub-path, so `(p|^q)` and `(p|q/r)`
+    *    both express);
+    *  - [[SeqPath]] `e1/e2/…` — sequence as a nested step, so a
+    *    sequence can sit INSIDE a closure;
+    *  - [[Plus]] / [[Star]] — one-or-more / zero-or-more of ANY
+    *    sub-path: `(p|q)+` (the skos broader|narrower walk),
+    *    `(rdf:rest)* / rdf:first` (SPARQL's canonical list-member
+    *    path) and friends. OneOrMore(p, inv) ≡ Plus(PredStep(p,
+    *    inv)); the scalar forms stay as conveniences.
     */
   sealed trait PathStep
   final case class PredStep(p: String, inverse: Boolean = false) extends PathStep
@@ -654,6 +689,10 @@ object TripleOps {
   final case class ZeroOrOne(p: String, inverse: Boolean = false) extends PathStep
   final case class OneOrMore(p: String, inverse: Boolean = false) extends PathStep
   final case class ZeroOrMore(p: String, inverse: Boolean = false) extends PathStep
+  final case class Alt(alts: Seq[PathStep]) extends PathStep
+  final case class SeqPath(steps: Seq[PathStep]) extends PathStep
+  final case class Plus(inner: PathStep) extends PathStep
+  final case class Star(inner: PathStep) extends PathStep
 
   /** SPARQL sequence property path over [[PathStep]]s — `p1/p2`, `^p`,
     * `!(…)`, `p?` and any mix. Steps chain as equi-joins on the
@@ -669,35 +708,39 @@ object TripleOps {
       val (a, b) = if (inv) ("o", "s") else ("s", "o")
       e.select(col(a).cast("string").as("src"), col(b).cast("string").as("dst")).distinct()
     }
-    val hops = steps.map {
+    // SPARQL's zero-length-path universe: every term of the graph
+    def identity0 = {
+      val terms = triples.select(col("s").cast("string").as("t"))
+        .unionByName(triples.select(col("o").cast("string").as("t"))).distinct()
+      terms.select(col("t").as("src"), col("t").as("dst"))
+    }
+    def closure(e: DataFrame) =
+      transitiveClosure(e.select(col("src").as("sub"), col("dst").as("sup")))
+        .select(col("sub").as("src"), col("sup").as("dst"))
+    def chain(hops: Seq[DataFrame]) = hops.reduceLeft { (acc, nxt) =>
+      acc.join(nxt.select(col("src").as("mid"), col("dst").as("ndst")),
+          acc("dst") === col("mid"))
+        .select(col("src"), col("ndst").as("dst")).distinct()
+    }
+    def eval(step: PathStep): DataFrame = step match {
       case PredStep(p, inv) => pairs(triples.where(col("p") === p), inv)
       case NegatedSet(ex, inv) =>
         require(ex.nonEmpty, "empty negated property set")
         pairs(triples.where(!col("p").isInCollection(ex)), inv)
       case ZeroOrOne(p, inv) =>
-        val terms = triples.select(col("s").cast("string").as("t"))
-          .unionByName(triples.select(col("o").cast("string").as("t"))).distinct()
-        terms.select(col("t").as("src"), col("t").as("dst"))
-          .unionByName(pairs(triples.where(col("p") === p), inv)).distinct()
-      case OneOrMore(p, inv) =>
-        transitiveClosure(pairs(triples.where(col("p") === p), inv)
-            .select(col("src").as("sub"), col("dst").as("sup")))
-          .select(col("sub").as("src"), col("sup").as("dst"))
-      case ZeroOrMore(p, inv) =>
-        val terms = triples.select(col("s").cast("string").as("t"))
-          .unionByName(triples.select(col("o").cast("string").as("t"))).distinct()
-        terms.select(col("t").as("src"), col("t").as("dst"))
-          .unionByName(
-            transitiveClosure(pairs(triples.where(col("p") === p), inv)
-                .select(col("src").as("sub"), col("dst").as("sup")))
-              .select(col("sub").as("src"), col("sup").as("dst")))
-          .distinct()
+        identity0.unionByName(pairs(triples.where(col("p") === p), inv)).distinct()
+      case OneOrMore(p, inv) => eval(Plus(PredStep(p, inv)))
+      case ZeroOrMore(p, inv) => eval(Star(PredStep(p, inv)))
+      case Alt(alts) =>
+        require(alts.nonEmpty, "empty path alternation")
+        alts.map(eval).reduceLeft(_ unionByName _).distinct()
+      case SeqPath(ss) =>
+        require(ss.nonEmpty, "empty path sequence")
+        chain(ss.map(eval))
+      case Plus(inner) => closure(eval(inner))
+      case Star(inner) => identity0.unionByName(closure(eval(inner))).distinct()
     }
-    hops.reduceLeft { (acc, nxt) =>
-      acc.join(nxt.select(col("src").as("mid"), col("dst").as("ndst")),
-          acc("dst") === col("mid"))
-        .select(col("src"), col("ndst").as("dst")).distinct()
-    }
+    chain(steps.map(eval))
   }
 
   /** SPARQL GRAPH block over a quad table (g, s, p, o): every pattern

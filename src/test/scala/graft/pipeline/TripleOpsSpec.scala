@@ -911,6 +911,56 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(seqd == plus, seqd.toString)
   }
 
+  test("path: Alt unions sub-paths incl. inverse; Plus over Alt closes the union graph") {
+    val s = spark
+    import s.implicits._
+    // forward chain x-a->y; reversed-storage edge (z, b, y) so ^b is y->z
+    val spo = Seq(
+      ("x", "a", "y"), ("z", "b", "y"), ("q", "c", "x")).toDF("s", "p", "o")
+    val alt = TripleOps.path(spo, Seq(TripleOps.Alt(Seq(
+        TripleOps.PredStep("a"), TripleOps.PredStep("b", inverse = true))))).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(alt == Set(("x", "y"), ("y", "z")), alt.toString)
+    val plus = TripleOps.path(spo, Seq(TripleOps.Plus(TripleOps.Alt(Seq(
+        TripleOps.PredStep("a"), TripleOps.PredStep("b", inverse = true)))))).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // c edges excluded: q never chains in
+    assert(plus == Set(("x", "y"), ("y", "z"), ("x", "z")), plus.toString)
+  }
+
+  test("path: closure over a SEQUENCE (child/child)+ and the list path rest*/first") {
+    val s = spark
+    import s.implicits._
+    val chain = Seq(
+      ("a", "child", "b"), ("b", "child", "c"), ("c", "child", "d"),
+      ("d", "child", "e")).toDF("s", "p", "o")
+    val evenHops = TripleOps.path(chain, Seq(TripleOps.Plus(TripleOps.SeqPath(Seq(
+        TripleOps.PredStep("child"), TripleOps.PredStep("child")))))).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(evenHops == Set(("a", "c"), ("b", "d"), ("c", "e"), ("a", "e")), evenHops.toString)
+    // SPARQL's canonical rdf:List member path: (rest)*/first
+    val list = Seq(
+      ("L", "first", "v1"), ("L", "rest", "M"),
+      ("M", "first", "v2"), ("M", "rest", "N"),
+      ("N", "first", "v3"), ("N", "rest", "nil")).toDF("s", "p", "o")
+    val members = TripleOps.path(list, Seq(
+        TripleOps.Star(TripleOps.PredStep("rest")), TripleOps.PredStep("first"))).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(members.filter(_._1 == "L") == Set(("L", "v1"), ("L", "v2"), ("L", "v3")), members.toString)
+  }
+
+  test("fpSameAs: objects under a functional property star to the min; non-FP lane ignored") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(
+      ("item1", "ownedBy", "o2"), ("item1", "ownedBy", "o1"), ("item1", "ownedBy", "o3"),
+      ("item2", "ownedBy", "o9"),
+      ("item1", "note", "o0")).toDF("s", "p", "o")
+    val sa = TripleOps.fpSameAs(spo, Seq("ownedBy")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(sa == Set(("o1", "sameAs", "o2"), ("o1", "sameAs", "o3")), sa.toString)
+  }
+
   test("bgp: repeated variable within one pattern equi-filters; disjoint pattern rejected") {
     val s = spark
     import s.implicits._
