@@ -867,6 +867,56 @@ object SparkEntry {
       TripleOps.path(edges, Seq(TripleOps.OneOrMore("linksTo")))
         .select("src", "dst")
     }),
+    // SPARQL §17.4 term functions end-to-end: isIRI/isBlank/isLiteral
+    // via termKind, STR (bnode → type error → null → ''), DATATYPE
+    // (explicit / rdf:langString / xsd:string), LANGMATCHES with RFC
+    // 4647 basic filtering ('en' matches 'EN-US' at the '-' boundary,
+    // not 'de') — non-matching lang literals are the only dropped rows
+    "q149_term_functions" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.select(dId.as("s"), lit("label").as("p"),
+          concat(lit("\"name"), pmod(col("doc_id"), lit(100)), lit("\"@"),
+            when(pmod(col("doc_id"), lit(3)) === 0, lit("en"))
+              .when(pmod(col("doc_id"), lit(3)) === 1, lit("EN-US"))
+              .otherwise(lit("de"))).as("o"))
+        .unionByName(docs.select(dId.as("s"), lit("age").as("p"),
+          concat(lit("\""), pmod(col("doc_id"), lit(90)), lit("\"^^xsd:integer")).as("o")))
+        .unionByName(docs.select(dId.as("s"), lit("ref").as("p"),
+          concat(lit("_:b"), pmod(col("doc_id"), lit(7))).as("o")))
+        .unionByName(docs.select(dId.as("s"), lit("link").as("p"),
+          concat(lit("http://x/"), pmod(col("doc_id"), lit(11))).as("o")))
+      val typed = spo.select(col("s"), col("p"),
+        TripleOps.termKind(col("o")).as("kind"),
+        TripleOps.strOf(col("o")).as("strv0"),
+        TripleOps.datatypeOf(col("o")).as("dt0"),
+        TripleOps.termColumns(col("o")).apply(2).as("lang"))
+      typed.where(col("kind") =!= "literal" ||
+          TripleOps.langMatchesCol(col("lang"), "en") || col("dt0") === "xsd:integer")
+        .select(col("s"), col("p"), col("kind"),
+          coalesce(col("strv0"), lit("")).as("strv"),
+          coalesce(col("dt0"), lit("")).as("dt"))
+    }),
+    // SPARQL HAVING over group aggregates: org sizes are skewed BY
+    // CONSTRUCTION (trailing-zeros grouping: o0 ≈ 1/2, o1 ≈ 1/4,
+    // o2/o3 ≈ 1/8 each), and HAVING keeps groups holding ≥ 1/5 of all
+    // members — a data-derived threshold (broadcast scalar subquery,
+    // the q102 single-row pattern), so the gate splits identically at
+    // every scale factor with wide margins
+    "q150_bgp_having" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val org = when(pmod(col("doc_id"), lit(2)) =!= 0, lit("o0"))
+        .when(pmod(col("doc_id"), lit(4)) =!= 0, lit("o1"))
+        .when(pmod(col("doc_id"), lit(8)) =!= 0, lit("o2"))
+        .otherwise(lit("o3"))
+      val grouped = docs.select(org.as("org"), pmod(col("doc_id"), lit(90)).as("age"))
+        .groupBy(col("org")).agg(count(lit(1)).as("n"),
+          sum(col("age")).as("sum_age"), max(col("age")).as("max_age"))
+      val total = docs.agg(count(lit(1)).as("tot"))
+      grouped.crossJoin(broadcast(total))
+        .where(col("n") * 5 >= col("tot"))
+        .select(col("org"), col("n"), col("sum_age"), col("max_age"))
+    }),
     // SPARQL path alternation under closure — (a|^b)+ over a div-2
     // link forest where predicate lanes split by doc_id%3: 'a' edges
     // stored child→parent, 'b' edges stored REVERSED (so only the
@@ -3870,6 +3920,42 @@ object SparkEntry {
       |)
       |SELECT printf('n%06d', a) AS src, printf('n%06d', b) AS dst FROM walk""".stripMargin
 
+  /** DuckDB twin of q149 (term functions): expected rows stated
+    * directly per lane (the q145 rule) — the en/EN-US/de langMatches
+    * split is the only data-dependent branch, and it is a pure id%3
+    * case; STR's bnode type error surfaces as the '' strv lane.
+    */
+  private val q149Sql: String =
+    """WITH d AS (SELECT doc_id AS id, CAST(doc_id AS VARCHAR) AS ids FROM documents)
+      |SELECT s, p, kind, strv, dt FROM (
+      |  SELECT 'd' || ids AS s, 'label' AS p, 'literal' AS kind,
+      |         'name' || CAST(id % 100 AS VARCHAR) AS strv, 'rdf:langString' AS dt
+      |  FROM d WHERE id % 3 IN (0, 1)
+      |  UNION ALL
+      |  SELECT 'd' || ids, 'age', 'literal', CAST(id % 90 AS VARCHAR), 'xsd:integer' FROM d
+      |  UNION ALL
+      |  SELECT 'd' || ids, 'ref', 'bnode', '', '' FROM d
+      |  UNION ALL
+      |  SELECT 'd' || ids, 'link', 'iri', 'http://x/' || CAST(id % 11 AS VARCHAR), '' FROM d
+      |)""".stripMargin
+
+  /** DuckDB twin of q150 (HAVING): the same grouped aggregate with a
+    * scalar-subquery HAVING gate; HUGEINT sum cast back to BIGINT
+    * (q70 rule), trailing-zeros skew keeps the 1/5 threshold safely
+    * away from every group share at any scale factor.
+    */
+  private val q150Sql: String =
+    """WITH g AS (
+      |  SELECT CASE WHEN doc_id % 2 <> 0 THEN 'o0'
+      |              WHEN doc_id % 4 <> 0 THEN 'o1'
+      |              WHEN doc_id % 8 <> 0 THEN 'o2' ELSE 'o3' END AS org,
+      |         doc_id % 90 AS age
+      |  FROM documents
+      |)
+      |SELECT org, count(*) AS n, CAST(sum(age) AS BIGINT) AS sum_age, max(age) AS max_age
+      |FROM g GROUP BY org
+      |HAVING count(*) * 5 >= (SELECT count(*) FROM documents)""".stripMargin
+
   /** DuckDB twin of q147 ((a|^b)+ closure): the alternation collapses
     * to one child→parent edge set (a stored forward, b recovered by
     * the inverse step), so the oracle walks the %3∈{0,1} subgraph —
@@ -5559,6 +5645,8 @@ object SparkEntry {
     "q146_jsonld_extract" -> q146Sql,
     "q147_path_alt" -> q147Sql,
     "q148_fp_entity_resolution" -> q148Sql,
+    "q149_term_functions" -> q149Sql,
+    "q150_bgp_having" -> q150Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

@@ -834,6 +834,48 @@ object TripleOps {
         .otherwise(lit("iri_or_bnode")).as("kind"))
   }
 
+  /** SPARQL §17.4 RDF term functions over the layer's term-string
+    * convention (quoted literals, `_:` bnodes, bare IRIs) — pure
+    * codegen'd CASE/regexp projections, no UDFs:
+    * isIRI/isBlank/isLiteral are equality tests on this kind column.
+    */
+  def termKind(term: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(term.rlike(TypedLitRe) || term.rlike(LangLitRe) || term.rlike(PlainLitRe),
+      lit("literal"))
+      .when(term.startsWith("_:"), lit("bnode"))
+      .otherwise(lit("iri"))
+
+  /** SPARQL STR(): a literal's lexical form, an IRI's string; a blank
+    * node is a TYPE ERROR → null, which drops in FILTERs — the spec's
+    * error propagation maps exactly onto SQL null semantics.
+    */
+  def strOf(term: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(term.rlike(TypedLitRe), regexp_extract(term, TypedLitRe, 1))
+      .when(term.rlike(LangLitRe), regexp_extract(term, LangLitRe, 1))
+      .when(term.rlike(PlainLitRe), regexp_extract(term, PlainLitRe, 1))
+      .when(term.startsWith("_:"), lit(null).cast("string"))
+      .otherwise(term)
+
+  /** SPARQL DATATYPE(): explicit datatype, rdf:langString for
+    * lang-tagged, xsd:string for plain (RDF 1.1 rule); type error
+    * (null) for non-literals. Prefixed-name forms, matching the term
+    * convention of the q125 fixture family.
+    */
+  def datatypeOf(term: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(term.rlike(TypedLitRe), regexp_extract(term, TypedLitRe, 2))
+      .when(term.rlike(LangLitRe), lit("rdf:langString"))
+      .when(term.rlike(PlainLitRe), lit("xsd:string"))
+      .otherwise(lit(null).cast("string"))
+
+  /** SPARQL LANGMATCHES with RFC 4647 basic filtering: "*" matches any
+    * non-empty tag; otherwise case-insensitive exact match or prefix
+    * ending at a '-' boundary ("en" matches "en-US", not "enx").
+    */
+  def langMatchesCol(langTag: org.apache.spark.sql.Column, range: String): org.apache.spark.sql.Column =
+    if (range == "*") langTag =!= ""
+    else lower(langTag) === range.toLowerCase ||
+      lower(langTag).startsWith(range.toLowerCase + "-")
+
   /** RDF 1.1 skolemization (§3.5): replace blank-node labels `_:x`
     * with well-known genid IRIs under `authority` — the publish step
     * that makes bnode-bearing graphs mergeable/linkable across

@@ -961,6 +961,31 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sa == Set(("o1", "sameAs", "o2"), ("o1", "sameAs", "o3")), sa.toString)
   }
 
+  test("term functions: kind/STR/DATATYPE/langMatches incl. bnode type error and '-' boundary") {
+    val s = spark
+    import s.implicits._
+    val terms = Seq(
+      "\"42\"^^xsd:integer", "\"hi\"@EN-US", "\"x\"@enx", "\"plain\"",
+      "_:b0", "http://e/i").toDF("o")
+    val got = terms.select($"o",
+      TripleOps.termKind($"o").as("kind"),
+      TripleOps.strOf($"o").as("strv"),
+      TripleOps.datatypeOf($"o").as("dt"),
+      TripleOps.langMatchesCol(TripleOps.termColumns($"o").apply(2), "en").as("lm"),
+      TripleOps.langMatchesCol(TripleOps.termColumns($"o").apply(2), "*").as("lmAny"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), Option(r.getString(2)), Option(r.getString(3)),
+          r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(got("\"42\"^^xsd:integer") == (("literal", Some("42"), Some("xsd:integer"), false, false)))
+    assert(got("\"hi\"@EN-US") == (("literal", Some("hi"), Some("rdf:langString"), true, true)))
+    // 'enx' must NOT match range 'en' (prefix only at a '-' boundary)
+    assert(got("\"x\"@enx") == (("literal", Some("x"), Some("rdf:langString"), false, true)))
+    assert(got("\"plain\"") == (("literal", Some("plain"), Some("xsd:string"), false, false)))
+    // STR(bnode) is a type error -> null; datatype(non-literal) -> null
+    assert(got("_:b0") == (("bnode", None, None, false, false)))
+    assert(got("http://e/i") == (("iri", Some("http://e/i"), None, false, false)))
+  }
+
   test("bgp: repeated variable within one pattern equi-filters; disjoint pattern rejected") {
     val s = spark
     import s.implicits._
