@@ -867,6 +867,64 @@ object SparkEntry {
       TripleOps.path(edges, Seq(TripleOps.OneOrMore("linksTo")))
         .select("src", "dst")
     }),
+    // OPTIONAL with an inner FILTER — LeftJoin(Ω1, Ω2, expr): the
+    // price≤budget condition decides the MATCH, so failing offers
+    // leave the solution in place with price unbound (−1 sentinel),
+    // never dropped; the id%3==0 docs have no offer at all and land
+    // in the same unbound lane
+    "q151_optional_filter" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.select(dId.as("s"), lit("hasBudget").as("p"),
+          pmod(col("doc_id"), lit(100)).cast("string").as("o"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+          .select(dId.as("s"), lit("offerPrice").as("p"),
+            pmod(col("doc_id") * 7, lit(150)).cast("string").as("o")))
+      TripleOps.bgpOptionalFiltered(spo,
+          Seq(("?x", "hasBudget", "?b")),
+          Seq((Seq(("?x", "offerPrice", "?price")),
+            col("price").cast("long") <= col("b").cast("long"))))
+        .select(col("x"), col("b").cast("long").as("budget"),
+          coalesce(col("price").cast("long"), lit(-1L)).as("price"))
+    }),
+    // SPARQL BIND expression functions over OPTIONAL solutions:
+    // COALESCE picks the nick when bound else the name; BOUND drives
+    // an IF into a 0/1 flag — null-propagation semantics map exactly
+    // onto Spark coalesce/when
+    "q152_bind_coalesce" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.select(dId.as("s"), lit("name").as("p"),
+          concat(lit("name"), pmod(col("doc_id"), lit(100))).as("o"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(4)) === 0)
+          .select(dId.as("s"), lit("nick").as("p"),
+            concat(lit("nick"), pmod(col("doc_id"), lit(50))).as("o")))
+      val sols = TripleOps.bgpOptional(spo,
+        Seq(("?x", "name", "?name")), Seq(Seq(("?x", "nick", "?nick"))))
+      TripleOps.bind(
+          TripleOps.bind(sols, "display", coalesce(col("nick"), col("name"))),
+          "has_nick", when(col("nick").isNotNull, lit(1L)).otherwise(lit(0L)))
+        .select("x", "display", "has_nick")
+    }),
+    // SPARQL VALUES with UNDEF wildcards: binding rows constrain only
+    // their non-null columns, and a solution compatible with several
+    // rows appears once per row — the spec's multiset join, pinned by
+    // the deliberately overlapping (o1, UNDEF) / (UNDEF, de) rows
+    "q153_values_undef" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val sols = docs.select(dId.as("x"),
+        concat(lit("o"), pmod(col("doc_id"), lit(4))).as("org"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("en"))
+          .when(pmod(col("doc_id"), lit(3)) === 1, lit("de"))
+          .otherwise(lit("fr")).as("lg"))
+      val bindings = Seq(
+        (Some("o1"), Option.empty[String]),
+        (Option.empty[String], Some("de")),
+        (Some("o3"), Some("en"))).toDF("org", "lg")
+      TripleOps.valuesUndef(sols, bindings).select("x", "org", "lg")
+    }),
     // SPARQL §17.4 term functions end-to-end: isIRI/isBlank/isLiteral
     // via termKind, STR (bnode → type error → null → ''), DATATYPE
     // (explicit / rdf:langString / xsd:string), LANGMATCHES with RFC
@@ -3920,6 +3978,44 @@ object SparkEntry {
       |)
       |SELECT printf('n%06d', a) AS src, printf('n%06d', b) AS dst FROM walk""".stripMargin
 
+  /** DuckDB twin of q151 (OPTIONAL inner FILTER): the definitional
+    * CASE form — price binds iff an offer exists AND passes the
+    * filter, else the −1 unbound sentinel; deliberately NOT a replayed
+    * left join, so the Spark LeftJoin(Ω1, Ω2, expr) plan is checked
+    * against the semantics, not against itself.
+    */
+  private val q151Sql: String =
+    """SELECT 'd' || CAST(doc_id AS VARCHAR) AS x, doc_id % 100 AS budget,
+      |       CASE WHEN doc_id % 3 <> 0 AND (doc_id * 7) % 150 <= doc_id % 100
+      |            THEN (doc_id * 7) % 150 ELSE -1 END AS price
+      |FROM documents""".stripMargin
+
+  /** DuckDB twin of q152 (BIND COALESCE/BOUND/IF): definitional CASE
+    * over the nick-presence lane.
+    */
+  private val q152Sql: String =
+    """SELECT 'd' || CAST(doc_id AS VARCHAR) AS x,
+      |       CASE WHEN doc_id % 4 = 0 THEN 'nick' || CAST(doc_id % 50 AS VARCHAR)
+      |            ELSE 'name' || CAST(doc_id % 100 AS VARCHAR) END AS display,
+      |       CASE WHEN doc_id % 4 = 0 THEN CAST(1 AS BIGINT)
+      |            ELSE CAST(0 AS BIGINT) END AS has_nick
+      |FROM documents""".stripMargin
+
+  /** DuckDB twin of q153 (VALUES UNDEF): the same inline rows joined
+    * with the IS NULL-or-equal compatibility condition — multiset
+    * semantics preserved (no DISTINCT; the overlapping rows must
+    * duplicate exactly as Spark's join does).
+    */
+  private val q153Sql: String =
+    """WITH sols AS (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS x,
+      |         'o' || CAST(doc_id % 4 AS VARCHAR) AS org,
+      |         CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END AS lg
+      |  FROM documents
+      |), b(borg, blg) AS (VALUES ('o1', NULL), (NULL, 'de'), ('o3', 'en'))
+      |SELECT x, org, lg FROM sols JOIN b
+      |  ON (borg IS NULL OR borg = org) AND (blg IS NULL OR blg = lg)""".stripMargin
+
   /** DuckDB twin of q149 (term functions): expected rows stated
     * directly per lane (the q145 rule) — the en/EN-US/de langMatches
     * split is the only data-dependent branch, and it is a pure id%3
@@ -5647,6 +5743,9 @@ object SparkEntry {
     "q148_fp_entity_resolution" -> q148Sql,
     "q149_term_functions" -> q149Sql,
     "q150_bgp_having" -> q150Sql,
+    "q151_optional_filter" -> q151Sql,
+    "q152_bind_coalesce" -> q152Sql,
+    "q153_values_undef" -> q153Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

@@ -327,6 +327,31 @@ object TripleOps {
       acc.join(opt, shared, "left")
     }
 
+  /** OPTIONAL with an inner FILTER — the spec's left-join ON-condition
+    * semantics (SPARQL §6.2/algebra LeftJoin(Ω1, Ω2, expr)): the
+    * filter participates in the MATCH decision, so a solution whose
+    * optional match fails the filter still appears WITH the optional
+    * variables unbound — materially different from filtering after
+    * the join, which would drop the whole solution. Each group is
+    * (patterns, filter): the filter Column may reference required and
+    * optional variables by name (`col("price") <= col("budget")`);
+    * shared join columns are internally renamed so the condition
+    * never goes ambiguous. One left join per group, the
+    * [[bgpOptional]] cost shape.
+    */
+  def bgpOptionalFiltered(triples: DataFrame,
+      required: Seq[(String, String, String)],
+      optionalGroups: Seq[(Seq[(String, String, String)], org.apache.spark.sql.Column)]): DataFrame =
+    optionalGroups.foldLeft(bgp(triples, required)) { case (acc, (group, filter)) =>
+      val opt = bgp(triples, group)
+      val shared = acc.columns.intersect(opt.columns).toSeq
+      require(shared.nonEmpty,
+        "OPTIONAL group shares no variable with the required pattern — cartesian product")
+      val renamed = shared.foldLeft(opt)((d, c) => d.withColumnRenamed(c, c + "__opt"))
+      val cond = shared.map(c => acc(c) === renamed(c + "__opt")).reduce(_ && _) && filter
+      acc.join(renamed, cond, "left").drop(shared.map(_ + "__opt"): _*)
+    }
+
   /** SPARQL MINUS: drop required-pattern solutions that are compatible
     * with ANY solution of a minus group — an anti-join on the shared
     * variables. Faithful to the spec's domain rule: a minus group
@@ -529,6 +554,25 @@ object TripleOps {
     val shared = solutions.columns.intersect(bindings.columns).toSeq
     require(shared.nonEmpty, "VALUES shares no variable with the solutions")
     solutions.join(broadcast(bindings.select(shared.map(col): _*).distinct()), shared)
+  }
+
+  /** SPARQL VALUES with UNDEF: a null in a binding row is a WILDCARD —
+    * that variable is unconstrained for the row (the spec's
+    * compatibility rule: an unbound variable is compatible with
+    * anything). Join condition per shared variable:
+    * `binding IS NULL OR binding = solution`. The bindings table is
+    * inline data (broadcast, never a shuffle); a solution compatible
+    * with k binding rows appears k times — SPARQL's multiset join,
+    * deliberately not deduped here (solution modifiers own DISTINCT).
+    */
+  def valuesUndef(solutions: DataFrame, bindings: DataFrame): DataFrame = {
+    val shared = solutions.columns.intersect(bindings.columns).toSeq
+    require(shared.nonEmpty, "VALUES shares no variable with the solutions")
+    val b = shared.foldLeft(bindings.select(shared.map(col): _*))(
+      (d, c) => d.withColumnRenamed(c, c + "__v"))
+    val cond = shared.map(c => b(c + "__v").isNull || solutions(c) === b(c + "__v"))
+      .reduce(_ && _)
+    solutions.join(broadcast(b), cond, "inner").drop(shared.map(_ + "__v"): _*)
   }
 
   /** SPARQL CONSTRUCT: instantiate a triple template per BGP solution —

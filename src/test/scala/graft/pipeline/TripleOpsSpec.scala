@@ -961,6 +961,41 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sa == Set(("o1", "sameAs", "o2"), ("o1", "sameAs", "o3")), sa.toString)
   }
 
+  test("bgpOptionalFiltered: inner FILTER decides the match, failing rows keep unbound lanes") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(
+      ("d1", "hasBudget", "50"), ("d2", "hasBudget", "10"), ("d3", "hasBudget", "99"),
+      ("d1", "offerPrice", "30"),  // passes: 30 <= 50
+      ("d2", "offerPrice", "30")   // fails: 30 > 10 — row SURVIVES, price unbound
+      // d3 has no offer at all — same unbound lane
+    ).toDF("s", "p", "o")
+    val out = TripleOps.bgpOptionalFiltered(spo,
+      Seq(("?x", "hasBudget", "?b")),
+      Seq((Seq(("?x", "offerPrice", "?price")),
+        org.apache.spark.sql.functions.col("price").cast("long") <=
+          org.apache.spark.sql.functions.col("b").cast("long"))))
+    val got = out.select("x", "b", "price").collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(got == Set(
+      ("d1", "50", Some("30")), ("d2", "10", None), ("d3", "99", None)), got.toString)
+  }
+
+  test("valuesUndef: null wildcards constrain nothing; overlapping rows duplicate (multiset)") {
+    val s = spark
+    import s.implicits._
+    val sols = Seq(("a", "o1", "en"), ("b", "o1", "de"), ("c", "o2", "de"), ("e", "o2", "fr"))
+      .toDF("x", "org", "lg")
+    val bindings = Seq(
+      (Some("o1"), Option.empty[String]),   // all of o1
+      (Option.empty[String], Some("de"))    // all of de
+    ).toDF("org", "lg")
+    val got = TripleOps.valuesUndef(sols, bindings).select("x").collect()
+      .map(_.getString(0)).toSeq.sorted
+    // b matches BOTH rows -> appears twice; e matches neither
+    assert(got == Seq("a", "b", "b", "c"), got.toString)
+  }
+
   test("term functions: kind/STR/DATATYPE/langMatches incl. bnode type error and '-' boundary") {
     val s = spark
     import s.implicits._
