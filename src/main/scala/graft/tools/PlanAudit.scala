@@ -38,6 +38,14 @@ object PlanAudit {
                          // the corruption-index modulus
     "q104_hits", // per-half-step 1-row broadcast max-rescale frame —
                  // the same sanctioned scalar shape, twice per round
+    "q150_bgp_having", // grouped aggregate × ONE-row broadcast total
+                       // frame — the q47/q62 scalar shape carrying the
+                       // data-derived HAVING threshold
+    "q153_values_undef", // solutions × broadcast inline VALUES rows
+                         // under the IS-NULL-or-equal compatibility
+                         // condition — inherently non-equi (UNDEF is a
+                         // wildcard), bounded by the VALUES row count,
+                         // never data-sized
     "q91_rdfs_closure") // the FIXTURE's domain map is one row with a
                         // constant prop key — Catalyst folds the
                         // equi-condition away, leaving the bounded
