@@ -867,6 +867,78 @@ object SparkEntry {
       TripleOps.path(edges, Seq(TripleOps.OneOrMore("linksTo")))
         .select("src", "dst")
     }),
+    // SPARQL string/hash function layer round 2: STRBEFORE/STRAFTER
+    // (empty-on-absent via the instr guard), CONTAINS, ENCODE_FOR_URI
+    // (documented fixture-alphabet subset: space and '/' percent-
+    // encode via chained replaces, engine-identical), and MD5 (Spark
+    // md5 == DuckDB md5 hex)
+    "q154_strfuncs2" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val u = concat(lit("http://ex.org/path"), pmod(col("doc_id"), lit(20)),
+        lit("/page?x="), pmod(col("doc_id"), lit(7)))
+      val tRaw = concat(lit("a b/c"), pmod(col("doc_id"), lit(5)))
+      docs.select(concat(lit("d"), col("doc_id")).as("s"), u.as("u"), tRaw.as("traw"))
+        .select(col("s"),
+          when(instr(col("u"), "?") > 0,
+            expr("substring(u, 1, instr(u, '?') - 1)")).otherwise(lit("")).as("before"),
+          when(instr(col("u"), "?") > 0,
+            expr("substring(u, instr(u, '?') + 1, 1000000)")).otherwise(lit("")).as("after"),
+          when(col("u").contains("5"), lit(1L)).otherwise(lit(0L)).as("has5"),
+          regexp_replace(regexp_replace(col("traw"), " ", "%20"), "/", "%2F").as("enc"),
+          md5(col("u")).as("h"))
+    }),
+    // SPARQL XPath-style dateTime accessors (YEAR/MONTH/DAY/HOURS/
+    // MINUTES/SECONDS/TZ) over xsd:dateTime LEXICAL forms — pure
+    // fixed-offset substring slices (the q131 substring-parity rule),
+    // no calendar library and no session timezone anywhere near the
+    // path (the q49 NTZ discipline)
+    "q155_datetime_accessors" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val lex = concat(
+        format_string("%04d", lit(2020) + pmod(col("doc_id"), lit(5))), lit("-"),
+        format_string("%02d", lit(1) + pmod(col("doc_id"), lit(12))), lit("-"),
+        format_string("%02d", lit(1) + pmod(col("doc_id"), lit(28))), lit("T"),
+        format_string("%02d", pmod(col("doc_id"), lit(24))), lit(":"),
+        format_string("%02d", pmod(col("doc_id"), lit(60))), lit(":"),
+        format_string("%02d", pmod(col("doc_id") * 7, lit(60))),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("Z")).otherwise(lit("+05:30")))
+      docs.select(concat(lit("d"), col("doc_id")).as("s"), lex.as("lex"))
+        .select(col("s"),
+          substring(col("lex"), 1, 4).cast("long").as("yr"),
+          substring(col("lex"), 6, 2).cast("long").as("mo"),
+          substring(col("lex"), 9, 2).cast("long").as("dy"),
+          substring(col("lex"), 12, 2).cast("long").as("hh"),
+          substring(col("lex"), 15, 2).cast("long").as("mi"),
+          substring(col("lex"), 18, 2).cast("long").as("ss"),
+          substring(col("lex"), 20, 10).as("tz"))
+    }),
+    // KG fusion: conflicting extracted values per (entity, property)
+    // resolve by support voting — most assertions win, lexicographic
+    // min value on ties (deterministic under any arrival order);
+    // duplicate assertion rows are votes by design
+    "q156_kg_fusion" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val e = concat(lit("e"), pmod(col("doc_id"), lit(50)))
+      val a = docs.select(e.as("s"), lit("color").as("p"),
+          concat(lit("v"), pmod(col("doc_id") * 31, lit(3))).as("o"))
+        .unionByName(docs.select(e.as("s"), lit("shape").as("p"),
+          concat(lit("w"), pmod(col("doc_id") * 17, lit(4))).as("o")))
+      TripleOps.resolveConflicts(a).select("s", "p", "o", "support")
+    }),
+    // SPARQL COUNT(DISTINCT ?x) vs COUNT(*): the duplicated solution
+    // lane makes the distinction observable — n_rows doubles, the
+    // distinct counts don't
+    "q157_agg_distinct" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sols0 = docs.select(concat(lit("d"), col("doc_id")).as("x"),
+        concat(lit("o"), pmod(col("doc_id"), lit(16))).as("org"),
+        concat(lit("l"), pmod(col("doc_id"), lit(5))).as("lg"))
+      val sols = sols0.unionByName(sols0)
+      sols.groupBy(col("org")).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("x")).as("n_members"),
+        countDistinct(col("lg")).as("n_langs"))
+    }),
     // OPTIONAL with an inner FILTER — LeftJoin(Ω1, Ω2, expr): the
     // price≤budget condition decides the MATCH, so failing offers
     // leave the solution in place with price unbound (−1 sentinel),
@@ -3978,6 +4050,75 @@ object SparkEntry {
       |)
       |SELECT printf('n%06d', a) AS src, printf('n%06d', b) AS dst FROM walk""".stripMargin
 
+  /** DuckDB twin of q154 (string/hash round 2): before/after/enc are
+    * stated directly from doc_id (q145 rule); has5 replays CONTAINS
+    * over the same constructed string; md5 is the engine-identical
+    * primitive (q9/q16 family).
+    */
+  private val q154Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id AS id, CAST(doc_id AS VARCHAR) AS ids,
+      |         'http://ex.org/path' || CAST(doc_id % 20 AS VARCHAR) ||
+      |           '/page?x=' || CAST(doc_id % 7 AS VARCHAR) AS u
+      |  FROM documents
+      |)
+      |SELECT 'd' || ids AS s,
+      |       'http://ex.org/path' || CAST(id % 20 AS VARCHAR) || '/page' AS before,
+      |       'x=' || CAST(id % 7 AS VARCHAR) AS after,
+      |       CASE WHEN contains(u, '5') THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS has5,
+      |       'a%20b%2Fc' || CAST(id % 5 AS VARCHAR) AS enc,
+      |       md5(u) AS h
+      |FROM d""".stripMargin
+
+  /** DuckDB twin of q155 (dateTime accessors): components restated
+    * directly from doc_id — deliberately NOT a substring replay, so
+    * the Spark slice offsets are checked against the generating
+    * arithmetic; tz is the only string lane.
+    */
+  private val q155Sql: String =
+    """SELECT 'd' || CAST(doc_id AS VARCHAR) AS s,
+      |       2020 + doc_id % 5 AS yr,
+      |       1 + doc_id % 12 AS mo,
+      |       1 + doc_id % 28 AS dy,
+      |       doc_id % 24 AS hh,
+      |       doc_id % 60 AS mi,
+      |       (doc_id * 7) % 60 AS ss,
+      |       CASE WHEN doc_id % 2 = 0 THEN 'Z' ELSE '+05:30' END AS tz
+      |FROM documents""".stripMargin
+
+  /** DuckDB twin of q156 (KG fusion): the same vote-count + top-1
+    * window formulation — support DESC, value ASC tiebreak; counts
+    * are BIGINT both engines.
+    */
+  private val q156Sql: String =
+    """WITH a AS (
+      |  SELECT 'e' || CAST(doc_id % 50 AS VARCHAR) AS s, 'color' AS p,
+      |         'v' || CAST((doc_id * 31) % 3 AS VARCHAR) AS o FROM documents
+      |  UNION ALL
+      |  SELECT 'e' || CAST(doc_id % 50 AS VARCHAR), 'shape',
+      |         'w' || CAST((doc_id * 17) % 4 AS VARCHAR) FROM documents
+      |), v AS (
+      |  SELECT s, p, o, count(*) AS support FROM a GROUP BY 1, 2, 3
+      |)
+      |SELECT s, p, o, support FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY s, p ORDER BY support DESC, o) AS rk FROM v
+      |) WHERE rk = 1""".stripMargin
+
+  /** DuckDB twin of q157 (COUNT DISTINCT vs COUNT(*)): the doubled
+    * lane is rebuilt with UNION ALL; distinct counts collapse it.
+    */
+  private val q157Sql: String =
+    """WITH s0 AS (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS x,
+      |         'o' || CAST(doc_id % 16 AS VARCHAR) AS org,
+      |         'l' || CAST(doc_id % 5 AS VARCHAR) AS lg
+      |  FROM documents
+      |), sols AS (SELECT * FROM s0 UNION ALL SELECT * FROM s0)
+      |SELECT org, count(*) AS n_rows,
+      |       count(DISTINCT x) AS n_members,
+      |       count(DISTINCT lg) AS n_langs
+      |FROM sols GROUP BY org""".stripMargin
+
   /** DuckDB twin of q151 (OPTIONAL inner FILTER): the definitional
     * CASE form — price binds iff an offer exists AND passes the
     * filter, else the −1 unbound sentinel; deliberately NOT a replayed
@@ -5746,6 +5887,10 @@ object SparkEntry {
     "q151_optional_filter" -> q151Sql,
     "q152_bind_coalesce" -> q152Sql,
     "q153_values_undef" -> q153Sql,
+    "q154_strfuncs2" -> q154Sql,
+    "q155_datetime_accessors" -> q155Sql,
+    "q156_kg_fusion" -> q156Sql,
+    "q157_agg_distinct" -> q157Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

@@ -556,6 +556,30 @@ object TripleOps {
     solutions.join(broadcast(bindings.select(shared.map(col): _*).distinct()), shared)
   }
 
+  /** KG fusion / conflict resolution (the Knowledge-Vault-style voting
+    * step of KG construction): when extraction asserts several values
+    * for one (s, p), keep the value with the most supporting
+    * assertions — ties broken by lexicographic minimum value, so the
+    * result is deterministic under any arrival order. Input may carry
+    * duplicate assertion rows (each row = one vote); output is one row
+    * per (s, p) with its winning value and support count.
+    * Two shuffles on the natural keys: a map-side-combinable count on
+    * (s, p, o), then a (s, p)-partitioned top-1 window — no skew
+    * hazard beyond a genuinely hot (s, p), which is exactly the k−1
+    * row group the window sees.
+    */
+  def resolveConflicts(assertions: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val votes = spoCols(assertions).groupBy(col("s"), col("p"), col("o"))
+      .agg(count(lit(1)).as("support"))
+    votes
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("s"), col("p"))
+          .orderBy(col("support").desc, col("o"))))
+      .where(col("rk") === 1)
+      .select(col("s"), col("p"), col("o"), col("support"))
+  }
+
   /** SPARQL VALUES with UNDEF: a null in a binding row is a WILDCARD —
     * that variable is unconstrained for the row (the spec's
     * compatibility rule: an unbound variable is compatible with

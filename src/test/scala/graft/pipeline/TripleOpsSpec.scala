@@ -996,6 +996,21 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq("a", "b", "b", "c"), got.toString)
   }
 
+  test("resolveConflicts: majority wins, lexicographic min on ties, duplicate rows are votes") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(
+      ("e1", "color", "red"), ("e1", "color", "red"), ("e1", "color", "blue"),
+      ("e2", "color", "green"), ("e2", "color", "blue"), // 1-1 tie → 'blue' < 'green'
+      ("e1", "shape", "round")).toDF("s", "p", "o")
+    val got = TripleOps.resolveConflicts(a).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == Set(
+      ("e1", "color", "red", 2L),
+      ("e2", "color", "blue", 1L),
+      ("e1", "shape", "round", 1L)), got.toString)
+  }
+
   test("term functions: kind/STR/DATATYPE/langMatches incl. bnode type error and '-' boundary") {
     val s = spark
     import s.implicits._
