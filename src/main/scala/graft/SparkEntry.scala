@@ -867,6 +867,52 @@ object SparkEntry {
       TripleOps.path(edges, Seq(TripleOps.OneOrMore("linksTo")))
         .select("src", "dst")
     }),
+    // SHACL value constraints (core §4.2-4.4): sh:pattern over the
+    // value string (RE2-subset regex), sh:in term-set membership,
+    // sh:minLength, sh:datatype via the term-structure decode — four
+    // planted violation lanes, each firing on its own residue class
+    "q158_shacl_values" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.select(dId.as("s"), lit("email").as("p"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit("\"bad email "), col("doc_id"), lit("\"")))
+            .otherwise(concat(lit("\"user"), pmod(col("doc_id"), lit(100)),
+              lit("@ex.org\""))).as("o"))
+        .unionByName(docs.select(dId.as("s"), lit("status").as("p"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("\"a\""))
+            .when(pmod(col("doc_id"), lit(3)) === 1, lit("\"b\""))
+            .otherwise(lit("\"zz\"")).as("o")))
+        .unionByName(docs.select(dId.as("s"), lit("code").as("p"),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit("\"x\""))
+            .otherwise(concat(lit("\"xy"), pmod(col("doc_id"), lit(9)), lit("\""))).as("o")))
+        .unionByName(docs.select(dId.as("s"), lit("age").as("p"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(lit("\""), pmod(col("doc_id"), lit(90)), lit("\"^^xsd:integer")))
+            .otherwise(concat(lit("\""), pmod(col("doc_id"), lit(90)), lit("\""))).as("o")))
+      val focus = docs.select(dId.as("s"))
+      TripleOps.validateShapes(spo, focus, Seq(
+          TripleOps.PropertyShape("email", pattern = Some("^[a-z0-9]+@[a-z.]+$")),
+          TripleOps.PropertyShape("status", inSet = Some(Seq("\"a\"", "\"b\""))),
+          TripleOps.PropertyShape("code", minLength = 2L),
+          TripleOps.PropertyShape("age", datatype = Some("xsd:integer"))))
+        .select("s", "path", "violation", "n")
+    }),
+    // OWL 2 RL cax-dw: owl:disjointWith consistency check — every
+    // instance typed with both classes of a disjoint pair is a
+    // violation witness; each doc carries types c(id%6) and
+    // c((id+3)%6), so exactly the {0,3} and {1,4} residue pairs fire
+    "q159_owl_disjoint" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val types = docs.select(dId.as("inst"),
+          concat(lit("c"), pmod(col("doc_id"), lit(6))).as("cls"))
+        .unionByName(docs.select(dId.as("inst"),
+          concat(lit("c"), pmod(col("doc_id") + 3, lit(6))).as("cls")))
+      val dis = Seq(("c0", "c3"), ("c1", "c4")).toDF("a", "b")
+      TripleOps.disjointViolations(types, dis).select("inst", "a", "b")
+    }),
     // SPARQL string/hash function layer round 2: STRBEFORE/STRAFTER
     // (empty-on-absent via the instr guard), CONTAINS, ENCODE_FOR_URI
     // (documented fixture-alphabet subset: space and '/' percent-
@@ -4050,6 +4096,33 @@ object SparkEntry {
       |)
       |SELECT printf('n%06d', a) AS src, printf('n%06d', b) AS dst FROM walk""".stripMargin
 
+  /** DuckDB twin of q158 (SHACL value constraints): violation rows
+    * stated directly per residue lane (the q145 rule) — deliberately
+    * independent of the Spark regex/term-decode machinery.
+    */
+  private val q158Sql: String =
+    """WITH d AS (SELECT doc_id AS id, CAST(doc_id AS VARCHAR) AS ids FROM documents)
+      |SELECT s, path, violation, n FROM (
+      |  SELECT 'd' || ids AS s, 'email' AS path, 'pattern' AS violation,
+      |         CAST(1 AS BIGINT) AS n
+      |  FROM d WHERE id % 5 = 0
+      |  UNION ALL
+      |  SELECT 'd' || ids, 'status', 'in', CAST(1 AS BIGINT) FROM d WHERE id % 3 = 2
+      |  UNION ALL
+      |  SELECT 'd' || ids, 'code', 'minLength', CAST(1 AS BIGINT) FROM d WHERE id % 7 = 0
+      |  UNION ALL
+      |  SELECT 'd' || ids, 'age', 'datatype', CAST(1 AS BIGINT) FROM d WHERE id % 2 = 1
+      |)""".stripMargin
+
+  /** DuckDB twin of q159 (cax-dw): witnesses stated directly from the
+    * residue arithmetic — {0,3} hit (c0,c3), {1,4} hit (c1,c4).
+    */
+  private val q159Sql: String =
+    """SELECT 'd' || CAST(doc_id AS VARCHAR) AS inst,
+      |       CASE WHEN doc_id % 6 IN (0, 3) THEN 'c0' ELSE 'c1' END AS a,
+      |       CASE WHEN doc_id % 6 IN (0, 3) THEN 'c3' ELSE 'c4' END AS b
+      |FROM documents WHERE doc_id % 6 IN (0, 1, 3, 4)""".stripMargin
+
   /** DuckDB twin of q154 (string/hash round 2): before/after/enc are
     * stated directly from doc_id (q145 rule); has5 replays CONTAINS
     * over the same constructed string; md5 is the engine-identical
@@ -5891,6 +5964,8 @@ object SparkEntry {
     "q155_datetime_accessors" -> q155Sql,
     "q156_kg_fusion" -> q156Sql,
     "q157_agg_distinct" -> q157Sql,
+    "q158_shacl_values" -> q158Sql,
+    "q159_owl_disjoint" -> q159Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

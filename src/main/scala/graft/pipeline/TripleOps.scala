@@ -102,7 +102,14 @@ object TripleOps {
       path: String,
       minCount: Long = 0L,
       maxCount: Long = Long.MaxValue,
-      objectMustHave: Option[String] = None)
+      objectMustHave: Option[String] = None,
+      // value constraints (SHACL core §4.2-4.4), applied per object of
+      // `path` on each focus node; all regexes must stay inside the
+      // RE2-compatible subset (the q31 rule)
+      pattern: Option[String] = None, // sh:pattern over the value STRING
+      inSet: Option[Seq[String]] = None, // sh:in — term-string equality
+      minLength: Long = 0L, // sh:minLength over the value string
+      datatype: Option[String] = None) // sh:datatype via [[datatypeOf]]
 
   /** SHACL-lite shape validation — the data-quality gate a KG
     * construction pipeline runs before publishing: every focus node is
@@ -142,9 +149,42 @@ object TripleOps {
           .groupBy(col("s")).agg(count(lit(1)).cast("bigint").as("n"))
           .select(col("s"), lit(sh.path).as("path"), lit("node").as("violation"), col("n"))
       }
-      Seq(minV, maxV, nodeV).flatten
+      // value-constraint lanes: one predicate-slice aggregation each,
+      // the `bad` column fully codegen'd. The value STRING is STR(o) —
+      // a blank-node value has none, so string-shaped constraints
+      // (pattern/minLength) fail on bnodes, the SHACL behavior.
+      val valueStr = coalesce(strOf(col("o")), lit(""))
+      def valueViol(name: String, bad: org.apache.spark.sql.Column) =
+        slice.join(f, Seq("s")).where(bad)
+          .groupBy(col("s")).agg(count(lit(1)).cast("bigint").as("n"))
+          .select(col("s"), lit(sh.path).as("path"), lit(name).as("violation"), col("n"))
+      val patV = sh.pattern.map(p => valueViol("pattern", !valueStr.rlike(p)))
+      val inV = sh.inSet.map(vs => valueViol("in", !col("o").isInCollection(vs)))
+      val lenV = if (sh.minLength > 0L)
+        Some(valueViol("minLength", length(valueStr) < sh.minLength)) else None
+      val dtV = sh.datatype.map(dt =>
+        valueViol("datatype", coalesce(datatypeOf(col("o")), lit("")) =!= dt))
+      Seq(minV, maxV, nodeV, patV, inV, lenV, dtV).flatten
     }
     checks.reduceLeft(_ unionByName _)
+  }
+
+  /** OWL 2 RL cax-dw: instances typed with BOTH classes of an
+    * owl:disjointWith pair are consistency violations. `types` is
+    * (inst, cls); `disjoint` is the schema-sized (a, b) pair table
+    * (broadcast — never a shuffle of the instance data); output one
+    * row per (inst, a, b) witness.
+    */
+  def disjointViolations(types: DataFrame, disjoint: DataFrame): DataFrame = {
+    val t = types.select(col(types.columns(0)).cast("string").as("inst"),
+      col(types.columns(1)).cast("string").as("cls")).distinct()
+    val d = broadcast(disjoint.select(
+      col(disjoint.columns(0)).cast("string").as("a"),
+      col(disjoint.columns(1)).cast("string").as("b")).distinct())
+    d.join(t.select(col("inst"), col("cls").as("a")), Seq("a"))
+      .join(t.select(col("inst"), col("cls").as("b")), Seq("inst", "b"))
+      .select(col("inst"), col("a"), col("b"))
+      .distinct()
   }
 
   /** Basic-graph-pattern matcher over an (s, p, o) frame — the SPARQL

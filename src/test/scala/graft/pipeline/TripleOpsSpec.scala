@@ -996,6 +996,42 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq("a", "b", "b", "c"), got.toString)
   }
 
+  test("validateShapes value constraints: pattern/in/minLength/datatype; bnode fails string shapes") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(
+      ("d1", "email", "\"a@ex.org\""), ("d2", "email", "\"not an email\""),
+      ("d3", "email", "_:b0"), // bnode value: no string form -> pattern fails
+      ("d1", "status", "\"a\""), ("d2", "status", "\"zz\""),
+      ("d1", "code", "\"xy\""), ("d2", "code", "\"x\""),
+      ("d1", "age", "\"41\"^^xsd:integer"), ("d2", "age", "\"41\"")).toDF("s", "p", "o")
+    val focus = Seq("d1", "d2", "d3").toDF("s")
+    val got = TripleOps.validateShapes(spo, focus, Seq(
+        TripleOps.PropertyShape("email", pattern = Some("^[a-z0-9]+@[a-z.]+$")),
+        TripleOps.PropertyShape("status", inSet = Some(Seq("\"a\"", "\"b\""))),
+        TripleOps.PropertyShape("code", minLength = 2L),
+        TripleOps.PropertyShape("age", datatype = Some("xsd:integer"))))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == Set(
+      ("d2", "email", "pattern", 1L), ("d3", "email", "pattern", 1L),
+      ("d2", "status", "in", 1L),
+      ("d2", "code", "minLength", 1L),
+      ("d2", "age", "datatype", 1L)), got.toString)
+  }
+
+  test("disjointViolations: both-typed instances witness; single-typed and unrelated pairs don't") {
+    val s = spark
+    import s.implicits._
+    val types = Seq(
+      ("x", "c0"), ("x", "c3"),  // violates (c0, c3)
+      ("y", "c0"),               // only one side
+      ("z", "c1"), ("z", "c4"), ("z", "c0")).toDF("inst", "cls")
+    val dis = Seq(("c0", "c3"), ("c1", "c4")).toDF("a", "b")
+    val got = TripleOps.disjointViolations(types, dis).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("x", "c0", "c3"), ("z", "c1", "c4")), got.toString)
+  }
+
   test("resolveConflicts: majority wins, lexicographic min on ties, duplicate rows are votes") {
     val s = spark
     import s.implicits._
