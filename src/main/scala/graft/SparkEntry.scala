@@ -867,6 +867,58 @@ object SparkEntry {
       TripleOps.path(edges, Seq(TripleOps.OneOrMore("linksTo")))
         .select("src", "dst")
     }),
+    // Deterministic random walks (the DeepWalk/node2vec corpus
+    // generator): step choice = md5('rw|start|pos|cur') first-6-nibble
+    // integer mod out-degree into the positional adjacency — zero-pad
+    // node ids keep row_number's dst order numeric (q98), and the
+    // whole 4-step corpus replays in DuckDB via the q30 nibble decode
+    "q161_random_walks" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val edges = docs.select(
+        format_string("n%02d", pmod(col("doc_id"), lit(40))).as("src"),
+        format_string("n%02d", pmod(col("doc_id") * 7 + 3, lit(40))).as("dst"))
+      GraphOps.deterministicWalks(edges, 4).select("start", "pos", "node")
+    }),
+    // TransE link-prediction evaluation (the KG-embedding quality
+    // gate): every positive (h, r, t) scores by integer L1 distance
+    // ||emb(h) + emb(r) − emb(t)||₁ against 5 corrupted tails, and
+    // rank = 1 + #negatives strictly better (score asc, tail-id
+    // tiebreak — deterministic, q103 rule). Embeddings are synthetic
+    // integer grids (pure residue arithmetic), so the whole eval is
+    // value-exact cross-engine; the candidates×dims explode is the
+    // standard relational eval shape — codegen arithmetic, one
+    // map-side-combinable sum per candidate, one count per positive,
+    // no windows over unbounded groups
+    "q160_transe_rank" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val base = docs.select(col("doc_id").as("id"),
+        pmod(col("doc_id"), lit(100)).as("h"),
+        pmod(col("doc_id"), lit(7)).as("r"),
+        pmod(col("doc_id") * 3 + 1, lit(100)).as("t"))
+      val cands = base.select(col("id"), col("h"), col("r"), col("t"),
+          explode(sequence(lit(0), lit(5))).as("j"))
+        .withColumn("c", when(col("j") === 0, col("t"))
+          .otherwise(pmod(col("t") + (col("j") - 1) * 7 + 1, lit(100))))
+      val dims = cands.select(col("id"), col("j"), col("c"), col("h"), col("r"), col("t"),
+        explode(sequence(lit(0), lit(7))).as("i"))
+      val term = abs(
+        (pmod(col("h") * 31 + col("i") * 17, lit(21)) - 10) +
+        (pmod(col("r") * 13 + col("i") * 7, lit(21)) - 10) -
+        (pmod(col("c") * 31 + col("i") * 17, lit(21)) - 10))
+      val scores = dims.withColumn("term", term)
+        .groupBy(col("id"), col("j"), col("c"), col("h"), col("r"), col("t"))
+        .agg(sum(col("term")).as("score"))
+      val pos = scores.where(col("j") === 0)
+        .select(col("id"), col("h"), col("r"), col("t"), col("score").as("pos_score"))
+      val negs = scores.where(col("j") > 0)
+        .select(col("id"), col("c"), col("score").as("neg_score"))
+      pos.join(negs, Seq("id"))
+        .groupBy(col("id"), col("h"), col("r"), col("t"), col("pos_score"))
+        .agg((lit(1L) + sum(when(col("neg_score") < col("pos_score") ||
+            (col("neg_score") === col("pos_score") && col("c") < col("t")), 1L)
+          .otherwise(0L))).as("rnk"))
+        .select(col("id"), col("h"), col("r"), col("t"), col("pos_score"), col("rnk"))
+    }),
     // SHACL value constraints (core §4.2-4.4): sh:pattern over the
     // value string (RE2-subset regex), sh:in term-set membership,
     // sh:minLength, sh:datatype via the term-structure decode — four
@@ -4096,6 +4148,83 @@ object SparkEntry {
       |)
       |SELECT printf('n%06d', a) AS src, printf('n%06d', b) AS dst FROM walk""".stripMargin
 
+  /** The q30/q78 hex-nibble→integer decode over the first 6 chars of
+    * a VARCHAR md5 expression — engine-exact (never conv()/from_hex,
+    * which the engines disagree on).
+    */
+  private def nib6Sql(h: String): String =
+    (1 to 6).map { i =>
+      val w = 1L << (4 * (6 - i))
+      s"(CASE WHEN substring($h, $i, 1) <= '9' THEN ascii(substring($h, $i, 1)) - 48 " +
+        s"ELSE ascii(substring($h, $i, 1)) - 87 END) * $w"
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB twin of q161 (deterministic walks): the same positional
+    * adjacency and md5-mod-degree step, unrolled one CTE per position
+    * (q56 rule); adj and every step frame are multi-consumed →
+    * MATERIALIZED (q71 rule). The md5 input string must stay
+    * byte-identical to Spark's concat_ws form.
+    */
+  private def q161Sql(len: Int = 4): String = {
+    val steps = (1 to len).map { p =>
+      s"""w$p AS MATERIALIZED (
+         |  SELECT start, node FROM (
+         |    SELECT w.start, a.dst AS node, a.idx, a.deg,
+         |           md5('rw|' || w.start || '|$p|' || w.node) AS h
+         |    FROM w${p - 1} w JOIN adj a ON a.src = w.node)
+         |  WHERE idx = ${nib6Sql("h")} % deg
+         |)""".stripMargin
+    }.mkString(", ")
+    val union = (0 to len).map(p =>
+      s"SELECT start, CAST($p AS BIGINT) AS pos, node FROM w$p").mkString("\nUNION ALL\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT printf('n%02d', doc_id % 40) AS src,
+       |                  printf('n%02d', (doc_id * 7 + 3) % 40) AS dst
+       |  FROM documents
+       |), adj AS MATERIALIZED (
+       |  SELECT src, dst,
+       |         CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS idx,
+       |         CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+       |  FROM e
+       |), w0 AS MATERIALIZED (SELECT DISTINCT src AS start, src AS node FROM e),
+       |$steps
+       |$union""".stripMargin
+  }
+
+  /** DuckDB twin of q160 (TransE eval): identical residue-grid
+    * embeddings and L1 sums — all operands non-negative before the
+    * final subtraction, so `%` == pmod (q133 rule) and the scores are
+    * BIGINT-exact; the strict-better count replays the (score, tail)
+    * deterministic ranking.
+    */
+  private val q160Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id AS id, doc_id % 100 AS h, doc_id % 7 AS r,
+      |         (doc_id * 3 + 1) % 100 AS t
+      |  FROM documents
+      |), cand AS (
+      |  SELECT base.*, rj.j,
+      |         CASE WHEN rj.j = 0 THEN t ELSE (t + (rj.j - 1) * 7 + 1) % 100 END AS c
+      |  FROM base, range(0, 6) rj(j)
+      |), scored AS (
+      |  SELECT id, j, c, h, r, t,
+      |         CAST(sum(abs(((h * 31 + ri.i * 17) % 21 - 10) +
+      |                      ((r * 13 + ri.i * 7) % 21 - 10) -
+      |                      ((c * 31 + ri.i * 17) % 21 - 10))) AS BIGINT) AS score
+      |  FROM cand, range(0, 8) ri(i)
+      |  GROUP BY id, j, c, h, r, t
+      |), pos AS (
+      |  SELECT id, h, r, t, score AS pos_score FROM scored WHERE j = 0
+      |), negs AS (
+      |  SELECT id, c, score AS neg_score FROM scored WHERE j > 0
+      |)
+      |SELECT p.id, p.h, p.r, p.t, p.pos_score,
+      |       1 + CAST(sum(CASE WHEN n.neg_score < p.pos_score OR
+      |                        (n.neg_score = p.pos_score AND n.c < p.t)
+      |                    THEN 1 ELSE 0 END) AS BIGINT) AS rnk
+      |FROM pos p JOIN negs n USING (id)
+      |GROUP BY p.id, p.h, p.r, p.t, p.pos_score""".stripMargin
+
   /** DuckDB twin of q158 (SHACL value constraints): violation rows
     * stated directly per residue lane (the q145 rule) — deliberately
     * independent of the Spark regex/term-decode machinery.
@@ -5966,6 +6095,8 @@ object SparkEntry {
     "q157_agg_distinct" -> q157Sql,
     "q158_shacl_values" -> q158Sql,
     "q159_owl_disjoint" -> q159Sql,
+    "q160_transe_rank" -> q160Sql,
+    "q161_random_walks" -> q161Sql(),
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

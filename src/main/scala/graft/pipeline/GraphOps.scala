@@ -524,4 +524,56 @@ object GraphOps {
       .select(col("node"), col("a").as("auth"), col("h").as("hub"),
         col("rank").cast("bigint").as("rank"))
   }
+
+  /** Deterministic "random" walks — the DeepWalk/node2vec training-
+    * corpus generator with the engine's no-RNG discipline: the step
+    * taken at (start, pos, cur) is
+    * `md5("<tag>|start|pos|cur")`'s first-6-nibble integer mod
+    * out-degree(cur) into the POSITIONAL adjacency (row_number over
+    * dst order, so node ids must make lexicographic == numeric — the
+    * q98 zero-pad rule). Fully replayable cross-engine (the q30
+    * nibble decode); same-start walks differ per position because the
+    * hash input carries pos.
+    *
+    * Scale shape: adjacency+degree build once (two shuffles on src),
+    * then `len` equi-joins of the walk frontier against the indexed
+    * adjacency — the frontier stays one row per start, never
+    * multiplies; the per-step choice filter rides the join. Sinks
+    * (nodes with no out-edge) end their walk early — inner-join drop,
+    * shorter walk, never an error.
+    *
+    * Input: (src, dst) directed edges (any column names). Output:
+    * (start, pos, node), pos 0..len.
+    */
+  def deterministicWalks(edges: DataFrame, len: Int, tag: String = "rw"): DataFrame = {
+    require(len >= 1, "walk length must be >= 1")
+    val e = edges.select(
+      col(edges.columns(0)).cast("string").as("src"),
+      col(edges.columns(1)).cast("string").as("dst")).distinct()
+    val adj = e
+      .withColumn("idx",
+        (row_number().over(Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
+          .cast("bigint"))
+      .withColumn("deg",
+        count(lit(1)).over(Window.partitionBy(col("src"))).cast("bigint"))
+    def nibble6(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      def nib(i: Int) = {
+        val c = substring(h, i, 1)
+        (ascii(c) - when(c <= "9", lit(48)).otherwise(lit(87))).cast("bigint")
+      }
+      (1 to 6).map(i => nib(i) * lit(1L << (4 * (6 - i)))).reduce(_ + _)
+    }
+    val starts = e.select(col("src").as("start")).distinct()
+    var frontier = starts.select(col("start"), col("start").as("node"))
+    var out = frontier.select(col("start"), lit(0L).as("pos"), col("node"))
+    (1 to len).foreach { p =>
+      val h = md5(concat_ws("|", lit(tag), col("start"), lit(p.toString), col("src")))
+      frontier = frontier
+        .join(adj, frontier("node") === adj("src"))
+        .where(col("idx") === pmod(nibble6(h), col("deg")))
+        .select(col("start"), col("dst").as("node"))
+      out = out.unionByName(frontier.select(col("start"), lit(p.toLong).as("pos"), col("node")))
+    }
+    out
+  }
 }

@@ -807,4 +807,31 @@ class EventCorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val coarse = a.map(r => (r._1, r._2)).toMap
     assert(fine.forall { case (id, sh2) => sh2.startsWith(coarse(id)) })
   }
+
+  test("deterministicWalks: reproducible, edge-respecting, one row per (start, pos), sinks stop") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "a")).toDF("src", "dst")
+    def run() = GraphOps.deterministicWalks(edges, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val got = run()
+    // starts = distinct srcs; d is never a source
+    assert(got.filter(_._2 == 0L).map(_._1) == Set("a", "b", "c"), got.toString)
+    // at most one row per (start, pos) - the frontier never multiplies
+    assert(got.groupBy(r => (r._1, r._2)).forall(_._2.size == 1), got.toString)
+    // every step follows a real edge from the previous position's node
+    val eSet = Set(("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "a"))
+    val byKey = got.map(r => (r._1, r._2) -> r._3).toMap
+    got.filter(_._2 > 0L).foreach { case (st, pos, node) =>
+      val prev = byKey((st, pos - 1))
+      assert(eSet((prev, node)), s"walk $st pos $pos: $prev -> $node not an edge")
+    }
+    // a walk that reaches the sink d has no later positions
+    got.filter(_._3 == "d").foreach { case (st, pos, _) =>
+      assert(!byKey.contains((st, pos + 1)), s"walk $st continued past sink at pos $pos")
+    }
+    // deterministic: a second build yields the identical set
+    assert(run() == got)
+  }
 }
