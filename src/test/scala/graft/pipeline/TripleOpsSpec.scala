@@ -1032,6 +1032,30 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(("x", "c0", "c3"), ("z", "c1", "c4")), got.toString)
   }
 
+  test("resolveConflictsDelta: touched groups re-derive, untouched keep base winners, == full fusion") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(
+      ("e1", "color", "red"), ("e1", "color", "red"), ("e1", "color", "blue"),
+      ("e1", "shape", "round"),
+      ("e2", "color", "green")).toDF("s", "p", "o")
+    // two blue votes flip e1's color; e3 is a delta-only group
+    val added = Seq(
+      ("e1", "color", "blue"), ("e1", "color", "blue"),
+      ("e3", "color", "teal")).toDF("s", "p", "o")
+    val got = TripleOps.resolveConflictsDelta(base, added).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == Set(
+      ("e1", "color", "blue", 3L),   // flipped by the delta
+      ("e1", "shape", "round", 1L),  // untouched: base winner survives
+      ("e2", "color", "green", 1L),  // untouched group
+      ("e3", "color", "teal", 1L)), got.toString)
+    // maintained view == definitional full fusion
+    val full = TripleOps.resolveConflicts(base.unionByName(added)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == full)
+  }
+
   test("resolveConflicts: majority wins, lexicographic min on ties, duplicate rows are votes") {
     val s = spark
     import s.implicits._
