@@ -867,6 +867,44 @@ object SparkEntry {
       TripleOps.path(edges, Seq(TripleOps.OneOrMore("linksTo")))
         .select("src", "dst")
     }),
+    // SPARQL term constructors (the write half of §17.4): STRDT/
+    // STRLANG literal-string builders (round-tripping through the
+    // q149 accessors by construction), IRI() against the query base
+    // (absolute pass-through), and deterministic per-solution BNODE()
+    // labels (md5-prefix of solution key + argument)
+    "q163_term_constructors" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      docs.select(dId.as("s"),
+        TripleOps.strDt(concat(lit("v"), pmod(col("doc_id"), lit(90))),
+          lit("xsd:token")).as("typed"),
+        TripleOps.strLang(concat(lit("name"), pmod(col("doc_id"), lit(100))),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("EN")).otherwise(lit("de"))).as("tagged"),
+        TripleOps.iriCol(
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit("http://abs.example/a"), pmod(col("doc_id"), lit(9))))
+            .otherwise(concat(lit("rel/p"), pmod(col("doc_id"), lit(9)))),
+          "http://b.example/").as("iri"),
+        TripleOps.bnodeCol(dId, lit("x")).as("bn"))
+    }),
+    // SPARQL/XPath numeric functions on integer rationals a/7 (a
+    // signed): ABS, FLOOR, CEILING, and xpath:round (half toward
+    // +infinity) — all in pure integer arithmetic, negative operands
+    // routed through non-negative div identities so Spark div and
+    // DuckDB // agree (the q62 regime)
+    "q164_numeric_funcs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val a = (pmod(col("doc_id"), lit(201)) - 100).cast("long")
+      docs.select(concat(lit("d"), col("doc_id")).as("s"), a.as("a"))
+        .select(col("s"), col("a"),
+          abs(col("a")).as("abs_a"),
+          when(col("a") >= 0, expr("a div 7"))
+            .otherwise(-expr("(-a + 6) div 7")).as("fl"),
+          when(col("a") >= 0, expr("(a + 6) div 7"))
+            .otherwise(-expr("(-a) div 7")).as("ce"),
+          when(col("a") * 2 + 7 >= 0, expr("(2 * a + 7) div 14"))
+            .otherwise(-expr("(-(2 * a + 7) + 13) div 14")).as("rnd"))
+    }),
     // Incremental fusion-view maintenance: new assertions (color
     // re-votes for the id%10<3 docs) re-derive winners ONLY for their
     // touched (entity, property) groups — untouched groups keep their
@@ -4166,6 +4204,38 @@ object SparkEntry {
       |)
       |SELECT printf('n%06d', a) AS src, printf('n%06d', b) AS dst FROM walk""".stripMargin
 
+  /** DuckDB twin of q163 (term constructors): literal strings and IRIs
+    * stated directly per lane; the BNODE label replays the md5-prefix
+    * contract (solution key + chr(1) + argument — byte-identical to
+    * Spark's concat_ws with the  separator).
+    */
+  private val q163Sql: String =
+    """SELECT 'd' || CAST(doc_id AS VARCHAR) AS s,
+      |       '"v' || CAST(doc_id % 90 AS VARCHAR) || '"^^xsd:token' AS typed,
+      |       '"name' || CAST(doc_id % 100 AS VARCHAR) || '"@' ||
+      |         CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'de' END AS tagged,
+      |       CASE WHEN doc_id % 3 = 0
+      |            THEN 'http://abs.example/a' || CAST(doc_id % 9 AS VARCHAR)
+      |            ELSE 'http://b.example/rel/p' || CAST(doc_id % 9 AS VARCHAR) END AS iri,
+      |       '_:bn' || substring(md5('d' || CAST(doc_id AS VARCHAR) || chr(1) || 'x'), 1, 8) AS bn
+      |FROM documents""".stripMargin
+
+  /** DuckDB twin of q164 (numeric functions): identical non-negative
+    * div identities (`//` == Spark div only on non-negatives — the
+    * q62 regime routed through sign cases), xpath round = floor of
+    * (2a+b)/(2b).
+    */
+  private val q164Sql: String =
+    """WITH d AS (SELECT 'd' || CAST(doc_id AS VARCHAR) AS s,
+      |                  CAST(doc_id % 201 - 100 AS BIGINT) AS a
+      |           FROM documents)
+      |SELECT s, a, abs(a) AS abs_a,
+      |       CASE WHEN a >= 0 THEN a // 7 ELSE -((-a + 6) // 7) END AS fl,
+      |       CASE WHEN a >= 0 THEN (a + 6) // 7 ELSE -((-a) // 7) END AS ce,
+      |       CASE WHEN 2 * a + 7 >= 0 THEN (2 * a + 7) // 14
+      |            ELSE -((-(2 * a + 7) + 13) // 14) END AS rnd
+      |FROM d""".stripMargin
+
   /** DuckDB twin of q162 (fusion delta): the DEFINITIONAL full fusion
     * over base ∪ delta — independent of the Spark anti-join/semi-
     * restrict maintenance plan (the q139/q132 rule).
@@ -6138,6 +6208,8 @@ object SparkEntry {
     "q160_transe_rank" -> q160Sql,
     "q161_random_walks" -> q161Sql(),
     "q162_fusion_delta" -> q162Sql,
+    "q163_term_constructors" -> q163Sql,
+    "q164_numeric_funcs" -> q164Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

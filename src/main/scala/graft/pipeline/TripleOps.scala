@@ -1003,6 +1003,31 @@ object TripleOps {
     else lower(langTag) === range.toLowerCase ||
       lower(langTag).startsWith(range.toLowerCase + "-")
 
+  /** SPARQL §17.4 term CONSTRUCTORS over the term-string convention —
+    * the write-side complement of [[termKind]]/[[strOf]]/[[datatypeOf]]:
+    *  - [[strDt]]/[[strLang]]: typed / language-tagged literal strings
+    *    (tags lowercased, the RDF 1.1 canonical form [[graft.rdf.Lit]]
+    *    also applies);
+    *  - [[iriCol]]: IRI(ref) against a constant base — absolute refs
+    *    (scheme-prefixed) pass through, others concatenate onto the
+    *    base (the documented subset: no dot-segment resolution in the
+    *    relational path; full RFC 3986 lives in [[graft.rdf.Iris]]);
+    *  - [[bnodeCol]]: BNODE(str) — the spec returns a bnode unique per
+    *    (solution, str), realized deterministically as an md5 prefix
+    *    of the solution key and the argument (no RNG, engine rule).
+    */
+  def strDt(lex: org.apache.spark.sql.Column, dt: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("\""), lex, lit("\"^^"), dt)
+
+  def strLang(lex: org.apache.spark.sql.Column, tag: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("\""), lex, lit("\"@"), lower(tag))
+
+  def iriCol(ref: org.apache.spark.sql.Column, base: String): org.apache.spark.sql.Column =
+    when(ref.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), ref).otherwise(concat(lit(base), ref))
+
+  def bnodeCol(solutionKey: org.apache.spark.sql.Column, str: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("_:bn"), substring(md5(concat_ws("", solutionKey, str)), 1, 8))
+
   /** RDF 1.1 skolemization (§3.5): replace blank-node labels `_:x`
     * with well-known genid IRIs under `authority` — the publish step
     * that makes bnode-bearing graphs mergeable/linkable across

@@ -1032,6 +1032,36 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(("x", "c0", "c3"), ("z", "c1", "c4")), got.toString)
   }
 
+  test("term constructors: STRDT/STRLANG round-trip the accessors; IRI base rule; BNODE deterministic") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("k1", "hi", "EN-us", "rel/p"), ("k2", "yo", "de", "http://abs/x"))
+      .toDF("k", "lex", "tag", "ref")
+    val built = df.select($"k",
+      TripleOps.strDt($"lex", org.apache.spark.sql.functions.lit("xsd:token")).as("t"),
+      TripleOps.strLang($"lex", $"tag").as("l"),
+      TripleOps.iriCol($"ref", "http://b/").as("i"),
+      TripleOps.bnodeCol($"k", org.apache.spark.sql.functions.lit("x")).as("b"))
+    val round = built.select($"k",
+      TripleOps.strOf($"t").as("tLex"), TripleOps.datatypeOf($"t").as("tDt"),
+      TripleOps.strOf($"l").as("lLex"), TripleOps.datatypeOf($"l").as("lDt"),
+      $"i", $"b", TripleOps.termKind($"b").as("bKind"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val r1 = round("k1")
+    assert(r1.getString(1) == "hi" && r1.getString(2) == "xsd:token")
+    assert(r1.getString(3) == "hi" && r1.getString(4) == "rdf:langString")
+    assert(r1.getString(5) == "http://b/rel/p")
+    assert(r1.getString(7) == "bnode")
+    assert(round("k2").getString(5) == "http://abs/x") // absolute passes through
+    // deterministic: rebuilding yields identical bnode labels
+    val again = df.select($"k", TripleOps.bnodeCol($"k",
+        org.apache.spark.sql.functions.lit("x")).as("b"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(again("k1") == r1.getString(6) )
+    // distinct per solution AND per argument
+    assert(again("k1") != again("k2"))
+  }
+
   test("resolveConflictsDelta: touched groups re-derive, untouched keep base winners, == full fusion") {
     val s = spark
     import s.implicits._
