@@ -867,6 +867,31 @@ object SparkEntry {
       TripleOps.path(edges, Seq(TripleOps.OneOrMore("linksTo")))
         .select("src", "dst")
     }),
+    // DESCRIBE with Concise Bounded Description: matched nodes plus
+    // the recursive closure of their BLANK-NODE objects (address →
+    // geo chain), stopping at IRIs (the linked http://x/* nodes'
+    // triples must NOT appear even though they are objects of the
+    // described subject)
+    "q165_describe_cbd" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val aB = concat(lit("_:a"), col("doc_id"))
+      val gB = concat(lit("_:g"), col("doc_id"))
+      val spo = docs.select(dId.as("s"), lit("worksFor").as("p"),
+          concat(lit("o"), pmod(col("doc_id"), lit(16))).as("o"))
+        .unionByName(docs.select(dId.as("s"), lit("addr").as("p"), aB.as("o")))
+        .unionByName(docs.select(dId.as("s"), lit("link").as("p"),
+          concat(lit("http://x/"), pmod(col("doc_id"), lit(11))).as("o")))
+        .unionByName(docs.select(aB.as("s"), lit("city").as("p"),
+          concat(lit("C"), pmod(col("doc_id"), lit(50))).as("o")))
+        .unionByName(docs.select(aB.as("s"), lit("geo").as("p"), gB.as("o")))
+        .unionByName(docs.select(gB.as("s"), lit("lat").as("p"),
+          concat(lit("L"), pmod(col("doc_id"), lit(90))).as("o")))
+        .unionByName(docs.select(concat(lit("http://x/"), pmod(col("doc_id"), lit(11))).as("s"),
+          lit("label").as("p"), concat(lit("X"), pmod(col("doc_id"), lit(11))).as("o")))
+      TripleOps.describeCbd(spo, Seq(("?x", "worksFor", "o3")), "?x")
+        .select("s", "p", "o")
+    }),
     // SPARQL term constructors (the write half of §17.4): STRDT/
     // STRLANG literal-string builders (round-tripping through the
     // q149 accessors by construction), IRI() against the query base
@@ -4204,6 +4229,22 @@ object SparkEntry {
       |)
       |SELECT printf('n%06d', a) AS src, printf('n%06d', b) AS dst FROM walk""".stripMargin
 
+  /** DuckDB twin of q165 (DESCRIBE CBD): the o3 members' own triples
+    * plus their bnode chain stated directly — the linked IRI nodes'
+    * label triples are ABSENT, which is the CBD boundary under test.
+    */
+  private val q165Sql: String =
+    """WITH d AS (SELECT doc_id AS id, CAST(doc_id AS VARCHAR) AS ids
+      |           FROM documents WHERE doc_id % 16 = 3)
+      |SELECT s, p, o FROM (
+      |  SELECT 'd' || ids AS s, 'worksFor' AS p, 'o3' AS o FROM d
+      |  UNION ALL SELECT 'd' || ids, 'addr', '_:a' || ids FROM d
+      |  UNION ALL SELECT 'd' || ids, 'link', 'http://x/' || CAST(id % 11 AS VARCHAR) FROM d
+      |  UNION ALL SELECT '_:a' || ids, 'city', 'C' || CAST(id % 50 AS VARCHAR) FROM d
+      |  UNION ALL SELECT '_:a' || ids, 'geo', '_:g' || ids FROM d
+      |  UNION ALL SELECT '_:g' || ids, 'lat', 'L' || CAST(id % 90 AS VARCHAR) FROM d
+      |)""".stripMargin
+
   /** DuckDB twin of q163 (term constructors): literal strings and IRIs
     * stated directly per lane; the BNODE label replays the md5-prefix
     * contract (solution key + chr(1) + argument — byte-identical to
@@ -6210,6 +6251,7 @@ object SparkEntry {
     "q162_fusion_delta" -> q162Sql,
     "q163_term_constructors" -> q163Sql,
     "q164_numeric_funcs" -> q164Sql,
+    "q165_describe_cbd" -> q165Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

@@ -749,6 +749,37 @@ object TripleOps {
       .join(nodes, Seq("s"), "left_semi")
   }
 
+  /** DESCRIBE with Concise Bounded Description semantics (the spec's
+    * recommended description form): starting from the matched nodes,
+    * include their triples AND recursively the triples of every BLANK
+    * NODE reached in object position — a bnode has no global name, so
+    * its description is meaningless without its own statements. The
+    * bnode frontier expands by fixpoint over the bnode-to-bnode link
+    * graph via [[transitiveClosure]]'s pair doubling (O(log depth)
+    * rounds — real-world CBDs are shallow, but a pathological
+    * bnode chain cannot degrade to O(depth) shuffles); IRI objects
+    * are deliberately NOT expanded (that is the CBD boundary).
+    */
+  def describeCbd(triples: DataFrame, patterns: Seq[(String, String, String)],
+      v: String): DataFrame = {
+    require(v.startsWith("?"), s"DESCRIBE target must be a variable, got $v")
+    val t = spoCols(triples)
+    val seeds = bgp(triples, patterns)
+      .select(col(v.drop(1)).cast("string").as("n")).distinct()
+    // subject → bnode-object links (the only edges CBD follows)
+    val bnodeLinks = t.where(col("o").startsWith("_:"))
+      .select(col("s").cast("string").as("sub"), col("o").cast("string").as("sup"))
+      .distinct()
+    val reach = transitiveClosure(bnodeLinks)
+    val described = seeds
+      .unionByName(seeds.join(reach.select(col("sub").as("n"), col("sup")), Seq("n"))
+        .where(col("sup").startsWith("_:"))
+        .select(col("sup").as("n")))
+      .distinct()
+    t.select(col("s"), col("p"), col("o"))
+      .join(described.select(col("n").as("s")), Seq("s"), "left_semi")
+  }
+
   /** SPARQL BIND / Extend: add a computed binding to every solution —
     * the algebra's Extend(μ, var, expr). The new variable must be fresh
     * (binding an in-scope variable is a SPARQL syntax error, enforced

@@ -282,6 +282,17 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val pages = SyntheticPages.fixtureFiles().take(30).zipWithIndex.map { case ((rel, b), i) =>
       SyntheticPages.page(rel, b, copy = 1, rowIdx = i.toLong)
+    } :+ {
+      // a page carrying the microdata + JSON-LD island formats: the
+      // streaming path must extract them identically (same triplesOf)
+      val html =
+        """<html><body>
+          |<div itemscope itemtype="http://schema.org/Person" itemid="http://e/px">
+          |<span itemprop="name">Px</span></div>
+          |<script type="application/ld+json">{"@context":"https://schema.org","@id":"http://e/jx","name":"Jx"}</script>
+          |</body></html>""".stripMargin
+      Page("http://test.example/islands", new java.sql.Timestamp(0L),
+        html.getBytes("UTF-8"), "", "en")
     }
     val mem = MemoryStream[Page]
     mem.addData(pages)
@@ -295,6 +306,12 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("url", "subj", "pred", "obj").collect().toSet
     assert(streamed == batch)
     assert(streamed.nonEmpty)
+    // the island page's microdata AND JSON-LD triples flow through both paths
+    val islandSubjects = streamed.collect {
+      case r if r.getString(0) == "http://test.example/islands" => r.getString(1)
+    }
+    assert(islandSubjects.contains("http://e/px"), islandSubjects.toString)
+    assert(islandSubjects.contains("http://e/jx"), islandSubjects.toString)
   }
 
   test("streaming exact dedup emits each fingerprint once across batches (custom state)") {

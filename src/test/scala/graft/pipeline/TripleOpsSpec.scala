@@ -1032,6 +1032,23 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(("x", "c0", "c3"), ("z", "c1", "c4")), got.toString)
   }
 
+  test("describeCbd: bnode chain expands recursively, IRI boundary holds, shared bnodes once") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(
+      ("d1", "worksFor", "o1"), ("d2", "worksFor", "o2"),
+      ("d1", "addr", "_:a1"), ("_:a1", "city", "Berlin"),
+      ("_:a1", "geo", "_:g1"), ("_:g1", "lat", "52"),
+      ("d1", "link", "http://x/1"), ("http://x/1", "label", "X"), // boundary
+      ("d2", "addr", "_:a2"), ("_:a2", "city", "Paris")           // other solution's bnodes
+    ).toDF("s", "p", "o")
+    val got = TripleOps.describeCbd(spo, Seq(("?x", "worksFor", "o1")), "?x").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("d1", "worksFor", "o1"), ("d1", "addr", "_:a1"), ("d1", "link", "http://x/1"),
+      ("_:a1", "city", "Berlin"), ("_:a1", "geo", "_:g1"), ("_:g1", "lat", "52")), got.toString)
+  }
+
   test("term constructors: STRDT/STRLANG round-trip the accessors; IRI base rule; BNODE deterministic") {
     val s = spark
     import s.implicits._
