@@ -867,6 +867,19 @@ object SparkEntry {
       TripleOps.path(edges, Seq(TripleOps.OneOrMore("linksTo")))
         .select("src", "dst")
     }),
+    // rdf:List construction (the write side of q141's unroll): one
+    // cons chain per group, elements in (ord, v) order with unique
+    // ord, deterministic md5-prefix cell labels — round-tripped by
+    // rdfListUnroll in the unit spec, and replayed label-for-label by
+    // the oracle's window formulation
+    "q166_rdf_list_build" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val items = docs.select(
+        concat(lit("g"), pmod(col("doc_id"), lit(100))).as("s"),
+        col("doc_id").as("ord"),
+        concat(lit("t"), pmod(col("doc_id"), lit(7))).as("v"))
+      TripleOps.buildLists(items).select("s", "p", "o")
+    }),
     // DESCRIBE with Concise Bounded Description: matched nodes plus
     // the recursive closure of their BLANK-NODE objects (address →
     // geo chain), stopping at IRIs (the linked http://x/* nodes'
@@ -4229,6 +4242,35 @@ object SparkEntry {
       |)
       |SELECT printf('n%06d', a) AS src, printf('n%06d', b) AS dst FROM walk""".stripMargin
 
+  /** DuckDB twin of q166 (rdf:List build): same window positions and
+    * md5-prefix cell labels ('s|idx' — Spark's concat_ws('|') form);
+    * unique ord keeps row_number deterministic (q103 rule).
+    */
+  private val q166Sql: String =
+    """WITH items AS (
+      |  SELECT 'g' || CAST(doc_id % 100 AS VARCHAR) AS s, doc_id AS ord,
+      |         't' || CAST(doc_id % 7 AS VARCHAR) AS v
+      |  FROM documents
+      |), r AS (
+      |  SELECT s, v,
+      |         CAST(row_number() OVER (PARTITION BY s ORDER BY ord, v) - 1 AS BIGINT) AS idx,
+      |         CAST(count(*) OVER (PARTITION BY s) AS BIGINT) AS n
+      |  FROM items
+      |)
+      |SELECT s, p, o FROM (
+      |  SELECT s, 'hasList' AS p, '_:lb' || substring(md5(s || '|0'), 1, 8) AS o
+      |  FROM r WHERE idx = 0
+      |  UNION ALL
+      |  SELECT '_:lb' || substring(md5(s || '|' || CAST(idx AS VARCHAR)), 1, 8),
+      |         'rdf:first', v FROM r
+      |  UNION ALL
+      |  SELECT '_:lb' || substring(md5(s || '|' || CAST(idx AS VARCHAR)), 1, 8),
+      |         'rdf:rest',
+      |         CASE WHEN idx = n - 1 THEN 'rdf:nil'
+      |              ELSE '_:lb' || substring(md5(s || '|' || CAST(idx + 1 AS VARCHAR)), 1, 8) END
+      |  FROM r
+      |)""".stripMargin
+
   /** DuckDB twin of q165 (DESCRIBE CBD): the o3 members' own triples
     * plus their bnode chain stated directly — the linked IRI nodes'
     * label triples are ABSENT, which is the CBD boundary under test.
@@ -6252,6 +6294,7 @@ object SparkEntry {
     "q163_term_constructors" -> q163Sql,
     "q164_numeric_funcs" -> q164Sql,
     "q165_describe_cbd" -> q165Sql,
+    "q166_rdf_list_build" -> q166Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

@@ -620,6 +620,38 @@ object TripleOps {
       .select(col("s"), col("p"), col("o"), col("support"))
   }
 
+  /** Build rdf:List cons chains from grouped ordered values — the
+    * WRITE side of RDF collections ([[rdfListUnroll]] is the read
+    * side; applying it to this output recovers the input positions).
+    * One list per subject, elements ordered by (ord, v) — the
+    * ordering key must be unique per subject (the q103 determinism
+    * rule; callers pass a unique ord). Cons-cell labels are
+    * deterministic md5 prefixes of (subject, position), so the chain
+    * replays cross-engine with no RNG.
+    * Two window passes over the same (s)-partitioning (position +
+    * group size — one shuffle) and three projections; no joins.
+    */
+  def buildLists(items: DataFrame, listPred: String = "hasList",
+      firstPred: String = "rdf:first", restPred: String = "rdf:rest",
+      nilTerm: String = "rdf:nil"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("s")).orderBy(col("ord"), col("v"))
+    def label(i: org.apache.spark.sql.Column) =
+      concat(lit("_:lb"),
+        substring(md5(concat_ws("|", col("s"), i.cast("string"))), 1, 8))
+    val rows = items.select(col("s").cast("string").as("s"), col("ord"),
+        col("v").cast("string").as("v"))
+      .withColumn("idx", (row_number().over(w) - 1).cast("bigint"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("s"))).cast("bigint"))
+    val heads = rows.where(col("idx") === 0)
+      .select(col("s"), lit(listPred).as("p"), label(lit(0)).as("o"))
+    val firsts = rows.select(label(col("idx")).as("s"), lit(firstPred).as("p"), col("v").as("o"))
+    val rests = rows.select(label(col("idx")).as("s"), lit(restPred).as("p"),
+      when(col("idx") === col("n") - 1, lit(nilTerm))
+        .otherwise(label(col("idx") + 1)).as("o"))
+    heads.unionByName(firsts).unionByName(rests)
+  }
+
   /** Incremental maintenance of the [[resolveConflicts]] fusion view
     * under NEW assertions (the q139 semi-restrict discipline): only
     * (s, p) groups touched by the delta can change their winner, so

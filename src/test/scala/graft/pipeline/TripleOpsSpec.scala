@@ -1032,6 +1032,29 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(("x", "c0", "c3"), ("z", "c1", "c4")), got.toString)
   }
 
+  test("buildLists: deterministic cons chains; rdfListUnroll round-trips positions exactly") {
+    val s = spark
+    import s.implicits._
+    val items = Seq(
+      ("g1", 10L, "a"), ("g1", 20L, "b"), ("g1", 30L, "c"),
+      ("g2", 5L, "only")).toDF("s", "ord", "v")
+    val chain = TripleOps.buildLists(items)
+    // structural sanity: one hasList head per group, rest-chain ends in nil per group
+    val byP = chain.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(byP.count(_._2 == "hasList") == 2)
+    assert(byP.count(t => t._2 == "rdf:rest" && t._3 == "rdf:nil") == 2)
+    // round trip: unrolling the built chains recovers the ordered positions
+    val back = TripleOps.rdfListUnroll(chain, "rdf:first", "rdf:rest", "rdf:nil").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getString(3))).toSet
+    assert(back == Set(
+      ("g1", 0L, "a"), ("g1", 1L, "b"), ("g1", 2L, "c"),
+      ("g2", 0L, "only")), back.toString)
+    // determinism: rebuilding yields the identical triple set (labels included)
+    val again = TripleOps.buildLists(items).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(again == byP.toSet)
+  }
+
   test("describeCbd: bnode chain expands recursively, IRI boundary holds, shared bnodes once") {
     val s = spark
     import s.implicits._
