@@ -867,6 +867,26 @@ object SparkEntry {
       TripleOps.path(edges, Seq(TripleOps.OneOrMore("linksTo")))
         .select("src", "dst")
     }),
+    // SPARQL per-group top-k subquery (the §12 canonical example
+    // shape: for each group, the k best members): rank by (age DESC,
+    // member ASC) — the tiebreak is load-bearing (q103 rule) because
+    // ages collide across members — then keep rank <= 2; expressed as
+    // one (org)-partitioned window over the joined solutions
+    "q167_subquery_topk_group" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.select(dId.as("s"), lit("worksFor").as("p"),
+          concat(lit("o"), pmod(col("doc_id"), lit(16))).as("o"))
+        .unionByName(docs.select(dId.as("s"), lit("age").as("p"),
+          pmod(col("doc_id"), lit(90)).cast("string").as("o")))
+      val sols = TripleOps.bgp(spo, Seq(("?x", "worksFor", "?org"), ("?x", "age", "?a")))
+        .select(col("x"), col("org"), col("a").cast("long").as("age"))
+      sols.withColumn("rk", row_number().over(
+          Window.partitionBy(col("org")).orderBy(col("age").desc, col("x"))))
+        .where(col("rk") <= 2)
+        .select(col("org"), col("x"), col("age"), col("rk").cast("long").as("rk"))
+    }),
     // rdf:List construction (the write side of q141's unroll): one
     // cons chain per group, elements in (ord, v) order with unique
     // ord, deterministic md5-prefix cell labels — round-tripped by
@@ -4242,6 +4262,21 @@ object SparkEntry {
       |)
       |SELECT printf('n%06d', a) AS src, printf('n%06d', b) AS dst FROM walk""".stripMargin
 
+  /** DuckDB twin of q167 (per-group top-k): same (age DESC, member
+    * ASC) deterministic rank — equal ages across members make the
+    * tiebreak observable at every SF.
+    */
+  private val q167Sql: String =
+    """WITH sols AS (
+      |  SELECT 'o' || CAST(doc_id % 16 AS VARCHAR) AS org,
+      |         'd' || CAST(doc_id AS VARCHAR) AS x,
+      |         CAST(doc_id % 90 AS BIGINT) AS age
+      |  FROM documents
+      |)
+      |SELECT org, x, age, CAST(rk AS BIGINT) AS rk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY org ORDER BY age DESC, x) AS rk FROM sols
+      |) WHERE rk <= 2""".stripMargin
+
   /** DuckDB twin of q166 (rdf:List build): same window positions and
     * md5-prefix cell labels ('s|idx' — Spark's concat_ws('|') form);
     * unique ord keeps row_number deterministic (q103 rule).
@@ -6295,6 +6330,7 @@ object SparkEntry {
     "q164_numeric_funcs" -> q164Sql,
     "q165_describe_cbd" -> q165Sql,
     "q166_rdf_list_build" -> q166Sql,
+    "q167_subquery_topk_group" -> q167Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),
