@@ -867,6 +867,27 @@ object SparkEntry {
       TripleOps.path(edges, Seq(TripleOps.OneOrMore("linksTo")))
         .select("src", "dst")
     }),
+    // SPARQL COUNT(?var) vs COUNT(*) over OPTIONAL-fed solutions: the
+    // spec's aggregate skips UNBOUND bindings — identical to SQL
+    // count(col) null-skipping — while COUNT(*) counts every
+    // solution; SUM/MAX over the optional variable likewise ignore
+    // unbound rows (nulls), never poison the aggregate
+    "q168_agg_unbound" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.select(dId.as("s"), lit("worksFor").as("p"),
+          concat(lit("o"), pmod(col("doc_id"), lit(16))).as("o"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(3)) === 0)
+          .select(dId.as("s"), lit("bonus").as("p"),
+            pmod(col("doc_id"), lit(500)).cast("string").as("o")))
+      val sols = TripleOps.bgpOptional(spo,
+        Seq(("?x", "worksFor", "?org")), Seq(Seq(("?x", "bonus", "?b"))))
+      sols.groupBy(col("org")).agg(
+        count(lit(1)).as("n_all"),
+        count(col("b")).as("n_bonus"),
+        coalesce(sum(col("b").cast("long")), lit(0L)).as("sum_bonus"),
+        coalesce(max(col("b").cast("long")), lit(-1L)).as("max_bonus"))
+    }),
     // SPARQL per-group top-k subquery (the §12 canonical example
     // shape: for each group, the k best members): rank by (age DESC,
     // member ASC) — the tiebreak is load-bearing (q103 rule) because
@@ -4262,6 +4283,26 @@ object SparkEntry {
       |)
       |SELECT printf('n%06d', a) AS src, printf('n%06d', b) AS dst FROM walk""".stripMargin
 
+  /** DuckDB twin of q168 (aggregate unbound discipline): LEFT JOIN
+    * rebuilds the optional solutions; count(col)/sum/max null-skip in
+    * BOTH engines (the exact semantics under test — n_bonus < n_all
+    * in every group); the COALESCE lanes are the all-unbound-group
+    * guard, identical both sides (not exercised at these SFs where
+    * every org has bonus members).
+    */
+  private val q168Sql: String =
+    """WITH sols AS (
+      |  SELECT 'o' || CAST(d.doc_id % 16 AS VARCHAR) AS org,
+      |         b.bonus AS b
+      |  FROM documents d LEFT JOIN (
+      |    SELECT doc_id, CAST(doc_id % 500 AS BIGINT) AS bonus
+      |    FROM documents WHERE doc_id % 3 = 0) b USING (doc_id)
+      |)
+      |SELECT org, count(*) AS n_all, count(b) AS n_bonus,
+      |       COALESCE(CAST(sum(b) AS BIGINT), 0) AS sum_bonus,
+      |       COALESCE(max(b), -1) AS max_bonus
+      |FROM sols GROUP BY org""".stripMargin
+
   /** DuckDB twin of q167 (per-group top-k): same (age DESC, member
     * ASC) deterministic rank — equal ages across members make the
     * tiebreak observable at every SF.
@@ -6331,6 +6372,7 @@ object SparkEntry {
     "q165_describe_cbd" -> q165Sql,
     "q166_rdf_list_build" -> q166Sql,
     "q167_subquery_topk_group" -> q167Sql,
+    "q168_agg_unbound" -> q168Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

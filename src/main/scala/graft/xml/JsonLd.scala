@@ -43,10 +43,13 @@ import scala.collection.mutable
   *     `@language`/`@type`; `{"@list": […]}` builds an rdf:first/
   *     rdf:rest chain (fresh bnodes); any other object is a nested
   *     node — recursed, linked by its subject.
-  *   - `@reverse` and `@graph` labels are NOT supported; a top-level
-  *     `@graph` array is processed with its triples merged into the
-  *     default graph (the overwhelmingly common "several top-level
-  *     things" idiom), and a top-level array processes every element.
+  *   - `@reverse`: `{p: nodes}` asserts (node, p, subject) for each
+  *     node-object or IRI-string value (literal values are illegal
+  *     per spec and drop silently). `@graph` LABELS are not
+  *     supported; a top-level `@graph` array is processed with its
+  *     triples merged into the default graph (the overwhelmingly
+  *     common "several top-level things" idiom), and a top-level
+  *     array processes every element.
   *
   * Malformed JSON (or a non-object/array root) yields a ParseError the
   * caller treats as island-skip, never fatal — the per-row error
@@ -257,6 +260,29 @@ object JsonLd {
             case None => (expandIri(k, ctx, asRef = false), null)
           }
           if (predIri != null) value(subject, Iri(predIri), e.getValue, coercion, ctx)
+        }
+      }
+      // @reverse: {p: nodes} asserts (node, p, subject) — each value a
+      // node object (or array of them); literals are illegal there and
+      // drop silently (the error-tolerant island contract)
+      val revN = n.get("@reverse")
+      if (revN != null && revN.isObject) {
+        revN.properties().asScala.foreach { e =>
+          val predIri = ctx.terms.get(e.getKey) match {
+            case Some(td) => td.iri
+            case None => expandIri(e.getKey, ctx, asRef = false)
+          }
+          if (predIri != null) {
+            val vals = if (e.getValue.isArray) e.getValue.elements().asScala.toSeq
+                       else Seq(e.getValue)
+            vals.foreach { v =>
+              val srcTerm: Term =
+                if (v.isObject) node(v, ctx)
+                else if (v.isTextual) expandRef(v.asText, ctx)
+                else null
+              if (srcTerm != null) triples += Triple(srcTerm, Iri(predIri), subject)
+            }
+          }
         }
       }
       subject

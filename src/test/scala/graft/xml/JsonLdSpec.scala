@@ -133,6 +133,20 @@ class JsonLdSpec extends AnyFunSuite {
       Triple(BNode("jl2_1"), Iri(schema + "name"), Lit.plain("y"))))
   }
 
+  test("@reverse asserts inverted triples from node objects and IRI strings; literals drop") {
+    val json =
+      """{"@context": "https://schema.org",
+        | "@id": "http://e/work",
+        | "@reverse": {
+        |   "author": [{"@id": "http://e/p1", "name": "Ann"}, "http://e/p2", 42]
+        | }}""".stripMargin
+    val ts = JsonLd.parse(json, None).toOption.get.toSet
+    assert(ts == Set(
+      Triple(Iri("http://e/p1"), Iri(schema + "name"), Lit.plain("Ann")),
+      Triple(Iri("http://e/p1"), Iri(schema + "author"), Iri("http://e/work")),
+      Triple(Iri("http://e/p2"), Iri(schema + "author"), Iri("http://e/work"))))
+  }
+
   test("unexpandable keys and types drop; remote contexts never fetched") {
     val json = """{"@id": "http://e/x", "name": "no vocab", "@type": "Thing"}"""
     assert(JsonLd.parse(json, None).toOption.get.isEmpty)
