@@ -867,6 +867,30 @@ object SparkEntry {
       TripleOps.path(edges, Seq(TripleOps.OneOrMore("linksTo")))
         .select("src", "dst")
     }),
+    // NOT EXISTS over OPTIONAL-fed solutions — the unbound-variable
+    // substitution corner: an UNBOUND ?m stays a FREE variable in the
+    // filter pattern, so the existence check is unconstrained and
+    // (because flagged mentors exist) NOT EXISTS drops every
+    // unbound-?m solution too — only bound-and-unflagged mentors
+    // survive; a naive null-key anti-join would wrongly keep the
+    // unbound rows
+    "q169_exists_unbound" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.select(dId.as("s"), lit("worksFor").as("p"),
+          concat(lit("o"), pmod(col("doc_id"), lit(16))).as("o"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(4)) === 0)
+          .select(dId.as("s"), lit("mentor").as("p"),
+            concat(lit("m"), pmod(col("doc_id"), lit(10))).as("o")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(10)) < 5)
+          .select(concat(lit("m"), pmod(col("doc_id"), lit(10))).as("s"),
+            lit("flagged").as("p"), lit("1").as("o")))
+      val sols = TripleOps.bgpOptional(spo,
+        Seq(("?x", "worksFor", "?org")), Seq(Seq(("?x", "mentor", "?m"))))
+      TripleOps.filterExistsUnbound(sols, spo, Seq(("?m", "flagged", "?f")),
+          negate = true)
+        .select("x", "org", "m")
+    }),
     // SPARQL COUNT(?var) vs COUNT(*) over OPTIONAL-fed solutions: the
     // spec's aggregate skips UNBOUND bindings — identical to SQL
     // count(col) null-skipping — while COUNT(*) counts every
@@ -4283,6 +4307,18 @@ object SparkEntry {
       |)
       |SELECT printf('n%06d', a) AS src, printf('n%06d', b) AS dst FROM walk""".stripMargin
 
+  /** DuckDB twin of q169 (NOT EXISTS with unbound): the DEFINITIONAL
+    * survivor set stated directly — bound mentors outside the flagged
+    * residue classes; the unbound-?m drop (free variable matches the
+    * existing flagged rows) is what makes the WHERE clause this
+    * simple.
+    */
+  private val q169Sql: String =
+    """SELECT 'd' || CAST(doc_id AS VARCHAR) AS x,
+      |       'o' || CAST(doc_id % 16 AS VARCHAR) AS org,
+      |       'm' || CAST(doc_id % 10 AS VARCHAR) AS m
+      |FROM documents WHERE doc_id % 4 = 0 AND doc_id % 10 >= 5""".stripMargin
+
   /** DuckDB twin of q168 (aggregate unbound discipline): LEFT JOIN
     * rebuilds the optional solutions; count(col)/sum/max null-skip in
     * BOTH engines (the exact semantics under test — n_bonus < n_all
@@ -6373,6 +6409,7 @@ object SparkEntry {
     "q166_rdf_list_build" -> q166Sql,
     "q167_subquery_topk_group" -> q167Sql,
     "q168_agg_unbound" -> q168Sql,
+    "q169_exists_unbound" -> q169Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

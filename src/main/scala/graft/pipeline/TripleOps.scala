@@ -512,6 +512,28 @@ object TripleOps {
       .distinct()
   }
 
+  /** FILTER EXISTS / NOT EXISTS over solutions that may carry UNBOUND
+    * variables (OPTIONAL-fed) — the spec corner [[filterExists]]'s
+    * plain semi/anti join gets wrong: substitute(pattern, μ) replaces
+    * only the BOUND variables, an unbound one stays a free variable in
+    * the pattern, so the existence check is UNCONSTRAINED on it. Join
+    * condition per shared variable: `sol.v IS NULL OR sol.v = grp.v`.
+    * The group's solution set broadcasts when small (the common
+    * EXISTS); a solution matching several group rows still appears
+    * once (semi/anti, never a fan-out).
+    */
+  def filterExistsUnbound(solutions: DataFrame, triples: DataFrame,
+      group: Seq[(String, String, String)], negate: Boolean = false): DataFrame = {
+    val g = bgp(triples, group)
+    val shared = solutions.columns.intersect(g.columns).toSeq
+    require(shared.nonEmpty, "EXISTS group shares no variable — use filterExists for the closed form")
+    val r = shared.foldLeft(g.select(shared.map(col): _*).distinct())(
+      (d, c) => d.withColumnRenamed(c, c + "__g"))
+    val cond = shared.map(c => solutions(c).isNull || solutions(c) === r(c + "__g"))
+      .reduce(_ && _)
+    solutions.join(r, cond, if (negate) "left_anti" else "left_semi")
+  }
+
   /** owl:InverseFunctionalProperty sameAs INFERENCE — the discovery
     * half of KG identity resolution ([[sameAsCanonicalize]] is the
     * consumption half): two subjects asserting the SAME value under an
@@ -883,6 +905,7 @@ object TripleOps {
   final case class SeqPath(steps: Seq[PathStep]) extends PathStep
   final case class Plus(inner: PathStep) extends PathStep
   final case class Star(inner: PathStep) extends PathStep
+  final case class Opt(inner: PathStep) extends PathStep // (path)? — identity ∪ inner
 
   /** SPARQL sequence property path over [[PathStep]]s — `p1/p2`, `^p`,
     * `!(…)`, `p?` and any mix. Steps chain as equi-joins on the
@@ -929,6 +952,7 @@ object TripleOps {
         chain(ss.map(eval))
       case Plus(inner) => closure(eval(inner))
       case Star(inner) => identity0.unionByName(closure(eval(inner))).distinct()
+      case Opt(inner) => identity0.unionByName(eval(inner)).distinct()
     }
     chain(steps.map(eval))
   }

@@ -1032,6 +1032,40 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(("x", "c0", "c3"), ("z", "c1", "c4")), got.toString)
   }
 
+  test("filterExistsUnbound: unbound var is FREE in the pattern; bound vars semi/anti as usual") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(
+      ("d1", "worksFor", "o1"), ("d2", "worksFor", "o1"), ("d3", "worksFor", "o2"),
+      ("d1", "mentor", "m1"), ("d2", "mentor", "m2"),
+      // d3 has NO mentor -> ?m unbound in its solution
+      ("m1", "flagged", "1")).toDF("s", "p", "o")
+    val sols = TripleOps.bgpOptional(spo,
+      Seq(("?x", "worksFor", "?org")), Seq(Seq(("?x", "mentor", "?m"))))
+    // NOT EXISTS {?m flagged ?f}: d1 (flagged mentor) drops; d3 (unbound ?m,
+    // free variable matches the existing flagged row) drops too; d2 survives
+    val kept = TripleOps.filterExistsUnbound(sols, spo,
+        Seq(("?m", "flagged", "?f")), negate = true)
+      .select("x").collect().map(_.getString(0)).toSet
+    assert(kept == Set("d2"), kept.toString)
+    // positive EXISTS keeps exactly the complement
+    val pos = TripleOps.filterExistsUnbound(sols, spo,
+        Seq(("?m", "flagged", "?f")), negate = false)
+      .select("x").collect().map(_.getString(0)).toSet
+    assert(pos == Set("d1", "d3"), pos.toString)
+  }
+
+  test("path: Opt step is identity union inner, compositional under sequences") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(("a", "p", "b"), ("b", "q", "c")).toDF("s", "p", "o")
+    // p/(q?) — a reaches b (zero q) and c (one q)
+    val got = TripleOps.path(spo, Seq(TripleOps.PredStep("p"),
+        TripleOps.Opt(TripleOps.PredStep("q")))).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a", "b"), ("a", "c")), got.toString)
+  }
+
   test("buildLists: deterministic cons chains; rdfListUnroll round-trips positions exactly") {
     val s = spark
     import s.implicits._
