@@ -867,6 +867,39 @@ object SparkEntry {
       TripleOps.path(edges, Seq(TripleOps.OneOrMore("linksTo")))
         .select("src", "dst")
     }),
+    // RDF-star edge annotations: confidence statements about quoted
+    // << x worksFor org >> triples (the RDF 1.2 idiom that replaces
+    // 4-triple reification), queried back by the SPARQL-star basic
+    // pattern — a non-quoted confidence row plants the negative lane
+    // the rlike filter must exclude
+    "q170_rdf_star" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val org = concat(lit("o"), pmod(col("doc_id"), lit(16)))
+      val qt = TripleOps.quoteTriple(dId, lit("worksFor"), org)
+      val spo = docs.select(dId.as("s"), lit("worksFor").as("p"), org.as("o"))
+        .unionByName(docs.select(qt.as("s"), lit("confidence").as("p"),
+          concat(lit("c"), pmod(col("doc_id"), lit(5))).as("o")))
+        .unionByName(docs.select(qt.as("s"), lit("source").as("p"),
+          concat(lit("s"), pmod(col("doc_id"), lit(3))).as("o")))
+        .unionByName(docs.select(dId.as("s"), lit("confidence").as("p"),
+          lit("c9").as("o"))) // non-quoted subject: must not match
+      TripleOps.starAnnotations(spo, "worksFor", "confidence")
+        .select("qs", "qo", "v")
+    }),
+    // OWL 2 RL prp-eqp: equivalentProperty entailment — the {p0,p1,p2}
+    // and {p3,p4} classes (chained through p1: symmetric-transitive
+    // closure of the schema pairs) fan every asserted triple out to
+    // all class members; p5 stays alone
+    "q171_owl_equiv_prop" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val spo = docs.select(concat(lit("d"), col("doc_id")).as("s"),
+        concat(lit("p"), pmod(col("doc_id"), lit(6))).as("p"),
+        concat(lit("v"), pmod(col("doc_id"), lit(10))).as("o"))
+      val equiv = Seq(("p0", "p1"), ("p1", "p2"), ("p3", "p4")).toDF("a", "b")
+      TripleOps.equivPropEntail(spo, equiv).select("s", "p", "o")
+    }),
     // NOT EXISTS over OPTIONAL-fed solutions — the unbound-variable
     // substitution corner: an UNBOUND ?m stays a FREE variable in the
     // filter pattern, so the existence check is unconstrained and
@@ -4307,6 +4340,35 @@ object SparkEntry {
       |)
       |SELECT printf('n%06d', a) AS src, printf('n%06d', b) AS dst FROM walk""".stripMargin
 
+  /** DuckDB twin of q170 (RDF-star): the annotation solutions stated
+    * directly from the generating arithmetic — the planted non-quoted
+    * confidence row must be absent, which the direct statement
+    * encodes by construction.
+    */
+  private val q170Sql: String =
+    """SELECT 'd' || CAST(doc_id AS VARCHAR) AS qs,
+      |       'o' || CAST(doc_id % 16 AS VARCHAR) AS qo,
+      |       'c' || CAST(doc_id % 5 AS VARCHAR) AS v
+      |FROM documents""".stripMargin
+
+  /** DuckDB twin of q171 (prp-eqp): the equivalence classes enumerated
+    * as an explicit member map (the closure of {p0,p1,p2} and {p3,p4}
+    * written out) — independent of the Spark closure computation.
+    */
+  private val q171Sql: String =
+    """WITH t AS (
+      |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s,
+      |         'p' || CAST(doc_id % 6 AS VARCHAR) AS p,
+      |         'v' || CAST(doc_id % 10 AS VARCHAR) AS o
+      |  FROM documents
+      |), m(p, q) AS (VALUES
+      |  ('p0','p0'),('p0','p1'),('p0','p2'),
+      |  ('p1','p0'),('p1','p1'),('p1','p2'),
+      |  ('p2','p0'),('p2','p1'),('p2','p2'),
+      |  ('p3','p3'),('p3','p4'),('p4','p3'),('p4','p4'),
+      |  ('p5','p5'))
+      |SELECT DISTINCT s, m.q AS p, o FROM t JOIN m USING (p)""".stripMargin
+
   /** DuckDB twin of q169 (NOT EXISTS with unbound): the DEFINITIONAL
     * survivor set stated directly — bound mentors outside the flagged
     * residue classes; the unbound-?m drop (free variable matches the
@@ -6410,6 +6472,8 @@ object SparkEntry {
     "q167_subquery_topk_group" -> q167Sql,
     "q168_agg_unbound" -> q168Sql,
     "q169_exists_unbound" -> q169Sql,
+    "q170_rdf_star" -> q170Sql,
+    "q171_owl_equiv_prop" -> q171Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

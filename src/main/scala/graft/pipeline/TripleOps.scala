@@ -534,6 +534,67 @@ object TripleOps {
     solutions.join(r, cond, if (negate) "left_anti" else "left_semi")
   }
 
+  /** RDF-star (RDF 1.2) quoted-triple terms over the layer's string
+    * convention: a quoted triple `<< s p o >>` is ONE term usable in
+    * subject/object position — the edge-annotation idiom (confidence,
+    * provenance, temporal scope on a statement) that classic
+    * reification (q123) needs four triples for. [[quoteTriple]] builds
+    * the canonical encoding; [[unquoteTriple]] projects it back to
+    * (qs, qp, qo) columns (empty on non-quoted terms). Components must
+    * be space-free (the fixture/IRI discipline of this layer — IRIs
+    * and the layer's node ids never carry spaces); both directions are
+    * pure codegen string ops.
+    */
+  def quoteTriple(s: org.apache.spark.sql.Column, p: org.apache.spark.sql.Column,
+      o: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("<<"), s, lit(" "), p, lit(" "), o, lit(">>"))
+
+  val QuotedTripleRe = "^<<(\\S+) (\\S+) (\\S+)>>$"
+
+  def unquoteTriple(term: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+    Seq(regexp_extract(term, QuotedTripleRe, 1).as("qs"),
+      regexp_extract(term, QuotedTripleRe, 2).as("qp"),
+      regexp_extract(term, QuotedTripleRe, 3).as("qo"))
+
+  /** SPARQL-star basic pattern `<< ?qs P ?qo >> A ?v`: solutions of
+    * annotation triples whose subject is a quoted triple with
+    * predicate `quotedPred`, projected to (qs, qo, v). The annotation
+    * predicate filter pushes into the scan; the unquote is a codegen
+    * regexp projection — no joins at all for the single-pattern form.
+    */
+  def starAnnotations(triples: DataFrame, quotedPred: String,
+      annotPred: String): DataFrame = {
+    val spo = spoCols(triples)
+    spo.where(col("p") === annotPred && col("s").rlike(QuotedTripleRe))
+      .select(unquoteTriple(col("s")) :+ col("o").as("v"): _*)
+      .where(col("qp") === quotedPred)
+      .select(col("qs"), col("qo"), col("v"))
+  }
+
+  /** OWL 2 RL prp-eqp: owl:equivalentProperty entailment — every
+    * triple asserted under one property of an equivalence class holds
+    * under ALL of them. The class structure is the symmetric-
+    * transitive closure of the (schema-sized) equivalence pairs,
+    * computed by [[transitiveClosure]] on the tiny predicate graph and
+    * BROADCAST into one fan-out join against the instance data —
+    * instance triples never shuffle, output is the entailed set
+    * (asserted ∪ derived, distinct).
+    */
+  def equivPropEntail(triples: DataFrame, equiv: DataFrame): DataFrame = {
+    val spo = spoCols(triples)
+    val pairs = equiv.select(
+        col(equiv.columns(0)).cast("string").as("a"),
+        col(equiv.columns(1)).cast("string").as("b"))
+      .where(col("a") =!= col("b"))
+    val sym = pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b"))).distinct()
+    val closure = transitiveClosure(sym.select(col("a").as("sub"), col("b").as("sup")))
+      .select(col("sub").as("p"), col("sup").as("q"))
+    spo.join(broadcast(closure), Seq("p"))
+      .select(col("s"), col("q").as("p"), col("o"))
+      .unionByName(spo)
+      .distinct()
+  }
+
   /** owl:InverseFunctionalProperty sameAs INFERENCE — the discovery
     * half of KG identity resolution ([[sameAsCanonicalize]] is the
     * consumption half): two subjects asserting the SAME value under an

@@ -1032,6 +1032,38 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(("x", "c0", "c3"), ("z", "c1", "c4")), got.toString)
   }
 
+  test("RDF-star: quote/unquote round-trip; starAnnotations filters quoted pred and term shape") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(
+      ("<<d1 worksFor o1>>", "confidence", "c1"),
+      ("<<d2 worksFor o2>>", "confidence", "c2"),
+      ("<<d1 knows o1>>", "confidence", "c3"), // other quoted pred: excluded
+      ("d1", "confidence", "c9"),              // non-quoted subject: excluded
+      ("d1", "worksFor", "o1")).toDF("s", "p", "o")
+    val got = TripleOps.starAnnotations(spo, "worksFor", "confidence").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("d1", "o1", "c1"), ("d2", "o2", "c2")), got.toString)
+    // encode/decode identity
+    val rt = Seq(("a", "p", "b")).toDF("x", "y", "z")
+      .select(TripleOps.quoteTriple($"x", $"y", $"z").as("t"))
+      .select(TripleOps.unquoteTriple($"t"): _*).collect().head
+    assert((rt.getString(0), rt.getString(1), rt.getString(2)) == (("a", "p", "b")))
+  }
+
+  test("equivPropEntail: symmetric-transitive classes fan triples to every member; singleton inert") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(("x", "p0", "v"), ("y", "p2", "w"), ("z", "p5", "u")).toDF("s", "p", "o")
+    val equiv = Seq(("p0", "p1"), ("p1", "p2")).toDF("a", "b")
+    val got = TripleOps.equivPropEntail(spo, equiv).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("x", "p0", "v"), ("x", "p1", "v"), ("x", "p2", "v"),
+      ("y", "p0", "w"), ("y", "p1", "w"), ("y", "p2", "w"),
+      ("z", "p5", "u")), got.toString)
+  }
+
   test("filterExistsUnbound: unbound var is FREE in the pattern; bound vars semi/anti as usual") {
     val s = spark
     import s.implicits._
