@@ -867,6 +867,23 @@ object SparkEntry {
       TripleOps.path(edges, Seq(TripleOps.OneOrMore("linksTo")))
         .select("src", "dst")
     }),
+    // Interval-overlap join via timeline binning — the scale-safe
+    // range join: intervals expand to width-64 bins, sides EQUI-join
+    // on the bin, the exact overlap predicate prunes, pair-distinct
+    // removes multi-bin duplicates; the oracle is the NAIVE overlap
+    // join (safe at test SFs), deliberately independent of the
+    // binning
+    "q172_interval_join" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val aa = docs.select(concat(lit("a"), col("doc_id")).as("id"),
+        pmod(col("doc_id") * 13, lit(1000)).as("lo"),
+        (pmod(col("doc_id") * 13, lit(1000)) + pmod(col("doc_id"), lit(50))).as("hi"))
+      val bb = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+        .select(concat(lit("b"), col("doc_id")).as("id"),
+          pmod(col("doc_id") * 7, lit(1000)).as("lo"),
+          (pmod(col("doc_id") * 7, lit(1000)) + pmod(col("doc_id"), lit(30))).as("hi"))
+      EventOps.intervalOverlapJoin(aa, bb, binWidth = 64L).select("ida", "idb")
+    }),
     // RDF-star edge annotations: confidence statements about quoted
     // << x worksFor org >> triples (the RDF 1.2 idiom that replaces
     // 4-triple reification), queried back by the SPARQL-star basic
@@ -4340,6 +4357,25 @@ object SparkEntry {
       |)
       |SELECT printf('n%06d', a) AS src, printf('n%06d', b) AS dst FROM walk""".stripMargin
 
+  /** DuckDB twin of q172 (interval join): the NAIVE overlap join —
+    * O(|a|·|b|) but safe at test SFs — independent of the Spark
+    * binning plan (which must be exactly candidate-complete: a bin
+    * width can never lose a pair, only duplicate candidates).
+    */
+  private val q172Sql: String =
+    """WITH a AS (
+      |  SELECT 'a' || CAST(doc_id AS VARCHAR) AS ida,
+      |         (doc_id * 13) % 1000 AS lo,
+      |         (doc_id * 13) % 1000 + doc_id % 50 AS hi
+      |  FROM documents
+      |), b AS (
+      |  SELECT 'b' || CAST(doc_id AS VARCHAR) AS idb,
+      |         (doc_id * 7) % 1000 AS lo,
+      |         (doc_id * 7) % 1000 + doc_id % 30 AS hi
+      |  FROM documents WHERE doc_id % 5 = 0
+      |)
+      |SELECT DISTINCT ida, idb FROM a JOIN b ON a.lo <= b.hi AND b.lo <= a.hi""".stripMargin
+
   /** DuckDB twin of q170 (RDF-star): the annotation solutions stated
     * directly from the generating arithmetic — the planted non-quoted
     * confidence row must be absent, which the direct statement
@@ -6474,6 +6510,7 @@ object SparkEntry {
     "q169_exists_unbound" -> q169Sql,
     "q170_rdf_star" -> q170Sql,
     "q171_owl_equiv_prop" -> q171Sql,
+    "q172_interval_join" -> q172Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

@@ -294,4 +294,36 @@ object EventOps {
         coalesce(col("n_active_1d"), lit(0L)).cast("bigint").as("n_active_1d"),
         col("n_active_win").cast("bigint").as("n_active_win"))
   }
+
+  /** Interval-overlap join at scale — the range-join problem (validity
+    * intervals, sessions × campaigns, temporal KG edges) that a naive
+    * `a.lo <= b.hi AND b.lo <= a.hi` predicate turns into a cartesian
+    * nested loop. The scale form BINS the timeline: each interval
+    * expands to its covered bins of width `binWidth` (fan-out bounded
+    * by interval-length/binWidth + 1), the sides EQUI-join on the bin,
+    * the exact overlap predicate filters the candidates, and a pair
+    * distinct removes multi-bin duplicates. Every join is a hash join
+    * on the bin key; skew = a bin with many intervals, handled by AQE
+    * like any hot key.
+    *
+    * Inputs: (id, lo, hi) each side, inclusive NON-NEGATIVE integer
+    * endpoints (epoch units are; `div`-binning truncates toward zero,
+    * which is floor only there), lo <= hi. Output: (ida, idb)
+    * distinct overlapping pairs.
+    * Pick binWidth near the typical interval length: much smaller
+    * multiplies fan-out, much larger multiplies per-bin candidates.
+    */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame, binWidth: Long): DataFrame = {
+    require(binWidth >= 1, "binWidth must be >= 1")
+    def binned(df: DataFrame, id: String) = df.select(
+        col(df.columns(0)).cast("string").as(id),
+        col(df.columns(1)).cast("long").as(s"${id}_lo"),
+        col(df.columns(2)).cast("long").as(s"${id}_hi"))
+      .withColumn("bin", explode(sequence(
+        expr(s"${id}_lo div $binWidth"), expr(s"${id}_hi div $binWidth"))))
+    binned(a, "ida").join(binned(b, "idb"), Seq("bin"))
+      .where(col("ida_lo") <= col("idb_hi") && col("idb_lo") <= col("ida_hi"))
+      .select(col("ida"), col("idb"))
+      .distinct()
+  }
 }

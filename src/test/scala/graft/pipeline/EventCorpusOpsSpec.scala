@@ -834,4 +834,21 @@ class EventCorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // deterministic: a second build yields the identical set
     assert(run() == got)
   }
+
+  test("intervalOverlapJoin: inclusive endpoints, bin-straddling pairs found once, equals naive join") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(("a1", 0L, 10L), ("a2", 100L, 200L), ("a3", 63L, 65L)).toDF("id", "lo", "hi")
+    val b = Seq(("b1", 10L, 20L),   // touches a1 at 10 (inclusive)
+                ("b2", 21L, 99L),   // gap to a1, touches nothing of a2
+                ("b3", 64L, 300L)   // straddles bins; overlaps a3 and a2
+               ).toDF("id", "lo", "hi")
+    val got = EventOps.intervalOverlapJoin(a, b, binWidth = 64L).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val naive = a.toDF("ida", "alo", "ahi").crossJoin(b.toDF("idb", "blo", "bhi"))
+      .where($"alo" <= $"bhi" && $"blo" <= $"ahi")
+      .select("ida", "idb").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == naive, s"got $got naive $naive")
+    assert(got == Set(("a1", "b1"), ("a3", "b2"), ("a3", "b3"), ("a2", "b3")), got.toString)
+  }
 }
