@@ -867,6 +867,21 @@ object SparkEntry {
       TripleOps.path(edges, Seq(TripleOps.OneOrMore("linksTo")))
         .select("src", "dst")
     }),
+    // Pairwise ER evaluation without pair materialization: the
+    // contingency-table identity turns cluster-level P/R into three
+    // map-side-combinable counts — the predicted labels corrupt the
+    // gold id%17 classes on the id%51==1 rows, so TP/FP/FN are all
+    // nonzero at every SF; ppm ratios truncate (q62)
+    "q173_er_metrics" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val gold = pmod(col("doc_id"), lit(17))
+      val pred = when(pmod(col("doc_id"), lit(51)) === 1,
+        pmod(col("doc_id") * 31, lit(17))).otherwise(gold)
+      Curation.pairwiseErMetrics(docs.select(
+        concat(lit("d"), col("doc_id")).as("id"),
+        concat(lit("p"), pred).as("pred"),
+        concat(lit("g"), gold).as("gold")))
+    }),
     // Interval-overlap join via timeline binning — the scale-safe
     // range join: intervals expand to width-64 bins, sides EQUI-join
     // on the bin, the exact overlap predicate prunes, pair-distinct
@@ -4357,6 +4372,31 @@ object SparkEntry {
       |)
       |SELECT printf('n%06d', a) AS src, printf('n%06d', b) AS dst FROM walk""".stripMargin
 
+  /** DuckDB twin of q173 (ER metrics): the same contingency identity
+    * — HUGEINT sums cast to BIGINT (q70 rule), `//` on non-negative
+    * pair counts (q62 rule).
+    */
+  private val q173Sql: String =
+    """WITH a AS (
+      |  SELECT 'p' || CAST(CASE WHEN doc_id % 51 = 1 THEN (doc_id * 31) % 17
+      |                          ELSE doc_id % 17 END AS VARCHAR) AS pred,
+      |         'g' || CAST(doc_id % 17 AS VARCHAR) AS gold
+      |  FROM documents
+      |), cell AS (
+      |  SELECT CAST(COALESCE(sum(n * (n - 1) // 2), 0) AS BIGINT) AS tp
+      |  FROM (SELECT count(*) AS n FROM a GROUP BY pred, gold)
+      |), pt AS (
+      |  SELECT CAST(COALESCE(sum(n * (n - 1) // 2), 0) AS BIGINT) AS pred_pairs
+      |  FROM (SELECT count(*) AS n FROM a GROUP BY pred)
+      |), gt AS (
+      |  SELECT CAST(COALESCE(sum(n * (n - 1) // 2), 0) AS BIGINT) AS gold_pairs
+      |  FROM (SELECT count(*) AS n FROM a GROUP BY gold)
+      |)
+      |SELECT tp, pred_pairs - tp AS fp, gold_pairs - tp AS fn,
+      |       CASE WHEN pred_pairs > 0 THEN tp * 1000000 // pred_pairs ELSE 0 END AS precision_ppm,
+      |       CASE WHEN gold_pairs > 0 THEN tp * 1000000 // gold_pairs ELSE 0 END AS recall_ppm
+      |FROM cell, pt, gt""".stripMargin
+
   /** DuckDB twin of q172 (interval join): the NAIVE overlap join —
     * O(|a|·|b|) but safe at test SFs — independent of the Spark
     * binning plan (which must be exactly candidate-complete: a bin
@@ -6511,6 +6551,7 @@ object SparkEntry {
     "q170_rdf_star" -> q170Sql,
     "q171_owl_equiv_prop" -> q171Sql,
     "q172_interval_join" -> q172Sql,
+    "q173_er_metrics" -> q173Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

@@ -1102,4 +1102,38 @@ object Curation {
             " "))
           .otherwise(lit("")).as("text_dedup"))
   }
+
+  /** Pairwise entity-resolution evaluation — precision/recall of a
+    * predicted clustering against gold labels, WITHOUT materializing
+    * any pair set (quadratic per cluster at KG scale): the standard
+    * contingency-table identity. With n_ij = |pred=i ∧ gold=j|:
+    *   TP        = Σ_ij C(n_ij, 2)
+    *   TP + FP   = Σ_i  C(|pred=i|, 2)
+    *   TP + FN   = Σ_j  C(|gold=j|, 2)
+    * Three map-side-combinable aggregations over the assignment table;
+    * C(n,2) = n·(n−1) div 2 keeps everything integer, and the ppm
+    * ratios are truncating div (the q62 rule). Output is ONE row:
+    * (tp, fp, fn, precision_ppm, recall_ppm) — zero-pair sides yield
+    * ppm 0 by the guard, never a division error.
+    */
+  def pairwiseErMetrics(assignments: DataFrame): DataFrame = {
+    val a = assignments.select(
+      col(assignments.columns(0)).cast("string").as("id"),
+      col(assignments.columns(1)).cast("string").as("pred"),
+      col(assignments.columns(2)).cast("string").as("gold"))
+    val cell = a.groupBy(col("pred"), col("gold")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("tp"))
+    val predT = a.groupBy(col("pred")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("pred_pairs"))
+    val goldT = a.groupBy(col("gold")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("gold_pairs"))
+    cell.crossJoin(predT).crossJoin(goldT)
+      .select(col("tp"),
+        (col("pred_pairs") - col("tp")).as("fp"),
+        (col("gold_pairs") - col("tp")).as("fn"),
+        when(col("pred_pairs") > 0, expr("tp * 1000000 div pred_pairs"))
+          .otherwise(lit(0L)).as("precision_ppm"),
+        when(col("gold_pairs") > 0, expr("tp * 1000000 div gold_pairs"))
+          .otherwise(lit(0L)).as("recall_ppm"))
+  }
 }

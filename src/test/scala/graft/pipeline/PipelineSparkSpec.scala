@@ -1512,4 +1512,21 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert(plan.contains("ReadSchema: struct<url:string,html:binary>"), plan)
   }
+
+  test("pairwiseErMetrics: contingency identity matches hand-computed pairwise P/R") {
+    val s = spark
+    import s.implicits._
+    // gold {a,b,c} + {d,e}; pred {a,b} + {c,d} + {e}
+    val assign = Seq(
+      ("a", "p1", "g1"), ("b", "p1", "g1"), ("c", "p2", "g1"),
+      ("d", "p2", "g2"), ("e", "p3", "g2")).toDF("id", "pred", "gold")
+    val r = Curation.pairwiseErMetrics(assign).collect().head
+    // tp=1 (a-b); pred pairs=2 -> fp=1 (c-d); gold pairs=4 -> fn=3
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 1L, 3L)), r.toString)
+    assert(r.getLong(3) == 500000L && r.getLong(4) == 250000L, r.toString)
+    // perfect clustering: P = R = 1
+    val perfect = Curation.pairwiseErMetrics(
+      assign.select($"id", $"gold".as("pred"), $"gold")).collect().head
+    assert(perfect.getLong(3) == 1000000L && perfect.getLong(4) == 1000000L)
+  }
 }
