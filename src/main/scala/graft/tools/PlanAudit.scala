@@ -41,6 +41,14 @@ object PlanAudit {
     "q150_bgp_having", // grouped aggregate × ONE-row broadcast total
                        // frame — the q47/q62 scalar shape carrying the
                        // data-derived HAVING threshold
+    "q169_exists_unbound", // IS-NULL-or-equal compatibility semi/anti
+                           // (unbound vars are FREE in EXISTS groups) —
+                           // inherently non-equi, the group side is the
+                           // distinct bound-value set (broadcast), the
+                           // q153 class
+    "q173_er_metrics", // three ONE-row aggregate frames cross-joined
+                       // into the single metrics row — the q47/q62
+                       // scalar-frame shape
     "q153_values_undef", // solutions × broadcast inline VALUES rows
                          // under the IS-NULL-or-equal compatibility
                          // condition — inherently non-equi (UNDEF is a
