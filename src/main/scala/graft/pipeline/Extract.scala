@@ -50,6 +50,29 @@ object Extract {
     -1
   }
 
+  /** ASCII-case-insensitive byte search for a LOWERCASE pattern — the
+    * pre-filters must accept ITEMSCOPE / application/LD+JSON pages
+    * because the downstream tokenizers are case-insensitive; a
+    * case-sensitive scan would silently skip them (recall gap, no
+    * error row). Branch-light: fold only when the candidate byte is an
+    * ASCII uppercase letter.
+    */
+  private def byteIndexOfCi(h: Array[Byte], lowerPat: Array[Byte], from: Int): Boolean = {
+    @inline def fold(b: Byte): Byte = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+    var i = from
+    val max = h.length - lowerPat.length
+    val p0 = lowerPat(0)
+    while (i <= max) {
+      if (fold(h(i)) == p0) {
+        var j = 1
+        while (j < lowerPat.length && fold(h(i + j)) == lowerPat(j)) j += 1
+        if (j == lowerPat.length) return true
+      }
+      i += 1
+    }
+    false
+  }
+
   /** Byte-level island detection — the hot path never materializes the
     * full document as a String (per-page allocation matters at 100 TB).
     * Returns (buffer, offset, length) of the RDF/XML island.
@@ -178,8 +201,8 @@ object Extract {
       // pages without them (the overwhelming majority of any crawl
       // slice) never pay the String conversion or a second scan; the
       // String materializes at most once for both
-      val mdHit = byteIndexOf(html, microdataMarker, 0) >= 0
-      val jlHit = byteIndexOf(html, jsonldMarker, 0) >= 0
+      val mdHit = byteIndexOfCi(html, microdataMarker, 0)
+      val jlHit = byteIndexOfCi(html, jsonldMarker, 0)
       lazy val htmlStr = new String(html, "UTF-8")
       val mdRows =
         if (!mdHit) Iterator.empty

@@ -741,18 +741,29 @@ object TripleOps {
     * the maintained view = old winners for untouched groups (anti-join
     * against the touched key set) ∪ re-derived winners over the
     * touched groups' full row sets (base semi-joined to touched, plus
-    * the delta). Per-trigger work scales with the delta's group
-    * footprint, not the corpus; sound because fusion is a pure
+    * the delta). `baseWinners` is the ALREADY-MATERIALIZED current
+    * view (in a real IVM deployment it is a table, never recomputed),
+    * so per-trigger work scales with the delta's group footprint —
+    * one anti-join over the view plus a semi-restricted base scan —
+    * not with a corpus-sized re-fusion. Sound because fusion is a pure
     * per-group function and additions never shrink a group.
     */
-  def resolveConflictsDelta(base: DataFrame, added: DataFrame): DataFrame = {
+  def resolveConflictsDelta(base: DataFrame, baseWinners: DataFrame,
+      added: DataFrame): DataFrame = {
     val touched = spoCols(added).select(col("s"), col("p")).distinct()
-    val baseWinners = resolveConflicts(base)
     val touchedRows = spoCols(base).join(touched, Seq("s", "p"))
       .unionByName(spoCols(added))
     baseWinners.join(touched, Seq("s", "p"), "left_anti")
       .unionByName(resolveConflicts(touchedRows))
   }
+
+  /** Convenience for self-contained (oracle-gated) uses: derives the
+    * current view with a full [[resolveConflicts]] pass first — NOT the
+    * per-trigger cost model; production maintenance passes the
+    * materialized view via the 3-arg overload.
+    */
+  def resolveConflictsDelta(base: DataFrame, added: DataFrame): DataFrame =
+    resolveConflictsDelta(base, resolveConflicts(base), added)
 
   /** SPARQL VALUES with UNDEF: a null in a binding row is a WILDCARD —
     * that variable is unconstrained for the row (the spec's

@@ -37,8 +37,9 @@ import scala.collection.mutable
   *     non-absolute keys absent a vocab). Values: strings → plain (or
   *     context-`@language`-tagged) literals, IRIs under `@type:@id`
   *     coercion, typed literals under a datatype coercion; JSON
-  *     numbers → xsd:integer when integral else xsd:double (canonical
-  *     Jackson lexical forms); booleans → xsd:boolean; null → dropped;
+  *     numbers → xsd:integer when integral else xsd:double in the XSD
+  *     CANONICAL lexical form ("1.65E0" — the JSON-LD-to-RDF rule for
+  *     native numbers); booleans → xsd:boolean; null → dropped;
   *     arrays fan out; `{"@value": …}` objects carry their own
   *     `@language`/`@type`; `{"@list": […]}` builds an rdf:first/
   *     rdf:rest chain (fresh bnodes); any other object is a nested
@@ -63,10 +64,53 @@ object JsonLd {
   // ObjectMapper is thread-safe for readTree use
   private val mapper = new ObjectMapper()
 
+  /** The XSD canonical lexical form of a double — one significant
+    * digit before the point, no trailing zeros after it, mandatory
+    * unsigned-or-negative exponent ("1.65" → "1.65E0", 1e10 →
+    * "1.0E10") — the form the JSON-LD-to-RDF algorithm mandates for
+    * native JSON numbers, so typed-literal equality joins against
+    * spec-conformant output line up. Derived from Double.toString's
+    * shortest decimal representation by point-shifting only (no FP
+    * re-rounding).
+    */
+  private[xml] def canonicalDouble(d: Double): String = {
+    if (d.isNaN) return "NaN"
+    if (d == Double.PositiveInfinity) return "INF"
+    if (d == Double.NegativeInfinity) return "-INF"
+    val s = java.lang.Double.toString(d)
+    val neg = s.startsWith("-")
+    val body = if (neg) s.substring(1) else s
+    val e = body.indexOf('E')
+    val mant = if (e < 0) body else body.substring(0, e)
+    val exp0 = if (e < 0) 0 else body.substring(e + 1).toInt
+    val dot = mant.indexOf('.') // Double.toString always emits d+.d+
+    val digits = mant.substring(0, dot) + mant.substring(dot + 1)
+    val firstSig = digits.indexWhere(_ != '0')
+    if (firstSig < 0) return if (neg) "-0.0E0" else "0.0E0"
+    val exp = exp0 + (dot - 1) - firstSig
+    var lastSig = digits.length - 1
+    while (digits.charAt(lastSig) == '0') lastSig -= 1
+    val sig = digits.substring(firstSig, lastSig + 1)
+    val mantOut = if (sig.length == 1) sig + ".0" else sig.charAt(0) + "." + sig.substring(1)
+    (if (neg) "-" else "") + mantOut + "E" + exp
+  }
+
+  /** A `type` ATTRIBUTE whose value is application/ld+json (optional
+    * quotes, optional whitespace, optional parameters after the media
+    * type). Anchored so `src="lib-ld+json.js"` or `data-type=` can
+    * never count a block — a false match would consume a block index
+    * and shift every later `jl<block>_<n>` fresh-bnode label.
+    */
+  private val typeAttrRe =
+    java.util.regex.Pattern.compile("""[\s"'/]type\s*=\s*["']?\s*application/ld\+json(?![\w+.-])""")
+
   /** The contents of every ld+json-typed `<script>` element, in
     * document order. Quote-aware tag-end scan (a '>' inside a quoted
     * attribute value does not close the tag); an unclosed script runs
-    * to end of input — the lenient-tokenizer rule.
+    * to end of input — the lenient-tokenizer rule. Only the `type`
+    * attribute decides islandhood (never a substring elsewhere in the
+    * tag), so block indices — and the fresh-bnode labels derived from
+    * them — are insensitive to unrelated markup.
     */
   def scriptBlocks(html: String): Vector[String] = {
     val lower = html.toLowerCase
@@ -85,7 +129,7 @@ object JsonLd {
       if (k >= n) i = -1
       else {
         val close = lower.indexOf("</script", k + 1)
-        if (lower.substring(i, k).contains(marker))
+        if (typeAttrRe.matcher(lower.substring(i, k)).find())
           out += html.substring(k + 1, if (close < 0) n else close)
         i = lower.indexOf("<script", if (close < 0) k + 1 else close + 8)
       }
@@ -137,8 +181,11 @@ object JsonLd {
     }
 
     /** Expand an IRI-position string: CURIE over ctx terms, bare term,
-      * vocab concatenation, absolute pass-through, else (asRef) a
-      * base-resolved reference. Returns null when unexpandable.
+      * then — per JSON-LD 1.1 IRI expansion — vocab concatenation in
+      * vocab-relative positions (keys, `@type`, datatypes) but BASE
+      * resolution in document-relative positions (`asRef`: `@id`
+      * values and `@type:@id`-coerced values), where `@vocab` never
+      * applies. Returns null when unexpandable.
       */
     private def expandIri(s: String, ctx: Ctx, asRef: Boolean): String = {
       if (s == null || s.isEmpty || s.startsWith("@")) return null
@@ -155,9 +202,11 @@ object JsonLd {
       ctx.terms.get(s) match {
         case Some(td) => td.iri
         case None =>
-          if (ctx.vocab != null) ctx.vocab + s
-          else if (asRef && base != null)
-            try Iris.resolve(s, base) catch { case _: Exception => null }
+          if (asRef) {
+            if (base != null)
+              try Iris.resolve(s, base) catch { case _: Exception => null }
+            else null
+          } else if (ctx.vocab != null) ctx.vocab + s
           else null
       }
     }
@@ -316,7 +365,7 @@ object JsonLd {
         return
       }
       if (v.isIntegralNumber) { triples += Triple(s, p, Lit.typed(v.bigIntegerValue.toString, Vocab.xsdNs + "integer")); return }
-      if (v.isNumber) { triples += Triple(s, p, Lit.typed(v.asText, Vocab.xsdNs + "double")); return }
+      if (v.isNumber) { triples += Triple(s, p, Lit.typed(canonicalDouble(v.asDouble), Vocab.xsdNs + "double")); return }
       if (v.isBoolean) { triples += Triple(s, p, Lit.typed(if (v.asBoolean) "true" else "false", Vocab.xsdNs + "boolean")); return }
       if (v.isObject) {
         val valueN = v.get("@value")
@@ -324,7 +373,7 @@ object JsonLd {
           val lex =
             if (valueN.isTextual) valueN.asText
             else if (valueN.isIntegralNumber) valueN.bigIntegerValue.toString
-            else if (valueN.isNumber) valueN.asText
+            else if (valueN.isNumber) canonicalDouble(valueN.asDouble)
             else if (valueN.isBoolean) (if (valueN.asBoolean) "true" else "false")
             else return
           val tyN = v.get("@type")
@@ -370,7 +419,7 @@ object JsonLd {
           else if (ctx.language != null) Lit.lang(v.asText, ctx.language)
           else Lit.plain(v.asText))
       if (v.isIntegralNumber) return Some(Lit.typed(v.bigIntegerValue.toString, Vocab.xsdNs + "integer"))
-      if (v.isNumber) return Some(Lit.typed(v.asText, Vocab.xsdNs + "double"))
+      if (v.isNumber) return Some(Lit.typed(canonicalDouble(v.asDouble), Vocab.xsdNs + "double"))
       if (v.isBoolean) return Some(Lit.typed(if (v.asBoolean) "true" else "false", Vocab.xsdNs + "boolean"))
       if (v.isObject) return Option(node(v, ctx))
       None

@@ -23,6 +23,15 @@ class TextIdentitySpec extends AnyFunSuite {
     assert(checked > 500)
   }
 
+  test("microdata/JSON-LD byte-marker pre-filters are case-insensitive (ITEMSCOPE / LD+JSON pages extract)") {
+    val md = """<div ITEMSCOPE itemtype="http://schema.org/Person" itemid="http://e/p1"><span itemprop="name">N</span></div>"""
+    val mdRows = Extract.triplesOf("http://e/md", md.getBytes("UTF-8")).toOption.get
+    assert(mdRows.exists(r => r.subj == "http://e/p1" && r.obj == "N"))
+    val jl = """<script type="application/LD+JSON">{"@context":"https://schema.org","@id":"http://e/x","name":"J"}</script>"""
+    val jlRows = Extract.triplesOf("http://e/jl", jl.getBytes("UTF-8")).toOption.get
+    assert(jlRows.exists(r => r.subj == "http://e/x" && r.obj == "J"))
+  }
+
   test("island detection finds RDF in both bare and wrapped pages") {
     val (rel, bytes) = SyntheticPages.fixtureFiles().head
     val bare = SyntheticPages.page(rel, bytes, 0, 0)

@@ -1190,6 +1190,12 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val full = TripleOps.resolveConflicts(base.unionByName(added)).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
     assert(got == full)
+    // the IVM cost-model form: the materialized view is an INPUT — the
+    // untouched lane reads it directly, never re-fusing the corpus
+    val view = TripleOps.resolveConflicts(base)
+    val got3 = TripleOps.resolveConflictsDelta(base, view, added).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(got3 == full)
   }
 
   test("resolveConflicts: majority wins, lexicographic min on ties, duplicate rows are votes") {

@@ -23,7 +23,7 @@ class JsonLdSpec extends AnyFunSuite {
       Triple(s, Iri(Vocab.rdfType), Iri(schema + "Person")),
       Triple(s, Iri(schema + "name"), Lit.plain("Ada")),
       Triple(s, Iri(schema + "age"), Lit.typed("36", xsd + "integer")),
-      Triple(s, Iri(schema + "height"), Lit.typed("1.65", xsd + "double")),
+      Triple(s, Iri(schema + "height"), Lit.typed("1.65E0", xsd + "double")),
       Triple(s, Iri(schema + "alive"), Lit.typed("false", xsd + "boolean"))
     ))
   }
@@ -145,6 +145,51 @@ class JsonLdSpec extends AnyFunSuite {
       Triple(Iri("http://e/p1"), Iri(schema + "name"), Lit.plain("Ann")),
       Triple(Iri("http://e/p1"), Iri(schema + "author"), Iri("http://e/work")),
       Triple(Iri("http://e/p2"), Iri(schema + "author"), Iri("http://e/work"))))
+  }
+
+  test("@id-coerced relative values base-resolve even under @vocab (document-relative, not vocab-relative)") {
+    // the expansion-order bug class: with BOTH @vocab and an
+    // @id-coerced term, "about.html" must resolve against the document
+    // base, never concatenate onto the vocab
+    val json =
+      """{"@context": {"@vocab": "http://schema.org/",
+        |              "url": {"@id": "http://schema.org/url", "@type": "@id"}},
+        | "@id": "page.html",
+        | "url": "about.html",
+        | "name": "t"}""".stripMargin
+    val ts = JsonLd.parse(json, Some("http://host/dir/index.html")).toOption.get.toSet
+    val s = Iri("http://host/dir/page.html")
+    assert(ts == Set(
+      Triple(s, Iri("http://schema.org/url"), Iri("http://host/dir/about.html")),
+      Triple(s, Iri("http://schema.org/name"), Lit.plain("t"))))
+    // vocab-relative positions (keys, @type) still expand through @vocab
+    val ty = """{"@context": {"@vocab": "http://schema.org/"}, "@id": "http://e/k", "@type": "Thing"}"""
+    assert(JsonLd.parse(ty, None).toOption.get.toSet ==
+      Set(Triple(Iri("http://e/k"), Iri(Vocab.rdfType), Iri("http://schema.org/Thing"))))
+  }
+
+  test("scriptBlocks keys on the type ATTRIBUTE: src='lib-ld+json.js' is not an island and shifts no block index") {
+    val html =
+      """<script src="lib-ld+json.js"></script>
+        |<script data-type="application/ld+json">not an island</script>
+        |<script type = 'application/ld+json; charset=utf-8'>{"@context":"https://schema.org","author":{"name":"x"}}</script>""".stripMargin
+    assert(JsonLd.scriptBlocks(html).size == 1)
+    // the non-islands consume NO block index, so the valid island is
+    // block 0 and its fresh bnodes are jl0_*
+    val ts = JsonLd.parseHtml(html, None).toSet
+    assert(ts == Set(
+      Triple(BNode("jl0_0"), Iri(schema + "author"), BNode("jl0_1")),
+      Triple(BNode("jl0_1"), Iri(schema + "name"), Lit.plain("x"))))
+  }
+
+  test("canonicalDouble emits XSD canonical forms") {
+    assert(JsonLd.canonicalDouble(1.65) == "1.65E0")
+    assert(JsonLd.canonicalDouble(1e10) == "1.0E10")
+    assert(JsonLd.canonicalDouble(0.001) == "1.0E-3")
+    assert(JsonLd.canonicalDouble(-12345.678) == "-1.2345678E4")
+    assert(JsonLd.canonicalDouble(0.0) == "0.0E0")
+    assert(JsonLd.canonicalDouble(100.0) == "1.0E2")
+    assert(JsonLd.canonicalDouble(Double.PositiveInfinity) == "INF")
   }
 
   test("unexpandable keys and types drop; remote contexts never fetched") {
