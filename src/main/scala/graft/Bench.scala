@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
-import graft.pipeline.SyntheticPages
+import graft.pipeline.{Extract, SyntheticPages}
 import java.nio.file.{Files, Paths}
 import java.util.concurrent.TimeUnit
 
@@ -72,10 +72,29 @@ object Bench {
     "q119_path_negated", "q120_graph_mgmt", "q121_owl_chain", "q122_cocitation",
     "q123_reified", "q124_void_stats",
     "q125_typed_literals", "q126_skolemize", "q127_graph_digest",
+    "q128_canonical_bnodes", "q129_bgp_num_aggregates", "q130_nquads_sink_docs",
+    "q131_sparql_strfuncs", "q132_graph_diff", "q133_kg_negatives",
+    "q134_schema_summary", "q135_canonical_digest", "q136_triple_snapshot",
+    "q137_construct_bnodes", "q138_results_csv", "q139_schema_summary_delta",
+    "q140_bgp_retract_projected", "q141_rdf_list_unroll", "q142_group_concat",
+    "q143_ifp_entity_resolution", "q144_path_closure", "q145_microdata_extract",
+    "q146_jsonld_extract", "q147_path_alt", "q148_fp_entity_resolution",
+    "q149_term_functions", "q150_bgp_having", "q151_optional_filter",
+    "q152_bind_coalesce", "q153_values_undef", "q154_strfuncs2",
+    "q155_datetime_accessors", "q156_kg_fusion", "q157_agg_distinct",
+    "q158_shacl_values", "q159_owl_disjoint", "q160_transe_rank",
+    "q161_random_walks", "q162_fusion_delta", "q163_term_constructors",
+    "q164_numeric_funcs", "q165_describe_cbd", "q166_rdf_list_build",
+    "q167_subquery_topk_group", "q168_agg_unbound", "q169_exists_unbound",
+    "q170_rdf_star", "q171_owl_equiv_prop", "q172_interval_join",
+    "q173_er_metrics",
     "x_bpe_train", "x_bpe_encode",
     "x_minhash_lsh_dedup", "x_ngram_jaccard_lsh", "x_simhash_dedup",
     "x_embedding_neardup", "x_ann_brute", "x_ann_lsh", "x_ann_ivf",
-    "x_multimodal_features", "x_image_phash_neardup", "x_audio_fp_neardup", "x_video_phash_neardup"
+    "x_multimodal_features", "x_image_phash_neardup", "x_audio_fp_neardup", "x_video_phash_neardup",
+    "x_entity_link", "x_export_rdfxml", "x_extract_lineage", "x_extract_triples",
+    "x_kg_pipeline", "x_ntriples_sink", "x_rdfxml_file_source",
+    "x_text_identity", "x_warc_source"
   )
 
   private def mkSpark(cpus: Int): SparkSession = {
@@ -98,6 +117,24 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val copies = sys.env.getOrElse("SPARK_GRAFT_BENCH_COPIES", "8192").toInt
 
+    // host shape + steal accounting, shared by the query bench and the
+    // scaling section (round-2 ADVICE: never hardcode 32)
+    val hostCpus = Runtime.getRuntime.availableProcessors
+    def stealTotal(): (Long, Long) =
+      try {
+        val v = Files.readAllLines(Paths.get("/proc/stat")).get(0).split("\\s+").drop(1).take(8).map(_.toLong)
+        (v(7), v.sum)
+      } catch { case _: Exception => (0L, 1L) }
+    // ABSOLUTE canary anchor: committed clean-host value, gating both
+    // the scaling trials (per trial + per session) and the query
+    // segments (with a looser margin — the driver JVM is unpinned)
+    val anchorMargin = sys.env.getOrElse("SPARK_GRAFT_CANARY_ANCHOR_MARGIN", "1.3").toDouble
+    val anchor: Option[Double] =
+      try {
+        val p = Paths.get("BENCH", "canary_anchor.txt")
+        if (Files.exists(p)) Some(Files.readString(p).trim.toDouble) else None
+      } catch { case _: Exception => None }
+
     // -------- relational/query bench at the driver-selected parallelism
     var spark = mkSpark(cpus)
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -116,19 +153,167 @@ object Bench {
           .foreach(q => SparkEntry.queries(q)(spark, sfDir).write.mode("overwrite").format("noop").save())
       } catch { case e: Throwable => System.err.println(s"[bench] warm-up failed: ${e.getMessage}") }
     }
-    (if (scalingOnly) Seq.empty else benchQueries).foreach { name =>
+
+    // ---- per-query noise gating (round-4 verdict #1: the scaling
+    // section was gated, the query section was not — r4 published a
+    // 15x q60 pollution artifact the scaling gates would have caught).
+    //  (a) STEAL: /proc/stat hypervisor steal across each query's own
+    //      window (the bench JVM runs local[cpus] ~ the whole host, so
+    //      busy-core-relative == total) must be <= maxStealPct, else
+    //      the query retries — up to 3 attempts, 5s backoff; the FIRST
+    //      steal-clean attempt is published (comparable to prior
+    //      rounds' one-timed-run protocol; retried attempts run warmer
+    //      and are flagged via `attempts` in the log).
+    //  (b) CANARY: a ~0.5s single-thread parse canary brackets every
+    //      segment of `segLen` queries; a query's stamp is the WORSE
+    //      bracket. Stamps are judged against the final session-best
+    //      (relative margin) and the committed pinned-child anchor
+    //      (absolute cap, looser margin — the driver JVM is unpinned
+    //      and under a different GC). Canary-dirty queries are re-run
+    //      once in a second pass; still-dirty results publish with
+    //      clean:false in the log and their names in `query_noisy` —
+    //      flagged, never silently.
+    val qMaxSteal = sys.env.getOrElse("SPARK_GRAFT_MAX_STEAL_PCT", "2.0").toDouble
+    // margins are LOOSER than the scaling section's: the driver canary
+    // is unpinned and rides a long-lived JVM whose JIT/GC state drifts
+    // a measured ~20% across the session — the gate's job is catching
+    // the 2-15x co-tenant pollution class (r4's q60 artifact), not JIT
+    // flutter
+    val qCanaryMargin = sys.env.getOrElse("SPARK_GRAFT_QUERY_CANARY_MARGIN", "1.35").toDouble
+    // absolute cap vs the pinned-child anchor: healthy driver stamps
+    // measure 0.136-0.157 s against the committed 0.110 anchor (the
+    // unpinned long-lived JVM is structurally ~25-40% slower than a
+    // fresh pinned child), so 1.5x would false-flag a clean session;
+    // 1.8x still catches the all-polluted-session class
+    val qAnchorMargin = sys.env.getOrElse("SPARK_GRAFT_QUERY_ANCHOR_MARGIN", "1.8").toDouble
+    val segLen = sys.env.getOrElse("SPARK_GRAFT_QUERY_SEG_LEN", "15").toInt
+    // the same 4000-page fixture mix as ExtractRunner's pinned-child
+    // canary, so the committed canary_anchor.txt is directly comparable
+    lazy val canaryPages: Vector[(String, Array[Byte])] = {
+      val fx = SyntheticPages.fixtureFiles().toVector
+      (0 until 4000).map { i =>
+        val (rel, b) = fx(i % fx.size)
+        val p = SyntheticPages.page(rel, b, copy = i, rowIdx = i.toLong)
+        (p.url, p.html)
+      }.toVector
+    }
+    def canarySec(): Double = {
+      // GC first: a canary starting into a pending young-gen collection
+      // from the preceding query's allocation storm measures the GC,
+      // not the weather
+      System.gc()
+      // min of reps 2..4 (rep 1 is warm-up) — the ExtractRunner rule
+      var best = Double.MaxValue
+      var rep = 0
+      while (rep < 4) {
+        val t0 = System.nanoTime()
+        canaryPages.foreach { case (u, h) => Extract.triplesOf(u, h) }
+        val d = (System.nanoTime() - t0) / 1e9
+        if (rep > 0 && d < best) best = d
+        rep += 1
+      }
+      best
+    }
+    final case class QRec(name: String, var sec: Double, var steal: Double,
+                          var attempts: Int, var stealClean: Boolean, var stamp: Double)
+    val qRecs = scala.collection.mutable.LinkedHashMap.empty[String, QRec]
+    val qCanaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def runGated(name: String): Unit = {
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      val ok =
+      var attempt = 0
+      var cleanSec = Double.MaxValue
+      var anySec = Double.MaxValue
+      var lastSteal = 0.0
+      var err: Option[String] = None
+      while (attempt < 3 && cleanSec == Double.MaxValue && err.isEmpty) {
+        attempt += 1
+        val (s0, c0) = stealTotal()
+        val t0 = System.nanoTime()
         // noop sink: computes and discards every row — pruning-proof,
         // unlike count() which collapses map-only plans to a row count
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      // a failed query must NOT publish a normal-looking duration — that
-      // silently understates cost and hides breakage
-      if (ok) results(name) = (System.nanoTime() - t0) / 1e9
-      else failed += name
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val (s1, c1) = stealTotal()
+          lastSteal = if (c1 > c0) 100.0 * (s1 - s0) / (c1 - c0) else 0.0
+          anySec = math.min(anySec, sec)
+          if (lastSteal <= qMaxSteal) cleanSec = sec
+          else {
+            System.err.println(f"[bench] $name attempt $attempt REJECTED steal=$lastSteal%.2f%% sec=$sec%.2f")
+            Thread.sleep(5000)
+          }
+        } catch { case e: Throwable => err = Some(e.getMessage) }
+      }
+      err match {
+        case Some(m) =>
+          // a failed query must NOT publish a normal-looking duration —
+          // that silently understates cost and hides breakage
+          System.err.println(s"[bench] $name failed: $m")
+          if (!failed.contains(name)) failed += name
+        case None =>
+          val ok = cleanSec < Double.MaxValue
+          val sec = if (ok) cleanSec else anySec
+          qRecs.get(name) match {
+            case Some(r) =>
+              // second-pass re-run: upgrade to steal-clean status, but
+              // publish the MIN duration — noise is strictly additive,
+              // so a slower re-run must never overwrite a faster time
+              if ((ok && !r.stealClean) || sec < r.sec) {
+                r.sec = math.min(sec, r.sec); r.steal = lastSteal
+                r.stealClean = r.stealClean || ok
+              }
+              r.attempts += attempt
+            case None => qRecs(name) = QRec(name, sec, lastSteal, attempt, ok, Double.MaxValue)
+          }
+      }
     }
+    def runSegmented(names: Seq[String]): Unit = {
+      var before = canarySec(); qCanaries += before
+      names.grouped(segLen).foreach { seg =>
+        seg.foreach(runGated)
+        val after = canarySec(); qCanaries += after
+        val stamp = math.max(before, after)
+        seg.foreach(n => qRecs.get(n).foreach(r => r.stamp = math.min(r.stamp, stamp)))
+        before = after
+      }
+    }
+    def qCanaryBest: Double = if (qCanaries.isEmpty) Double.NaN else qCanaries.min
+    def stampDirty(stamp: Double): Boolean =
+      stamp > qCanaryBest * qCanaryMargin ||
+        anchor.exists(a => stamp > a * qAnchorMargin)
+    // iteration aid only (never the published capture): cap the list
+    val queryList = sys.env.get("SPARK_GRAFT_QUERY_LIMIT").map(_.toInt)
+      .fold(benchQueries)(benchQueries.take)
+    if (!scalingOnly) {
+      runSegmented(queryList)
+      // one requeue pass over canary-dirty segments' queries (judged
+      // against the FINAL session-best, so early segments gated by a
+      // then-pessimistic best get a fair second look)
+      val dirty = queryList.filter(n => qRecs.get(n).exists(r => stampDirty(r.stamp) || !r.stealClean))
+      if (dirty.nonEmpty) {
+        System.err.println(s"[bench] requeue pass over ${dirty.size} noisy queries: ${dirty.take(12).mkString(",")}${if (dirty.size > 12) ",..." else ""}")
+        runSegmented(dirty)
+      }
+      qRecs.valuesIterator.foreach(r => results(r.name) = r.sec)
+    }
+    def noisyQueries: Seq[String] =
+      benchQueries.filter(n => qRecs.get(n).exists(r => stampDirty(r.stamp) || !r.stealClean))
+    // markdown query table rows, joined "\n|" for stripMargin embedding
+    def queryTableMd: String = {
+      val rows = qRecs.valuesIterator.map { r =>
+        val flag = if (r.stealClean && !stampDirty(r.stamp)) "clean" else "NOISY"
+        f"| ${r.name} | ${r.sec}%.3f | ${r.steal}%.2f | ${if (r.stamp == Double.MaxValue) -1.0 else r.stamp}%.3f | ${r.attempts} | $flag |"
+      } ++ failed.iterator.map(k => s"| $k | FAILED | | | | |")
+      rows.mkString("\n|")
+    }
+    def queryGateMd: String =
+      if (qCanaries.isEmpty) "(query bench skipped: scaling-only run)"
+      else f"""Per-query noise gate: steal <= $qMaxSteal%.1f%% over each query's own
+window (up to 3 attempts, first clean published); a parse canary
+brackets every $segLen queries — stamp = worse bracket, judged vs the
+session best ($qCanaryBest%.3f s) x$qCanaryMargin%.2f and the committed pinned-child
+anchor x$qAnchorMargin%.2f (driver JVM is unpinned); noisy queries are requeued
+once and flagged NOISY if still dirty. Noisy after requeue: ${noisyQueries.size}${if (noisyQueries.nonEmpty) noisyQueries.mkString(" (", ", ", ")") else ""}."""
 
     // -------- extraction scaling: the executor model done faithfully.
     // config N  = 1 JVM, local[4], the whole table  (one 4-core executor)
@@ -202,7 +387,6 @@ object Bench {
     // cpu count (round-2 ADVICE: 32 was hardcoded; on any other host the
     // gate and pinning were silently wrong). Pinning needs the canonical
     // 32-cpu layout; anything else runs unpinned with a LOUD flag.
-    val hostCpus = Runtime.getRuntime.availableProcessors
     val pinned = hostCpus >= 32 && Files.exists(Paths.get("/usr/bin/taskset"))
     if (!pinned)
       System.err.println(s"[bench] WARNING: host has $hostCpus cpus / no taskset — children run UNPINNED; " +
@@ -325,11 +509,6 @@ object Bench {
     // the 4-thread canary is structurally noisier (thread scheduling +
     // intended bus contention) → a looser margin than the 1-thread one
     val quadMargin = sys.env.getOrElse("SPARK_GRAFT_QUAD_CANARY_MARGIN", "1.25").toDouble
-    def stealTotal(): (Long, Long) =
-      try {
-        val v = Files.readAllLines(Paths.get("/proc/stat")).get(0).split("\\s+").drop(1).take(8).map(_.toLong)
-        (v(7), v.sum)
-      } catch { case _: Exception => (0L, 1L) }
     def measured(run: () => Either[String, (Long, Long, Double, Double, Double)], activeCores: Int)
         : (Either[String, (Long, Long, Double, Double, Double)], Double) = {
       val (s0, t0) = stealTotal()
@@ -353,14 +532,6 @@ object Bench {
       if (ts.isEmpty) Double.MaxValue else ts.map(_.canary).min
     def bestQuad(ts: Seq[Trial]): Double =
       if (ts.isEmpty) Double.MaxValue else ts.map(_.quad).min
-    // ABSOLUTE canary anchor, read early so it can gate PER TRIAL (see
-    // below) as well as per session (round-3 verdict #1b).
-    val anchorMargin = sys.env.getOrElse("SPARK_GRAFT_CANARY_ANCHOR_MARGIN", "1.3").toDouble
-    val anchor: Option[Double] =
-      try {
-        val p = Paths.get("BENCH", "canary_anchor.txt")
-        if (Files.exists(p)) Some(Files.readString(p).trim.toDouble) else None
-      } catch { case _: Exception => None }
     // per-trial absolute cap: the relative session-best gates are blind
     // when a config completes only ONE trial (it gates against itself and
     // is trivially "clean" — exactly how a 0.175 s-canary 4N trial shipped
@@ -542,9 +713,20 @@ object Bench {
       val total = results.values.sum
       val qs = (results.map { case (k, v) => f""""$k":$v%.3f""" } ++
         failed.map(k => s""""$k":"FAILED"""")).mkString("{", ",", "}")
-      val prefix = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract":"""
+      // per-query gate summary rides the compact stdout line (names
+      // only, usually empty); the full per-query log — sec, steal,
+      // canary stamp, attempts, clean flags — goes to result.json only
+      // (the round-3 tail-truncation rule: the stdout line stays small)
+      val noisy = noisyQueries.map(n => s""""$n"""").mkString("[", ",", "]")
+      val qcb = if (qCanaries.isEmpty) "null" else f"$qCanaryBest%.3f"
+      val prefix = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_noisy":$noisy,"query_canary_best_sec":$qcb,"sf":"$sfDir","extract":"""
       val compact = prefix + extractCompact + "}"
-      val full = prefix + extractCompact.dropRight(1) + s""","trial_log":$trialLogJson}}"""
+      val queryLogJson = qRecs.valuesIterator.map { r =>
+        val cClean = !stampDirty(r.stamp)
+        f"""{"name":"${r.name}","sec":${r.sec}%.3f,"steal_busy_pct":${r.steal}%.3f,"canary_stamp_sec":${if (r.stamp == Double.MaxValue) -1.0 else r.stamp}%.3f,"attempts":${r.attempts},"steal_clean":${r.stealClean},"canary_clean":$cClean}"""
+      }.mkString("[", ",", "]")
+      val full = prefix + extractCompact.dropRight(1) +
+        s""","trial_log":$trialLogJson},"query_log":$queryLogJson}"""
       Files.writeString(benchDir.resolve(if (scalingOnly) "scaling_probe.json" else "result.json"), full + "\n")
       println(compact)
     }
@@ -623,12 +805,12 @@ object Bench {
            |on the same fixture mix — see graft.tools.PureParseProbe.
            |
            |Query bench (sf dir: $sfDir, local[$cpus]; timed to a noop sink —
-           |full computation, no count() pruning):
+           |full computation, no count() pruning).
+           |$queryGateMd
            |
-           || query | sec |
-           ||---|---|
-           |${(results.map { case (k, v) => f"| $k | $v%.3f |" } ++
-               failed.map(k => s"| $k | FAILED |")).mkString("\n|")}
+           || query | sec | steal%% | canary | attempts | gate |
+           ||---|---|---|---|---|---|
+           |$queryTableMd
            |""".stripMargin
       Files.writeString(benchDir.resolve(if (scalingOnly) "SCALING_PROBE.md" else "BASELINE.md"), md)
 
@@ -663,12 +845,12 @@ object Bench {
            |is the BENCH/result.json in git history (see its
            |scaling_efficiency field); the per-trial log is in result.json.
            |
-           |Query bench (sf dir: $sfDir, local[$cpus], noop sink):
+           |Query bench (sf dir: $sfDir, local[$cpus], noop sink).
+           |$queryGateMd
            |
-           || query | sec |
-           ||---|---|
-           |${(results.map { case (k, v) => f"| $k | $v%.3f |" } ++
-               failed.map(k => s"| $k | FAILED |")).mkString("\n|")}
+           || query | sec | steal%% | canary | attempts | gate |
+           ||---|---|---|---|---|---|
+           |$queryTableMd
            |""".stripMargin
       Files.writeString(benchDir.resolve(if (scalingOnly) "SCALING_PROBE.md" else "BASELINE.md"), md)
       emit(s"""{"status":"UNMEASURABLE","unmeasurable_reason":"${reason.replace("\"", "'")}","scaling_efficiency":null,"clean_trials_N":${nClean.size},"clean_trials_4N":${qClean.size},"steal_rejected":$rejected,"attempts":$attempts,"pinned":$pinned,"trials":$trials,"estimator":"min_of_steal_clean_trials"$evidence}""")
