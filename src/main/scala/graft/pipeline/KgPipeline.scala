@@ -240,7 +240,18 @@ object KgPipeline {
     * each round persists its output, checks convergence on that same
     * materialization, then releases the previous round's cache.
     */
-  def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame =
+    // stage-cached: labels are a deterministic pure function of the
+    // edge set, and several registered consumers (q26's labels, q32's
+    // representatives, q66's split) ask for the same component table —
+    // one iterative computation per session serves them all (verdict-r4
+    // #3). The result below ends checkpointed (its last `cur` is a
+    // checkpoint leaf), so a hit replays nothing.
+    StageCache.getOrCompute("connectedComponents", s"it=$maxIters", edges) {
+      connectedComponentsUncached(edges, maxIters)
+    }
+
+  private def connectedComponentsUncached(edges: DataFrame, maxIters: Int): DataFrame = {
     // canonical direction child > parent, self-loops dropped. Eager
     // localCheckpoint (NOT persist): it both materializes the upstream
     // lineage exactly once AND truncates the logical plan — without

