@@ -2292,7 +2292,12 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       Similarity.bruteCosine(emb, emb.where(col("vec_id") < 8), k = 5)
     }),
-    "x_ann_lsh" -> ((s, d) => Similarity.lshCosine(t(s, d, "embeddings"), k = 5)),
+    // 12 planes x 2 tables with radius-1 multi-probe: same expected
+    // recall as the old exact 8x3 at ~half the candidate volume and
+    // 16x smaller buckets (the low-threshold fat-bucket fix — see
+    // lshCosine's scaladoc)
+    "x_ann_lsh" -> ((s, d) => Similarity.lshCosine(t(s, d, "embeddings"), k = 5,
+      planes = 12, tables = 2, probeRadius = 1)),
     "x_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.ivfCosine(emb, emb.where(col("vec_id") < 8), k = 5)

@@ -143,14 +143,39 @@ object Similarity {
   /** ANN via random-hyperplane LSH: same-bucket candidates (over
     * `tables` independent sketch tables) re-ranked by quantized cosine.
     * Bucket join replaces the all-pairs product — the 100 TB path.
+    *
+    * `probeRadius = 1` enables MULTI-PROBE (Lv et al., VLDB 2007): the
+    * query side also visits every bucket at Hamming distance 1 (each
+    * single sign-bit flip of its own bucket), implemented as a
+    * (planes+1)-row explode on the query leg only — the corpus leg
+    * stays exact, and the equi-join on (table, probed bucket) reaches
+    * every pair whose buckets differ by <= 1 bit. Why this is the
+    * low-threshold fix: at cos ~0.6 the per-plane agreement p ~ 0.7,
+    * so exact 8-plane/3-table collisions recall ~17% with 256 fat
+    * buckets per table — the SAME recall comes from 12 planes x 2
+    * tables with radius-1 probing (p^12 + 12 p^11 (1-p) per table) at
+    * ~half the candidate volume and 16x smaller buckets, which is what
+    * tames the |bucket|^2 blowup on skewed (fat-bucket) corpora.
     */
   def lshCosine(corpus: DataFrame, k: Int = 5, planes: Int = 8, tables: Int = 3,
-                maxBucket: Int = 1000): DataFrame = {
+                maxBucket: Int = 1000, probeRadius: Int = 0): DataFrame = {
+    require(probeRadius == 0 || probeRadius == 1, s"probeRadius must be 0 or 1, got $probeRadius")
     // id-only bucket join + pair dedup BEFORE the exact re-rank; the
     // re-rank is the relational quantized-cosine kernel
     val sketched = suppressHot(sketch(corpus, planes, tables), maxBucket)
     val ids = sketched.select(col("table"), col("bucket"), col("vec_id"))
-    val l = ids.select(col("table"), col("bucket"), col("vec_id").as("query_id"))
+    val l =
+      if (probeRadius == 0) ids.select(col("table"), col("bucket"), col("vec_id").as("query_id"))
+      else {
+        // flip masks: 0 (the exact bucket) + one per plane; the table
+        // tag lives in bits 40+ so single-bit flips below bit 40 can
+        // never cross tables
+        val flips = lit(0L) +: (0 until planes).map(i => lit(1L << i))
+        ids.select(col("table"),
+          explode(array(flips: _*)).as("flip"), col("bucket"), col("vec_id"))
+          .select(col("table"), col("bucket").bitwiseXOR(col("flip")).as("bucket"),
+            col("vec_id").as("query_id"))
+      }
     val r = ids.select(col("table"), col("bucket"), col("vec_id").as("corpus_id"))
     val candIds = l.join(r, Seq("table", "bucket"))
       .where(col("query_id") =!= col("corpus_id"))

@@ -164,6 +164,23 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count() > 0)
   }
 
+  test("multi-probe LSH (radius 1) candidates are a superset of exact-bucket candidates") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0 until 60).map { i =>
+      val base = Array.tabulate(16)(j => math.sin(i * 17 + j).toFloat)
+      (i.toLong, base, i % 5)
+    }.toDF("vec_id", "embedding", "label")
+    def pairs(r: Int) = Similarity.lshCosine(vecs, k = 60, planes = 6, tables = 2, probeRadius = r)
+      .select("query_id", "corpus_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val exact = pairs(0)
+    val probed = pairs(1)
+    // flip mask 0 keeps every exact-bucket pair; the extra flips only add
+    assert(exact.subsetOf(probed), s"missing: ${exact.diff(probed).take(5)}")
+    assert(probed.size > exact.size) // radius-1 genuinely reaches more pairs here
+  }
+
   test("IVF ANN recovers the same top neighbor as brute force for in-list queries") {
     val s = spark
     import s.implicits._
