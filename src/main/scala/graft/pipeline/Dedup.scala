@@ -303,13 +303,20 @@ object Dedup {
     * signature census, both verify legs and the size census (see the
     * scan/exchange note on [[minhashLsh]]).
     */
+  /** The lazy (pre-checkpoint) shingle-set plan — split out so the
+    * PipelineSparkSpec scan-pruning pin can inspect the parquet scan
+    * that the eager checkpoint in [[md5ShingleSet]] otherwise hides
+    * from PlanAudit (checkpointed stages plan as RDD leaves).
+    */
+  private[pipeline] def md5ShingleSetPlan(documents: DataFrame, shingleWidth: Int): DataFrame =
+    shingleRows(documents, shingleWidth)
+      .distinct() // shingle SET semantics
+
   private def md5ShingleSet(documents: DataFrame, shingleWidth: Int): DataFrame =
     // stage-cached: the batch and incremental LSH variants (and any
     // same-width caller) share one materialization per corpus
     StageCache.getOrCompute("md5ShingleSet", s"w=$shingleWidth", documents) {
-      shingleRows(documents, shingleWidth)
-        .distinct() // shingle SET semantics
-        .localCheckpoint(true)
+      md5ShingleSetPlan(documents, shingleWidth).localCheckpoint(true)
     }
 
   /** (doc_id, band, bucket) rows after hot-bucket suppression —

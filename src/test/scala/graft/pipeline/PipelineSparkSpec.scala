@@ -1530,6 +1530,19 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("ReadSchema: struct<url:string,html:binary>"), plan)
   }
 
+  test("minhash LSH shingle stage prunes the documents parquet scan to doc_id+text") {
+    // the PlanAudit scan contract cannot see this scan (the pipeline
+    // eagerly checkpoints it into an RDD leaf) — this pin covers it
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune_lsh").toString
+    Seq((1L, "alpha beta gamma", "en", "s", 15L), (2L, "beta gamma delta", "en", "s", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars").write.parquet(s"$dir/documents")
+    val plan = Dedup.md5ShingleSetPlan(s.read.parquet(s"$dir/documents"), 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+  }
+
   test("pairwiseErMetrics: contingency identity matches hand-computed pairwise P/R") {
     val s = spark
     import s.implicits._
