@@ -87,7 +87,8 @@ object Bench {
     "q164_numeric_funcs", "q165_describe_cbd", "q166_rdf_list_build",
     "q167_subquery_topk_group", "q168_agg_unbound", "q169_exists_unbound",
     "q170_rdf_star", "q171_owl_equiv_prop", "q172_interval_join",
-    "q173_er_metrics",
+    "q173_er_metrics", "q174_image_phash_pairs", "q175_audio_fp_pairs",
+    "q176_video_phash_pairs",
     "x_bpe_train", "x_bpe_encode",
     "x_minhash_lsh_dedup", "x_ngram_jaccard_lsh", "x_simhash_dedup",
     "x_embedding_neardup", "x_ann_brute", "x_ann_lsh", "x_ann_ivf",

@@ -2309,6 +2309,33 @@ object SparkEntry {
     // by MultimodalCodecSpec + PipelineSparkSpec, not SQL-expressible
     "x_image_phash_neardup" -> ((s, _) => Multimodal.phashNearDup(
       Multimodal.imagePhash(Multimodal.syntheticImageCorpus(s, 1200)))),
+    // ORACLED multimodal near-dup twins (q174-q176): the planted
+    // corpora are pure functions of asset_id, so the CROSS-FORMAT lane
+    // (asset 3g vs 3g+1 of each group) is structurally predictable —
+    // identical rasters decode to identical dHashes (BMP vs PNG) and
+    // identical bytes to identical fingerprints (WAV dup), so hamming
+    // is exactly 0; corrupt payloads (id % 16 == 15, truncated) must
+    // drop their group. The oracle restates the surviving group set
+    // with pure arithmetic over range() — no decoding — which gates
+    // decode success, corrupt flagging, pigeonhole blocking and the
+    // popcount verify end-to-end. The noise-twin / negative lanes stay
+    // spec-gated (hamming there depends on pixel content, which SQL
+    // cannot restate).
+    "q174_image_phash_pairs" -> ((s, _) =>
+      Multimodal.phashNearDup(Multimodal.imagePhash(Multimodal.syntheticImageCorpus(s, 1200)))
+        .where(pmod(col("a"), lit(3)) === 0 && col("b") === col("a") + 1)
+        .select(expr("a div 3").as("g"), col("hamming").cast("bigint").as("hamming"))),
+    "q175_audio_fp_pairs" -> ((s, _) =>
+      Multimodal.phashNearDup(Multimodal.audioFingerprint(Multimodal.syntheticAudioCorpus(s, 1200)))
+        .where(pmod(col("a"), lit(3)) === 0 && col("b") === col("a") + 1)
+        .select(expr("a div 3").as("g"), col("hamming").cast("bigint").as("hamming"))),
+    // video's MJPEG lane is lossy (hamming lands 0-3, content-
+    // dependent) — the twin emits only the recovered GROUP set, whose
+    // completeness at maxHamming=4 is the decode-parity contract
+    "q176_video_phash_pairs" -> ((s, _) =>
+      Multimodal.videoNearDup(Multimodal.syntheticVideoCorpus(s, 1200))
+        .where(pmod(col("a"), lit(3)) === 0 && col("b") === col("a") + 1)
+        .select(expr("a div 3").as("g"))),
     // audio energy-envelope fingerprint near-dup: the audio member of
     // the near-dup family — same pigeonhole recovery as the image path
     "x_audio_fp_neardup" -> ((s, _) => Multimodal.phashNearDup(
@@ -6557,6 +6584,25 @@ object SparkEntry {
     "q171_owl_equiv_prop" -> q171Sql,
     "q172_interval_join" -> q172Sql,
     "q173_er_metrics" -> q173Sql,
+    // q174-q176: the multimodal cross-format lane is structurally
+    // predictable — surviving groups are exactly those whose two lane
+    // members escape the id%16==15 corrupt-truncation, and identical
+    // rasters/bytes pin hamming to 0 (video emits groups only; its
+    // lossy MJPEG hamming is content-dependent). Pure arithmetic over
+    // range(), no decoding — the oracle-side restatement of the
+    // planted-fixture contract (the q145/q146 discipline).
+    "q174_image_phash_pairs" ->
+      """SELECT g, CAST(0 AS BIGINT) AS hamming
+        |FROM range(0, 400) t(g)
+        |WHERE (3*g) % 16 != 15 AND (3*g+1) % 16 != 15""".stripMargin,
+    "q175_audio_fp_pairs" ->
+      """SELECT g, CAST(0 AS BIGINT) AS hamming
+        |FROM range(0, 400) t(g)
+        |WHERE (3*g) % 16 != 15 AND (3*g+1) % 16 != 15""".stripMargin,
+    "q176_video_phash_pairs" ->
+      """SELECT g
+        |FROM range(0, 400) t(g)
+        |WHERE (3*g) % 16 != 15 AND (3*g+1) % 16 != 15""".stripMargin,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),
