@@ -97,6 +97,47 @@ object KgPipeline {
     )
   }
 
+  /** Snapshot-backed variant of [[run]] over a [[SnapTable]] warehouse
+    * — the north_rule's Iceberg-shaped contract: every stage commits
+    * an atomic snapshot, a restarted job resumes from the last
+    * committed version of each table, the per-partition lineage rows
+    * land in a `metrics` table via APPEND commits (each refresh chains
+    * a new data dir, history queryable by version), and a `refresh`
+    * run recomputes into NEW snapshots while the previous ones stay
+    * readable (time travel / audit / rollback — [[SnapTable.rollback]]
+    * is a metadata-only HEAD swing).
+    */
+  def runVersioned(spark: SparkSession, pages: Dataset[Page], warehouse: String,
+                   refresh: Boolean = false): Map[String, DataFrame] = {
+    import spark.implicits._
+    def stageSnap(name: String)(compute: => DataFrame): DataFrame =
+      if (!refresh && SnapTable.exists(warehouse, name)) SnapTable.read(spark, warehouse, name)
+      else { SnapTable.commit(spark, warehouse, name, compute); SnapTable.read(spark, warehouse, name) }
+
+    // extract: triples (overwrite) + lineage metrics (append) from ONE pass
+    val triples =
+      if (!refresh && SnapTable.exists(warehouse, "triples")) SnapTable.read(spark, warehouse, "triples")
+      else {
+        val env = Extract.run(pages).persist(StorageLevel.MEMORY_AND_DISK)
+        SnapTable.commit(spark, warehouse, "triples", env.flatMap(_.triple).toDF())
+        SnapTable.commit(spark, warehouse, "metrics", env.flatMap(_.lineage).toDF(), op = "append")
+        env.unpersist()
+        SnapTable.read(spark, warehouse, "triples")
+      }
+    val aliasDict = stageSnap("alias_dict")(entityAliases(triples))
+    val links = stageSnap("links")(linkMentions(pages.toDF(), aliasDict))
+    val canonicalMap = stageSnap("canonical_map")(canonicalize(aliasDict))
+    val edges = stageSnap("edges")(materializeEdges(triples, canonicalMap))
+    val nodes = stageSnap("nodes")(materializeNodes(edges))
+    val adjacency = stageSnap("adjacency")(
+      edges.repartitionByRange(col("subj")).sortWithinPartitions("subj", "pred", "obj"))
+    Map(
+      "triples" -> triples, "alias_dict" -> aliasDict, "links" -> links,
+      "canonical_map" -> canonicalMap, "edges" -> edges, "nodes" -> nodes,
+      "adjacency" -> adjacency,
+      "metrics" -> SnapTable.read(spark, warehouse, "metrics"))
+  }
+
   /** Alias dictionary: every IRI entity mentioned as a subject, keyed by
     * its lower-cased local name. Distinct + small → broadcast side of
     * the linking join.
