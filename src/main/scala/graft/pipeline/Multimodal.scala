@@ -48,6 +48,31 @@ object Multimodal {
     def decode(kind: String, payload: Array[Byte], width: Int, height: Int, durationMs: Int): Option[Decoded]
   }
 
+  /** SAMPLE-level decode interface for the compressed formats whose
+    * full decode needs native libraries not present in this
+    * environment (MP3 / Opus entropy+synthesis, H.264 entropy+DCT).
+    * No implementation ships — `sampleDecoder` stays None as the
+    * honest fence — but the CONTRACT is already pinned: the
+    * SampleDecodeContractSpec carries deterministic fixture vectors
+    * with spec-derived expected outputs (silent MP3 granules → zero
+    * PCM, Opus DTX packets → zero PCM of the TOC duration, all-skip
+    * H.264 P-frames → frames identical to the IDR) as ignored-until-
+    * native tests, so wiring a native decoder later means implementing
+    * this trait, setting `sampleDecoder`, and un-ignoring a waiting
+    * gate — not designing one.
+    */
+  trait SampleDecoder extends Serializable {
+    /** Full PCM decode: (samples interleaved, sampleRate, channels). */
+    def mp3Pcm(payload: Array[Byte]): Option[(Array[Short], Int, Int)]
+    /** Full PCM decode of an Ogg/Opus stream at 48 kHz (pre-skip applied). */
+    def opusPcm(payload: Array[Byte]): Option[(Array[Short], Int, Int)]
+    /** Full frame decode: one packed-RGB raster per access unit. */
+    def h264Frames(payload: Array[Byte]): Option[Seq[BufferedImage]]
+  }
+
+  /** The wired native sample decoder, None in this environment. */
+  val sampleDecoder: Option[SampleDecoder] = None
+
   // ------------------------------------------------------------ real codecs
 
   object PureJvmDecoder extends AssetDecoder {
@@ -988,6 +1013,8 @@ object Multimodal {
     }
     /** rbsp_stop_one_bit + byte alignment, then the accumulated bytes. */
     def rbspTrailing(): Array[Byte] = { u1(1); while (nbits != 0) u1(0); buf.toArray }
+    /** pcm_alignment_zero_bit padding (I_PCM sample alignment). */
+    def align(): Unit = while (nbits != 0) u1(0)
   }
 
   /** Insert H.264 emulation-prevention bytes: 00 00 0x (x ≤ 3) → 00 00 03 0x. */
@@ -1067,6 +1094,86 @@ object Multimodal {
     var f = 0
     while (f < frames) { out ++= nal(if (f == 0) 3 else 2, if (f == 0) 5 else 1, slice(f == 0, f)); f += 1 }
     out.toArray
+  }
+
+  /** A CONFORMANT H.264 Annex-B contract stream (unlike
+    * [[syntheticH264]], whose slice payloads are framing-level filler a
+    * real decoder would reject): Baseline SPS/PPS, one IDR whose
+    * macroblocks are all I_PCM with every luma/chroma sample 128 (raw
+    * samples, no entropy/DCT — uniform mid-gray, valid without an
+    * encoder), then `frames - 1` P slices coded as one whole-picture
+    * mb_skip_run (P_Skip's derived motion vector is zero here, so each
+    * frame copies the reference exactly). A conformant sample decoder
+    * MUST therefore produce `frames` identical uniform-gray rasters —
+    * the SampleDecodeContractSpec native gate. Pure function of the
+    * arguments.
+    */
+  private[pipeline] def contractH264IPcmSkip(wMbs: Int, hMbs: Int, frames: Int): Array[Byte] = {
+    val sps = {
+      val w = new BitWriter
+      w.u(8, 66); w.u(8, 0); w.u(8, 30) // Baseline profile, level 3.0
+      w.ue(0) // seq_parameter_set_id
+      w.ue(0) // log2_max_frame_num_minus4 (frame_num is u(4))
+      w.ue(0) // pic_order_cnt_type = 0
+      w.ue(0) // log2_max_pic_order_cnt_lsb_minus4 (poc lsb is u(4))
+      w.ue(1) // max_num_ref_frames
+      w.u1(0) // gaps_in_frame_num_value_allowed
+      w.ue(wMbs - 1)
+      w.ue(hMbs - 1)
+      w.u1(1) // frame_mbs_only
+      w.u1(1) // direct_8x8_inference
+      w.u1(0) // frame_cropping
+      w.u1(0) // vui_parameters_present
+      w.rbspTrailing()
+    }
+    val pps = {
+      val w = new BitWriter
+      w.ue(0); w.ue(0) // pps_id, sps_id
+      w.u1(0); w.u1(0) // entropy_coding_mode (CAVLC), bottom_field_pic_order
+      w.ue(0) // num_slice_groups_minus1
+      w.ue(0); w.ue(0) // num_ref_idx_l0/l1_active_minus1
+      w.u1(0); w.u(2, 0) // weighted_pred, weighted_bipred_idc
+      w.ue(0); w.ue(0); w.ue(0) // init_qp/qs/chroma offsets (se(0) == ue(0))
+      w.u1(0); w.u1(0); w.u1(0) // deblocking, constrained_intra, redundant_pic_cnt
+      w.rbspTrailing()
+    }
+    def sliceHeader(w: BitWriter, idr: Boolean, frameNum: Int): Unit = {
+      w.ue(0) // first_mb_in_slice
+      w.ue(if (idr) 7 else 5) // slice_type (I / P, "all slices" form)
+      w.ue(0) // pic_parameter_set_id
+      w.u(4, frameNum & 0xf) // frame_num
+      if (idr) w.ue(0) // idr_pic_id
+      w.u(4, (2 * frameNum) & 0xf) // pic_order_cnt_lsb
+      if (!idr) {
+        w.u1(0) // num_ref_idx_active_override_flag
+        w.u1(0) // ref_pic_list_modification_flag_l0
+      }
+      // dec_ref_pic_marking (nal_ref_idc != 0 on every slice here)
+      if (idr) { w.u1(0); w.u1(0) } // no_output_of_prior_pics, long_term_reference
+      else w.u1(0) // adaptive_ref_pic_marking_mode_flag
+      w.ue(0) // slice_qp_delta: se(0) shares ue(0)'s bit pattern
+    }
+    val idr = {
+      val w = new BitWriter
+      sliceHeader(w, idr = true, frameNum = 0)
+      var mb = 0
+      while (mb < wMbs * hMbs) {
+        w.ue(25) // mb_type I_PCM
+        w.align() // pcm_alignment_zero_bit(s)
+        var i = 0
+        while (i < 256 + 128) { w.u(8, 128); i += 1 } // Y then Cb,Cr (4:2:0), all mid-gray
+        mb += 1
+      }
+      w.rbspTrailing()
+    }
+    def pSlice(frameNum: Int): Array[Byte] = {
+      val w = new BitWriter
+      sliceHeader(w, idr = false, frameNum)
+      w.ue(wMbs * hMbs) // mb_skip_run = the whole picture
+      w.rbspTrailing()
+    }
+    (Seq(nal(3, 7, sps), nal(3, 8, pps), nal(3, 5, idr)) ++
+      (1 until frames).map(f => nal(2, 1, pSlice(f)))).reduce(_ ++ _)
   }
 
   /** A real (framing-level) Ogg/Opus stream: BOS page with OpusHead,
