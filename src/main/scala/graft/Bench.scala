@@ -228,6 +228,11 @@ object Bench {
       var err: Option[String] = None
       while (attempt < 3 && cleanSec == Double.MaxValue && err.isEmpty) {
         attempt += 1
+        // stage-cache honesty: a retried cache-BUILDER must not hit
+        // the entries its own rejected attempt built (it would publish
+        // a consumer-grade time hiding the build cost) — mark before
+        // the attempt, evict its additions before any retry
+        val cacheMark = graft.pipeline.StageCache.mark()
         val (s0, c0) = stealTotal()
         val t0 = System.nanoTime()
         // noop sink: computes and discards every row — pruning-proof,
@@ -241,6 +246,7 @@ object Bench {
           if (lastSteal <= qMaxSteal) cleanSec = sec
           else {
             System.err.println(f"[bench] $name attempt $attempt REJECTED steal=$lastSteal%.2f%% sec=$sec%.2f")
+            graft.pipeline.StageCache.evictSince(cacheMark)
             Thread.sleep(5000)
           }
         } catch { case e: Throwable => err = Some(e.getMessage) }
@@ -293,6 +299,11 @@ object Bench {
       val dirty = queryList.filter(n => qRecs.get(n).exists(r => stampDirty(r.stamp) || !r.stealClean))
       if (dirty.nonEmpty) {
         System.err.println(s"[bench] requeue pass over ${dirty.size} noisy queries: ${dirty.take(12).mkString(",")}${if (dirty.size > 12) ",..." else ""}")
+        // reset the stage cache so a requeued cache-builder re-measures
+        // its build honestly; consumers re-running without their
+        // builder measure build+consume, and the MIN-merge keeps their
+        // (smaller) pass-1 duration
+        graft.pipeline.StageCache.clear()
         runSegmented(dirty)
       }
       qRecs.valuesIterator.foreach(r => results(r.name) = r.sec)

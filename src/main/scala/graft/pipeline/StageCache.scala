@@ -30,12 +30,33 @@ import scala.collection.mutable
   * `clear()` is exposed for tests.
   */
 object StageCache {
-  private final case class Entry(plan: LogicalPlan, result: DataFrame)
+  private final case class Entry(plan: LogicalPlan, result: DataFrame, gen: Long)
   private val entries = mutable.LinkedHashMap.empty[(String, String), mutable.ArrayBuffer[Entry]]
   private var session: SparkSession = null
+  private var gen = 0L
   private val maxPerKey = 4
 
   def clear(): Unit = synchronized { entries.clear(); session = null }
+
+  /** Generation watermark for [[countSince]]/[[evictSince]] — the
+    * bench's honesty hook: a RETRIED cache-building query must not hit
+    * the entries its rejected attempt built (it would publish a
+    * consumer-grade time that hides the build cost), so the bench
+    * marks before each attempt and evicts the attempt's additions
+    * before re-running.
+    */
+  def mark(): Long = synchronized { gen }
+
+  /** How many entries were added after the watermark. */
+  def countSince(m: Long): Int = synchronized { entries.valuesIterator.map(_.count(_.gen > m)).sum }
+
+  /** Drop entries added after the watermark (memoization only — any
+    * already-handed-out frames stay valid; their checkpoint blocks are
+    * reference-tracked).
+    */
+  def evictSince(m: Long): Unit = synchronized {
+    entries.valuesIterator.foreach(b => b.filterInPlace(_.gen <= m))
+  }
 
   def getOrCompute(stage: String, params: String, input: DataFrame)
                   (compute: => DataFrame): DataFrame = synchronized {
@@ -48,7 +69,8 @@ object StageCache {
       case None =>
         val r = compute
         if (bucket.size >= maxPerKey) bucket.remove(0)
-        bucket += Entry(plan, r)
+        gen += 1
+        bucket += Entry(plan, r, gen)
         r
     }
   }

@@ -21,7 +21,7 @@ while [ $(date +%s) -lt $deadline ]; do
   if [ $consec -ge 3 ]; then
     echo "CLEAN WINDOW - launching bench"
     pkill -f "[E]xtractRunner"; rm -rf /tmp/graft_* 2>/dev/null; sync
-    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" > /tmp/bench_r4_clean.log 2>&1
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" > /tmp/bench_r5_clean.log 2>&1
     ec=$?
     eff=$(python3 -c "import json; d=json.load(open('BENCH/result.json')); print(d['extract'].get('scaling_efficiency'))" 2>/dev/null)
     echo "bench exit=$ec efficiency=$eff"
