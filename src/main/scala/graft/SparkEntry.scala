@@ -2286,8 +2286,13 @@ object SparkEntry {
     // "near-dup" here is cos>=0.4 — a low-threshold regime that needs
     // few planes (fat buckets) amplified across independent tables;
     // the relational integer verify keeps the candidate volume cheap
+    // 9 planes x 5 tables + radius-1 multi-probe: equal expected recall
+    // to the old exact 6x8 (p~0.63 at cos 0.4) with 8x smaller buckets
+    // and ~20% fewer expected candidates — the fat-bucket fix in the
+    // low-threshold synthetic regime
     "x_embedding_neardup" -> ((s, d) =>
-      Similarity.embeddingNearDup(t(s, d, "embeddings"), threshold = 0.4, planes = 6, tables = 8)),
+      Similarity.embeddingNearDup(t(s, d, "embeddings"), threshold = 0.4, planes = 9, tables = 5,
+        probeRadius = 1)),
     "x_ann_brute" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.bruteCosine(emb, emb.where(col("vec_id") < 8), k = 5)

@@ -590,16 +590,29 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (dedup by vector space):
-    * LSH-bucketed, exact-cosine verified.
+    * LSH-bucketed, exact-cosine verified. `probeRadius = 1` enables
+    * the same radius-1 multi-probe as [[lshCosine]] on the left leg
+    * (a pair within bucket-Hamming 1 is reached through the smaller
+    * id's probe, so the a<b dedup keeps coverage complete) — more
+    * planes + probing holds expected recall while shrinking buckets,
+    * the fat-bucket fix for low-threshold regimes.
     */
   def embeddingNearDup(corpus: DataFrame, threshold: Double = 0.95, planes: Int = 8, tables: Int = 3,
-                       maxBucket: Int = 1000): DataFrame = {
+                       maxBucket: Int = 1000, probeRadius: Int = 0): DataFrame = {
+    require(probeRadius == 0 || probeRadius == 1, s"probeRadius must be 0 or 1, got $probeRadius")
     // ids through the bucket join, distinct pairs, then the relational
     // quantized-cosine verify (array-lambda cosine is interpreted,
     // ~50us/pair — see relationalCosine)
     val sketched = suppressHot(sketch(corpus, planes, tables), maxBucket)
     val ids = sketched.select(col("table"), col("bucket"), col("vec_id"))
-    val l = ids.select(col("table"), col("bucket"), col("vec_id").as("a"))
+    val l =
+      if (probeRadius == 0) ids.select(col("table"), col("bucket"), col("vec_id").as("a"))
+      else {
+        val flips = lit(0L) +: (0 until planes).map(i => lit(1L << i))
+        ids.select(col("table"), explode(array(flips: _*)).as("flip"), col("bucket"), col("vec_id"))
+          .select(col("table"), col("bucket").bitwiseXOR(col("flip")).as("bucket"),
+            col("vec_id").as("a"))
+      }
     val r = ids.select(col("table"), col("bucket"), col("vec_id").as("b"))
     val candIds = l.join(r, Seq("table", "bucket"))
       .where(col("a") < col("b"))
