@@ -180,7 +180,10 @@ object Bench {
     // a measured ~20% across the session — the gate's job is catching
     // the 2-15x co-tenant pollution class (r4's q60 artifact), not JIT
     // flutter
-    val qCanaryMargin = sys.env.getOrElse("SPARK_GRAFT_QUERY_CANARY_MARGIN", "1.35").toDouble
+    // 1.4: the r5 clean capture measured marginal stamps at exactly
+    // best x 1.36 on a HEALTHY host (29 false-ish NOISY flags at the
+    // 1.35 line) — the gate hunts multiples, not percent
+    val qCanaryMargin = sys.env.getOrElse("SPARK_GRAFT_QUERY_CANARY_MARGIN", "1.4").toDouble
     // absolute cap vs the pinned-child anchor: healthy driver stamps
     // measure 0.136-0.157 s against the committed 0.110 anchor (the
     // unpinned long-lived JVM is structurally ~25-40% slower than a
