@@ -33,7 +33,7 @@ object Bench {
     * action (noop sink), not count() — count() lets Catalyst prune
     * map-only projections down to a parquet row count.
     */
-  private val benchQueries = Seq(
+  private[graft] val benchQueries = Seq(
     "q1_pricing_summary", "q2_revenue_by_nation", "q3_priority_counts",
     "q4_anti_join", "q5_brand_volume", "q6_events_latest", "q7_events_by_type",
     "q8_dedup_exact", "q9_token_stats", "q10_quality", "q11_langid",
@@ -88,7 +88,7 @@ object Bench {
     "q167_subquery_topk_group", "q168_agg_unbound", "q169_exists_unbound",
     "q170_rdf_star", "q171_owl_equiv_prop", "q172_interval_join",
     "q173_er_metrics", "q174_image_phash_pairs", "q175_audio_fp_pairs",
-    "q176_video_phash_pairs",
+    "q176_video_phash_pairs", "q177_ktruss", "q178_link_prediction",
     "x_bpe_train", "x_bpe_encode",
     "x_minhash_lsh_dedup", "x_ngram_jaccard_lsh", "x_simhash_dedup",
     "x_embedding_neardup", "x_ann_brute", "x_ann_lsh", "x_ann_ivf",

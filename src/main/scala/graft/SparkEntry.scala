@@ -882,6 +882,47 @@ object SparkEntry {
         concat(lit("p"), pred).as("pred"),
         concat(lit("g"), gold).as("gold")))
     }),
+    // k-truss edge peeling over a per-16-id-block fixture: a triangle
+    // ladder on idx 0..7 (chain + chords — middle chain edges carry
+    // support 2, so k=4 peels chords round 1, the orphaned chain
+    // round 2), a K4 on idx 8..11 (every edge support 2, survives),
+    // and a pendant at idx 12 (no triangle, drops round 1) — the
+    // multi-round peel and the surviving core both exercised at
+    // every SF; the oracle unrolls the full cap (monotone peel:
+    // post-fixpoint rounds are identities, the q71 rule)
+    "q177_ktruss" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val idx = pmod(col("doc_id"), lit(16))
+      val chain = docs.where(idx <= 6)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+      val chord = docs.where(idx <= 5)
+        .select(col("doc_id").as("a"), (col("doc_id") + 2).as("b"))
+      val clique = docs.where(idx === 8)
+        .select(explode(array(
+          Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)).map { case (i, j) =>
+            struct((col("doc_id") + i).as("a"), (col("doc_id") + j).as("b"))
+          }: _*)).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+      val pendant = docs.where(idx === 12)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+      GraphOps.kTruss(
+        chain.unionByName(chord).unionByName(clique).unionByName(pendant),
+        k = 4, maxRounds = 6)
+    }),
+    // common-neighbor link prediction over the div-2 ancestor tree
+    // plus a planted hub (ids ≡5 mod 16 all link to one node): the
+    // hub's degree (~31) exceeds the wedge-center cap of 16, so it
+    // contributes NO candidate pairs — the cap is part of the
+    // operator contract and the oracle replays it; AA weights are
+    // q70 whole-bit integers (1e6 div length(bin(deg)))
+    "q178_link_prediction" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tree = docs.where(col("doc_id") >= 2)
+        .select(col("doc_id").as("a"), expr("doc_id div 2").as("b"))
+      val hub = docs.where(pmod(col("doc_id"), lit(16)) === 5)
+        .select(col("doc_id").as("a"), lit(1000000L).as("b"))
+      GraphOps.linkPrediction(tree.unionByName(hub), maxHubDegree = 16)
+    }),
     // Interval-overlap join via timeline binning — the scale-safe
     // range join: intervals expand to width-64 bins, sides EQUI-join
     // on the bin, the exact overlap predicate prunes, pair-distinct
@@ -4409,6 +4450,91 @@ object SparkEntry {
       |)
       |SELECT printf('n%06d', a) AS src, printf('n%06d', b) AS dst FROM walk""".stripMargin
 
+  /** DuckDB twin of q177 (k-truss): the same fixture edges, the peel
+    * cap unrolled as CTEs — each round enumerates triangles over the
+    * previous round's edge set with the INDEPENDENT a<b<c triple
+    * self-join (the q60 formulation, deliberately not a replay of the
+    * degree-oriented wedge plan), attributes each to its three edges,
+    * and keeps edges with support ≥ k−2. Monotone peel → post-fixpoint
+    * rounds are identities (q71 rule; the Spark side THROWS if the cap
+    * is ever too small). Every CTE is MATERIALIZED — rounds reference
+    * the prior round three times (q71 inlining rule).
+    */
+  private def q177Sql(k: Int = 4, rounds: Int = 6): String = {
+    val minSup = k - 2
+    val sb = new StringBuilder
+    sb.append(
+      """WITH ein AS MATERIALIZED (
+        |  SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 16 <= 6
+        |  UNION ALL SELECT doc_id, doc_id + 2 FROM documents WHERE doc_id % 16 <= 5
+        |  UNION ALL SELECT doc_id + o.i, doc_id + o.j FROM documents,
+        |    (VALUES (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)) o(i, j)
+        |  WHERE doc_id % 16 = 8
+        |  UNION ALL SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 16 = 12
+        |),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM ein WHERE a <> b
+        |)""".stripMargin)
+    for (r <- 1 to rounds) sb.append(
+      s""",
+         |t$r AS MATERIALIZED (
+         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM e${r - 1} e1 JOIN e${r - 1} e2 ON e2.u = e1.v
+         |  JOIN e${r - 1} e3 ON e3.u = e1.u AND e3.v = e2.v
+         |),
+         |s$r AS MATERIALIZED (
+         |  SELECT u, v, count(*) AS sup FROM (
+         |    SELECT a AS u, b AS v FROM t$r
+         |    UNION ALL SELECT a, c FROM t$r
+         |    UNION ALL SELECT b, c FROM t$r) tri_edges
+         |  GROUP BY u, v
+         |),
+         |e$r AS MATERIALIZED (
+         |  SELECT u, v FROM s$r WHERE sup >= $minSup
+         |)""".stripMargin)
+    sb.append(
+      s"""
+         |SELECT CAST(e.u AS BIGINT) AS u, CAST(e.v AS BIGINT) AS v,
+         |  CAST(s.sup AS BIGINT) AS sup
+         |FROM e$rounds e JOIN s$rounds s ON s.u = e.u AND s.v = e.v""".stripMargin)
+    sb.toString
+  }
+
+  /** DuckDB twin of q178 (link prediction): same tree+hub edges, the
+    * wedge join restated naively over the capped adjacency — degree
+    * cap 16 excludes the planted hub as a wedge center in BOTH
+    * engines; `1000000 // length(bin(d))` is the q70 whole-bit AA
+    * weight (HUGEINT sum cast back to BIGINT), `//` == Spark `div` on
+    * the non-negative operands (q62 rule).
+    */
+  private val q178Sql: String =
+    """WITH ein AS MATERIALIZED (
+      |  SELECT doc_id AS a, doc_id // 2 AS b FROM documents WHERE doc_id >= 2
+      |  UNION ALL SELECT doc_id, 1000000 FROM documents WHERE doc_id % 16 = 5
+      |),
+      |e AS MATERIALIZED (
+      |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM ein WHERE a <> b
+      |),
+      |deg AS MATERIALIZED (
+      |  SELECT node, count(*) AS d
+      |  FROM (SELECT unnest([u, v]) AS node FROM e) ends GROUP BY node
+      |),
+      |adj AS MATERIALIZED (
+      |  SELECT z, n, d FROM (
+      |    SELECT u AS z, v AS n FROM e UNION ALL SELECT v, u FROM e) a0
+      |  JOIN deg ON deg.node = a0.z WHERE deg.d <= 16
+      |),
+      |cand AS (
+      |  SELECT l.n AS x, r.n AS y,
+      |    CAST(count(*) AS BIGINT) AS cn,
+      |    CAST(sum(1000000 // length(bin(l.d))) AS BIGINT) AS aa_micro
+      |  FROM adj l JOIN adj r ON r.z = l.z AND l.n < r.n
+      |  GROUP BY l.n, r.n
+      |)
+      |SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, cn, aa_micro
+      |FROM cand c
+      |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = c.x AND e.v = c.y)""".stripMargin
+
   /** DuckDB twin of q173 (ER metrics): the same contingency identity
     * — HUGEINT sums cast to BIGINT (q70 rule), `//` on non-negative
     * pair counts (q62 rule).
@@ -6608,6 +6734,8 @@ object SparkEntry {
       """SELECT g
         |FROM range(0, 400) t(g)
         |WHERE (3*g) % 16 != 15 AND (3*g+1) % 16 != 15""".stripMargin,
+    "q177_ktruss" -> q177Sql(),
+    "q178_link_prediction" -> q178Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

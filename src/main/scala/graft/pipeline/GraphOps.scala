@@ -80,7 +80,17 @@ object GraphOps {
     * enumeration documented on [[triangles]]. `deg` must be the degree
     * table of `e`.
     */
-  private def triCorners(e: DataFrame, deg: DataFrame): DataFrame = {
+  private def triCorners(e: DataFrame, deg: DataFrame): DataFrame =
+    triangleList(e, deg)
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).cast("bigint").as("n_tri"))
+
+  /** Every triangle exactly once as (ta, tb, tc) — the oriented wedge
+    * enumeration (orientation semantics documented on [[triangles]]).
+    * `deg` must be the degree table of `e`. The corner order follows
+    * the (degree, node) orientation key, NOT numeric order.
+    */
+  private def triangleList(e: DataFrame, deg: DataFrame): DataFrame = {
     val uFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
     val oriented = e
@@ -96,11 +106,118 @@ object GraphOps {
     val wedges = l.join(r, Seq("src"))
       .where(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
       .select(col("src"), col("x"), col("y"))
-    val tris = wedges
+    wedges
       .join(oriented.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
       .select(col("src").as("ta"), col("x").as("tb"), col("y").as("tc"))
-    tris.select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).cast("bigint").as("n_tri"))
+  }
+
+  /** Per-edge triangle support over a canonical (u < v) edge set —
+    * shares the oriented enumeration, then attributes each triangle to
+    * its three edges (re-canonicalized: corner order is the
+    * orientation key's, not numeric).
+    */
+  private def edgeSupport(e: DataFrame): DataFrame =
+    triangleList(e, degrees(e))
+      .select(explode(array(
+        struct(least(col("ta"), col("tb")).as("u"), greatest(col("ta"), col("tb")).as("v")),
+        struct(least(col("ta"), col("tc")).as("u"), greatest(col("ta"), col("tc")).as("v")),
+        struct(least(col("tb"), col("tc")).as("u"), greatest(col("tb"), col("tc")).as("v")))).as("ed"))
+      .select(col("ed.u").as("u"), col("ed.v").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).cast("bigint").as("sup"))
+
+  /** k-truss: the maximal subgraph in which every EDGE sits on ≥ k−2
+    * triangles among surviving edges — the edge-level density floor
+    * one notch stronger than [[kCore]] (a k-truss is a (k−1)-core, not
+    * vice versa): it keeps triangle-cemented near-dup/citation
+    * communities while shedding the bridges and chains a node-degree
+    * rule cannot tell apart from cluster interior.
+    *
+    * Iterative peeling: each round recomputes per-edge support within
+    * the surviving set via the degree-oriented triangle enumeration
+    * (arboricity-bounded wedges — the [[triangles]] skew guard applies
+    * per round) and drops edges below k−2, to a fixpoint. Rounds are
+    * capped and non-convergence THROWS (the q26 rule); a DuckDB twin
+    * unrolls the full cap as CTEs — sound because peeling is monotone,
+    * so post-fixpoint rounds are identities. Per-round checkpoint
+    * keeps lineage flat; convergence = edge-count equality, valid
+    * because peeling only removes.
+    *
+    * Input: (a, b) undirected pairs (duplicates/orientations/loops
+    * normalized away). Output: (u, v, sup) per surviving edge with its
+    * in-truss support; k ≥ 3 (k = 2 is "every edge", not a peel).
+    */
+  def kTruss(pairs: DataFrame, k: Int = 4, maxRounds: Int = 8): DataFrame = {
+    require(k >= 3 && k <= 64, "k in [3,64]")
+    require(maxRounds >= 1 && maxRounds <= 16, "maxRounds in [1,16]")
+    val minSup = (k - 2).toLong
+    var e = canonEdges(pairs)
+    var m = e.count()
+    var lastSup: DataFrame = null
+    var converged = false
+    var r = 0
+    while (r < maxRounds && !converged) {
+      lastSup = edgeSupport(e).localCheckpoint(true)
+      val next = e.join(lastSup, Seq("u", "v"))
+        .where(col("sup") >= minSup)
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+      val m2 = next.count()
+      converged = m2 == m // peeling only removes: equal count == equal set
+      e = next
+      m = m2
+      r += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kTruss(k=$k) did not converge in $maxRounds peel rounds " +
+          "(still shrinking); raise maxRounds — shipping a half-peeled set would be wrong")
+    // on convergence the last support table was computed over a set
+    // equal to the final one — no extra enumeration pass needed
+    e.join(lastSup, Seq("u", "v"))
+      .select(col("u").cast("bigint").as("u"), col("v").cast("bigint").as("v"),
+        col("sup").cast("bigint").as("sup"))
+  }
+
+  /** Common-neighbor link prediction: for every NON-adjacent pair at
+    * distance 2, the common-neighbor count plus an integer
+    * Adamic-Adar surrogate — the classic missing-link / KG-completion
+    * scorer (Liben-Nowell & Kleinberg 2003). The AA weight per shared
+    * neighbor z is `1e6 div (⌊log2 deg(z)⌋ + 1)` — the q70 whole-bit
+    * quantization (`length(bin(d))` in both engines), so high-degree
+    * hubs contribute less, with zero FP anywhere.
+    *
+    * Scale shape: candidate pairs are wedges, Σ C(deg(z), 2) — a
+    * power-law hub would explode that, so wedge centers above
+    * `maxHubDegree` are EXCLUDED (the [[triangles]] hot-node cap
+    * applied to prediction: a celebrity neighbor carries ~no signal
+    * and quadratic cost; the cap is part of the operator's contract,
+    * replayed by any twin). One wedge self-join on the capped
+    * adjacency, a map-side-combinable pair groupBy, and an anti-join
+    * against the edge set — no cartesian anywhere.
+    *
+    * Input: (a, b) undirected pairs. Output: (x, y, cn, aa_micro) for
+    * non-adjacent x < y with cn ≥ minCommon.
+    */
+  def linkPrediction(pairs: DataFrame, maxHubDegree: Int = 64,
+                     minCommon: Int = 1): DataFrame = {
+    require(maxHubDegree >= 1, "maxHubDegree >= 1")
+    val e = canonEdges(pairs)
+    val deg = degrees(e)
+    val adj = e.select(col("u").as("z"), col("v").as("n"))
+      .unionByName(e.select(col("v").as("z"), col("u").as("n")))
+      .join(deg.where(col("d") <= maxHubDegree)
+        .select(col("node").as("z"), col("d")), Seq("z"))
+      .localCheckpoint(true) // feeds both wedge legs
+    val w = adj.select(col("z"), col("n").as("x"),
+      expr("CAST(1000000 div length(bin(d)) AS BIGINT)").as("aa"))
+    val scored = w.join(adj.select(col("z"), col("n").as("y")), Seq("z"))
+      .where(col("x") < col("y"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).cast("bigint").as("cn"), sum(col("aa")).cast("bigint").as("aa_micro"))
+      .where(col("cn") >= minCommon)
+    scored.join(e, scored("x") === e("u") && scored("y") === e("v"), "left_anti")
+      .select(col("x").cast("bigint").as("x"), col("y").cast("bigint").as("y"),
+        col("cn"), col("aa_micro"))
   }
 
   /** Multi-source BFS hop distance, capped at `maxHops` — the

@@ -363,6 +363,57 @@ class EventCorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == (1 to k).map(i => i.toLong -> 6L).toMap)
   }
 
+  test("kTruss: triangle ladder peels from the ends, K4 survives, pendant drops round 1") {
+    // ladder on 0..7 (chain i-(i+1) for i<=6, chords i-(i+2) for
+    // i<=5): the 6 triangles (i,i+1,i+2) give middle chain edges
+    // support 2, chords and end edges 1 — at k=4 the chords drop round
+    // 1, which kills every triangle, so the remaining chain peels
+    // round 2 and the set empties; K4 on 10..13 keeps support 2 on all
+    // 6 edges forever; pendant 20-21 has no triangle
+    val ladder = (0L to 6L).map(i => (i, i + 1)) ++ (0L to 5L).map(i => (i, i + 2))
+    val k4 = for (i <- 10L to 13L; j <- i + 1 to 13L) yield (i, j)
+    val e = edges(ladder ++ k4 ++ Seq((20L, 21L)): _*)
+    val got = GraphOps.kTruss(e, k = 4, maxRounds = 6).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v")) -> r.getAs[Long]("sup")).toMap
+    assert(got == k4.map(p => p -> 2L).toMap, got.toString)
+  }
+
+  test("kTruss: k=3 keeps every triangle-bearing edge, non-convergence at a tight cap throws") {
+    val ladder = (0L to 6L).map(i => (i, i + 1)) ++ (0L to 5L).map(i => (i, i + 2))
+    val e = edges(ladder ++ Seq((20L, 21L)): _*)
+    // k=3 (minSup 1): every ladder edge is on >= 1 triangle, only the
+    // pendant drops — fixpoint after 2 rounds (drop + confirm)
+    val got = GraphOps.kTruss(e, k = 3, maxRounds = 4).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"))).toSet
+    assert(got == ladder.toSet, got.toString)
+    // k=4 on the ladder needs 3 rounds (chords, chain, confirm-empty);
+    // a 2-round cap must throw, never ship the half-peeled set
+    assertThrows[IllegalStateException] {
+      GraphOps.kTruss(edges(ladder: _*), k = 4, maxRounds = 2).collect()
+    }
+  }
+
+  test("linkPrediction: wedge candidates with whole-bit AA weights, adjacency excluded, hub cap") {
+    // square 1-2-3-4: diagonals (1,3) and (2,4) have cn=2 through
+    // degree-2 neighbors -> aa = 2 * (1e6 div len(bin(2))=2) = 1e6;
+    // path 5-6-7 gives (5,7) cn=1 aa=5e5; adjacent pairs never appear
+    val sq = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (5L, 6L), (6L, 7L))
+    val got = GraphOps.linkPrediction(sq).collect()
+      .map(r => (r.getAs[Long]("x"), r.getAs[Long]("y")) ->
+        (r.getAs[Long]("cn"), r.getAs[Long]("aa_micro"))).toMap
+    assert(got == Map((1L, 3L) -> (2L, 1000000L), (2L, 4L) -> (2L, 1000000L),
+      (5L, 7L) -> (1L, 500000L)), got.toString)
+    // a star center above the hub cap contributes no wedges: with the
+    // cap at 2, center 0 (degree 3) is excluded and nothing predicts
+    val star = edges((0L, 1L), (0L, 2L), (0L, 3L))
+    assert(GraphOps.linkPrediction(star, maxHubDegree = 2).count() == 0L)
+    // at cap 3 the same star predicts all C(3,2) leaf pairs with
+    // aa = 1e6 div len(bin(3))=2 = 5e5
+    val got2 = GraphOps.linkPrediction(star, maxHubDegree = 3).collect()
+      .map(r => (r.getAs[Long]("x"), r.getAs[Long]("y")) -> r.getAs[Long]("aa_micro")).toMap
+    assert(got2 == Map((1L, 2L) -> 500000L, (1L, 3L) -> 500000L, (2L, 3L) -> 500000L), got2.toString)
+  }
+
   test("hopDistance: BFS min over multiple seeds, hop cap truncates, isolated seed stays 0") {
     val s = spark
     import s.implicits._
