@@ -923,6 +923,24 @@ object SparkEntry {
         .select(col("doc_id").as("a"), lit(1000000L).as("b"))
       GraphOps.linkPrediction(tree.unionByName(hub), maxHubDegree = 16)
     }),
+    // Z-order layout vs ingest-order layout, judged by the zone-map
+    // pruning audit: 10-bit (x, y) coordinates from doc_id residues,
+    // Morton z-value tiles of 128x128 (z div 16384) against
+    // 8-consecutive-doc "files" — the aligned query box lands in ONE
+    // z tile while every rowid bucket spans the full coordinate range;
+    // rows_matched is layout-invariant by construction and the oracle
+    // restates the whole bit-interleave ladder in BIGINT shifts
+    "q179_zorder_layout" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pts = docs.select(col("doc_id"),
+        pmod(col("doc_id") * 37, lit(1024)).as("x"),
+        pmod(col("doc_id") * 101, lit(1024)).as("y"))
+        .withColumn("zv", Layout.zValue(col("x"), col("y")))
+      Layout.zoneMapAudit(pts, "x", "y",
+          expr("CAST(zv div 16384 AS BIGINT)"), "zorder", 128, 255, 512, 639)
+        .unionByName(Layout.zoneMapAudit(pts, "x", "y",
+          expr("CAST(doc_id div 8 AS BIGINT)"), "rowid", 128, 255, 512, 639))
+    }),
     // Interval-overlap join via timeline binning — the scale-safe
     // range join: intervals expand to width-64 bins, sides EQUI-join
     // on the bin, the exact overlap predicate prunes, pair-distinct
@@ -4500,6 +4518,67 @@ object SparkEntry {
     sb.toString
   }
 
+  /** DuckDB twin of q179 (Z-order layout): the Morton spread ladder
+    * restated step by step in BIGINT shift/AND CTEs (identical
+    * operators both engines — every intermediate is non-negative and
+    * < 2^32), the same two bucketings, the same zone-map fold. The
+    * column `by` would be a keyword — the ladder uses mx/my names.
+    */
+  private val q179Sql: String =
+    """WITH pts AS (
+      |  SELECT doc_id, (doc_id * 37) % 1024 AS x, (doc_id * 101) % 1024 AS y
+      |  FROM documents
+      |), s1 AS (
+      |  SELECT doc_id, x, y,
+      |    ((x | (x << 8)) & 16711935) AS ax, ((y | (y << 8)) & 16711935) AS ay
+      |  FROM pts
+      |), s2 AS (
+      |  SELECT doc_id, x, y,
+      |    ((ax | (ax << 4)) & 252645135) AS mx, ((ay | (ay << 4)) & 252645135) AS my
+      |  FROM s1
+      |), s3 AS (
+      |  SELECT doc_id, x, y,
+      |    ((mx | (mx << 2)) & 858993459) AS cx, ((my | (my << 2)) & 858993459) AS cy
+      |  FROM s2
+      |), s4 AS (
+      |  SELECT doc_id, x, y,
+      |    ((cx | (cx << 1)) & 1431655765) AS dx, ((cy | (cy << 1)) & 1431655765) AS dy
+      |  FROM s3
+      |), zp AS (
+      |  SELECT doc_id, x, y, (dx | (dy << 1)) AS zv FROM s4
+      |), zzm AS (
+      |  SELECT zv // 16384 AS b,
+      |    min(x) AS xmin, max(x) AS xmax, min(y) AS ymin, max(y) AS ymax,
+      |    count(*) AS n_rows,
+      |    sum(CASE WHEN x BETWEEN 128 AND 255 AND y BETWEEN 512 AND 639
+      |      THEN 1 ELSE 0 END) AS n_match
+      |  FROM zp GROUP BY 1
+      |), rzm AS (
+      |  SELECT doc_id // 8 AS b,
+      |    min(x) AS xmin, max(x) AS xmax, min(y) AS ymin, max(y) AS ymax,
+      |    count(*) AS n_rows,
+      |    sum(CASE WHEN x BETWEEN 128 AND 255 AND y BETWEEN 512 AND 639
+      |      THEN 1 ELSE 0 END) AS n_match
+      |  FROM zp GROUP BY 1
+      |), za AS (
+      |  SELECT 'zorder' AS layout, CAST(count(*) AS BIGINT) AS n_buckets,
+      |    CAST(sum(CASE WHEN xmin <= 255 AND xmax >= 128 AND ymin <= 639 AND ymax >= 512
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS buckets_touched,
+      |    CAST(sum(CASE WHEN xmin <= 255 AND xmax >= 128 AND ymin <= 639 AND ymax >= 512
+      |      THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+      |    CAST(sum(n_match) AS BIGINT) AS rows_matched
+      |  FROM zzm
+      |), ra AS (
+      |  SELECT 'rowid' AS layout, CAST(count(*) AS BIGINT) AS n_buckets,
+      |    CAST(sum(CASE WHEN xmin <= 255 AND xmax >= 128 AND ymin <= 639 AND ymax >= 512
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS buckets_touched,
+      |    CAST(sum(CASE WHEN xmin <= 255 AND xmax >= 128 AND ymin <= 639 AND ymax >= 512
+      |      THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+      |    CAST(sum(n_match) AS BIGINT) AS rows_matched
+      |  FROM rzm
+      |)
+      |SELECT * FROM za UNION ALL SELECT * FROM ra""".stripMargin
+
   /** DuckDB twin of q178 (link prediction): same tree+hub edges, the
     * wedge join restated naively over the capped adjacency — degree
     * cap 16 excludes the planted hub as a wedge center in BOTH
@@ -6736,6 +6815,7 @@ object SparkEntry {
         |WHERE (3*g) % 16 != 15 AND (3*g+1) % 16 != 15""".stripMargin,
     "q177_ktruss" -> q177Sql(),
     "q178_link_prediction" -> q178Sql,
+    "q179_zorder_layout" -> q179Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),
