@@ -941,6 +941,79 @@ object SparkEntry {
         .unionByName(Layout.zoneMapAudit(pts, "x", "y",
           expr("CAST(doc_id div 8 AS BIGINT)"), "rowid", 128, 255, 512, 639))
     }),
+    // SHACL property-pair constraints: sh:equals (one-sided extra
+    // alias), sh:disjoint (planted shared tag), sh:lessThan (inverted
+    // low/high lane — the min collapse of the every-pair rule), and
+    // sh:uniqueLang (duplicated @en label); each lane fires on its
+    // own residue class, conforming docs stay silent
+    "q180_shacl_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val m = pmod(col("doc_id"), lit(50))
+      val spo = docs.select(dId.as("s"), lit("alias_a").as("p"),
+          concat(lit("\"a"), pmod(col("doc_id"), lit(20)), lit("\"")).as("o"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(7)) === 0)
+          .select(dId.as("s"), lit("alias_a").as("p"), lit("\"extra\"").as("o")))
+        .unionByName(docs.select(dId.as("s"), lit("alias_b").as("p"),
+          concat(lit("\"a"), pmod(col("doc_id"), lit(20)), lit("\"")).as("o")))
+        .unionByName(docs.select(dId.as("s"), lit("tag").as("p"),
+          concat(lit("\"t"), pmod(col("doc_id"), lit(12)), lit("\"")).as("o")))
+        .unionByName(docs.select(dId.as("s"), lit("banned").as("p"),
+          concat(lit("\"t"), pmod(col("doc_id") + 1, lit(12)), lit("\"")).as("o")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(11)) === 0)
+          .select(dId.as("s"), lit("banned").as("p"),
+            concat(lit("\"t"), pmod(col("doc_id"), lit(12)), lit("\"")).as("o")))
+        .unionByName(docs.select(dId.as("s"), lit("low").as("p"),
+          concat(lit("\""), m, lit("\"^^xsd:integer")).as("o")))
+        .unionByName(docs.select(dId.as("s"), lit("high").as("p"),
+          concat(lit("\""),
+            when(pmod(col("doc_id"), lit(9)) === 0, m - 5).otherwise(m + 10),
+            lit("\"^^xsd:integer")).as("o")))
+        .unionByName(docs.select(dId.as("s"), lit("label").as("p"),
+          concat(lit("\"hi"), pmod(col("doc_id"), lit(5)), lit("\"@en")).as("o")))
+        .unionByName(docs.select(dId.as("s"), lit("label").as("p"),
+          concat(lit("\"salut"), pmod(col("doc_id"), lit(5)), lit("\"@fr")).as("o")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(13)) === 0)
+          .select(dId.as("s"), lit("label").as("p"), lit("\"dup\"@en").as("o")))
+      TripleOps.pairConstraintViolations(spo, docs.select(dId.as("s")),
+          equalsPairs = Seq(("alias_a", "alias_b")),
+          disjointPairs = Seq(("tag", "banned")),
+          lessThanPairs = Seq(("low", "high")),
+          uniqueLangPaths = Seq("label"))
+        .select("s", "violation", "p1", "p2", "n")
+    }),
+    // OWL 2 RL class restrictions, one rule application each:
+    // cls-hv1 (typed VIPs derive their status), cls-hv2 (gold status
+    // derives the type), cls-svf1 (orgs employing a typed Person
+    // become Employers), cls-avf (members of a typed Team become
+    // Players) — restriction schema broadcast, instance triples never
+    // shuffle on a schema key
+    "q181_owl_restrictions" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+          .select(dId.as("s"), lit("rdf:type").as("p"), lit("VIP").as("o"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(10)) === 5)
+          .select(dId.as("s"), lit("status").as("p"), lit("\"gold\"").as("o")))
+        .unionByName(docs.select(
+          concat(lit("o"), pmod(col("doc_id"), lit(16))).as("s"),
+          lit("employs").as("p"), dId.as("o")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(3)) === 0)
+          .select(dId.as("s"), lit("rdf:type").as("p"), lit("Person").as("o")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(8)) === 0)
+          .select(concat(lit("t"), pmod(col("doc_id"), lit(20))).as("s"),
+            lit("rdf:type").as("p"), lit("Team").as("o")))
+        .unionByName(docs.select(
+          concat(lit("t"), pmod(col("doc_id"), lit(20))).as("s"),
+          lit("member").as("p"), dId.as("o")))
+      val r = Seq(
+        ("VIP", "status", "hasValue", "\"gold\""),
+        ("Employer", "employs", "someValuesFrom", "Person"),
+        ("Team", "member", "allValuesFrom", "Player"))
+        .toDF("cls", "prop", "kind", "value")
+      TripleOps.restrictionEntail(spo, r).select("s", "p", "o")
+    }),
     // Interval-overlap join via timeline binning — the scale-safe
     // range join: intervals expand to width-64 bins, sides EQUI-join
     // on the bin, the exact overlap predicate prunes, pair-distinct
@@ -4518,6 +4591,81 @@ object SparkEntry {
     sb.toString
   }
 
+  /** DuckDB twin of q180 (SHACL pairs): the same value tables, each
+    * constraint restated DEFINITIONALLY — equals as the two-sided
+    * EXCEPT (the q132 rule), disjoint as INTERSECT, lessThan from the
+    * generating arithmetic (the q155 restatement rule) with the same
+    * min collapse, uniqueLang as a per-(s, lang) HAVING. Only
+    * violating focus nodes group, matching the filter-then-group
+    * Spark shape.
+    */
+  private val q180Sql: String =
+    """WITH f AS (SELECT 'd' || doc_id AS s, doc_id AS d FROM documents),
+      |aa AS (SELECT DISTINCT s, '"a' || (d % 20) || '"' AS o FROM f
+      |       UNION SELECT s, '"extra"' FROM f WHERE d % 7 = 0),
+      |ab AS (SELECT DISTINCT s, '"a' || (d % 20) || '"' AS o FROM f),
+      |onlya AS (SELECT s, o FROM aa EXCEPT SELECT s, o FROM ab),
+      |onlyb AS (SELECT s, o FROM ab EXCEPT SELECT s, o FROM aa),
+      |eq AS (SELECT s, 'equals' AS violation, 'alias_a' AS p1, 'alias_b' AS p2,
+      |       CAST(count(*) AS BIGINT) AS n
+      |       FROM (SELECT * FROM onlya UNION ALL SELECT * FROM onlyb) x GROUP BY s),
+      |tg AS (SELECT DISTINCT s, '"t' || (d % 12) || '"' AS o FROM f),
+      |bn AS (SELECT DISTINCT s, o FROM (
+      |        SELECT s, '"t' || ((d + 1) % 12) || '"' AS o FROM f
+      |        UNION ALL SELECT s, '"t' || (d % 12) || '"' FROM f WHERE d % 11 = 0) bx),
+      |dis AS (SELECT s, 'disjoint' AS violation, 'tag' AS p1, 'banned' AS p2,
+      |        CAST(count(*) AS BIGINT) AS n
+      |        FROM (SELECT s, o FROM tg INTERSECT SELECT s, o FROM bn) x GROUP BY s),
+      |lo AS (SELECT DISTINCT s, d % 50 AS v FROM f),
+      |hi AS (SELECT DISTINCT s,
+      |        CASE WHEN d % 9 = 0 THEN d % 50 - 5 ELSE d % 50 + 10 END AS v FROM f),
+      |hm AS (SELECT s, min(v) AS mn FROM hi GROUP BY s),
+      |lt AS (SELECT lo.s, 'lessThan' AS violation, 'low' AS p1, 'high' AS p2,
+      |       CAST(count(*) AS BIGINT) AS n
+      |       FROM lo JOIN hm ON hm.s = lo.s WHERE lo.v >= hm.mn GROUP BY lo.s),
+      |lab AS (SELECT DISTINCT s, lang, o FROM (
+      |        SELECT s, 'en' AS lang, '"hi' || (d % 5) || '"@en' AS o FROM f
+      |        UNION ALL SELECT s, 'fr', '"salut' || (d % 5) || '"@fr' FROM f
+      |        UNION ALL SELECT s, 'en', '"dup"@en' FROM f WHERE d % 13 = 0) lx),
+      |dl AS (SELECT s, lang FROM lab GROUP BY s, lang HAVING count(*) > 1),
+      |ul AS (SELECT s, 'uniqueLang' AS violation, 'label' AS p1, 'label' AS p2,
+      |       CAST(count(*) AS BIGINT) AS n FROM dl GROUP BY s)
+      |SELECT * FROM eq UNION ALL SELECT * FROM dis
+      |UNION ALL SELECT * FROM lt UNION ALL SELECT * FROM ul""".stripMargin
+
+  /** DuckDB twin of q181 (OWL restrictions): same constructed facts,
+    * the four RL rules restated as plain schema-table joins; final
+    * DISTINCT mirrors the derived-set semantics.
+    */
+  private val q181Sql: String =
+    """WITH f AS (SELECT 'd' || doc_id AS s, doc_id AS d FROM documents),
+      |spo AS (
+      |  SELECT s, 'rdf:type' AS p, 'VIP' AS o FROM f WHERE d % 10 = 0
+      |  UNION ALL SELECT s, 'status', '"gold"' FROM f WHERE d % 10 = 5
+      |  UNION ALL SELECT 'o' || (d % 16), 'employs', s FROM f
+      |  UNION ALL SELECT s, 'rdf:type', 'Person' FROM f WHERE d % 3 = 0
+      |  UNION ALL SELECT 't' || (d % 20), 'rdf:type', 'Team' FROM f WHERE d % 8 = 0
+      |  UNION ALL SELECT 't' || (d % 20), 'member', s FROM f
+      |),
+      |types AS (SELECT DISTINCT s AS inst, o AS tcls FROM spo WHERE p = 'rdf:type'),
+      |r(cls, prop, kind, value) AS (VALUES
+      |  ('VIP', 'status', 'hasValue', '"gold"'),
+      |  ('Employer', 'employs', 'someValuesFrom', 'Person'),
+      |  ('Team', 'member', 'allValuesFrom', 'Player')),
+      |hv1 AS (SELECT t.inst AS s, r.prop AS p, r.value AS o
+      |        FROM types t JOIN r ON r.kind = 'hasValue' AND t.tcls = r.cls),
+      |hv2 AS (SELECT x.s, 'rdf:type' AS p, r.cls AS o
+      |        FROM spo x JOIN r ON r.kind = 'hasValue' AND x.p = r.prop AND x.o = r.value),
+      |svf1 AS (SELECT x.s, 'rdf:type' AS p, r.cls AS o
+      |         FROM spo x JOIN r ON r.kind = 'someValuesFrom' AND x.p = r.prop
+      |         JOIN types t ON t.inst = x.o AND t.tcls = r.value),
+      |af AS (SELECT x.o AS s, 'rdf:type' AS p, r.value AS o
+      |       FROM types t JOIN r ON r.kind = 'allValuesFrom' AND t.tcls = r.cls
+      |       JOIN spo x ON x.s = t.inst AND x.p = r.prop)
+      |SELECT DISTINCT s, p, o FROM (
+      |  SELECT * FROM hv1 UNION ALL SELECT * FROM hv2
+      |  UNION ALL SELECT * FROM svf1 UNION ALL SELECT * FROM af) u""".stripMargin
+
   /** DuckDB twin of q179 (Z-order layout): the Morton spread ladder
     * restated step by step in BIGINT shift/AND CTEs (identical
     * operators both engines — every intermediate is non-negative and
@@ -6816,6 +6964,8 @@ object SparkEntry {
     "q177_ktruss" -> q177Sql(),
     "q178_link_prediction" -> q178Sql,
     "q179_zorder_layout" -> q179Sql,
+    "q180_shacl_pairs" -> q180Sql,
+    "q181_owl_restrictions" -> q181Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

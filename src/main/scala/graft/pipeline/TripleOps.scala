@@ -175,6 +175,127 @@ object TripleOps {
     * (broadcast — never a shuffle of the instance data); output one
     * row per (inst, a, b) witness.
     */
+  /** SHACL property-pair constraints (core §4.3) + sh:uniqueLang
+    * (§4.2.4) — the cross-property half of shape validation that
+    * [[validateShapes]]'s per-property lanes cannot express: value-SET
+    * equality / disjointness between two paths on the same focus
+    * node, the all-pairs ordering sh:lessThan, and per-language-tag
+    * uniqueness. Violations come back as (s, violation, p1, p2, n); a
+    * conforming graph yields an EMPTY frame (the q94/q158 contract).
+    *
+    * Contracts: value sets are DISTINCT term strings (equals/disjoint
+    * compare whole terms); sh:lessThan compares integer-typed literal
+    * values via the q125 decode and reports n = how many p1 values
+    * fail against min(p2) — the min collapse of the spec's every-pair
+    * rule (a < every b ⟺ a < min b), so no value-pair join exists;
+    * sh:uniqueLang reports n = number of language tags carrying more
+    * than one value.
+    *
+    * Scale shape: every lane is a predicate-constant slice (pushes
+    * into the scan), focus-restricted and distinct-reduced, then
+    * (s)- or (s, o)-keyed equi-joins and map-side-combinable groupBys.
+    */
+  def pairConstraintViolations(triples: DataFrame, focus: DataFrame,
+      equalsPairs: Seq[(String, String)] = Nil,
+      disjointPairs: Seq[(String, String)] = Nil,
+      lessThanPairs: Seq[(String, String)] = Nil,
+      uniqueLangPaths: Seq[String] = Nil): DataFrame = {
+    val f = focus.select(col("s").cast("string").as("s")).distinct()
+    def slice(p: String) =
+      triples.where(col("p") === p).join(f, Seq("s"))
+        .select(col("s"), col("o")).distinct()
+    def out(rows: DataFrame, name: String, p1: String, p2: String) =
+      rows.select(col("s"), lit(name).as("violation"),
+        lit(p1).as("p1"), lit(p2).as("p2"), col("n"))
+    val eqV = equalsPairs.map { case (p1, p2) =>
+      val a = slice(p1).withColumn("ina", lit(1))
+      val b = slice(p2).withColumn("inb", lit(1))
+      out(a.join(b, Seq("s", "o"), "full_outer")
+        .where(col("ina").isNull || col("inb").isNull)
+        .groupBy(col("s")).agg(count(lit(1)).cast("bigint").as("n")),
+        "equals", p1, p2)
+    }
+    val disV = disjointPairs.map { case (p1, p2) =>
+      out(slice(p1).join(slice(p2), Seq("s", "o"))
+        .groupBy(col("s")).agg(count(lit(1)).cast("bigint").as("n")),
+        "disjoint", p1, p2)
+    }
+    val ltV = lessThanPairs.map { case (p1, p2) =>
+      // the numeric cast must ride a CASE guard: projection pushdown
+      // through the union can reorder it BELOW the predicate slice
+      // filter, where ANSI cast would see non-numeric terms of other
+      // predicates (measured on the q180 fixture)
+      def intVal = {
+        val vs = strOf(col("o"))
+        when(vs.rlike("^-?[0-9]+$"), vs.cast("bigint"))
+      }
+      val v1 = slice(p1).select(col("s"), intVal.as("v"))
+      val m2 = slice(p2).select(col("s"), intVal.as("v"))
+        .groupBy(col("s")).agg(min(col("v")).as("mn"))
+      out(v1.join(m2, Seq("s")).where(col("v") >= col("mn"))
+        .groupBy(col("s")).agg(count(lit(1)).cast("bigint").as("n")),
+        "lessThan", p1, p2)
+    }
+    val ulV = uniqueLangPaths.map { p =>
+      out(slice(p)
+        .select(col("s"), regexp_extract(col("o"), LangLitRe, 2).as("lang"))
+        .where(col("lang") =!= "")
+        .groupBy(col("s"), col("lang")).agg(count(lit(1)).as("c"))
+        .where(col("c") > 1)
+        .groupBy(col("s")).agg(count(lit(1)).cast("bigint").as("n")),
+        "uniqueLang", p, p)
+    }
+    val all = eqV ++ disV ++ ltV ++ ulV
+    require(all.nonEmpty, "no constraints given")
+    all.reduceLeft(_ unionByName _)
+  }
+
+  /** OWL 2 RL class-restriction rules over asserted data — cls-hv1,
+    * cls-hv2 (owl:hasValue both directions), cls-svf1
+    * (owl:someValuesFrom), cls-avf (owl:allValuesFrom) — the
+    * restriction-class complement of the property-axiom entailments
+    * (q112/q121/q171). ONE rule application, no fixpoint: the
+    * closure discipline is q91's job; this operator is the per-rule
+    * derivation primitive it would iterate.
+    *
+    * `restrictions` is the schema-sized (cls, prop, kind, value)
+    * table — kind ∈ hasValue | someValuesFrom | allValuesFrom, value
+    * = the required object (hasValue) or the filler class (svf/avf).
+    * It is BROADCAST on every lane: instance triples never shuffle on
+    * a schema key (the q130/q159 discipline). Output is the DERIVED
+    * triple set, distinct.
+    */
+  def restrictionEntail(triples: DataFrame, restrictions: DataFrame): DataFrame = {
+    val r = restrictions.select(
+      col("cls").cast("string").as("cls"), col("prop").cast("string").as("prop"),
+      col("kind").cast("string").as("kind"), col("value").cast("string").as("value"))
+    // fresh column names per frame: `facts` and `types` both descend
+    // from `triples`, so every join below must be name-disambiguated
+    // (Catalyst rejects dataset-reference self-join attributes)
+    val facts = triples.select(col("s").cast("string").as("fs"),
+      col("p").cast("string").as("fp"), col("o").cast("string").as("fo"))
+    val types = facts.where(col("fp") === "rdf:type")
+      .select(col("fs").as("inst"), col("fo").as("tcls")).distinct()
+    val hv = broadcast(r.where(col("kind") === "hasValue"))
+    val svf = broadcast(r.where(col("kind") === "someValuesFrom"))
+    val avf = broadcast(r.where(col("kind") === "allValuesFrom"))
+    // cls-hv1: x a C ⟹ x p v
+    val hv1 = types.join(hv, col("tcls") === col("cls"))
+      .select(col("inst").as("s"), col("prop").as("p"), col("value").as("o"))
+    // cls-hv2: x p v ⟹ x a C
+    val hv2 = facts.join(hv, col("fp") === col("prop") && col("fo") === col("value"))
+      .select(col("fs").as("s"), lit("rdf:type").as("p"), col("cls").as("o"))
+    // cls-svf1: x p y ∧ y a F ⟹ x a C
+    val svf1 = facts.join(svf, col("fp") === col("prop"))
+      .join(types, col("fo") === col("inst") && col("tcls") === col("value"))
+      .select(col("fs").as("s"), lit("rdf:type").as("p"), col("cls").as("o"))
+    // cls-avf: x a C ∧ x p y ⟹ y a F
+    val avf1 = types.join(avf, col("tcls") === col("cls"))
+      .join(facts, col("fs") === col("inst") && col("fp") === col("prop"))
+      .select(col("fo").as("s"), lit("rdf:type").as("p"), col("value").as("o"))
+    hv1.unionByName(hv2).unionByName(svf1).unionByName(avf1).distinct()
+  }
+
   def disjointViolations(types: DataFrame, disjoint: DataFrame): DataFrame = {
     val t = types.select(col(types.columns(0)).cast("string").as("inst"),
       col(types.columns(1)).cast("string").as("cls")).distinct()

@@ -1249,4 +1249,62 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       TripleOps.bgp(spo, Seq(("?x", "knows", "?y"), ("?z", "knows", "?w")))
     }
   }
+
+  test("pairConstraintViolations: equals/disjoint/lessThan/uniqueLang fire exactly; conforming node is silent") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(
+      // d1 conforms on every constraint
+      ("d1", "alias_a", "\"a\""), ("d1", "alias_b", "\"a\""),
+      ("d1", "tag", "\"t1\""), ("d1", "banned", "\"t9\""),
+      ("d1", "low", "\"3\"^^xsd:integer"), ("d1", "high", "\"10\"^^xsd:integer"),
+      ("d1", "label", "\"hi\"@en"), ("d1", "label", "\"salut\"@fr"),
+      // d2: equals broken both directions (extra on a, missing on b)
+      ("d2", "alias_a", "\"a\""), ("d2", "alias_a", "\"x\""), ("d2", "alias_b", "\"a\""),
+      ("d2", "alias_b", "\"y\""),
+      // d2: disjoint broken on one shared term
+      ("d2", "tag", "\"t1\""), ("d2", "tag", "\"t2\""), ("d2", "banned", "\"t2\""),
+      // d2: lessThan broken — 5 and 8 both >= min(high)=4
+      ("d2", "low", "\"5\"^^xsd:integer"), ("d2", "low", "\"8\"^^xsd:integer"),
+      ("d2", "high", "\"4\"^^xsd:integer"), ("d2", "high", "\"9\"^^xsd:integer"),
+      // d2: two @en labels (one duplicated tag), @fr fine
+      ("d2", "label", "\"one\"@en"), ("d2", "label", "\"two\"@en"),
+      ("d2", "label", "\"trois\"@fr"),
+      // d3 out of focus: violations there must not report
+      ("d3", "alias_a", "\"only\"")).toDF("s", "p", "o")
+    val focus = Seq("d1", "d2").toDF("s")
+    val got = TripleOps.pairConstraintViolations(spo, focus,
+      equalsPairs = Seq(("alias_a", "alias_b")),
+      disjointPairs = Seq(("tag", "banned")),
+      lessThanPairs = Seq(("low", "high")),
+      uniqueLangPaths = Seq("label"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n"))).toSet
+    assert(got == Set(
+      ("d2", "equals", 2L), ("d2", "disjoint", 1L),
+      ("d2", "lessThan", 2L), ("d2", "uniqueLang", 1L)), got.toString)
+  }
+
+  test("restrictionEntail: hv1/hv2/svf1/avf derive exactly one rule application") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(
+      ("v1", "rdf:type", "VIP"),            // hv1: derive v1 status gold
+      ("v2", "status", "\"gold\""),          // hv2: derive v2 a VIP
+      ("o1", "employs", "p1"), ("p1", "rdf:type", "Person"), // svf1: o1 a Employer
+      ("o2", "employs", "x9"),              // x9 untyped: no svf derivation
+      ("t1", "rdf:type", "Team"), ("t1", "member", "m1"), ("t1", "member", "m2"), // avf
+      ("t2", "member", "m3")                // t2 untyped: no avf derivation
+    ).toDF("s", "p", "o")
+    val r = Seq(
+      ("VIP", "status", "hasValue", "\"gold\""),
+      ("Employer", "employs", "someValuesFrom", "Person"),
+      ("Team", "member", "allValuesFrom", "Player")).toDF("cls", "prop", "kind", "value")
+    val got = TripleOps.restrictionEntail(spo, r).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getString(2))).toSet
+    assert(got == Set(
+      ("v1", "status", "\"gold\""),
+      ("v2", "rdf:type", "VIP"),
+      ("o1", "rdf:type", "Employer"),
+      ("m1", "rdf:type", "Player"), ("m2", "rdf:type", "Player")), got.toString)
+  }
 }
