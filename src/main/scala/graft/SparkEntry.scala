@@ -1014,6 +1014,62 @@ object SparkEntry {
         .toDF("cls", "prop", "kind", "value")
       TripleOps.restrictionEntail(spo, r).select("s", "p", "o")
     }),
+    // SHACL logical + closed shapes: sh:and/sh:or over (email, phone)
+    // presence, sh:not on the spam lane (doubled on %22 for an
+    // observable count), sh:xone over (nick, email), sh:closed with
+    // meta ignored — every lane fires on its own residue class and
+    // the oracle restates presence as pure residue CASE arithmetic
+    "q182_shacl_logical" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.select(dId.as("s"), lit("name").as("p"),
+          concat(lit("\"n"), pmod(col("doc_id"), lit(30)), lit("\"")).as("o"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(3)) === 0)
+          .select(dId.as("s"), lit("email").as("p"),
+            concat(lit("\"e"), pmod(col("doc_id"), lit(9)), lit("\"")).as("o")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(5)) === 0)
+          .select(dId.as("s"), lit("phone").as("p"),
+            concat(lit("\"p"), pmod(col("doc_id"), lit(8)), lit("\"")).as("o")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(7)) === 0)
+          .select(dId.as("s"), lit("nick").as("p"),
+            concat(lit("\"k"), pmod(col("doc_id"), lit(6)), lit("\"")).as("o")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(11)) === 0)
+          .select(dId.as("s"), lit("spam").as("p"), lit("\"s1\"").as("o")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(22)) === 0)
+          .select(dId.as("s"), lit("spam").as("p"), lit("\"s2\"").as("o")))
+        .unionByName(docs.select(dId.as("s"), lit("meta").as("p"),
+          lit("\"m\"").as("o")))
+      TripleOps.logicalShapeViolations(spo, docs.select(dId.as("s")),
+          andPairs = Seq(("email", "phone")),
+          orPairs = Seq(("email", "phone")),
+          notProps = Seq("spam"),
+          xonePairs = Seq(("nick", "email")),
+          closedAllowed = Some(Seq("name", "email", "phone", "nick")),
+          closedIgnored = Seq("meta"))
+        .select("s", "violation", "p1", "p2", "n")
+    }),
+    // owl:hasKey (prp-key): Person keyed on (ssn_a, ssn_b) — tuple
+    // groups are the doc_id mod lcm(40,25)=200 residues, star links
+    // to the zero-padded minimum subject (q98/q143 rules); the %10==9
+    // untyped lane and the %17==0 missing-prop lane are excluded even
+    // where they share tuples, and the %30==0 lane is multi-valued on
+    // ssn_a so the combination fan-out is exercised at every SF
+    "q183_owl_haskey" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = format_string("d%06d", col("doc_id"))
+      val spo = docs.where(pmod(col("doc_id"), lit(10)) =!= 9)
+          .select(dId.as("s"), lit("rdf:type").as("p"), lit("Person").as("o"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(17)) =!= 0)
+          .select(dId.as("s"), lit("ssn_a").as("p"),
+            concat(lit("a"), pmod(col("doc_id"), lit(40))).as("o")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(30)) === 0)
+          .select(dId.as("s"), lit("ssn_a").as("p"),
+            concat(lit("a"), pmod(col("doc_id") + 1, lit(40))).as("o")))
+        .unionByName(docs.select(dId.as("s"), lit("ssn_b").as("p"),
+          concat(lit("b"), pmod(col("doc_id"), lit(25))).as("o")))
+      TripleOps.hasKeySameAs(spo, Seq(("Person", Seq("ssn_a", "ssn_b"))))
+        .select("s", "p", "o")
+    }),
     // Interval-overlap join via timeline binning — the scale-safe
     // range join: intervals expand to width-64 bins, sides EQUI-join
     // on the bin, the exact overlap predicate prunes, pair-distinct
@@ -4666,6 +4722,52 @@ object SparkEntry {
       |  SELECT * FROM hv1 UNION ALL SELECT * FROM hv2
       |  UNION ALL SELECT * FROM svf1 UNION ALL SELECT * FROM af) u""".stripMargin
 
+  /** DuckDB twin of q182 (SHACL logical/closed shapes): presence of
+    * each component predicate is a pure residue test, so every lane
+    * restates as CASE arithmetic over doc_id — no joins at all; the
+    * not/closed counts are the DISTINCT value counts (1 + the %22
+    * doubling lane).
+    */
+  private val q182Sql: String =
+    """WITH f AS (SELECT 'd' || doc_id AS s, doc_id AS d FROM documents),
+      |andv AS (SELECT s, 'and' AS violation, 'email' AS p1, 'phone' AS p2,
+      |  CAST((CASE WHEN d % 3 != 0 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN d % 5 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n
+      |  FROM f WHERE d % 3 != 0 OR d % 5 != 0),
+      |orv AS (SELECT s, 'or' AS violation, 'email' AS p1, 'phone' AS p2,
+      |  CAST(1 AS BIGINT) AS n FROM f WHERE d % 3 != 0 AND d % 5 != 0),
+      |notv AS (SELECT s, 'not' AS violation, 'spam' AS p1, '' AS p2,
+      |  CAST(CASE WHEN d % 22 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n
+      |  FROM f WHERE d % 11 = 0),
+      |xonev AS (SELECT s, 'xone' AS violation, 'nick' AS p1, 'email' AS p2,
+      |  CAST((CASE WHEN d % 7 = 0 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN d % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n
+      |  FROM f WHERE (d % 7 = 0) = (d % 3 = 0)),
+      |clv AS (SELECT s, 'closed' AS violation, 'spam' AS p1, '' AS p2,
+      |  CAST(CASE WHEN d % 22 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n
+      |  FROM f WHERE d % 11 = 0)
+      |SELECT * FROM andv UNION ALL SELECT * FROM orv
+      |UNION ALL SELECT * FROM notv UNION ALL SELECT * FROM xonev
+      |UNION ALL SELECT * FROM clv""".stripMargin
+
+  /** DuckDB twin of q183 (owl:hasKey): the key-tuple groups restated
+    * with the same join-then-window-min formulation as q143 (valid
+    * here for the same reason — tuple groups are disjoint per key),
+    * zero-padded ids keeping lexicographic min numeric (q98 rule);
+    * the multi-valued %30 lane fans to both combinations via the
+    * UNION inside va.
+    */
+  private val q183Sql: String =
+    """WITH f AS (SELECT printf('d%06d', doc_id) AS s, doc_id AS d FROM documents),
+      |typed AS (SELECT s, d FROM f WHERE d % 10 != 9),
+      |va AS (SELECT s, 'a' || (d % 40) AS v0 FROM f WHERE d % 17 != 0
+      |       UNION SELECT s, 'a' || ((d + 1) % 40) FROM f WHERE d % 30 = 0),
+      |vb AS (SELECT DISTINCT s, 'b' || (d % 25) AS v1 FROM f),
+      |keyed AS (SELECT t.s, va.v0, vb.v1
+      |          FROM typed t JOIN va ON va.s = t.s JOIN vb ON vb.s = t.s),
+      |mm AS (SELECT s, min(s) OVER (PARTITION BY v0, v1) AS m FROM keyed)
+      |SELECT DISTINCT m AS s, 'sameAs' AS p, s AS o FROM mm WHERE s != m""".stripMargin
+
   /** DuckDB twin of q179 (Z-order layout): the Morton spread ladder
     * restated step by step in BIGINT shift/AND CTEs (identical
     * operators both engines — every intermediate is non-negative and
@@ -6966,6 +7068,8 @@ object SparkEntry {
     "q179_zorder_layout" -> q179Sql,
     "q180_shacl_pairs" -> q180Sql,
     "q181_owl_restrictions" -> q181Sql,
+    "q182_shacl_logical" -> q182Sql,
+    "q183_owl_haskey" -> q183Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

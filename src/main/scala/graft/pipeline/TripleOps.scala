@@ -296,6 +296,116 @@ object TripleOps {
     hv1.unionByName(hv2).unionByName(svf1).unionByName(avf1).distinct()
   }
 
+  /** SHACL logical and closed-shape constraints — sh:and / sh:or /
+    * sh:not / sh:xone over ATOMIC component shapes ("has at least one
+    * value for predicate p", the sh:minCount-1 building block) plus
+    * sh:closed with sh:ignoredProperties. Complements the value
+    * (q158) and property-pair (q180) constraint lanes; together they
+    * cover SHACL core's constraint-component families.
+    *
+    * Relational shape: one predicate-sliced presence table per
+    * referenced component (filter pushes to the scan, distinct
+    * (s) per predicate), then per-lane LEFT joins against the focus
+    * set — no shuffle wider than (s), no window functions. sh:closed
+    * is a predicate-set anti-filter on the focus-restricted triple
+    * slice grouped by (s, p): the allowlist is a literal IN, never a
+    * join. Violation rows: (s, violation, p1, p2, n) where n counts
+    * missing conjuncts (and), constantly 1 (or), offending values
+    * (not), present members (xone: 0 or 2), or offending triples
+    * (closed, p1 = the disallowed predicate).
+    */
+  def logicalShapeViolations(triples: DataFrame, focus: DataFrame,
+      andPairs: Seq[(String, String)] = Nil,
+      orPairs: Seq[(String, String)] = Nil,
+      notProps: Seq[String] = Nil,
+      xonePairs: Seq[(String, String)] = Nil,
+      closedAllowed: Option[Seq[String]] = None,
+      closedIgnored: Seq[String] = Nil): DataFrame = {
+    val f = focus.select(col("s").cast("string").as("s")).distinct()
+    val spo = spoCols(triples)
+    def has(p: String) =
+      spo.where(col("p") === p).join(f, Seq("s")).select(col("s")).distinct()
+    def out(rows: DataFrame, name: String, p1: String, p2: String) =
+      rows.select(col("s"), lit(name).as("violation"),
+        lit(p1).as("p1"), lit(p2).as("p2"), col("n"))
+    def flags(p1: String, p2: String) =
+      f.join(has(p1).withColumn("ina", lit(1)), Seq("s"), "left")
+        .join(has(p2).withColumn("inb", lit(1)), Seq("s"), "left")
+        .select(col("s"), coalesce(col("ina"), lit(0)).as("a"),
+          coalesce(col("inb"), lit(0)).as("b"))
+    val andV = andPairs.map { case (p1, p2) =>
+      out(flags(p1, p2).where(col("a") === 0 || col("b") === 0)
+        .select(col("s"), (lit(2) - col("a") - col("b")).cast("bigint").as("n")),
+        "and", p1, p2)
+    }
+    val orV = orPairs.map { case (p1, p2) =>
+      out(flags(p1, p2).where(col("a") === 0 && col("b") === 0)
+        .select(col("s"), lit(1L).as("n")), "or", p1, p2)
+    }
+    val notV = notProps.map { p =>
+      out(spo.where(col("p") === p).join(f, Seq("s"))
+        .select(col("s"), col("o")).distinct()
+        .groupBy(col("s")).agg(count(lit(1)).cast("bigint").as("n")),
+        "not", p, "")
+    }
+    val xoneV = xonePairs.map { case (p1, p2) =>
+      out(flags(p1, p2).where(col("a") === col("b"))
+        .select(col("s"), (col("a") + col("b")).cast("bigint").as("n")),
+        "xone", p1, p2)
+    }
+    val closedV = closedAllowed.toSeq.map { allowed =>
+      val ok = (allowed ++ closedIgnored).distinct
+      spo.join(f, Seq("s"))
+        .where(!col("p").isInCollection(ok))
+        .select(col("s"), col("p"), col("o")).distinct()
+        .groupBy(col("s"), col("p")).agg(count(lit(1)).cast("bigint").as("n"))
+        .select(col("s"), lit("closed").as("violation"),
+          col("p").as("p1"), lit("").as("p2"), col("n"))
+    }
+    val all = andV ++ orV ++ notV ++ xoneV ++ closedV
+    require(all.nonEmpty, "no constraints given")
+    all.reduceLeft(_ unionByName _)
+  }
+
+  /** owl:hasKey sameAs inference (OWL 2 RL prp-key) — the composite
+    * generalization of [[ifpSameAs]]: two instances of class C that
+    * share a value COMBINATION across every key property denote the
+    * same entity. Each key (C, p1..pk) builds the per-instance key
+    * tuples by chaining inner joins over the per-property value
+    * slices (an instance missing ANY key property contributes no
+    * tuple — the rule requires a value for each; multi-valued
+    * properties fan out to every combination, exactly prp-key's
+    * ∃-per-property matching), then emits STAR links to the
+    * per-tuple minimum subject — the q143 topology: a hot key tuple
+    * costs k−1 links, never C(k,2) pairs, and downstream CC closes
+    * chains across keys. Callers wanting numeric-min semantics pass
+    * zero-padded subject ids (the q98 rule). Predicate filters push
+    * into the scan; the window shuffles on the key tuple itself.
+    */
+  def hasKeySameAs(triples: DataFrame, keys: Seq[(String, Seq[String])],
+      sameAsPred: String = "sameAs"): DataFrame = {
+    require(keys.nonEmpty, "no hasKey axioms")
+    import org.apache.spark.sql.expressions.Window
+    val spo = spoCols(triples)
+    val types = spo.where(col("p") === "rdf:type")
+      .select(col("s"), col("o").as("cls")).distinct()
+    val lanes = keys.map { case (cls, props) =>
+      require(props.nonEmpty, s"hasKey for $cls has no properties")
+      val typed = types.where(col("cls") === cls).select(col("s"))
+      val keyed = props.zipWithIndex.foldLeft(typed) { case (acc, (p, i)) =>
+        acc.join(
+          spo.where(col("p") === p).select(col("s"), col("o").as(s"v$i")).distinct(),
+          Seq("s"))
+      }
+      val w = Window.partitionBy(props.indices.map(i => col(s"v$i")): _*)
+      keyed
+        .withColumn("m", min(col("s")).over(w))
+        .where(col("s") =!= col("m"))
+        .select(col("m").as("s"), lit(sameAsPred).as("p"), col("s").as("o"))
+    }
+    lanes.reduceLeft(_ unionByName _).distinct()
+  }
+
   def disjointViolations(types: DataFrame, disjoint: DataFrame): DataFrame = {
     val t = types.select(col(types.columns(0)).cast("string").as("inst"),
       col(types.columns(1)).cast("string").as("cls")).distinct()

@@ -1307,4 +1307,60 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("o1", "rdf:type", "Employer"),
       ("m1", "rdf:type", "Player"), ("m2", "rdf:type", "Player")), got.toString)
   }
+
+  test("logicalShapeViolations: and/or/not/xone/closed fire exactly; conforming node silent; ignored props exempt") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(
+      // d1 conforms: has email+phone (and, or), no spam (not), email
+      // but no nick (xone exactly-one), meta is ignored by the closed shape
+      ("d1", "email", "\"e1\""), ("d1", "phone", "\"p1\""),
+      ("d1", "meta", "\"m\""),
+      // d2: missing phone (and n=1), has email (or fine), spam twice (not n=2,
+      // closed n=2 on spam), nick+email both (xone n=2)
+      ("d2", "email", "\"e2\""), ("d2", "nick", "\"n2\""),
+      ("d2", "spam", "\"s1\""), ("d2", "spam", "\"s2\""),
+      // d3: neither email nor phone (and n=2, or n=1), neither nick (xone n=0)
+      ("d3", "meta", "\"m\""),
+      // d4 out of focus: nothing may report
+      ("d4", "spam", "\"x\"")).toDF("s", "p", "o")
+    val focus = Seq("d1", "d2", "d3").toDF("s")
+    val got = TripleOps.logicalShapeViolations(spo, focus,
+      andPairs = Seq(("email", "phone")),
+      orPairs = Seq(("email", "phone")),
+      notProps = Seq("spam"),
+      xonePairs = Seq(("nick", "email")),
+      closedAllowed = Some(Seq("email", "phone", "nick")),
+      closedIgnored = Seq("meta"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getAs[Long]("n"))).toSet
+    assert(got == Set(
+      ("d2", "and", "email", 1L),
+      ("d3", "and", "email", 2L),
+      ("d3", "or", "email", 1L),
+      ("d2", "not", "spam", 2L),
+      ("d2", "xone", "nick", 2L),
+      ("d3", "xone", "nick", 0L),
+      ("d2", "closed", "spam", 2L)), got.toString)
+  }
+
+  test("hasKeySameAs: composite key links to min; missing prop or type excluded; multi-valued fans out") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(
+      // a1/a2 share the full (x1, y1) combination -> link a1 <- a2
+      ("a1", "rdf:type", "Person"), ("a1", "kx", "x1"), ("a1", "ky", "y1"),
+      ("a2", "rdf:type", "Person"), ("a2", "kx", "x1"), ("a2", "ky", "y1"),
+      // a3 shares kx only -> no link
+      ("a3", "rdf:type", "Person"), ("a3", "kx", "x1"), ("a3", "ky", "y9"),
+      // a4 shares both values but is untyped -> excluded
+      ("a4", "kx", "x1"), ("a4", "ky", "y1"),
+      // a5 misses ky entirely -> excluded
+      ("a5", "rdf:type", "Person"), ("a5", "kx", "x1"),
+      // a6 is multi-valued on kx; its (x1, y1) combination matches a1
+      ("a6", "rdf:type", "Person"), ("a6", "kx", "x0"), ("a6", "kx", "x1"),
+      ("a6", "ky", "y1")).toDF("s", "p", "o")
+    val got = TripleOps.hasKeySameAs(spo, Seq(("Person", Seq("kx", "ky"))))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("a1", "sameAs", "a2"), ("a1", "sameAs", "a6")), got.toString)
+  }
 }
