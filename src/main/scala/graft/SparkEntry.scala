@@ -1070,6 +1070,77 @@ object SparkEntry {
       TripleOps.hasKeySameAs(spo, Seq(("Person", Seq("ssn_a", "ssn_b"))))
         .select("s", "p", "o")
     }),
+    // incremental connected components: base labels are the 8-block
+    // partition (an INPUT — the materialized prior state, not
+    // recomputed), delta edges merge block pairs (%32), attach
+    // brand-new x-nodes (%50) and add same-component no-ops (%24,
+    // contracting to nothing); the label-graph CC runs on the
+    // delta-sized contraction only, and the oracle is the
+    // DEFINITIONAL full recompute over (base-label graph ∪ delta)
+    // via the q26-style recursive min-label reach
+    "q184_cc_delta" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val baseLabels = docs.select(
+        format_string("n%06d", col("doc_id")).as("node"),
+        format_string("n%06d", col("doc_id") - pmod(col("doc_id"), lit(8)))
+          .as("component"))
+      val merge = docs.where(pmod(col("doc_id"), lit(32)) === 0)
+        .select(format_string("n%06d", col("doc_id")).as("a"),
+          format_string("n%06d", col("doc_id") + 8).as("b"))
+      val attach = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+        .select(format_string("x%06d", col("doc_id")).as("a"),
+          format_string("n%06d", col("doc_id")).as("b"))
+      val noop = docs.where(pmod(col("doc_id"), lit(24)) === 0)
+        .select(format_string("n%06d", col("doc_id") + 1).as("a"),
+          format_string("n%06d", col("doc_id") + 2).as("b"))
+      KgPipeline.connectedComponentsDelta(baseLabels,
+          merge.unionByName(attach).unionByName(noop))
+        .select("node", "component")
+    }),
+    // OWL 2 RL property-axiom checks: prp-asyp over the div-2 tree
+    // with a %43 reversed lane (canonical parent<=child witness),
+    // prp-pdw on a planted shared (s, o) at %21 with a %9 noise lane
+    // that never collides, prp-npa1 firing at lcm(14,35)=70, and
+    // eq-diff1 with the differentFrom lane stored REVERSED so the
+    // symmetric match is load-bearing
+    "q185_owl_prop_axioms" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val nId = format_string("n%06d", col("doc_id"))
+      val par = format_string("n%06d", expr("doc_id div 2"))
+      val spo = docs.where(col("doc_id") >= 2)
+          .select(nId.as("s"), lit("follows").as("p"), par.as("o"))
+        .unionByName(docs.where(col("doc_id") >= 2 &&
+            pmod(col("doc_id"), lit(43)) === 0)
+          .select(par.as("s"), lit("follows").as("p"), nId.as("o")))
+        .unionByName(docs.select(nId.as("s"), lit("likes").as("p"),
+          concat(lit("v"), pmod(col("doc_id"), lit(10))).as("o")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(21)) === 0)
+          .select(nId.as("s"), lit("dislikes").as("p"),
+            concat(lit("v"), pmod(col("doc_id"), lit(10))).as("o")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(9)) === 0)
+          .select(nId.as("s"), lit("dislikes").as("p"),
+            concat(lit("v"), pmod(col("doc_id") + 1, lit(10))).as("o")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(14)) === 0)
+          .select(nId.as("s"), lit("role").as("p"), lit("admin").as("o")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(6)) === 0)
+          .select(nId.as("s"), lit("role").as("p"), lit("user").as("o")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(12)) === 0)
+          .select(concat(lit("u"), pmod(col("doc_id"), lit(30))).as("s"),
+            lit("sameAs").as("p"),
+            concat(lit("w"), pmod(col("doc_id"), lit(30))).as("o")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(18)) === 0)
+          .select(concat(lit("w"), pmod(col("doc_id"), lit(30))).as("s"),
+            lit("differentFrom").as("p"),
+            concat(lit("u"), pmod(col("doc_id"), lit(30))).as("o")))
+      val neg = docs.where(pmod(col("doc_id"), lit(35)) === 0)
+        .select(nId.as("s"), lit("role").as("p"), lit("admin").as("o"))
+      TripleOps.propertyAxiomViolations(spo,
+          asymmetricProps = Seq("follows"),
+          disjointPropPairs = Seq(("likes", "dislikes")),
+          negativeAssertions = Some(neg),
+          checkEqDiff = true)
+        .select("violation", "x", "y", "p")
+    }),
     // Interval-overlap join via timeline binning — the scale-safe
     // range join: intervals expand to width-64 bins, sides EQUI-join
     // on the bin, the exact overlap predicate prunes, pair-distinct
@@ -4768,6 +4839,67 @@ object SparkEntry {
       |mm AS (SELECT s, min(s) OVER (PARTITION BY v0, v1) AS m FROM keyed)
       |SELECT DISTINCT m AS s, 'sameAs' AS p, s AS o FROM mm WHERE s != m""".stripMargin
 
+  /** DuckDB twin of q184 (incremental CC): the DEFINITIONAL full
+    * recompute — base-label graph ∪ delta edges, undirected min-label
+    * reach (the q26 recursive formulation), min per node. Kept
+    * independent of the Spark side's label-graph contraction (the
+    * q132 rule); safe because merged clusters stay ≤ ~20 nodes under
+    * the %32/%50/%24 lanes. Multi-consumed non-recursive CTEs are
+    * MATERIALIZED (q71 rule).
+    */
+  private val q184Sql: String =
+    """WITH RECURSIVE f AS (SELECT doc_id AS d FROM documents),
+      |bl AS MATERIALIZED (
+      |  SELECT printf('n%06d', d) AS node, printf('n%06d', d - d%8) AS lab FROM f),
+      |de AS MATERIALIZED (
+      |  SELECT printf('n%06d', d) AS a, printf('n%06d', d+8) AS b FROM f WHERE d % 32 = 0
+      |  UNION ALL SELECT printf('x%06d', d), printf('n%06d', d) FROM f WHERE d % 50 = 0
+      |  UNION ALL SELECT printf('n%06d', d+1), printf('n%06d', d+2) FROM f WHERE d % 24 = 0),
+      |e0 AS MATERIALIZED (
+      |  SELECT node AS a, lab AS b FROM bl WHERE node != lab
+      |  UNION SELECT a, b FROM de WHERE a != b),
+      |e AS MATERIALIZED (
+      |  SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+      |n AS (SELECT node FROM bl UNION SELECT a AS node FROM e),
+      |reach AS (
+      |  SELECT node, node AS lab FROM n
+      |  UNION SELECT r.node, e.b AS lab FROM reach r JOIN e ON e.a = r.lab
+      |)
+      |SELECT node, min(lab) AS component FROM reach GROUP BY node""".stripMargin
+
+  /** DuckDB twin of q185 (property-axiom checks): each lane restated
+    * as slice joins; the differentFrom lane is stated directly as the
+    * matched (u, w) pair set — the symmetric-match pre-application —
+    * keeping it independent of the Spark side's union-of-reversals.
+    */
+  private val q185Sql: String =
+    """WITH f AS (SELECT doc_id AS d FROM documents),
+      |tree AS MATERIALIZED (
+      |  SELECT printf('n%06d', d) AS s, printf('n%06d', d // 2) AS o
+      |  FROM f WHERE d >= 2
+      |  UNION
+      |  SELECT printf('n%06d', d // 2), printf('n%06d', d)
+      |  FROM f WHERE d >= 2 AND d % 43 = 0),
+      |asym AS (SELECT 'asymmetric' AS violation, a.s AS x, a.o AS y, 'follows' AS p
+      |         FROM tree a JOIN tree b ON b.s = a.o AND b.o = a.s
+      |         WHERE a.s <= a.o),
+      |lk AS (SELECT DISTINCT printf('n%06d', d) AS s, 'v' || (d % 10) AS o FROM f),
+      |dk AS (SELECT DISTINCT s, o FROM (
+      |       SELECT printf('n%06d', d) AS s, 'v' || (d % 10) AS o FROM f WHERE d % 21 = 0
+      |       UNION ALL SELECT printf('n%06d', d), 'v' || ((d + 1) % 10) FROM f WHERE d % 9 = 0) z),
+      |pdw AS (SELECT 'disjointProp' AS violation, lk.s AS x, lk.o AS y,
+      |        'likes/dislikes' AS p
+      |        FROM lk JOIN dk ON dk.s = lk.s AND dk.o = lk.o),
+      |npa AS (SELECT DISTINCT 'negAssert' AS violation, printf('n%06d', d) AS x,
+      |        'admin' AS y, 'role' AS p FROM f WHERE d % 14 = 0 AND d % 35 = 0),
+      |sa AS (SELECT DISTINCT 'u' || (d % 30) AS s, 'w' || (d % 30) AS o FROM f WHERE d % 12 = 0),
+      |dfr AS (SELECT DISTINCT 'u' || (d % 30) AS s, 'w' || (d % 30) AS o FROM f WHERE d % 18 = 0),
+      |eqd AS (SELECT 'eqDiff' AS violation, sa.s AS x, sa.o AS y, 'sameAs' AS p
+      |        FROM sa JOIN dfr ON dfr.s = sa.s AND dfr.o = sa.o)
+      |SELECT DISTINCT violation, x, y, p FROM (
+      |  SELECT * FROM asym UNION ALL SELECT * FROM pdw
+      |  UNION ALL SELECT * FROM npa UNION ALL SELECT * FROM eqd) u""".stripMargin
+
   /** DuckDB twin of q179 (Z-order layout): the Morton spread ladder
     * restated step by step in BIGINT shift/AND CTEs (identical
     * operators both engines — every intermediate is non-negative and
@@ -7070,6 +7202,8 @@ object SparkEntry {
     "q181_owl_restrictions" -> q181Sql,
     "q182_shacl_logical" -> q182Sql,
     "q183_owl_haskey" -> q183Sql,
+    "q184_cc_delta" -> q184Sql,
+    "q185_owl_prop_axioms" -> q185Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

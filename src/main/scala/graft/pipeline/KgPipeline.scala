@@ -292,6 +292,52 @@ object KgPipeline {
       connectedComponentsUncached(edges, maxIters)
     }
 
+  /** Incremental connected-components maintenance: fold a batch of
+    * NEW edges into an existing component labeling without
+    * re-clustering the corpus — the canonicalization-upkeep step of a
+    * continuously ingesting KG (new sameAs links arrive; entity
+    * groups must merge in delta time). Work is proportional to the
+    * DELTA, never the base: delta endpoints look up their base label
+    * (one join against the label table), the induced LABEL-graph
+    * (one node per touched component, one edge per cross-component
+    * delta edge) is delta-sized, and [[connectedComponents]] runs on
+    * THAT — so the expensive iteration never sees corpus-scale input.
+    * Untouched components pass through a left-join coalesce.
+    *
+    * Value-identical to recomputing CC over (base-label graph ∪
+    * delta): base labels are component MINIMA (the [[connectedComponents]]
+    * contract), so the min over a merged group of labels equals the
+    * min node of the merged component — the same argument that makes
+    * label-graph contraction sound in the alternating-star algorithm.
+    * Delta-only nodes (never seen by the base) label as themselves
+    * before merging, exactly as a fresh CC would. Edges between two
+    * members of one existing component contract to self-loops and
+    * cost nothing.
+    */
+  def connectedComponentsDelta(baseLabels: DataFrame, deltaEdges: DataFrame,
+      maxIters: Int = 50): DataFrame = {
+    val lab = baseLabels.select(col("node").cast("string").as("node"),
+      col("component").cast("string").as("component"))
+    val de = deltaEdges.select(col("a").cast("string").as("a"),
+      col("b").cast("string").as("b")).where(col("a") =!= col("b")).distinct()
+    val nd = de.select(col("a").as("node")).union(de.select(col("b").as("node"))).distinct()
+    val ndLab = nd.join(lab, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("lab0"))
+    val la = ndLab.select(col("node").as("a"), col("lab0").as("labA"))
+    val lb = ndLab.select(col("node").as("b"), col("lab0").as("labB"))
+    val labelEdges = de.join(la, Seq("a")).join(lb, Seq("b"))
+      .select(col("labA").as("a"), col("labB").as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val merged = connectedComponents(labelEdges, maxIters)
+      .select(col("node").as("oldLab"), col("component").as("newLab"))
+    val updatedBase = lab.join(merged, lab("component") === merged("oldLab"), "left")
+      .select(col("node"), coalesce(col("newLab"), col("component")).as("component"))
+    val fresh = ndLab.join(lab.select(col("node")), Seq("node"), "left_anti")
+    val freshLab = fresh.join(merged, fresh("lab0") === merged("oldLab"), "left")
+      .select(fresh("node"), coalesce(col("newLab"), fresh("lab0")).as("component"))
+    updatedBase.unionByName(freshLab).distinct()
+  }
+
   private def connectedComponentsUncached(edges: DataFrame, maxIters: Int): DataFrame = {
     // canonical direction child > parent, self-loops dropped. Eager
     // localCheckpoint (NOT persist): it both materializes the upstream

@@ -406,6 +406,67 @@ object TripleOps {
     lanes.reduceLeft(_ unionByName _).distinct()
   }
 
+  /** OWL 2 RL property-axiom constraint checks — the false-detection
+    * rules that complement [[disjointViolations]]' class lane:
+    * prp-asyp (owl:AsymmetricProperty: x p y ∧ y p x), prp-pdw
+    * (owl:propertyDisjointWith: x p1 y ∧ x p2 y), prp-npa1 (a
+    * negative property assertion contradicted by an asserted triple)
+    * and eq-diff1 (x sameAs y ∧ x differentFrom y, matched in either
+    * differentFrom direction — the relation is symmetric). Output is
+    * one distinct (violation, x, y, p) row per witness pair;
+    * asymmetric witnesses report once in canonical x <= y order.
+    *
+    * Every lane is a predicate-constant slice (pushdown) joined on
+    * its witness key — (s, o) or reversed — so the shuffles are
+    * key-sized and the negative-assertion table (schema-scale, like
+    * all TBox inputs) broadcasts under AQE. No fixpoint: these are
+    * single-application consistency rules.
+    */
+  def propertyAxiomViolations(triples: DataFrame,
+      asymmetricProps: Seq[String] = Nil,
+      disjointPropPairs: Seq[(String, String)] = Nil,
+      negativeAssertions: Option[DataFrame] = None,
+      sameAsPred: String = "sameAs",
+      differentFromPred: String = "differentFrom",
+      checkEqDiff: Boolean = false): DataFrame = {
+    val spo = spoCols(triples)
+    def slice(p: String) =
+      spo.where(col("p") === p).select(col("s"), col("o")).distinct()
+    def out(rows: DataFrame, name: String, p: String) =
+      rows.select(lit(name).as("violation"), col("x"), col("y"), lit(p).as("p"))
+    val asymV = asymmetricProps.map { p =>
+      val fwd = slice(p)
+      val rev = slice(p).select(col("o").as("s"), col("s").as("o"))
+      out(fwd.join(rev, Seq("s", "o"))
+        .where(col("s") <= col("o"))
+        .select(col("s").as("x"), col("o").as("y")),
+        "asymmetric", p)
+    }
+    val pdwV = disjointPropPairs.map { case (p1, p2) =>
+      out(slice(p1).join(slice(p2), Seq("s", "o"))
+        .select(col("s").as("x"), col("o").as("y")),
+        "disjointProp", s"$p1/$p2")
+    }
+    val npaV = negativeAssertions.toSeq.map { neg =>
+      val n = neg.select(col("s").cast("string").as("s"),
+        col("p").cast("string").as("p"), col("o").cast("string").as("o")).distinct()
+      spo.join(n, Seq("s", "p", "o"))
+        .select(lit("negAssert").as("violation"), col("s").as("x"),
+          col("o").as("y"), col("p"))
+    }
+    val eqDiffV = if (!checkEqDiff) Nil else {
+      val sa = slice(sameAsPred)
+      val df0 = slice(differentFromPred)
+      val df = df0.union(df0.select(col("o").as("s"), col("s").as("o"))).distinct()
+      Seq(out(sa.join(df, Seq("s", "o"))
+        .select(col("s").as("x"), col("o").as("y")),
+        "eqDiff", sameAsPred))
+    }
+    val all = asymV ++ pdwV ++ npaV ++ eqDiffV
+    require(all.nonEmpty, "no axioms given")
+    all.reduceLeft(_ unionByName _).distinct()
+  }
+
   def disjointViolations(types: DataFrame, disjoint: DataFrame): DataFrame = {
     val t = types.select(col(types.columns(0)).cast("string").as("inst"),
       col(types.columns(1)).cast("string").as("cls")).distinct()

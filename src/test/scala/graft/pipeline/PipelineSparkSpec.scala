@@ -460,6 +460,29 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map("aa" -> "aa", "b" -> "aa", "c" -> "aa", "y" -> "y", "z" -> "y"))
   }
 
+  test("connectedComponentsDelta merges touched components only and equals the full recompute") {
+    val s = spark
+    import s.implicits._
+    // base: {a,b,c} labeled a, {d,e} labeled d, isolated f labeled f
+    val baseLabels = Seq(("a", "a"), ("b", "a"), ("c", "a"),
+      ("d", "d"), ("e", "d"), ("f", "f")).toDF("node", "component")
+    // delta: c-e merges the two big components; b-a is a same-component
+    // no-op; g-h is a brand-new pair; z attaches to f
+    val delta = Seq(("c", "e"), ("b", "a"), ("g", "h"), ("f", "z")).toDF("a", "b")
+    val got = KgPipeline.connectedComponentsDelta(baseLabels, delta).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a", "e" -> "a",
+      "f" -> "f", "z" -> "f", "g" -> "g", "h" -> "g"), got.toString)
+    // definitional equivalence: full CC over (base-label graph ∪ delta)
+    val fullEdges = baseLabels.where($"node" =!= $"component")
+      .select($"node".as("a"), $"component".as("b"))
+      .unionByName(delta)
+    val full = KgPipeline.connectedComponents(fullEdges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // full CC never sees edge-less nodes; delta keeps isolated f — align
+    assert(got.filter { case (k, _) => full.contains(k) } == full, s"$got vs $full")
+  }
+
   test("SparkEntry.entry (driver smoke contract) returns triples") {
     val df = graft.SparkEntry.entry(spark)
     assert(df.limit(5).count() > 0)

@@ -1363,4 +1363,38 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
     assert(got == Set(("a1", "sameAs", "a2"), ("a1", "sameAs", "a6")), got.toString)
   }
+
+  test("propertyAxiomViolations: asymmetric/disjointProp/negAssert/eqDiff fire exactly once per witness") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(
+      // both directions -> one canonical asymmetric row; self-loop is
+      // its own reverse (asymmetric implies irreflexive)
+      ("a", "follows", "b"), ("b", "follows", "a"),
+      ("c", "follows", "d"), // one direction only: fine
+      ("e", "follows", "e"),
+      // same (s, o) under both disjoint properties
+      ("x", "likes", "v1"), ("x", "dislikes", "v1"),
+      ("y", "likes", "v1"), ("y", "dislikes", "v2"), // different value: fine
+      // asserted triple contradicting the negative assertion
+      ("n", "role", "admin"),
+      ("m", "role", "user"), // neg targets admin: fine
+      // sameAs contradicted by a REVERSED differentFrom (symmetric match)
+      ("p", "sameAs", "q"), ("q", "differentFrom", "p"),
+      ("r", "sameAs", "t") // no differentFrom: fine
+    ).toDF("s", "p", "o")
+    val neg = Seq(("n", "role", "admin"), ("m", "role", "admin")).toDF("s", "p", "o")
+    val got = TripleOps.propertyAxiomViolations(spo,
+      asymmetricProps = Seq("follows"),
+      disjointPropPairs = Seq(("likes", "dislikes")),
+      negativeAssertions = Some(neg),
+      checkEqDiff = true)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(got == Set(
+      ("asymmetric", "a", "b", "follows"),
+      ("asymmetric", "e", "e", "follows"),
+      ("disjointProp", "x", "v1", "likes/dislikes"),
+      ("negAssert", "n", "admin", "role"),
+      ("eqDiff", "p", "q", "sameAs")), got.toString)
+  }
 }
