@@ -92,6 +92,7 @@ object Bench {
     "q179_zorder_layout", "q180_shacl_pairs", "q181_owl_restrictions",
     "q182_shacl_logical", "q183_owl_haskey",
     "q184_cc_delta", "q185_owl_prop_axioms",
+    "q186_bisim_summary", "q187_link_coherence",
     "x_bpe_train", "x_bpe_encode",
     "x_minhash_lsh_dedup", "x_ngram_jaccard_lsh", "x_simhash_dedup",
     "x_embedding_neardup", "x_ann_brute", "x_ann_lsh", "x_ann_ivf",

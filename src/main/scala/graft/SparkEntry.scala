@@ -1141,6 +1141,50 @@ object SparkEntry {
           checkEqDiff = true)
         .select("violation", "x", "y", "p")
     }),
+    // k-bisimulation quotient over the div-2 tree + a %8<2 'link'
+    // lane (incl. the %8==0 self-loop), types on even ids only — the
+    // depth-2 classes separate what depth-1 cannot, and the oracle
+    // replays the hash-refinement rounds with ordered string_agg over
+    // DISTINCT items (== sort_array(collect_set)) and the chr(1/2/3)
+    // separator discipline
+    "q186_bisim_summary" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val nId = format_string("n%06d", col("doc_id"))
+      val types = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+        .select(nId.as("s"), concat(lit("T"), pmod(col("doc_id"), lit(3))).as("t"))
+      val edges = docs.where(col("doc_id") >= 2)
+          .select(nId.as("s"), lit("parent").as("p"),
+            format_string("n%06d", expr("doc_id div 2")).as("o"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(8)) < 2)
+          .select(nId.as("s"), lit("link").as("p"),
+            format_string("n%06d",
+              col("doc_id") - pmod(col("doc_id"), lit(4))).as("o")))
+      TripleOps.bisimulationSummary(types, edges, rounds = 2)
+        .select("cs", "p", "co", "n")
+    }),
+    // coherence-reranked entity linking: two mentions per doc, each
+    // with a strong-prior candidate and a weak-prior candidate that
+    // only the odd clique relates — the vote flips the winner exactly
+    // when BOTH mentions' residues sit outside the %3==2 class, so
+    // the oracle is the CLOSED FORM of the argmax, independent of the
+    // join/window plan
+    "q187_link_coherence" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val mentions = docs.select(col("doc_id").as("doc"),
+          concat(lit("m"), pmod(col("doc_id"), lit(12))).as("mention"))
+        .unionByName(docs.select(col("doc_id").as("doc"),
+          concat(lit("m"), pmod(col("doc_id") + 5, lit(12))).as("mention")))
+      val candidates = (0 until 12).flatMap(k => Seq(
+        (s"m$k", f"e${2 * k}%02d", 5L), (s"m$k", f"e${2 * k + 1}%02d", 4L)))
+        .toDF("mention", "ent", "prior")
+      val related = (for {
+        k1 <- 0 until 12; k2 <- 0 until 12
+        if k1 != k2 && k1 % 3 != 2 && k2 % 3 != 2
+      } yield (f"e${2 * k1 + 1}%02d", f"e${2 * k2 + 1}%02d")).toDF("a", "b")
+      KgPipeline.coherenceRank(mentions, candidates, related)
+        .select(col("doc").as("doc_id"), col("mention"), col("ent"), col("score"))
+    }),
     // Interval-overlap join via timeline binning — the scale-safe
     // range join: intervals expand to width-64 bins, sides EQUI-join
     // on the bin, the exact overlap predicate prunes, pair-distinct
@@ -4900,6 +4944,63 @@ object SparkEntry {
       |  SELECT * FROM asym UNION ALL SELECT * FROM pdw
       |  UNION ALL SELECT * FROM npa UNION ALL SELECT * FROM eqd) u""".stripMargin
 
+  /** DuckDB twin of q186 (k-bisimulation): the two refinement rounds
+    * replayed with DISTINCT-subselect + ordered string_agg (the exact
+    * value of sort_array(collect_set)) and md5 over the chr(1/2/3)
+    * separator discipline; multi-consumed CTEs MATERIALIZED (q71
+    * rule). The hash chain is byte-identical in both engines —
+    * lowercase hex md5 over single-byte control separators.
+    */
+  private val q186Sql: String =
+    """WITH f AS (SELECT doc_id AS d FROM documents),
+      |e AS MATERIALIZED (SELECT DISTINCT s, p, o FROM (
+      |  SELECT printf('n%06d', d) AS s, 'parent' AS p, printf('n%06d', d // 2) AS o
+      |  FROM f WHERE d >= 2
+      |  UNION ALL
+      |  SELECT printf('n%06d', d), 'link', printf('n%06d', d - d % 4)
+      |  FROM f WHERE d % 8 < 2) e0),
+      |ty AS (SELECT DISTINCT printf('n%06d', d) AS s, 'T' || (d % 3) AS t
+      |       FROM f WHERE d % 2 = 0),
+      |nodes AS (SELECT DISTINCT s FROM (
+      |  SELECT s FROM e UNION ALL SELECT o FROM e UNION ALL SELECT s FROM ty) nx),
+      |t0 AS (SELECT s, string_agg(t, chr(1) ORDER BY t) AS tv FROM ty GROUP BY s),
+      |c0 AS MATERIALIZED (
+      |  SELECT n.s AS node, md5(coalesce(t0.tv, '')) AS cls
+      |  FROM nodes n LEFT JOIN t0 ON t0.s = n.s),
+      |i1 AS (SELECT DISTINCT e.s AS s, e.p || chr(1) || c.cls AS item
+      |       FROM e JOIN c0 c ON c.node = e.o),
+      |g1 AS (SELECT s, string_agg(item, chr(2) ORDER BY item) AS sig
+      |       FROM i1 GROUP BY s),
+      |c1 AS MATERIALIZED (
+      |  SELECT c.node, md5(c.cls || chr(3) || coalesce(g.sig, '')) AS cls
+      |  FROM c0 c LEFT JOIN g1 g ON g.s = c.node),
+      |i2 AS (SELECT DISTINCT e.s AS s, e.p || chr(1) || c.cls AS item
+      |       FROM e JOIN c1 c ON c.node = e.o),
+      |g2 AS (SELECT s, string_agg(item, chr(2) ORDER BY item) AS sig
+      |       FROM i2 GROUP BY s),
+      |c2 AS MATERIALIZED (
+      |  SELECT c.node, md5(c.cls || chr(3) || coalesce(g.sig, '')) AS cls
+      |  FROM c1 c LEFT JOIN g2 g ON g.s = c.node)
+      |SELECT substring(cs.cls, 1, 12) AS cs, e.p, substring(co.cls, 1, 12) AS co,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM e JOIN c2 cs ON cs.node = e.s JOIN c2 co ON co.node = e.o
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** DuckDB twin of q187 (coherence linking): the CLOSED FORM of the
+    * argmax — the vote flips the winner exactly when both residues
+    * avoid the %3==2 class — deliberately independent of the Spark
+    * side's vote-join + window plan (the q63 independence rule).
+    */
+  private val q187Sql: String =
+    """WITH f AS (SELECT doc_id AS d FROM documents),
+      |m AS (SELECT d, d % 12 AS k, (d + 5) % 12 AS k2 FROM f
+      |      UNION ALL SELECT d, (d + 5) % 12, d % 12 FROM f)
+      |SELECT d AS doc_id, 'm' || k AS mention,
+      |  CASE WHEN k % 3 != 2 AND k2 % 3 != 2 THEN printf('e%02d', 2*k + 1)
+      |       ELSE printf('e%02d', 2*k) END AS ent,
+      |  CAST(CASE WHEN k % 3 != 2 AND k2 % 3 != 2 THEN 65 ELSE 50 END AS BIGINT) AS score
+      |FROM m""".stripMargin
+
   /** DuckDB twin of q179 (Z-order layout): the Morton spread ladder
     * restated step by step in BIGINT shift/AND CTEs (identical
     * operators both engines — every intermediate is non-negative and
@@ -7204,6 +7305,8 @@ object SparkEntry {
     "q183_owl_haskey" -> q183Sql,
     "q184_cc_delta" -> q184Sql,
     "q185_owl_prop_axioms" -> q185Sql,
+    "q186_bisim_summary" -> q186Sql,
+    "q187_link_coherence" -> q187Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

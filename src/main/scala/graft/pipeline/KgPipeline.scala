@@ -415,6 +415,53 @@ object KgPipeline {
       .distinct()
   }
 
+  /** Coherence-reranked entity disambiguation — the collective step
+    * of entity linking (the TagMe/AIDA idea in its deterministic
+    * integer form): a mention's candidate entity scores its alias
+    * PRIOR plus a VOTE for every distinct (other mention, candidate)
+    * pair in the same document related to it, and the per-mention
+    * winner is the argmax under a total (score DESC, ent ASC) order
+    * (the q103 tiebreak rule). Votes reward interpretations that
+    * hang together — "Paris" next to "France" outvotes the Texas
+    * prior — without any FP similarity.
+    *
+    * Scale shape: the alias dictionary and the entity-relatedness
+    * pair set are schema-sized and BROADCAST (the x_entity_link
+    * discipline); the only corpus-sized shuffles key on (doc) for
+    * the within-document vote join and on (doc, mention) for the
+    * argmax window. Per-document candidate counts are bounded by
+    * |mentions/doc| × |candidates/mention|, so the within-doc join
+    * is quadratic only in that small constant, never in the corpus.
+    */
+  def coherenceRank(mentions: DataFrame, candidates: DataFrame,
+      related: DataFrame, priorWeight: Long = 10L,
+      voteWeight: Long = 25L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = mentions.select(col("doc").cast("bigint").as("doc"),
+      col("mention").cast("string").as("mention")).distinct()
+    val dict = broadcast(candidates.select(
+      col("mention").cast("string").as("mention"),
+      col("ent").cast("string").as("ent"),
+      col("prior").cast("bigint").as("prior")))
+    val cand = m.join(dict, Seq("mention"))
+    val rel = broadcast(related.select(col("a").cast("string").as("ca"),
+      col("b").cast("string").as("cb")))
+    val other = cand.select(col("doc").as("doc2"),
+      col("mention").as("mention2"), col("ent").as("ent2"))
+    val votes = cand.join(rel, col("ent") === col("ca"))
+      .join(other, col("doc") === col("doc2") && col("cb") === col("ent2") &&
+        col("mention") =!= col("mention2"))
+      .groupBy(col("doc"), col("mention"), col("ent"))
+      .agg(countDistinct(col("mention2"), col("ent2")).as("votes"))
+    val scored = cand.join(votes, Seq("doc", "mention", "ent"), "left")
+      .withColumn("score",
+        col("prior") * priorWeight + coalesce(col("votes"), lit(0L)) * voteWeight)
+    val w = Window.partitionBy(col("doc"), col("mention"))
+      .orderBy(col("score").desc, col("ent").asc)
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("doc"), col("mention"), col("ent"), col("score"))
+  }
+
   /** Rewrite edges onto canonical entities and dedup. Both rewrite joins
     * key on the canonical map; Spark/AQE picks broadcast automatically
     * when the map is small, sort-merge otherwise.

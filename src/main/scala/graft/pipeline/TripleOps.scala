@@ -406,6 +406,63 @@ object TripleOps {
     lanes.reduceLeft(_ unionByName _).distinct()
   }
 
+  /** k-bisimulation graph summarization — the principled quotient
+    * construction behind structural KG indexes (Buneman et al.'s
+    * 1-index family): two nodes are k-bisimilar when their types
+    * agree and, recursively, their outgoing (predicate, class) sets
+    * agree to depth k. Computed as hash-based partition refinement:
+    * class₀ = md5 of the sorted type set (untyped = md5 of "");
+    * classᵢ₊₁(n) = md5(classᵢ(n) ⊕ sorted distinct set of
+    * (p, classᵢ(o)) over n's out-edges) — separator-disciplined
+    * (chr(1)/chr(2)/chr(3), the q137 rule) so both engines hash the
+    * identical byte string. Output is the depth-k QUOTIENT graph:
+    * (class(s), p, class(o), edge count), classes keyed by a 12-hex
+    * md5 prefix (the q45 prefix-as-string rule).
+    *
+    * Scale shape: each round is one edges⋈classes equi-join plus a
+    * map-side-combinable sorted-set aggregation on (s) — no windows,
+    * no iteration-to-fixpoint (k is FIXED, the q56 unrolled-replay
+    * discipline; full-fixpoint minimization is k = diameter). The
+    * edge frame is materialized once for its per-round + final
+    * consumers and each round's class table is checkpointed (the q26
+    * lineage lesson). Hash-as-class is sound for summarization
+    * (md5 collisions would merge blocks, at 2⁻⁶⁴ scale); exact
+    * RDFC-grade labeling is q128's job, not this operator's.
+    */
+  def bisimulationSummary(types: DataFrame, edges: DataFrame,
+      rounds: Int = 2): DataFrame = {
+    require(rounds >= 1 && rounds <= 4, "rounds in [1,4]")
+    val e = edges.select(col("s").cast("string").as("s"),
+      col("p").cast("string").as("p"), col("o").cast("string").as("o"))
+      .distinct().localCheckpoint(true)
+    val ty = types.select(col("s").cast("string").as("s"),
+      col("t").cast("string").as("t")).distinct()
+    val nodes = e.select(col("s")).union(e.select(col("o").as("s")))
+      .union(ty.select(col("s"))).distinct()
+    val t0 = ty.groupBy(col("s"))
+      .agg(array_join(sort_array(collect_set(col("t"))), "\u0001").as("tv"))
+    var cls = nodes.join(t0, Seq("s"), "left")
+      .select(col("s").as("node"), md5(coalesce(col("tv"), lit(""))).as("cls"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val co = cls.select(col("node").as("o"), col("cls").as("clsO"))
+      val sig = e.join(co, Seq("o"))
+        .select(col("s"), concat_ws("\u0001", col("p"), col("clsO")).as("item"))
+        .groupBy(col("s"))
+        .agg(array_join(sort_array(collect_set(col("item"))), "\u0002").as("sig"))
+      cls = cls.join(sig, cls("node") === sig("s"), "left")
+        .select(col("node"),
+          md5(concat(col("cls"), lit("\u0003"), coalesce(col("sig"), lit("")))).as("cls"))
+        .localCheckpoint(true)
+    }
+    val cs = cls.select(col("node").as("s"), col("cls").as("clsS"))
+    val co2 = cls.select(col("node").as("o"), col("cls").as("clsO"))
+    e.join(cs, Seq("s")).join(co2, Seq("o"))
+      .groupBy(substring(col("clsS"), 1, 12).as("cs"), col("p"),
+        substring(col("clsO"), 1, 12).as("co"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+  }
+
   /** OWL 2 RL property-axiom constraint checks — the false-detection
     * rules that complement [[disjointViolations]]' class lane:
     * prp-asyp (owl:AsymmetricProperty: x p y ∧ y p x), prp-pdw

@@ -483,6 +483,24 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.filter { case (k, _) => full.contains(k) } == full, s"$got vs $full")
   }
 
+  test("coherenceRank: votes flip the prior winner only when a related candidate co-occurs") {
+    val s = spark
+    import s.implicits._
+    val mentions = Seq((1L, "paris"), (1L, "france"), (2L, "paris")).toDF("doc", "mention")
+    val candidates = Seq(
+      ("paris", "e_paris_tx", 5L), ("paris", "e_paris_fr", 4L),
+      ("france", "e_france", 9L)).toDF("mention", "ent", "prior")
+    val related = Seq(("e_paris_fr", "e_france"), ("e_france", "e_paris_fr")).toDF("a", "b")
+    val got = KgPipeline.coherenceRank(mentions, candidates, related)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getAs[Long]("score"))).toSet
+    assert(got == Set(
+      // doc 1: the france mention votes for the French Paris: 4*10+25 = 65 > 50
+      (1L, "paris", "e_paris_fr", 65L),
+      (1L, "france", "e_france", 115L), // 9*10 + vote from e_paris_fr
+      // doc 2: no co-occurring mention — prior winner stays
+      (2L, "paris", "e_paris_tx", 50L)), got.toString)
+  }
+
   test("SparkEntry.entry (driver smoke contract) returns triples") {
     val df = graft.SparkEntry.entry(spark)
     assert(df.limit(5).count() > 0)

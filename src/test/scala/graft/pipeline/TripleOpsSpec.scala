@@ -1397,4 +1397,28 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("negAssert", "n", "admin", "role"),
       ("eqDiff", "p", "q", "sameAs")), got.toString)
   }
+
+  test("bisimulationSummary: depth-2 refinement splits nodes depth-1 cannot") {
+    val s = spark
+    import s.implicits._
+    // a,b share type T and both point via p at a U-typed node — depth 1
+    // cannot separate them. c has an extra q-edge, d has none, so c/d
+    // split at depth 1 and that split propagates to a/b at depth 2.
+    val types = Seq(("a", "T"), ("b", "T"), ("c", "U"), ("d", "U")).toDF("s", "t")
+    val edges = Seq(("a", "p", "c"), ("b", "p", "d"), ("c", "q", "x")).toDF("s", "p", "o")
+    val got = TripleOps.bisimulationSummary(types, edges, rounds = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getAs[Long]("n")))
+    assert(got.length == 3, got.mkString(","))
+    assert(got.forall(_._4 == 1L), got.mkString(","))
+    val pRows = got.filter(_._2 == "p")
+    assert(pRows.length == 2)
+    // the depth-2 classes of a and b differ (their p-targets differ at depth 1)
+    assert(pRows(0)._1 != pRows(1)._1, pRows.mkString(","))
+    assert(pRows(0)._3 != pRows(1)._3, pRows.mkString(","))
+    // at depth 1 the a/b split has not happened yet
+    val d1 = TripleOps.bisimulationSummary(types, edges, rounds = 1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getAs[Long]("n")))
+    val d1p = d1.filter(_._2 == "p")
+    assert(d1p.map(_._1).distinct.length == 1, d1p.mkString(","))
+  }
 }
