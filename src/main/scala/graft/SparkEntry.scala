@@ -1185,6 +1185,31 @@ object SparkEntry {
       KgPipeline.coherenceRank(mentions, candidates, related)
         .select(col("doc").as("doc_id"), col("mention"), col("ent"), col("score"))
     }),
+    // validity-interval coalescing over 37 keys: gaps-and-islands with
+    // gap=1 adjacency merge, duplicate (key, lo, hi) rows collapse
+    // first (the q73 rule), and the oracle is the independent
+    // endpoint formulation (starts no earlier interval reaches,
+    // ends no later interval extends)
+    "q188_interval_coalesce" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val iv = docs.select(
+        concat(lit("k"), pmod(col("doc_id"), lit(37))).as("key"),
+        pmod(col("doc_id") * 7, lit(500)).as("lo"),
+        (pmod(col("doc_id") * 7, lit(500)) + pmod(col("doc_id"), lit(25))).as("hi"))
+      EventOps.coalesceIntervals(iv, gap = 1L)
+        .select("key", "lo", "hi", "n_merged")
+    }),
+    // WordPiece greedy longest-match segmentation of the corpus's
+    // distinct word types against the shared unit inventory; token
+    // sequences serialize comma-joined (q79) and the oracle walks the
+    // same step table with a recursive functional chain — no
+    // aggregates in the recursion, so both engines replay exactly
+    "q189_wordpiece" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val words = docs.select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("word"))
+        .where(col("word") =!= "")
+      Bpe.wordpieceSegment(words).select("word", "tokens", "ntok")
+    }),
     // Interval-overlap join via timeline binning — the scale-safe
     // range join: intervals expand to width-64 bins, sides EQUI-join
     // on the bin, the exact overlap predicate prunes, pair-distinct
@@ -5001,6 +5026,68 @@ object SparkEntry {
       |  CAST(CASE WHEN k % 3 != 2 AND k2 % 3 != 2 THEN 65 ELSE 50 END AS BIGINT) AS score
       |FROM m""".stripMargin
 
+  /** DuckDB twin of q188 (interval coalescing): the INDEPENDENT
+    * endpoint formulation — island starts are los no earlier interval
+    * reaches within the gap, island ends are his no later-reaching
+    * interval extends; exactly one of each per island, paired
+    * start → min(end ≥ start), members counted by lo containment.
+    * Deliberately not a replay of the gaps-and-islands window plan.
+    */
+  private val q188Sql: String =
+    """WITH iv AS MATERIALIZED (
+      |  SELECT DISTINCT 'k' || (doc_id % 37) AS key,
+      |    (doc_id * 7) % 500 AS lo,
+      |    (doc_id * 7) % 500 + (doc_id % 25) AS hi
+      |  FROM documents),
+      |st AS (SELECT DISTINCT key, lo FROM iv a WHERE NOT EXISTS (
+      |       SELECT 1 FROM iv b WHERE b.key = a.key AND b.lo < a.lo
+      |       AND b.hi + 1 >= a.lo)),
+      |en AS (SELECT DISTINCT key, hi FROM iv a WHERE NOT EXISTS (
+      |       SELECT 1 FROM iv b WHERE b.key = a.key AND b.hi > a.hi
+      |       AND b.lo <= a.hi + 1)),
+      |isl AS (SELECT s.key, s.lo, min(e.hi) AS hi
+      |        FROM st s JOIN en e ON e.key = s.key AND e.hi >= s.lo
+      |        GROUP BY s.key, s.lo)
+      |SELECT i.key, CAST(i.lo AS BIGINT) AS lo, CAST(i.hi AS BIGINT) AS hi,
+      |  CAST(count(*) AS BIGINT) AS n_merged
+      |FROM isl i JOIN iv v ON v.key = i.key AND v.lo BETWEEN i.lo AND i.hi
+      |GROUP BY i.key, i.lo, i.hi""".stripMargin
+
+  /** DuckDB twin of q189 (WordPiece): the same step table (longest
+    * matching unit per position, single-char fallback) walked by a
+    * recursive FUNCTIONAL chain — position strictly increases, no
+    * aggregates inside the recursion; the unit VALUES list is
+    * generated from the SAME Scala constant (Bpe.WordpieceUnits, the
+    * q36 shared-constant rule).
+    */
+  private def q189Sql: String = {
+    val vals = graft.pipeline.Bpe.WordpieceUnits.map(u => s"('$u')").mkString(", ")
+    s"""WITH RECURSIVE w AS MATERIALIZED (
+       |  SELECT DISTINCT word FROM (
+       |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       |      x -> x <> '')) AS word FROM documents) t0
+       |  WHERE length(word) BETWEEN 1 AND 32),
+       |u(unit) AS (VALUES $vals),
+       |pos AS MATERIALIZED (
+       |  SELECT word, unnest(range(0, length(word))) AS i FROM w),
+       |mt AS (SELECT p.word, p.i, max(length(u.unit)) AS sl
+       |       FROM pos p JOIN u ON substring(p.word, p.i + 1, length(u.unit)) = u.unit
+       |       GROUP BY p.word, p.i),
+       |step AS MATERIALIZED (
+       |  SELECT p.word, p.i, coalesce(mt.sl, 1) AS sl,
+       |         substring(p.word, p.i + 1, coalesce(mt.sl, 1)) AS tok
+       |  FROM pos p LEFT JOIN mt ON mt.word = p.word AND mt.i = p.i),
+       |walk AS (
+       |  SELECT word, 0 AS pos, '' AS toks, 0 AS ntok FROM w
+       |  UNION ALL
+       |  SELECT s.word, s.i + s.sl,
+       |         CASE WHEN wk.toks = '' THEN s.tok ELSE wk.toks || ',' || s.tok END,
+       |         wk.ntok + 1
+       |  FROM walk wk JOIN step s ON s.word = wk.word AND s.i = wk.pos)
+       |SELECT word, toks AS tokens, CAST(ntok AS BIGINT) AS ntok
+       |FROM walk WHERE pos = length(word)""".stripMargin
+  }
+
   /** DuckDB twin of q179 (Z-order layout): the Morton spread ladder
     * restated step by step in BIGINT shift/AND CTEs (identical
     * operators both engines — every intermediate is non-negative and
@@ -7307,6 +7394,8 @@ object SparkEntry {
     "q185_owl_prop_axioms" -> q185Sql,
     "q186_bisim_summary" -> q186Sql,
     "q187_link_coherence" -> q187Sql,
+    "q188_interval_coalesce" -> q188Sql,
+    "q189_wordpiece" -> q189Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

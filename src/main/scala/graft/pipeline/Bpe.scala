@@ -196,4 +196,72 @@ object Bpe {
     coalesce(aggregate(words, lit(0L),
       (acc, w) => acc + size(regexp_extract_all(w, lit(trainedVocabPattern))).cast("bigint")), lit(0L))
   }
+
+  /** Fixed multi-character unit inventory for [[wordpieceSegment]] —
+    * shared verbatim with the q189 oracle's VALUES list (the q36
+    * shared-constant rule: lowercase ASCII only, no quoting hazard).
+    */
+  val WordpieceUnits: Seq[String] = Seq(
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd", "ti",
+    "es", "or", "te", "of", "ed", "is", "it", "al", "ar", "st", "to",
+    "ng", "se", "ha", "as", "ou", "io", "le", "ve", "co", "me", "de",
+    "hi", "ri", "ro", "ic", "ne", "ea", "ra", "ce", "li", "ch", "ll",
+    "be", "ma", "si", "om", "ur", "ing", "ion", "tio", "ent", "ati")
+
+  /** WordPiece-style greedy longest-match-first segmentation as a
+    * relational plan — the INFERENCE tokenizer (BERT's rule: at each
+    * position take the longest vocabulary unit that matches; every
+    * single character is implicitly in the vocabulary, so the walk
+    * always advances). Differs from [[trainedSubwordCount]]'s regex
+    * alternation, which is leftmost-FIRST priority, not longest.
+    *
+    * Shape: the step table (word, i) → longest-match length is ONE
+    * explode + broadcast-unit join + map-side-combinable max; the
+    * token walk is then a FUNCTIONAL chain (unique successor per
+    * position), composed by pair doubling — ⌈log₂ maxWordLen⌉ rounds
+    * instead of O(word length) frontier steps (the q141 discipline;
+    * on a functional acyclic chain the (i, j) pair determines the
+    * token path, so the union-distinct dedups identical
+    * compositions). Per-word work is independent of the corpus —
+    * words are DISTINCT'd first (the production trick: tokenize each
+    * type once, join back by occurrence when needed).
+    *
+    * Input: a (word) frame. Output: (word, tokens, ntok) with tokens
+    * comma-joined in order (the q79 array-as-string rule).
+    */
+  def wordpieceSegment(wordsDf: DataFrame, units: Seq[String] = WordpieceUnits,
+      maxWordLen: Int = 32): DataFrame = {
+    require(units.nonEmpty && units.forall(_.length >= 2),
+      "units must be multi-character (single chars are implicit)")
+    require(maxWordLen >= 1 && maxWordLen <= 32, "maxWordLen in [1,32]")
+    val spark = wordsDf.sparkSession
+    import spark.implicits._
+    val words = wordsDf.select(col("word").cast("string").as("word")).distinct()
+      .where(length(col("word")).between(1, maxWordLen))
+      .localCheckpoint(true) // consumed by the step build AND the final join
+    val uDf = broadcast(units.toDF("unit").withColumn("ulen", length(col("unit"))))
+    val pos = words.select(col("word"),
+      explode(sequence(lit(0), length(col("word")) - 1)).as("i"))
+    val mt = pos.join(uDf, expr("substring(word, i + 1, ulen)") === col("unit"))
+      .groupBy(col("word"), col("i")).agg(max(col("ulen")).as("sl"))
+    val step = pos.join(mt, Seq("word", "i"), "left")
+      .withColumn("sl", coalesce(col("sl"), lit(1)))
+      .select(col("word"), col("i"), (col("i") + col("sl")).as("j"),
+        expr("substring(word, i + 1, sl)").as("toks"), lit(1L).as("ntok"))
+    var d = step.localCheckpoint(true)
+    for (_ <- 1 to 5) { // 2^5 = 32 composed steps ≥ maxWordLen tokens
+      val l = d.select(col("word"), col("i"), col("j").as("k"),
+        col("toks").as("lt"), col("ntok").as("ln"))
+      val r = d.select(col("word").as("word2"), col("i").as("i2"),
+        col("j").as("j2"), col("toks").as("rt"), col("ntok").as("rn"))
+      val comp = l.join(r, col("word") === col("word2") && col("k") === col("i2"))
+        .select(col("word"), col("i"), col("j2").as("j"),
+          concat(col("lt"), lit(","), col("rt")).as("toks"),
+          (col("ln") + col("rn")).as("ntok"))
+      d = d.unionByName(comp).distinct().localCheckpoint(true)
+    }
+    words.join(d, Seq("word"))
+      .where(col("i") === 0 && col("j") === length(col("word")))
+      .select(col("word"), col("toks").as("tokens"), col("ntok"))
+  }
 }

@@ -313,6 +313,44 @@ object EventOps {
     * Pick binWidth near the typical interval length: much smaller
     * multiplies fan-out, much larger multiplies per-bin candidates.
     */
+  /** Validity-interval coalescing — the temporal-KG compaction step:
+    * per key, merge every set of intervals that overlap or sit within
+    * `gap` of each other into one covering interval (assertion
+    * validity windows, crawl coverage spans, session ranges). The
+    * classic gaps-and-islands: order each key's intervals by the
+    * UNIQUE (lo, hi) pair (input is distinct'd first — the q73
+    * duplicate-ordering-key rule), a new island starts where lo
+    * exceeds the running max of prior hi by more than `gap`
+    * (NULL-first-row CASE, the q34 discipline), islands number by a
+    * running sum over the same unique order (RANGE == ROWS by
+    * uniqueness, the q67 rule), then one min/max/count per island.
+    *
+    * One shuffle on the key partition, two window passes, one
+    * map-side-combinable groupBy — no self-join. The oracle is the
+    * INDEPENDENT endpoint formulation: island starts are the los no
+    * earlier interval reaches within gap, island ends the his no
+    * later-reaching interval extends, paired start→min(end ≥ start).
+    *
+    * Input: (key, lo, hi) integer intervals, hi ≥ lo (reversed rows
+    * dropped). Output: (key, lo, hi, n_merged).
+    */
+  def coalesceIntervals(intervals: DataFrame, gap: Long = 1L): DataFrame = {
+    require(gap >= 0L, "gap must be non-negative")
+    val iv = intervals.select(col("key").cast("string").as("key"),
+      col("lo").cast("bigint").as("lo"), col("hi").cast("bigint").as("hi"))
+      .where(col("hi") >= col("lo")).distinct()
+    val wOrd = Window.partitionBy(col("key")).orderBy(col("lo"), col("hi"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val flagged = iv.withColumn("pmax", max(col("hi")).over(wRun))
+      .withColumn("brk",
+        when(col("pmax").isNull || col("lo") > col("pmax") + gap, 1).otherwise(0))
+    flagged.withColumn("grp", sum(col("brk")).over(wOrd))
+      .groupBy(col("key"), col("grp"))
+      .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        count(lit(1)).cast("bigint").as("n_merged"))
+      .select(col("key"), col("lo"), col("hi"), col("n_merged"))
+  }
+
   def intervalOverlapJoin(a: DataFrame, b: DataFrame, binWidth: Long): DataFrame = {
     require(binWidth >= 1, "binWidth must be >= 1")
     def binned(df: DataFrame, id: String) = df.select(

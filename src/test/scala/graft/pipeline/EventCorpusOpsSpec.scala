@@ -902,4 +902,27 @@ class EventCorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == naive, s"got $got naive $naive")
     assert(got == Set(("a1", "b1"), ("a3", "b2"), ("a3", "b3"), ("a2", "b3")), got.toString)
   }
+
+  test("coalesceIntervals: overlap/adjacency merge per key, gap splits, counts and reversed rows handled") {
+    val s = spark
+    import s.implicits._
+    val iv = Seq(
+      // k1: [0,5] [5,8] overlap; [9,12] adjacent within gap=1; [20,25] separate
+      ("k1", 0L, 5L), ("k1", 5L, 8L), ("k1", 9L, 12L), ("k1", 20L, 25L),
+      // k1: containment folds in
+      ("k1", 1L, 3L),
+      // k2: duplicate rows collapse before ordering; single island
+      ("k2", 4L, 6L), ("k2", 4L, 6L),
+      // k3: reversed interval dropped entirely
+      ("k3", 9L, 2L)).toDF("key", "lo", "hi")
+    val got = EventOps.coalesceIntervals(iv, gap = 1L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      ("k1", 0L, 12L, 4L), ("k1", 20L, 25L, 1L),
+      ("k2", 4L, 6L, 1L)), got.toString)
+    // gap=0: strict-overlap-or-touch only; the [9,12] island detaches
+    val g0 = EventOps.coalesceIntervals(iv, gap = 0L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(g0.contains(("k1", 9L, 12L, 1L)) && g0.contains(("k1", 0L, 8L, 3L)), g0.toString)
+  }
 }

@@ -501,6 +501,22 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, "paris", "e_paris_tx", 50L)), got.toString)
   }
 
+  test("wordpieceSegment: longest match wins at each position, single-char fallback, order preserved") {
+    val s = spark
+    import s.implicits._
+    val words = Seq("thing", "zebra", "x", "ingestion").toDF("word")
+    val got = Bpe.wordpieceSegment(words).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("ntok"))).toSet
+    assert(got == Set(
+      // 'th' beats 't'; 'ing' (3) beats 'in' (2) at position 2
+      ("thing", "th,ing", 2L),
+      // no unit matches z/e/b; 'ra' closes
+      ("zebra", "z,e,b,ra", 4L),
+      ("x", "x", 1L),
+      // greedy: 'ing' then 'es' then 'tio' (3 beats 'ti'), stranding 'n'
+      ("ingestion", "ing,es,tio,n", 4L)), got.toString)
+  }
+
   test("SparkEntry.entry (driver smoke contract) returns triples") {
     val df = graft.SparkEntry.entry(spark)
     assert(df.limit(5).count() > 0)
