@@ -94,6 +94,7 @@ object Bench {
     "q184_cc_delta", "q185_owl_prop_axioms",
     "q186_bisim_summary", "q187_link_coherence",
     "q188_interval_coalesce", "q189_wordpiece",
+    "q190_term_order", "q191_rule_mining",
     "x_bpe_train", "x_bpe_encode",
     "x_minhash_lsh_dedup", "x_ngram_jaccard_lsh", "x_simhash_dedup",
     "x_embedding_neardup", "x_ann_brute", "x_ann_lsh", "x_ann_ivf",

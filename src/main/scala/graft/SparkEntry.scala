@@ -1210,6 +1210,52 @@ object SparkEntry {
         .where(col("word") =!= "")
       Bpe.wordpieceSegment(words).select("word", "tokens", "ntok")
     }),
+    // SPARQL total term ordering: a five-kind residue ladder (unbound,
+    // bnode, IRI, signed xsd:integer literal, plain literal) ranked
+    // under the pinned total order with doc_id closing the tie — the
+    // top-k plans as TakeOrderedAndProject (no global sort) and the
+    // oracle restates the same key ladder
+    "q190_term_order" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dd = col("doc_id")
+      val term = when(pmod(dd, lit(13)) === 0, lit(null).cast("string"))
+        .when(pmod(dd, lit(5)) === 0, concat(lit("_:b"), pmod(dd, lit(7))))
+        .when(pmod(dd, lit(3)) === 0,
+          concat(lit("\""), pmod(dd, lit(90)) - 40, lit("\"^^xsd:integer")))
+        .when(pmod(dd, lit(2)) === 0, concat(lit("\"w"), pmod(dd, lit(26)), lit("\"")))
+        .otherwise(concat(lit("http://ex/"), pmod(dd, lit(20))))
+      TripleOps.termOrderTopK(docs.select(term.as("term"), dd.as("doc_id")),
+          "term", "doc_id", 200)
+        .select("rank", "term", "doc_id")
+    }),
+    // AMIE-style chain-rule mining over a five-predicate KG: the
+    // grandparent <- parent.parent and basedIn <- worksFor.locatedIn
+    // rules plus every accidental combination, scored in ONE z-join;
+    // minSupport=5 prunes the tail, the hub cap never fires at test
+    // fanouts (o-hubs peak ~in*1) and the oracle replays the full
+    // census incl. the cap
+    "q191_rule_mining" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val nId = format_string("n%06d", col("doc_id"))
+      val spo = docs.select(nId.as("s"), lit("worksFor").as("p"),
+          concat(lit("o"), pmod(col("doc_id"), lit(16))).as("o"))
+        .unionByName(docs.select(
+          concat(lit("o"), pmod(col("doc_id"), lit(16))).as("s"),
+          lit("locatedIn").as("p"),
+          concat(lit("c"), pmod(pmod(col("doc_id"), lit(16)), lit(4))).as("o")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select(nId.as("s"), lit("basedIn").as("p"),
+            concat(lit("c"), pmod(pmod(col("doc_id"), lit(16)), lit(4))).as("o")))
+        .unionByName(docs.where(col("doc_id") >= 2)
+          .select(nId.as("s"), lit("parent").as("p"),
+            format_string("n%06d", expr("doc_id div 2")).as("o")))
+        .unionByName(docs.where(col("doc_id") >= 4 &&
+            pmod(col("doc_id"), lit(6)) === 0)
+          .select(nId.as("s"), lit("grandparent").as("p"),
+            format_string("n%06d", expr("doc_id div 4")).as("o")))
+      TripleOps.mineChainRules(spo, minSupport = 5L)
+        .select("head", "b1", "b2", "support", "body_n", "conf_ppm")
+    }),
     // Interval-overlap join via timeline binning — the scale-safe
     // range join: intervals expand to width-64 bins, sides EQUI-join
     // on the bin, the exact overlap predicate prunes, pair-distinct
@@ -5088,6 +5134,70 @@ object SparkEntry {
        |FROM walk WHERE pos = length(word)""".stripMargin
   }
 
+  /** DuckDB twin of q190 (term ordering): the same five-key ladder —
+    * kind rank, numeric-literal flag, guarded BIGINT decode, lexical
+    * form, doc_id tiebreak — with substring tests instead of LIKE
+    * (underscore is a LIKE wildcard) and regexp_full_match for the
+    * xsd:integer shape.
+    */
+  private val q190Sql: String =
+    """WITH f AS (SELECT doc_id AS d FROM documents),
+      |tm AS (SELECT d,
+      |  CASE WHEN d % 13 = 0 THEN NULL
+      |       WHEN d % 5 = 0 THEN '_:b' || (d % 7)
+      |       WHEN d % 3 = 0 THEN '"' || (d % 90 - 40) || '"^^xsd:integer'
+      |       WHEN d % 2 = 0 THEN '"w' || (d % 26) || '"'
+      |       ELSE 'http://ex/' || (d % 20) END AS term
+      |  FROM f),
+      |keyed AS (SELECT d, term,
+      |  CASE WHEN term IS NULL THEN 0
+      |       WHEN substring(term, 1, 2) = '_:' THEN 1
+      |       WHEN substring(term, 1, 1) = '"' THEN 3 ELSE 2 END AS k0,
+      |  CASE WHEN substring(term, 1, 1) = '"'
+      |        AND NOT regexp_full_match(term, '"-?[0-9]+"\^\^xsd:integer')
+      |       THEN 1 ELSE 0 END AS k1,
+      |  CASE WHEN term IS NOT NULL
+      |        AND regexp_full_match(term, '"-?[0-9]+"\^\^xsd:integer')
+      |       THEN CAST(regexp_extract(term, '^"(-?[0-9]+)"', 1) AS BIGINT)
+      |       ELSE 0 END AS k2,
+      |  coalesce(term, '') AS k3
+      |  FROM tm)
+      |SELECT CAST(row_number() OVER (ORDER BY k0, k1, k2, k3, d) AS BIGINT) AS rank,
+      |  term, d AS doc_id
+      |FROM keyed ORDER BY k0, k1, k2, k3, d LIMIT 200""".stripMargin
+
+  /** DuckDB twin of q191 (rule mining): the same five constructed
+    * predicate lanes, the same fanout-capped z-join census — body
+    * pairs dedup before the head join, truncating ppm confidence
+    * (q62 rule); a replay, as the operator is definitional.
+    */
+  private val q191Sql: String =
+    """WITH f AS (SELECT doc_id AS d FROM documents),
+      |spo AS MATERIALIZED (SELECT DISTINCT s, p, o FROM (
+      |  SELECT printf('n%06d', d) AS s, 'worksFor' AS p, 'o' || (d % 16) AS o FROM f
+      |  UNION ALL SELECT 'o' || (d % 16), 'locatedIn', 'c' || ((d % 16) % 4) FROM f
+      |  UNION ALL SELECT printf('n%06d', d), 'basedIn', 'c' || ((d % 16) % 4)
+      |    FROM f WHERE d % 2 = 0
+      |  UNION ALL SELECT printf('n%06d', d), 'parent', printf('n%06d', d // 2)
+      |    FROM f WHERE d >= 2
+      |  UNION ALL SELECT printf('n%06d', d), 'grandparent', printf('n%06d', d // 4)
+      |    FROM f WHERE d >= 4 AND d % 6 = 0) u),
+      |ind AS (SELECT o AS z, count(*) AS ind FROM spo GROUP BY o),
+      |outd AS (SELECT s AS z, count(*) AS outd FROM spo GROUP BY s),
+      |okz AS (SELECT i.z FROM ind i JOIN outd t ON t.z = i.z
+      |        WHERE i.ind * t.outd <= 1000000),
+      |body AS MATERIALIZED (
+      |  SELECT DISTINCT l1.p AS b1, l2.p AS b2, l1.s AS x, l2.o AS y
+      |  FROM spo l1 JOIN okz ON okz.z = l1.o JOIN spo l2 ON l2.s = l1.o),
+      |bn AS (SELECT b1, b2, count(*) AS body_n FROM body GROUP BY b1, b2),
+      |sup AS (SELECT h.p AS head, b.b1, b.b2, count(*) AS support
+      |        FROM body b JOIN spo h ON h.s = b.x AND h.o = b.y
+      |        GROUP BY 1, 2, 3 HAVING count(*) >= 5)
+      |SELECT s.head, s.b1, s.b2, CAST(s.support AS BIGINT) AS support,
+      |  CAST(bn.body_n AS BIGINT) AS body_n,
+      |  CAST(s.support * 1000000 // bn.body_n AS BIGINT) AS conf_ppm
+      |FROM sup s JOIN bn ON bn.b1 = s.b1 AND bn.b2 = s.b2""".stripMargin
+
   /** DuckDB twin of q179 (Z-order layout): the Morton spread ladder
     * restated step by step in BIGINT shift/AND CTEs (identical
     * operators both engines — every intermediate is non-negative and
@@ -7396,6 +7506,8 @@ object SparkEntry {
     "q187_link_coherence" -> q187Sql,
     "q188_interval_coalesce" -> q188Sql,
     "q189_wordpiece" -> q189Sql,
+    "q190_term_order" -> q190Sql,
+    "q191_rule_mining" -> q191Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

@@ -463,6 +463,93 @@ object TripleOps {
       .agg(count(lit(1)).cast("bigint").as("n"))
   }
 
+  /** SPARQL ORDER BY total term ordering (spec §15.1 extended to a
+    * deterministic total order): unbound < blank nodes < IRIs <
+    * literals, numeric literals before other literals ordered by
+    * VALUE (integer-exact — xsd:integer only), remaining literals by
+    * lexical form, and a caller-supplied unique tiebreak closing the
+    * order (the q103 rule — LIMIT over an undefined equal-key order
+    * is nondeterministic in both engines). Spec §15.1 leaves the
+    * cross-kind order implementation-defined beyond <; this operator
+    * PINS the documented one.
+    *
+    * Scale shape: orderBy().limit(k) plans as TakeOrderedAndProject —
+    * per-partition top-k then a k-row driver merge, never a global
+    * sort — and the rank window runs on the k surviving rows only.
+    * The numeric decode rides a CASE guard (the q180 ANSI-cast
+    * pushdown lesson).
+    */
+  def termOrderTopK(solutions: DataFrame, termCol: String, tieCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 10000, "k in [1,10000]")
+    import org.apache.spark.sql.expressions.Window
+    val term = col(termCol)
+    val kind = when(term.isNull, 0)
+      .when(term.startsWith("_:"), 1)
+      .when(term.startsWith("\""), 3)
+      .otherwise(2)
+    val numVal = when(term.rlike("^\"-?[0-9]+\"\\^\\^xsd:integer$"),
+      regexp_extract(term, "^\"(-?[0-9]+)\"", 1).cast("bigint"))
+    val numFlag = when(kind === 3 && numVal.isNull, 1).otherwise(0)
+    val keys = Seq(kind.as("k0"), numFlag.as("k1"),
+      coalesce(numVal, lit(0L)).as("k2"),
+      coalesce(term, lit("")).as("k3"), col(tieCol).as("k4"))
+    val ordered = solutions.select((solutions.columns.map(col) ++ keys): _*)
+      .orderBy(col("k0"), col("k1"), col("k2"), col("k3"), col("k4"))
+      .limit(k)
+    ordered
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("k0"), col("k1"), col("k2"), col("k3"), col("k4"))).cast("bigint"))
+      .drop("k0", "k1", "k2", "k3", "k4")
+  }
+
+  /** AMIE-style chain-rule mining: score every candidate Horn rule
+    * head(x, y) ← b1(x, z) ∧ b2(z, y) over the predicate inventory by
+    * SUPPORT (distinct (x, y) pairs satisfying body AND head) and
+    * CPA-style CONFIDENCE (support / distinct body pairs, truncating
+    * ppm — the q62 integer-ratio rule). The schema side (predicate
+    * combinations) is enumeration-free here: the body join itself
+    * carries the predicate pair as group keys, so one corpus-scale
+    * join on the chain variable z scores EVERY rule at once.
+    *
+    * Skew guard as operator CONTRACT (the q178 hub-cap rule): a z
+    * whose in-degree × out-degree product exceeds `maxZFanout` is
+    * excluded from chaining entirely — at web scale a hub entity
+    * (a country, a year) would otherwise quadratically dominate the
+    * join; the oracle replays the same exclusion. Body pairs dedup
+    * BEFORE the head join; the head join keys on (x, y).
+    *
+    * Output: (head, b1, b2, support, body_n, conf_ppm) for rules with
+    * support ≥ minSupport.
+    */
+  def mineChainRules(triples: DataFrame, minSupport: Long = 1L,
+      maxZFanout: Long = 1000000L): DataFrame = {
+    val spo = spoCols(triples).distinct().localCheckpoint(true)
+    val inDeg = spo.groupBy(col("o")).agg(count(lit(1)).as("ind"))
+    val outDeg = spo.groupBy(col("s")).agg(count(lit(1)).as("outd"))
+    val okZ = inDeg.join(outDeg, inDeg("o") === outDeg("s"))
+      .where(col("ind") * col("outd") <= maxZFanout)
+      .select(col("o").as("z"))
+    val leg1 = spo.select(col("s").as("x"), col("p").as("b1"), col("o").as("z"))
+      .join(okZ, Seq("z"))
+    val leg2 = spo.select(col("s").as("z"), col("p").as("b2"), col("o").as("y"))
+    val body = leg1.join(leg2, Seq("z"))
+      .select(col("b1"), col("b2"), col("x"), col("y")).distinct()
+      .localCheckpoint(true) // consumed by the body census AND the head join
+    val bodyN = body.groupBy(col("b1"), col("b2"))
+      .agg(count(lit(1)).as("body_n"))
+    val head = spo.select(col("p").as("head"), col("s").as("x"), col("o").as("y"))
+    val support = body.join(head, Seq("x", "y"))
+      .groupBy(col("head"), col("b1"), col("b2"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+    support.join(bodyN, Seq("b1", "b2"))
+      .select(col("head"), col("b1"), col("b2"),
+        col("support").cast("bigint").as("support"),
+        col("body_n").cast("bigint").as("body_n"),
+        expr("support * 1000000 div body_n").cast("bigint").as("conf_ppm"))
+  }
+
   /** OWL 2 RL property-axiom constraint checks — the false-detection
     * rules that complement [[disjointViolations]]' class lane:
     * prp-asyp (owl:AsymmetricProperty: x p y ∧ y p x), prp-pdw

@@ -1398,6 +1398,41 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("eqDiff", "p", "q", "sameAs")), got.toString)
   }
 
+  test("termOrderTopK: unbound < bnode < IRI < numeric-by-value < other literals; tiebreak closes") {
+    val s = spark
+    import s.implicits._
+    val sols = Seq(
+      (Option("\"apple\""), 1L), (Option("\"5\"^^xsd:integer"), 2L),
+      (Option("\"-3\"^^xsd:integer"), 3L), (Option("http://a"), 4L),
+      (Option("_:b"), 5L), (Option.empty[String], 6L),
+      (Option("http://a"), 7L) // duplicate term: doc tiebreak orders 4 before 7
+    ).toDF("term", "doc_id")
+    val got = TripleOps.termOrderTopK(sols, "term", "doc_id", 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("rank"), Option(r.getString(0)), r.getLong(1)))
+    assert(got.toSeq == Seq(
+      (1L, None, 6L), (2L, Some("_:b"), 5L),
+      (3L, Some("http://a"), 4L), (4L, Some("http://a"), 7L),
+      (5L, Some("\"-3\"^^xsd:integer"), 3L), (6L, Some("\"5\"^^xsd:integer"), 2L),
+      (7L, Some("\"apple\""), 1L)), got.mkString(","))
+  }
+
+  test("mineChainRules: grandparent rule scores support/confidence; fanout cap excludes hub chains") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(
+      ("c1", "parent", "p1"), ("c2", "parent", "p1"), ("p1", "parent", "g1"),
+      ("c1", "grandparent", "g1") // planted for c1 only -> conf 1/2
+    ).toDF("s", "p", "o")
+    val got = TripleOps.mineChainRules(spo, minSupport = 1L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getAs[Long]("support"), r.getAs[Long]("body_n"), r.getAs[Long]("conf_ppm"))).toSet
+    assert(got == Set(("grandparent", "parent", "parent", 1L, 2L, 500000L)), got.toString)
+    // p1 as chain variable has in-degree 2 x out-degree 1 = 2 > cap 1
+    val capped = TripleOps.mineChainRules(spo, minSupport = 1L, maxZFanout = 1L)
+    assert(capped.collect().isEmpty)
+  }
+
   test("bisimulationSummary: depth-2 refinement splits nodes depth-1 cannot") {
     val s = spark
     import s.implicits._
