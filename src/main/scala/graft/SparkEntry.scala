@@ -1256,6 +1256,32 @@ object SparkEntry {
       TripleOps.mineChainRules(spo, minSupport = 5L)
         .select("head", "b1", "b2", "support", "body_n", "conf_ppm")
     }),
+    // landmark eccentricity over the undirected div-2 tree from %250
+    // seeds: exact per-seed BFS depth (truncation throws), n_reached
+    // pins component coverage; the oracle's recursive walk min-folds
+    // all ≤30-hop paths — safe because the tree keeps per-pair
+    // distance parity classes tiny
+    "q192_eccentricity" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val edges = docs.where(col("doc_id") >= 1)
+        .select(col("doc_id").as("a"), expr("doc_id div 2").as("b"))
+      val seeds = docs.where(pmod(col("doc_id"), lit(250)) === 0)
+        .select(col("doc_id").as("node"))
+      GraphOps.eccentricity(edges, seeds, maxHops = 30)
+        .select("src", "ecc", "n_reached")
+    }),
+    // whole-bit degree census of the tree + a planted %16 hub lane —
+    // the power-law report that motivates every hub cap in this
+    // engine; buckets are length(bin(deg))-1 (q70 rule, no FP log)
+    "q193_degree_census" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val edges = docs.where(col("doc_id") >= 1)
+          .select(col("doc_id").as("a"), expr("doc_id div 2").as("b"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(16)) === 5)
+          .select(col("doc_id").as("a"), lit(1000000L).as("b")))
+      GraphOps.degreeCensus(edges)
+        .select("bucket", "n_nodes", "min_deg", "max_deg", "sum_deg")
+    }),
     // Interval-overlap join via timeline binning — the scale-safe
     // range join: intervals expand to width-64 bins, sides EQUI-join
     // on the bin, the exact overlap predicate prunes, pair-distinct
@@ -5198,6 +5224,48 @@ object SparkEntry {
       |  CAST(s.support * 1000000 // bn.body_n AS BIGINT) AS conf_ppm
       |FROM sup s JOIN bn ON bn.b1 = s.b1 AND bn.b2 = s.b2""".stripMargin
 
+  /** DuckDB twin of q192 (eccentricity): recursive ≤30-hop walk with
+    * UNION dedup on (src, node, dist), min-fold to true distances,
+    * max per seed — the q66 recursive shape; the hop bound matches
+    * the Spark cap, irrelevant to the min since the tree's true
+    * eccentricities sit far below it.
+    */
+  private val q192Sql: String =
+    """WITH RECURSIVE f AS (SELECT doc_id AS d FROM documents),
+      |e0 AS (SELECT DISTINCT least(d, d // 2) AS u, greatest(d, d // 2) AS v
+      |       FROM f WHERE d >= 1),
+      |e AS MATERIALIZED (SELECT u AS a, v AS b FROM e0
+      |                   UNION ALL SELECT v, u FROM e0),
+      |seeds AS (SELECT d AS s FROM f WHERE d % 250 = 0),
+      |walk AS (
+      |  SELECT s AS src, s AS node, 0 AS dist FROM seeds
+      |  UNION
+      |  SELECT w.src, e.b, w.dist + 1 FROM walk w JOIN e ON e.a = w.node
+      |  WHERE w.dist < 30),
+      |md AS (SELECT src, node, min(dist) AS dist FROM walk GROUP BY src, node)
+      |SELECT src, CAST(max(dist) AS BIGINT) AS ecc,
+      |  CAST(count(*) AS BIGINT) AS n_reached
+      |FROM md GROUP BY src""".stripMargin
+
+  /** DuckDB twin of q193 (degree census): same canonical edge set,
+    * same doubled-degree count, same whole-bit bucket (q70 rule —
+    * DuckDB's HUGEINT sum casts back to BIGINT).
+    */
+  private val q193Sql: String =
+    """WITH f AS (SELECT doc_id AS d FROM documents),
+      |p0 AS (SELECT d AS a, d // 2 AS b FROM f WHERE d >= 1
+      |       UNION ALL SELECT d, 1000000 FROM f WHERE d % 16 = 5),
+      |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      |      FROM p0 WHERE least(a, b) != greatest(a, b)),
+      |deg AS (SELECT node, count(*) AS dg FROM (
+      |        SELECT u AS node FROM e UNION ALL SELECT v FROM e) x GROUP BY node)
+      |SELECT CAST(length(bin(dg)) - 1 AS BIGINT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_nodes,
+      |  CAST(min(dg) AS BIGINT) AS min_deg,
+      |  CAST(max(dg) AS BIGINT) AS max_deg,
+      |  CAST(sum(dg) AS BIGINT) AS sum_deg
+      |FROM deg GROUP BY 1""".stripMargin
+
   /** DuckDB twin of q179 (Z-order layout): the Morton spread ladder
     * restated step by step in BIGINT shift/AND CTEs (identical
     * operators both engines — every intermediate is non-negative and
@@ -7508,6 +7576,8 @@ object SparkEntry {
     "q189_wordpiece" -> q189Sql,
     "q190_term_order" -> q190Sql,
     "q191_rule_mining" -> q191Sql,
+    "q192_eccentricity" -> q192Sql,
+    "q193_degree_census" -> q193Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

@@ -262,6 +262,79 @@ object GraphOps {
     dist
   }
 
+  /** Per-seed eccentricity — the longest shortest path from each seed
+    * (radius/diameter estimation over landmark seeds, the standard
+    * web-graph technique: exact all-pairs is quadratic, a seed panel
+    * is linear per seed). Multi-source BFS with a (seed, node) state
+    * so every seed's frontier advances in the same per-round join;
+    * the [[hopDistance]] frontier discipline (only nodes FIRST
+    * reached last round expand) keeps total join work O(seeds ×
+    * edges). BFS runs to exhaustion and THROWS if the hop cap cuts
+    * it short (the q26 rule — a truncated eccentricity is silently
+    * wrong; the post-cap probe distinguishes "frontier at exactly
+    * ecc" from "unexplored neighbors remain").
+    *
+    * Input: (a, b) undirected pairs + a (node) seed frame. Output:
+    * (src, ecc, n_reached) per seed — n_reached counts the seed's
+    * connected component, ecc its true eccentricity within it.
+    */
+  def eccentricity(pairs: DataFrame, seeds: DataFrame, maxHops: Int = 30): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 32, "maxHops in [1,32]")
+    val e = canonEdges(pairs)
+    val edges = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(true) // consumed every round
+    var dist = seeds.select(col("node").cast("bigint").as("seed")).distinct()
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontierCount = dist.count()
+    var r = 0
+    while (r < maxHops && frontierCount > 0) {
+      r += 1
+      val frontier = dist.where(col("dist") === lit(r - 1).cast("bigint"))
+      val next = frontier.join(edges, col("node") === col("src"))
+        .select(col("seed"), col("dst").as("node"), lit(r.toLong).as("dist"))
+      val merged = dist.unionByName(next)
+        .groupBy(col("seed"), col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true) // bounded lineage across rounds
+      frontierCount = merged.where(col("dist") === lit(r.toLong)).count()
+      dist = merged
+    }
+    if (frontierCount > 0) {
+      // cap reached with a live frontier: legal iff that frontier has
+      // no unvisited neighbors (ecc == maxHops exactly)
+      val frontier = dist.where(col("dist") === lit(maxHops.toLong))
+      val unexplored = frontier.join(edges, col("node") === col("src"))
+        .select(col("seed"), col("dst").as("node"))
+        .join(dist.select(col("seed"), col("node")), Seq("seed", "node"), "left_anti")
+      if (unexplored.limit(1).count() > 0)
+        throw new IllegalStateException(
+          s"eccentricity BFS did not exhaust within $maxHops hops — " +
+            "raise maxHops; a truncated eccentricity must never ship")
+    }
+    dist.groupBy(col("seed"))
+      .agg(max(col("dist")).cast("bigint").as("ecc"),
+        count(lit(1)).cast("bigint").as("n_reached"))
+      .select(col("seed").as("src"), col("ecc"), col("n_reached"))
+  }
+
+  /** Degree census in whole-bit buckets — the power-law tail report
+    * every web-graph pipeline wants before choosing salting/hub-cap
+    * thresholds: per ⌊log₂ degree⌋ bucket (`length(bin(d)) − 1`, the
+    * q70 whole-bit rule — exact in both engines, no FP log), the node
+    * count, degree min/max and degree mass. One doubled-edge groupBy
+    * plus one map-side-combinable bucket aggregation.
+    */
+  def degreeCensus(pairs: DataFrame): DataFrame = {
+    val e = canonEdges(pairs)
+    degrees(e)
+      .groupBy(expr("CAST(length(bin(d)) - 1 AS BIGINT)").as("bucket"))
+      .agg(count(lit(1)).cast("bigint").as("n_nodes"),
+        min(col("d")).cast("bigint").as("min_deg"),
+        max(col("d")).cast("bigint").as("max_deg"),
+        sum(col("d")).cast("bigint").as("sum_deg"))
+  }
+
   /** k-core: the maximal subgraph in which every node keeps degree
     * ≥ k — the density floor that separates "real" near-dup clusters
     * from incidental chains and stars (a k-core survives losing any

@@ -517,6 +517,36 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("ingestion", "ing,es,tio,n", 4L)), got.toString)
   }
 
+  test("eccentricity: per-seed exact BFS depth; cap-equals-ecc legal; truncation throws") {
+    val s = spark
+    import s.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val got = GraphOps.eccentricity(path, Seq(1L, 3L).toDF("node"), maxHops = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 4L, 5L), (3L, 2L, 5L)), got.toString)
+    // cap exactly equal to the true eccentricity: no throw
+    val exact = GraphOps.eccentricity(path, Seq(3L).toDF("node"), maxHops = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((3L, 2L)))
+    // cap below the true eccentricity: must throw, never truncate
+    intercept[IllegalStateException] {
+      GraphOps.eccentricity(path, Seq(1L).toDF("node"), maxHops = 2).collect()
+    }
+  }
+
+  test("degreeCensus: whole-bit buckets partition the degree table") {
+    val s = spark
+    import s.implicits._
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L)).toDF("a", "b")
+    val got = GraphOps.degreeCensus(star).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(
+      (2L, 1L, 4L, 4L, 4L),  // hub: deg 4 -> bucket 2
+      (1L, 2L, 2L, 2L, 4L),  // nodes 2,3: deg 2 -> bucket 1
+      (0L, 2L, 1L, 1L, 2L)), // leaves 4,5: deg 1 -> bucket 0
+      got.toString)
+  }
+
   test("SparkEntry.entry (driver smoke contract) returns triples") {
     val df = graft.SparkEntry.entry(spark)
     assert(df.limit(5).count() > 0)
