@@ -239,11 +239,18 @@ object Bpe {
     val words = wordsDf.select(col("word").cast("string").as("word")).distinct()
       .where(length(col("word")).between(1, maxWordLen))
       .localCheckpoint(true) // consumed by the step build AND the final join
-    val uDf = broadcast(units.toDF("unit").withColumn("ulen", length(col("unit"))))
     val pos = words.select(col("word"),
       explode(sequence(lit(0), length(col("word")) - 1)).as("i"))
-    val mt = pos.join(uDf, expr("substring(word, i + 1, ulen)") === col("unit"))
-      .groupBy(col("word"), col("i")).agg(max(col("ulen")).as("sl"))
+    // one broadcast EQUI-join per distinct unit length: the join key
+    // substring(word, i+1, L) is constant-length per lane, so each
+    // lane is a hash join — a single lane with a variable-length key
+    // would reference both sides and degrade to a nested-loop compare
+    val mt = units.map(_.length).distinct.sorted.map { l =>
+      val us = broadcast(units.filter(_.length == l).toDF("unit"))
+      pos.join(us, expr(s"substring(word, i + 1, $l)") === col("unit"))
+        .select(col("word"), col("i"), lit(l).as("sl"))
+    }.reduceLeft(_ unionByName _)
+      .groupBy(col("word"), col("i")).agg(max(col("sl")).as("sl"))
     val step = pos.join(mt, Seq("word", "i"), "left")
       .withColumn("sl", coalesce(col("sl"), lit(1)))
       .select(col("word"), col("i"), (col("i") + col("sl")).as("j"),
