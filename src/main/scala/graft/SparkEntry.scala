@@ -1282,6 +1282,38 @@ object SparkEntry {
       GraphOps.degreeCensus(edges)
         .select("bucket", "n_nodes", "min_deg", "max_deg", "sum_deg")
     }),
+    // SHACL path-cardinality shapes: a 2-step sequence (worksFor →
+    // managedBy, orgs in the %4==3 residue unmanaged → minCount), an
+    // alternation (nick|name, the %9 lane reaches 3 values →
+    // maxCount), and an inverse path (^mentor mentee count over the
+    // div-2 tree, internal nodes with both children → maxCount); the
+    // oracle restates each count in closed residue form
+    "q194_shacl_path" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val nId = format_string("n%06d", col("doc_id"))
+      val spo = docs.select(nId.as("s"), lit("worksFor").as("p"),
+          concat(lit("o"), pmod(col("doc_id"), lit(16))).as("o"))
+        .unionByName(docs.where(pmod(pmod(col("doc_id"), lit(16)), lit(4)) =!= 3)
+          .select(concat(lit("o"), pmod(col("doc_id"), lit(16))).as("s"),
+            lit("managedBy").as("p"),
+            concat(lit("m"), pmod(col("doc_id"), lit(16))).as("o")))
+        .unionByName(docs.select(nId.as("s"), lit("name").as("p"),
+          concat(lit("\"nm"), pmod(col("doc_id"), lit(30)), lit("\"")).as("o")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(3)) === 0)
+          .select(nId.as("s"), lit("nick").as("p"), lit("\"k1\"").as("o")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(9)) === 0)
+          .select(nId.as("s"), lit("nick").as("p"), lit("\"k2\"").as("o")))
+        .unionByName(docs.where(col("doc_id") >= 2)
+          .select(nId.as("s"), lit("mentor").as("p"),
+            format_string("n%06d", expr("doc_id div 2")).as("o")))
+      TripleOps.validatePathShapes(spo, docs.select(nId.as("s")), Seq(
+        ("mgr", Seq(TripleOps.PredStep("worksFor"),
+          TripleOps.PredStep("managedBy")), 1, 1000000),
+        ("alias", Seq(TripleOps.Alt(Seq(TripleOps.PredStep("nick"),
+          TripleOps.PredStep("name")))), 1, 2),
+        ("mentees", Seq(TripleOps.PredStep("mentor", inverse = true)), 0, 1)))
+        .select("s", "shape", "violation", "n")
+    }),
     // Interval-overlap join via timeline binning — the scale-safe
     // range join: intervals expand to width-64 bins, sides EQUI-join
     // on the bin, the exact overlap predicate prunes, pair-distinct
@@ -5266,6 +5298,27 @@ object SparkEntry {
       |  CAST(sum(dg) AS BIGINT) AS sum_deg
       |FROM deg GROUP BY 1""".stripMargin
 
+  /** DuckDB twin of q194 (path-shape cardinalities): every lane's
+    * value count collapses to closed residue form — the mgr sequence
+    * reaches a manager iff d%4 != 3 (16 ≡ 0 mod 4), the alias
+    * alternation counts 1 + the %3 + %9 nick lanes, the mentee
+    * inverse count is the definitional children join over the div-2
+    * tree.
+    */
+  private val q194Sql: String =
+    """WITH f AS (SELECT doc_id AS d FROM documents),
+      |mgr AS (SELECT printf('n%06d', d) AS s, 'mgr' AS shape,
+      |        'minCount' AS violation, CAST(0 AS BIGINT) AS n
+      |        FROM f WHERE (d % 16) % 4 = 3),
+      |al AS (SELECT printf('n%06d', d), 'alias', 'maxCount', CAST(3 AS BIGINT)
+      |       FROM f WHERE d % 9 = 0),
+      |men AS (SELECT printf('n%06d', p.d), 'mentees', 'maxCount',
+      |        CAST(count(*) AS BIGINT)
+      |        FROM f p JOIN f c ON c.d >= 2 AND c.d // 2 = p.d
+      |        GROUP BY p.d HAVING count(*) > 1)
+      |SELECT * FROM mgr UNION ALL SELECT * FROM al
+      |UNION ALL SELECT * FROM men""".stripMargin
+
   /** DuckDB twin of q179 (Z-order layout): the Morton spread ladder
     * restated step by step in BIGINT shift/AND CTEs (identical
     * operators both engines — every intermediate is non-negative and
@@ -7578,6 +7631,7 @@ object SparkEntry {
     "q191_rule_mining" -> q191Sql,
     "q192_eccentricity" -> q192Sql,
     "q193_degree_census" -> q193Sql,
+    "q194_shacl_path" -> q194Sql,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

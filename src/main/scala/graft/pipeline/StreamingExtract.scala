@@ -464,6 +464,42 @@ object StreamingExtract {
       .start()
   }
 
+  /** Incremental connected-components maintenance as a streaming
+    * face — the canonicalization-upkeep twin of q184
+    * ([[KgPipeline.connectedComponentsDelta]]) under Structured
+    * Streaming: each micro-batch of new sameAs/near-dup edges merges
+    * touched components through the delta-sized label-graph
+    * contraction, and the sink receives ONLY the rows that changed —
+    * nodes first seen this batch plus nodes whose component label
+    * moved. Replaying the emissions as upserts reconstructs the batch
+    * CC of the whole edge stream (spec-pinned), so a downstream table
+    * maintained by these deltas is always the full canonical map.
+    *
+    * foreachBatch, not a stateful operator (the streamingBgpMaintain
+    * argument): the maintenance step joins against the table-sized
+    * label state, which mapGroupsWithState cannot express; in
+    * production the state frame is the snapshot table the batch side
+    * of foreachBatch reads and upserts.
+    */
+  def streamingCcMaintain(edges: DataFrame,
+      sink: DataFrame => Unit): StreamingQuery = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var labels = Seq.empty[(String, String)].toDF("node", "component")
+    val step: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, _) => {
+      val b = batch.select(col("a").cast("string").as("a"),
+        col("b").cast("string").as("b")).distinct().localCheckpoint(true)
+      val updated = KgPipeline.connectedComponentsDelta(labels, b)
+        .localCheckpoint(true)
+      sink(updated.join(labels, Seq("node", "component"), "left_anti"))
+      labels = updated
+    }
+    edges.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch(step)
+      .start()
+  }
+
   /** Wire a streaming page source to a parquet triple sink. */
   def start(pages: DataFrame, outDir: String, checkpointDir: String): StreamingQuery =
     triples(pages).writeStream

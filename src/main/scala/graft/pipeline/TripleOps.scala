@@ -463,6 +463,39 @@ object TripleOps {
       .agg(count(lit(1)).cast("bigint").as("n"))
   }
 
+  /** SHACL shapes whose sh:path is a PROPERTY PATH — sequence,
+    * inverse, alternation, closures: anything [[path]]'s algebra
+    * evaluates — with sh:minCount/sh:maxCount on the reached value
+    * set. The glue between the q94/q158/q180/q182 constraint lanes
+    * (all direct-predicate) and the q96/q147 path algebra: "every
+    * employee's org has ≥1 manager" is a 2-step sequence path
+    * cardinality, inexpressible as a single-predicate shape.
+    *
+    * Per shape: one path evaluation (inheriting the path algebra's
+    * pushdown/doubling discipline), one LEFT join from the focus set,
+    * one count per focus node — path values are DISTINCT by [[path]]'s
+    * contract, so the count is the spec's value-set cardinality.
+    * Violations: (s, shape, 'minCount'|'maxCount', n).
+    */
+  def validatePathShapes(triples: DataFrame, focus: DataFrame,
+      shapes: Seq[(String, Seq[PathStep], Int, Int)]): DataFrame = {
+    require(shapes.nonEmpty, "no shapes given")
+    val f = focus.select(col("s").cast("string").as("s")).distinct()
+    val lanes = shapes.map { case (name, steps, minC, maxC) =>
+      require(minC >= 0 && maxC >= minC, s"bad cardinality bounds for $name")
+      val pairs = path(triples, steps).select(col("src").as("s"), col("dst"))
+      val counts = f.join(pairs, Seq("s"), "left")
+        .groupBy(col("s")).agg(count(col("dst")).cast("bigint").as("n"))
+      counts.where(col("n") < minC)
+        .select(col("s"), lit(name).as("shape"),
+          lit("minCount").as("violation"), col("n"))
+        .unionByName(counts.where(col("n") > maxC)
+          .select(col("s"), lit(name).as("shape"),
+            lit("maxCount").as("violation"), col("n")))
+    }
+    lanes.reduceLeft(_ unionByName _)
+  }
+
   /** SPARQL ORDER BY total term ordering (spec §15.1 extended to a
     * deterministic total order): unbound < blank nodes < IRIs <
     * literals, numeric literals before other literals ordered by

@@ -539,6 +539,33 @@ class EventCorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.flatten.toSet == batch)
   }
 
+  test("streamingCcMaintain: emits only relabeled/new nodes; replayed emissions equal batch CC") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Set[(String, String)]]
+    val q = StreamingExtract.streamingCcMaintain(
+      mem.toDF().toDF("a", "b"),
+      df => out += df.collect().map(r => (r.getString(0), r.getString(1))).toSet)
+    mem.addData(Seq(("a", "b"), ("c", "d"))); q.processAllAvailable()
+    mem.addData(Seq(("b", "c"))); q.processAllAvailable()   // merges the two components
+    mem.addData(Seq(("a", "b"))); q.processAllAvailable()   // re-assertion: nothing changes
+    q.stop()
+    assert(out.toSeq == Seq(
+      Set(("a", "a"), ("b", "a"), ("c", "c"), ("d", "c")),
+      Set(("c", "a"), ("d", "a")), // only the relabeled nodes emit
+      Set.empty[(String, String)]), out.toString)
+    // replaying the emissions as upserts == batch CC over the whole stream
+    val replayed = out.flatten.groupBy(_._1)
+      .map { case (n, rows) => n -> rows.last._2 } // later batches override
+    val batch = KgPipeline.connectedComponents(
+      Seq(("a", "b"), ("c", "d"), ("b", "c")).toDF("a", "b")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(replayed == batch, s"$replayed vs $batch")
+  }
+
   test("pageRankKeyed: string-keyed directed flow matches the hand-computed recurrence") {
     val s = spark
     import s.implicits._

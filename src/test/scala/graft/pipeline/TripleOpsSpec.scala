@@ -1398,6 +1398,28 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("eqDiff", "p", "q", "sameAs")), got.toString)
   }
 
+  test("validatePathShapes: sequence/alt/inverse path cardinalities; conforming focus silent") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(
+      ("p1", "worksFor", "o1"), ("o1", "managedBy", "m1"), // p1 conforms on mgr
+      ("p2", "worksFor", "o2"),                            // o2 unmanaged: minCount fires
+      ("p1", "name", "\"a\""),                             // alias n=1: fine
+      ("p2", "name", "\"b\""), ("p2", "nick", "\"x\""), ("p2", "nick", "\"y\""), // n=3 > max 2
+      ("c1", "mentor", "p1"), ("c2", "mentor", "p1")       // p1 has 2 mentees > max 1
+    ).toDF("s", "p", "o")
+    val focus = Seq("p1", "p2").toDF("s")
+    val got = TripleOps.validatePathShapes(spo, focus, Seq(
+      ("mgr", Seq(TripleOps.PredStep("worksFor"), TripleOps.PredStep("managedBy")), 1, 99),
+      ("alias", Seq(TripleOps.Alt(Seq(TripleOps.PredStep("nick"), TripleOps.PredStep("name")))), 1, 2),
+      ("mentees", Seq(TripleOps.PredStep("mentor", inverse = true)), 0, 1)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getAs[Long]("n"))).toSet
+    assert(got == Set(
+      ("p2", "mgr", "minCount", 0L),
+      ("p2", "alias", "maxCount", 3L),
+      ("p1", "mentees", "maxCount", 2L)), got.toString)
+  }
+
   test("termOrderTopK: unbound < bnode < IRI < numeric-by-value < other literals; tiebreak closes") {
     val s = spark
     import s.implicits._
