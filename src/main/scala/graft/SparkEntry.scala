@@ -1314,6 +1314,44 @@ object SparkEntry {
         ("mentees", Seq(TripleOps.PredStep("mentor", inverse = true)), 0, 1)))
         .select("s", "shape", "violation", "n")
     }),
+    // k-anonymity audit on (source, lang, 100-char size bucket): the
+    // post-PII re-identification check — equivalence classes smaller
+    // than k=10 would be suppressed before release; the size-bucket
+    // tail guarantees violating groups at every SF
+    "q195_k_anonymity" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Curation.kAnonymityViolations(
+        docs.select(col("source"), col("lang"),
+          expr("n_chars div 100").cast("bigint").as("size_bucket")),
+        Seq("source", "lang", "size_bucket"), k = 10L)
+        .select("source", "lang", "size_bucket", "n")
+    }),
+    // Aho-Corasick multi-pattern scan (the third codegen Catalyst
+    // expression): one automaton pass per document counts EVERY
+    // occurrence of the shared curation pattern set — nested patterns
+    // (scan>can>an, order>er) each count; the oracle restates the
+    // count as a per-position substring census over the same VALUES
+    // list (ASCII corpus, so byte == char positions)
+    "q197_multi_find" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = t(s, d, "documents")
+      val call = "multi_find_count(text, " +
+        graft.functions.MultiFindCount.CurationPatterns
+          .map(p => s"'$p'").mkString(", ") + ")"
+      docs.select(col("doc_id"), expr(call).as("n_matches"))
+        .where(col("n_matches") > 0)
+    }),
+    // multi-granularity corpus census via ROLLUP (source, lang):
+    // Spark's rollup == SQL GROUP BY ROLLUP — subtotal rows carry
+    // NULL group keys in both engines, and the data's keys are never
+    // null so the marker is unambiguous; integer sums only
+    "q196_rollup_census" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      docs.rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(col("n_chars")).cast("bigint").as("chars_sum"))
+        .select("source", "lang", "n_docs", "chars_sum")
+    }),
     // Interval-overlap join via timeline binning — the scale-safe
     // range join: intervals expand to width-64 bins, sides EQUI-join
     // on the bin, the exact overlap predicate prunes, pair-distinct
@@ -7632,6 +7670,38 @@ object SparkEntry {
     "q192_eccentricity" -> q192Sql,
     "q193_degree_census" -> q193Sql,
     "q194_shacl_path" -> q194Sql,
+    // q195: k-anonymity equivalence classes under k=10, restated as a
+    // plain HAVING; doc n_chars is never null so count(*) == count.
+    "q195_k_anonymity" ->
+      """SELECT source, lang, CAST(n_chars // 100 AS BIGINT) AS size_bucket,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 10""".stripMargin,
+    // q197: per-position substring census — counts every (pattern,
+    // position) match like the AC automaton (overlaps and nested
+    // patterns included); the VALUES list is generated from the SAME
+    // Scala constant (q36 rule).
+    "q197_multi_find" -> {
+      val vals = graft.functions.MultiFindCount.CurationPatterns
+        .map(p => s"('$p')").mkString(", ")
+      s"""WITH pats(p) AS (VALUES $vals),
+         |pos AS (
+         |  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+         |  FROM documents),
+         |occ AS (
+         |  SELECT pos.doc_id, count(*) AS n_matches
+         |  FROM pos JOIN pats
+         |    ON i + length(p) - 1 <= length(text)
+         |   AND substring(text, CAST(i AS INTEGER), CAST(length(p) AS INTEGER)) = p
+         |  GROUP BY pos.doc_id)
+         |SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches
+         |FROM occ WHERE n_matches > 0""".stripMargin
+    },
+    // q196: GROUP BY ROLLUP — subtotal NULL markers match Spark's
+    // rollup; HUGEINT sum cast back to BIGINT (q70 rule).
+    "q196_rollup_census" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
     "q99_bgp_union_values" -> q99Sql,
     "q100_construct" -> q100Sql,
     "q85_anchor_terms" -> q85Sql(),

@@ -113,12 +113,31 @@ object GraftFunctions {
     UnicodeNfc(children.head)
   }
 
+  val mfcIdent: FunctionIdentifier = FunctionIdentifier("multi_find_count")
+  private val mfcInfo =
+    new ExpressionInfo(classOf[MultiFindCount].getName, "multi_find_count")
+  private val mfcBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size >= 2,
+      s"multi_find_count expects (text, pattern, ...), got ${children.size}")
+    val pats = children.tail.map { e =>
+      require(e.foldable, "multi_find_count patterns must be string literals")
+      e.eval() match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case other =>
+          throw new IllegalArgumentException(s"pattern literal expected, got $other")
+      }
+    }
+    MultiFindCount(children.head, pats)
+  }
+
   def register(spark: SparkSession): Unit = {
     val fr = spark.sessionState.functionRegistry
     if (!fr.functionExists(dotNormsIdent))
       fr.registerFunction(dotNormsIdent, dotNormsInfo, dotNormsBuilder)
     if (!fr.functionExists(nfcIdent))
       fr.registerFunction(nfcIdent, nfcInfo, nfcBuilder)
+    if (!fr.functionExists(mfcIdent))
+      fr.registerFunction(mfcIdent, mfcInfo, mfcBuilder)
   }
 
   private[functions] def description =
@@ -126,6 +145,9 @@ object GraftFunctions {
 
   private[functions] def nfcDescription =
     (nfcIdent, nfcInfo, nfcBuilder)
+
+  private[functions] def mfcDescription =
+    (mfcIdent, mfcInfo, mfcBuilder)
 }
 
 /** `SparkSessionExtensions` installer — the deployment-grade hook:
@@ -138,5 +160,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.description)
     ext.injectFunction(GraftFunctions.nfcDescription)
+    ext.injectFunction(GraftFunctions.mfcDescription)
   }
 }

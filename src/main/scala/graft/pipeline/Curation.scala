@@ -599,6 +599,23 @@ object Curation {
     * `frontier(url)`, `robots(domain, robots_txt)`. Output one row per
     * parseable distinct url: (url, domain, matched_rule, allowed).
     */
+  /** k-anonymity audit over quasi-identifier columns — the
+    * re-identification risk check a corpus release runs after PII
+    * masking (q33 removes direct identifiers; a RARE combination of
+    * quasi-identifiers — source × language × size bucket — can still
+    * single a document out). Reports every equivalence class smaller
+    * than k: those are the groups a release would suppress or
+    * generalize. One map-side-combinable groupBy on the
+    * quasi-identifier key; no windows, no joins.
+    */
+  def kAnonymityViolations(df: DataFrame, keys: Seq[String], k: Long): DataFrame = {
+    require(keys.nonEmpty, "no quasi-identifier columns")
+    require(k >= 2, "k must be >= 2")
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).cast("bigint").as("n"))
+      .where(col("n") < k)
+  }
+
   def robotsFilter(frontier: DataFrame, robots: DataFrame): DataFrame = {
     // --- parse robots.txt into (domain, applicable allow/disallow rules)
     val lines = robots.select(col("domain"),

@@ -547,6 +547,18 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       got.toString)
   }
 
+  test("kAnonymityViolations: only groups below k report, with their sizes") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      ("s1", "en"), ("s1", "en"), ("s1", "en"), // size 3: fine at k=3
+      ("s1", "fr"), ("s1", "fr"),               // size 2: violates
+      ("s2", "en")).toDF("source", "lang")      // size 1: violates
+    val got = Curation.kAnonymityViolations(rows, Seq("source", "lang"), k = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n"))).toSet
+    assert(got == Set(("s1", "fr", 2L), ("s2", "en", 1L)), got.toString)
+  }
+
   test("SparkEntry.entry (driver smoke contract) returns triples") {
     val df = graft.SparkEntry.entry(spark)
     assert(df.limit(5).count() > 0)
