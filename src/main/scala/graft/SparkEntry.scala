@@ -1341,6 +1341,36 @@ object SparkEntry {
       docs.select(col("doc_id"), expr(call).as("n_matches"))
         .where(col("n_matches") > 0)
     }),
+    // ER blocking-quality metrics: gold groups = %150 residues,
+    // blocking = %40 buckets — a gold pair is covered iff its id
+    // difference is divisible by lcm-structure 600, so recall is a
+    // nontrivial deterministic fraction; all pair counts are
+    // per-group C(s,2) sums (the q173 contingency identity, nothing
+    // quadratic materialized)
+    "q198_blocking_quality" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Curation.blockingQuality(docs.select(
+        col("doc_id").as("id"),
+        pmod(col("doc_id"), lit(150)).as("gold_key"),
+        pmod(col("doc_id"), lit(40)).as("block_key")))
+        .select("n_items", "n_gold_pairs", "n_cand_pairs", "n_covered",
+          "recall_ppm", "reduction_ppm")
+    }),
+    // corpus mix drift vs a declared target-weight table (weights
+    // derived from the source index, plus a planted absent source
+    // whose whole target shows as negative drift); full-outer so both
+    // directions surface
+    "q199_mix_drift" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val targets = docs.select(col("source").cast("string").as("source")).distinct()
+        .select(col("source"),
+          expr("(CAST(substring(source, 4) AS BIGINT) + 1) * 1000000 div 210")
+            .as("target_ppm"))
+        .unionByName(Seq(("srcX", 50000L)).toDF("source", "target_ppm"))
+      Curation.mixDrift(docs, targets)
+        .select("source", "n_docs", "obs_ppm", "target_ppm", "drift_ppm")
+    }),
     // multi-granularity corpus census via ROLLUP (source, lang):
     // Spark's rollup == SQL GROUP BY ROLLUP — subtotal rows carry
     // NULL group keys in both engines, and the data's keys are never
@@ -7696,6 +7726,41 @@ object SparkEntry {
          |SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches
          |FROM occ WHERE n_matches > 0""".stripMargin
     },
+    // q198: the same contingency-identity censuses in SQL — per-key
+    // group sizes, C(s,2) sums, truncating ppm (q62 rule).
+    "q198_blocking_quality" ->
+      """WITH it AS (SELECT DISTINCT doc_id AS id, doc_id % 150 AS gk,
+        |            doc_id % 40 AS bk FROM documents),
+        |n AS (SELECT count(*) AS n FROM it),
+        |g AS (SELECT coalesce(sum(s * (s - 1) // 2), 0) AS gold
+        |      FROM (SELECT count(*) AS s FROM it GROUP BY gk) x),
+        |c AS (SELECT coalesce(sum(s * (s - 1) // 2), 0) AS cand
+        |      FROM (SELECT count(*) AS s FROM it GROUP BY bk) x),
+        |v AS (SELECT coalesce(sum(s * (s - 1) // 2), 0) AS cov
+        |      FROM (SELECT count(*) AS s FROM it GROUP BY gk, bk) x)
+        |SELECT CAST(n AS BIGINT) AS n_items, CAST(gold AS BIGINT) AS n_gold_pairs,
+        |  CAST(cand AS BIGINT) AS n_cand_pairs, CAST(cov AS BIGINT) AS n_covered,
+        |  CAST(CASE WHEN gold > 0 THEN cov * 1000000 // gold ELSE 0 END AS BIGINT) AS recall_ppm,
+        |  CAST(CASE WHEN n > 1 THEN (n * (n - 1) // 2 - cand) * 1000000 // (n * (n - 1) // 2) ELSE 0 END AS BIGINT) AS reduction_ppm
+        |FROM n, g, c, v""".stripMargin,
+    // q199: observed ppm shares vs index-derived targets, full-outer
+    // incl. the planted absent source; signed drift of non-negative
+    // ppms (q160 subtraction regime).
+    "q199_mix_drift" ->
+      """WITH obs AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |tot AS (SELECT sum(n_docs) AS total FROM obs),
+        |o2 AS (SELECT source, n_docs, n_docs * 1000000 // total AS obs_ppm
+        |       FROM obs, tot),
+        |t AS (SELECT source,
+        |        (CAST(substring(source, 4) AS BIGINT) + 1) * 1000000 // 210 AS target_ppm
+        |      FROM (SELECT DISTINCT source FROM documents) s
+        |      UNION ALL SELECT 'srcX', 50000)
+        |SELECT coalesce(o2.source, t.source) AS source,
+        |  CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(obs_ppm, 0) AS BIGINT) AS obs_ppm,
+        |  CAST(coalesce(target_ppm, 0) AS BIGINT) AS target_ppm,
+        |  CAST(coalesce(obs_ppm, 0) - coalesce(target_ppm, 0) AS BIGINT) AS drift_ppm
+        |FROM o2 FULL OUTER JOIN t ON t.source = o2.source""".stripMargin,
     // q196: GROUP BY ROLLUP — subtotal NULL markers match Spark's
     // rollup; HUGEINT sum cast back to BIGINT (q70 rule).
     "q196_rollup_census" ->

@@ -616,6 +616,70 @@ object Curation {
       .where(col("n") < k)
   }
 
+  /** Blocking-quality metrics for entity resolution — pairs
+    * completeness (recall of gold duplicate pairs inside the blocking
+    * scheme's candidate set) and reduction ratio (candidate pairs vs
+    * all C(n,2)) — the q173 discipline applied to BLOCKING
+    * evaluation: every pair count is a sum of per-group C(s,2) over
+    * group SIZES (gold key, block key, and their intersection), so
+    * nothing quadratic is ever materialized. A gold pair is covered
+    * exactly when both members share a block, i.e. it lives in one
+    * (gold, block) cell — the contingency identity. Integer ppm
+    * ratios, truncating div (q62 rule).
+    *
+    * Input: (id, gold_key, block_key) rows, one per item. Output: ONE
+    * row (n_items, n_gold_pairs, n_cand_pairs, n_covered, recall_ppm,
+    * reduction_ppm).
+    */
+  def blockingQuality(items: DataFrame): DataFrame = {
+    val it = items.select(col("id").cast("string").as("id"),
+      col("gold_key").cast("string").as("gk"),
+      col("block_key").cast("string").as("bk")).distinct()
+      .localCheckpoint(true) // consumed by four censuses
+    def pairSum(keys: Seq[String]) =
+      it.groupBy(keys.map(col): _*).agg(count(lit(1)).as("s"))
+        .agg(coalesce(sum(expr("s * (s - 1) div 2")), lit(0L)).as("p"))
+    val n = it.agg(count(lit(1)).as("n"))
+    n.crossJoin(pairSum(Seq("gk")).withColumnRenamed("p", "gold"))
+      .crossJoin(pairSum(Seq("bk")).withColumnRenamed("p", "cand"))
+      .crossJoin(pairSum(Seq("gk", "bk")).withColumnRenamed("p", "cov"))
+      .select(col("n").cast("bigint").as("n_items"),
+        col("gold").cast("bigint").as("n_gold_pairs"),
+        col("cand").cast("bigint").as("n_cand_pairs"),
+        col("cov").cast("bigint").as("n_covered"),
+        expr("CASE WHEN gold > 0 THEN cov * 1000000 div gold ELSE 0 END")
+          .cast("bigint").as("recall_ppm"),
+        expr("CASE WHEN n > 1 THEN (n * (n - 1) div 2 - cand) * 1000000 div (n * (n - 1) div 2) ELSE 0 END")
+          .cast("bigint").as("reduction_ppm"))
+  }
+
+  /** Corpus mix-drift report — observed per-source share vs a target
+    * weight table (the sampling-mix contract a training run declares;
+    * DoReMi-style reweighting wants exactly this delta as its input
+    * signal). FULL OUTER join so both drift directions surface:
+    * over/under-represented sources AND target sources with zero
+    * observations. Shares are truncating integer ppm of the corpus
+    * total (q62 rule); drift is the signed difference of two
+    * non-negative ppms (the q160 subtraction regime).
+    */
+  def mixDrift(df: DataFrame, targets: DataFrame): DataFrame = {
+    val obs = df.groupBy(col("source").cast("string").as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val total = obs.agg(sum(col("n_docs")).as("total"))
+    val t = targets.select(col("source").cast("string").as("source"),
+      col("target_ppm").cast("bigint").as("target_ppm"))
+    obs.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"),
+        expr("n_docs * 1000000 div total").as("obs_ppm"))
+      .join(t, Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("n_docs"), lit(0L)).cast("bigint").as("n_docs"),
+        coalesce(col("obs_ppm"), lit(0L)).cast("bigint").as("obs_ppm"),
+        coalesce(col("target_ppm"), lit(0L)).cast("bigint").as("target_ppm"),
+        (coalesce(col("obs_ppm"), lit(0L)) - coalesce(col("target_ppm"), lit(0L)))
+          .cast("bigint").as("drift_ppm"))
+  }
+
   def robotsFilter(frontier: DataFrame, robots: DataFrame): DataFrame = {
     // --- parse robots.txt into (domain, applicable allow/disallow rules)
     val lines = robots.select(col("domain"),

@@ -54,6 +54,13 @@ object PlanAudit {
     "q173_er_metrics", // three ONE-row aggregate frames cross-joined
                        // into the single metrics row — the q47/q62
                        // scalar-frame shape
+    "q198_blocking_quality", // four ONE-row census frames (n, gold,
+                             // cand, covered pair sums) cross-joined
+                             // into the single metrics row — the
+                             // q173 scalar-frame shape
+    "q199_mix_drift", // per-source counts × ONE-row broadcast
+                      // corpus-total frame (the q47/q62 scalar
+                      // shape) feeding the ppm share
     "q153_values_undef", // solutions × broadcast inline VALUES rows
                          // under the IS-NULL-or-equal compatibility
                          // condition — inherently non-equi (UNDEF is a

@@ -559,6 +559,30 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(("s1", "fr", 2L), ("s2", "en", 1L)), got.toString)
   }
 
+  test("blockingQuality: contingency pair counts, recall and reduction ppm") {
+    val s = spark
+    import s.implicits._
+    // gold groups {1,3,5} and {2,4,6}; blocks {1,4,5} and {2,3,6}
+    val items = (1L to 6L).map(i => (i, i % 2, (i / 2) % 2)).toDF("id", "gold_key", "block_key")
+    val got = Curation.blockingQuality(items).collect().head
+    // gold 3+3=6, cand 3+3=6, covered cells {1,5} and {2,6} -> 2
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4), got.getLong(5)) == (6L, 6L, 6L, 2L, 333333L, 600000L), got.toString)
+  }
+
+  test("mixDrift: full-outer surfaces over-represented, untargeted, and absent sources") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("s1", "s1", "s1", "s2").toDF("source")
+    val targets = Seq(("s1", 500000L), ("s3", 200000L)).toDF("source", "target_ppm")
+    val got = Curation.mixDrift(df, targets).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(
+      ("s1", 3L, 750000L, 500000L, 250000L),
+      ("s2", 1L, 250000L, 0L, 250000L),
+      ("s3", 0L, 0L, 200000L, -200000L)), got.toString)
+  }
+
   test("SparkEntry.entry (driver smoke contract) returns triples") {
     val df = graft.SparkEntry.entry(spark)
     assert(df.limit(5).count() > 0)
