@@ -97,7 +97,7 @@ object Bench {
     "q190_term_order", "q191_rule_mining",
     "q192_eccentricity", "q193_degree_census", "q194_shacl_path",
     "q195_k_anonymity", "q196_rollup_census", "q197_multi_find",
-    "q198_blocking_quality", "q199_mix_drift",
+    "q198_blocking_quality", "q199_mix_drift", "q200_canon_ndegree",
     "x_bpe_train", "x_bpe_encode",
     "x_minhash_lsh_dedup", "x_ngram_jaccard_lsh", "x_simhash_dedup",
     "x_embedding_neardup", "x_ann_brute", "x_ann_lsh", "x_ann_ivf",

@@ -1371,6 +1371,37 @@ object SparkEntry {
       Curation.mixDrift(docs, targets)
         .select("source", "n_docs", "obs_ppm", "target_ppm", "drift_ppm")
     }),
+    // RDFC-style n-degree canonicalization over graphs with PLANTED
+    // automorphic twins: the per-graph pair _:u/_:v share a
+    // first-degree hash (identical tag lines + knows edges into the
+    // common _:w), routing EVERY graph through the recursive n-degree
+    // lane (RdfCanon); per-doc author bnodes keep unique hashes. The
+    // oracle replays the first-degree ranking for the unique bnodes
+    // and hands the twins the two ids AFTER the unique block in label
+    // order — valid ONLY because the twins are automorphic: either
+    // assignment relabels to the same quad SET, which is what the
+    // sorted-rows compare hashes
+    "q200_canon_ndegree" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val bId = concat(lit("_:b"), col("doc_id"))
+      val srcs = docs.select(col("source").as("g")).distinct()
+      val quads = docs.select(col("source").as("g"), dId.as("s"),
+          lit("author").as("p"), bId.as("o"))
+        .unionByName(docs.select(col("source").as("g"), bId.as("s"),
+          lit("name").as("p"), concat(lit("n"), col("doc_id")).as("o")))
+        .unionByName(srcs.select(col("g"), lit("rroot").as("s"),
+          lit("tag").as("p"), lit("_:u").as("o")))
+        .unionByName(srcs.select(col("g"), lit("rroot").as("s"),
+          lit("tag").as("p"), lit("_:v").as("o")))
+        .unionByName(srcs.select(col("g"), lit("_:u").as("s"),
+          lit("knows").as("p"), lit("_:w").as("o")))
+        .unionByName(srcs.select(col("g"), lit("_:v").as("s"),
+          lit("knows").as("p"), lit("_:w").as("o")))
+        .unionByName(srcs.select(col("g"), lit("_:w").as("s"),
+          lit("name").as("p"), lit("wroot").as("o")))
+      TripleOps.canonicalBNodeQuads(quads).select("g", "s", "p", "o")
+    }),
     // multi-granularity corpus census via ROLLUP (source, lang):
     // Spark's rollup == SQL GROUP BY ROLLUP — subtotal rows carry
     // NULL group keys in both engines, and the data's keys are never
@@ -7761,6 +7792,58 @@ object SparkEntry {
         |  CAST(coalesce(target_ppm, 0) AS BIGINT) AS target_ppm,
         |  CAST(coalesce(obs_ppm, 0) - coalesce(target_ppm, 0) AS BIGINT) AS drift_ppm
         |FROM o2 FULL OUTER JOIN t ON t.source = o2.source""".stripMargin,
+    // q200: the q128 first-degree chain over the twin-planted quads;
+    // unique-hash bnodes rank by hash AMONG THEMSELVES (they are
+    // issued first), the per-graph collision pair takes the next two
+    // ids in LABEL order — sound only via the automorphism argument
+    // (see the Spark-side comment). srcs/quads/fd/labeled are
+    // multi-consumed → MATERIALIZED (q71 rule).
+    "q200_canon_ndegree" ->
+      """WITH srcs AS MATERIALIZED (SELECT DISTINCT source FROM documents),
+        |quads AS MATERIALIZED (
+        |  SELECT DISTINCT g, s, p, o FROM (
+        |    SELECT source AS g, 'd' || CAST(doc_id AS VARCHAR) AS s, 'author' AS p,
+        |           '_:b' || CAST(doc_id AS VARCHAR) AS o FROM documents
+        |    UNION ALL
+        |    SELECT source, '_:b' || CAST(doc_id AS VARCHAR), 'name',
+        |           'n' || CAST(doc_id AS VARCHAR) FROM documents
+        |    UNION ALL SELECT source, 'rroot', 'tag', '_:u' FROM srcs
+        |    UNION ALL SELECT source, 'rroot', 'tag', '_:v' FROM srcs
+        |    UNION ALL SELECT source, '_:u', 'knows', '_:w' FROM srcs
+        |    UNION ALL SELECT source, '_:v', 'knows', '_:w' FROM srcs
+        |    UNION ALL SELECT source, '_:w', 'name', 'wroot' FROM srcs
+        |  ) u),
+        |mentions AS (
+        |  SELECT g, s AS b,
+        |         '_:a ' || p || ' ' ||
+        |         CASE WHEN o = s THEN '_:a'
+        |              WHEN o LIKE '\_:%' ESCAPE '\' THEN '_:z' ELSE o END AS line
+        |  FROM quads WHERE s LIKE '\_:%' ESCAPE '\'
+        |  UNION ALL
+        |  SELECT g, o AS b,
+        |         CASE WHEN s LIKE '\_:%' ESCAPE '\' THEN '_:z' ELSE s END ||
+        |         ' ' || p || ' _:a' AS line
+        |  FROM quads WHERE o LIKE '\_:%' ESCAPE '\' AND s <> o
+        |),
+        |fd0 AS (SELECT g, b, md5(string_agg(line, chr(10) ORDER BY line)) AS h
+        |        FROM mentions GROUP BY g, b),
+        |fd AS MATERIALIZED (
+        |  SELECT g, b, h, count(*) OVER (PARTITION BY g, h) AS k FROM fd0),
+        |lab_u AS (
+        |  SELECT g, b,
+        |         '_:c' || CAST(row_number() OVER (PARTITION BY g ORDER BY h) - 1 AS VARCHAR) AS c
+        |  FROM fd WHERE k = 1),
+        |n1 AS (SELECT g, count(*) AS nu FROM fd WHERE k = 1 GROUP BY g),
+        |lab_t AS (
+        |  SELECT fd.g, fd.b,
+        |         '_:c' || CAST(nu + row_number() OVER (PARTITION BY fd.g ORDER BY fd.b) - 1 AS VARCHAR) AS c
+        |  FROM fd JOIN n1 ON n1.g = fd.g WHERE k > 1),
+        |labeled AS MATERIALIZED (
+        |  SELECT * FROM lab_u UNION ALL SELECT * FROM lab_t)
+        |SELECT q.g, COALESCE(ls.c, q.s) AS s, q.p, COALESCE(lo.c, q.o) AS o
+        |FROM quads q
+        |LEFT JOIN labeled ls ON ls.g = q.g AND ls.b = q.s
+        |LEFT JOIN labeled lo ON lo.g = q.g AND lo.b = q.o""".stripMargin,
     // q196: GROUP BY ROLLUP — subtotal NULL markers match Spark's
     // rollup; HUGEINT sum cast back to BIGINT (q70 rule).
     "q196_rollup_census" ->

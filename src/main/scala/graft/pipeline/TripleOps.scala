@@ -1714,19 +1714,27 @@ object TripleOps {
     * publishable one-sided form).
     *
     * Shared first-degree hashes (automorphic or locally
-    * indistinguishable bnodes) would need RDFC-1.0's recursive
-    * n-degree pass to order — out of scope here, and an ambiguous
-    * labeling must never ship under an oracle gate (the q26 rule),
-    * so the operator THROWS when any two bnodes in one graph
-    * collide. Real-world author/provenance bnodes are first-degree
-    * distinguishable by construction (distinct attached literals).
+    * indistinguishable bnodes) route their whole graph through the
+    * RDFC-1.0-style recursive n-degree pass ([[graft.rdf.RdfCanon]]),
+    * run locally per graph inside one task — canonicalization is a
+    * per-document-graph operation, so the group is bounded by graph
+    * size (the graphDigest per-graph-collect argument) and the
+    * factorial worst case is budget-capped with a THROW (the q26
+    * converge-or-throw rule; an unverified labeling never ships).
+    * Real-world author/provenance bnodes are first-degree
+    * distinguishable by construction, so the relational fast lane
+    * carries virtually all graphs and the n-degree lane only the
+    * rare automorphic stragglers. RdfCanon issues unique-hash bnodes
+    * first in hash order, so on a collision-FREE graph both lanes
+    * produce byte-identical labels (spec-pinned).
     *
     * Scale shape: the per-bnode aggregate is degree-bounded (an
     * adjacency list, the q-range-adjacency rule), the relabel is two
-    * (g, term)-keyed left joins, and the one driver action is the
-    * collision-gate count. The multi-consumed distinct input is
-    * checkpointed eagerly (the LSH-builder rule — three consumers,
-    * ReuseExchange won't unify them).
+    * (g, term)-keyed left joins, the collision-graph set rides one
+    * semi/anti join pair, and there is no driver action at all. The
+    * multi-consumed distinct input is checkpointed eagerly (the
+    * LSH-builder rule — multiple consumers, ReuseExchange won't
+    * unify them).
     */
   def canonicalBNodeQuads(quads: DataFrame): DataFrame = {
     import org.apache.spark.sql.Column
@@ -1749,22 +1757,36 @@ object TripleOps {
     val hashed = mentions.groupBy(col("g"), col("b"))
       .agg(md5(concat_ws("\n", sort_array(collect_list(col("line"))))).as("h"))
       .localCheckpoint(true)
-    val collisions = hashed.groupBy(col("g"), col("h"))
-      .agg(count(lit(1)).as("n")).where(col("n") > 1).count()
-    if (collisions > 0)
-      throw new IllegalStateException(
-        s"canonicalBNodeQuads: $collisions shared first-degree hash(es) — " +
-          "indistinguishable bnodes need the RDFC-1.0 n-degree pass (not implemented)")
-    val labeled = hashed.select(col("g"), col("b"),
-      concat(lit("_:c"),
-        (row_number().over(Window.partitionBy(col("g")).orderBy(col("h"))) - 1)
-          .cast("string")).as("c"))
-    q.join(labeled.select(col("g"), col("b").as("s"), col("c").as("cs")),
+    // graphs with any shared first-degree hash route whole to the
+    // n-degree lane; everything else stays relational
+    val badG = hashed.groupBy(col("g"), col("h"))
+      .agg(count(lit(1)).as("n")).where(col("n") > 1)
+      .select(col("g")).distinct().localCheckpoint(true)
+    val labeled = hashed.join(badG, Seq("g"), "left_anti")
+      .select(col("g"), col("b"),
+        concat(lit("_:c"),
+          (row_number().over(Window.partitionBy(col("g")).orderBy(col("h"))) - 1)
+            .cast("string")).as("c"))
+    val cleanLane = q.join(badG, Seq("g"), "left_anti")
+      .join(labeled.select(col("g"), col("b").as("s"), col("c").as("cs")),
         Seq("g", "s"), "left")
       .join(labeled.select(col("g"), col("b").as("o"), col("c").as("co")),
         Seq("g", "o"), "left")
       .select(col("g"), coalesce(col("cs"), col("s")).as("s"), col("p"),
         coalesce(col("co"), col("o")).as("o"))
+    val ss = quads.sparkSession
+    import ss.implicits._
+    val ndegreeLane = q.join(badG, Seq("g"), "left_semi")
+      .select(col("g"), col("s"), col("p"), col("o"))
+      .as[(String, String, String, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (g: String, it: Iterator[(String, String, String, String)]) =>
+        val qs = it.map(t => (t._2, t._3, t._4)).toVector
+        graft.rdf.RdfCanon.canonicalQuads(qs).iterator
+          .map { case (s2, p2, o2) => (g, s2, p2, o2) }
+      }
+      .toDF("g", "s", "p", "o")
+    cleanLane.unionByName(ndegreeLane)
   }
 
   /** Dataset diff — the incremental-publishing primitive (the

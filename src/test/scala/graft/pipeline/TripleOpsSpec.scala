@@ -701,10 +701,22 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("g", "s", "p", "o")
     val c2 = TripleOps.graphDigest(TripleOps.canonicalBNodeQuads(selfLoop2)).collect()
     assert(c1.map(_.getString(1)).toSeq == c2.map(_.getString(1)).toSeq)
-    // indistinguishable bnodes (shared first-degree hash) must throw,
-    // never ship an arbitrary labeling
+    // indistinguishable bnodes (shared first-degree hash) resolve via
+    // the n-degree lane: automorphic twins get the two dense c-ids and
+    // the OUTPUT SET is label-permutation invariant
     val twins = Seq(("g", "_:u", "name", "n"), ("g", "_:v", "name", "n")).toDF("g", "s", "p", "o")
-    intercept[IllegalStateException] { TripleOps.canonicalBNodeQuads(twins) }
+    val twinsOut = TripleOps.canonicalBNodeQuads(twins).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(twinsOut == Set(("_:c0", "name", "n"), ("_:c1", "name", "n")), twinsOut.toString)
+    // a MIXED frame (one clean graph, one collision graph) routes each
+    // graph to its lane and unions
+    val mixed = twins.unionByName(
+      Seq(("h", "_:x", "name", "only"), ("h", "d", "author", "_:x")).toDF("g", "s", "p", "o"))
+    val mixedOut = TripleOps.canonicalBNodeQuads(mixed).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(mixedOut == Set(
+      ("g", "_:c0", "name", "n"), ("g", "_:c1", "name", "n"),
+      ("h", "_:c0", "name", "only"), ("h", "d", "author", "_:c0")), mixedOut.toString)
   }
 
   test("graphDiff/applyPatch: tagged set difference; patch round-trips to the next version") {
