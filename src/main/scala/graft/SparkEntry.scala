@@ -1402,6 +1402,44 @@ object SparkEntry {
           lit("name").as("p"), lit("wroot").as("o")))
       TripleOps.canonicalBNodeQuads(quads).select("g", "s", "p", "o")
     }),
+    // near-dup cluster SIZE census — the dedup report every curation
+    // run publishes (how much of the corpus is duplicated, at what
+    // multiplicity): cluster sizes from the q26 LSH+CC labels
+    // (StageCache-shared), frequency-of-sizes census, singletons
+    // restored as the csize=1 row from the total-vs-clustered scalar
+    // (CC clusters are always >= 2, so the row is exactly the
+    // unclustered docs)
+    "q201_cluster_census" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashLshMd5(docs, threshold = 0.5)
+        .select(col("a"), col("b"))
+      val cc = KgPipeline.connectedComponents(pairs)
+      val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+      val census = sizes.groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
+      val singles = docs.agg(count(lit(1)).as("total"))
+        .crossJoin(cc.agg(count(lit(1)).as("clustered")))
+        .select(lit(1L).as("csize"), (col("total") - col("clustered")).as("n_clusters"))
+        .where(col("n_clusters") > 0)
+      census.unionByName(singles)
+        .select(col("csize").cast("bigint").as("csize"),
+          col("n_clusters").cast("bigint").as("n_clusters"),
+          (col("csize") * col("n_clusters")).cast("bigint").as("n_docs"))
+    }),
+    // vocabulary frequency-of-frequencies spectrum (Zipf / Good-Turing
+    // census): for each token frequency f, the distinct-type count and
+    // token mass at that frequency
+    "q202_freq_spectrum" -> ((s, d) => CorpusOps.freqSpectrum(t(s, d, "documents"))),
+    // Cohen's kappa between the metadata lang and a deterministically
+    // corrupted copy (doc_id%7 rotates the label through a fixed lang
+    // cycle) — the agreement metric with all four components exercised
+    // at every SF; the corruption CASE is shared text with the oracle
+    "q203_rater_kappa" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Curation.agreementKappa(docs.select(col("lang").as("a"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          expr("CASE lang WHEN 'en' THEN 'fr' WHEN 'fr' THEN 'es' WHEN 'es' THEN 'de' WHEN 'de' THEN 'zh' ELSE 'en' END"))
+          .otherwise(col("lang")).as("b")))
+    }),
     // multi-granularity corpus census via ROLLUP (source, lang):
     // Spark's rollup == SQL GROUP BY ROLLUP — subtotal rows carry
     // NULL group keys in both engines, and the data's keys are never
@@ -7844,6 +7882,66 @@ object SparkEntry {
         |FROM quads q
         |LEFT JOIN labeled ls ON ls.g = q.g AND ls.b = q.s
         |LEFT JOIN labeled lo ON lo.g = q.g AND lo.b = q.o""".stripMargin,
+    // q201: the q26 recursive-CTE CC chain with a census tail; cc is
+    // multi-consumed (sizes + clustered count) → MATERIALIZED (q71
+    // rule — its upstream is the whole minhash pipeline); singleton
+    // row = total - clustered (CC clusters are always >= 2)
+    "q201_cluster_census" ->
+      s"""WITH RECURSIVE pairs AS (SELECT a, b FROM (${minhashLshSql(width = 3, threshold = 0.5)}) q17),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS node FROM edges),
+        |reach AS (
+        |  SELECT node, node AS lab FROM nodes
+        |  UNION
+        |  SELECT e.b AS node, r.lab FROM edges e JOIN reach r ON e.a = r.node
+        |),
+        |cc AS MATERIALIZED (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+        |sizes AS (SELECT component, count(*) AS csize FROM cc GROUP BY component),
+        |census AS (SELECT csize, count(*) AS n_clusters FROM sizes GROUP BY csize),
+        |uni AS (
+        |  SELECT csize, n_clusters FROM census
+        |  UNION ALL
+        |  SELECT 1 AS csize, (SELECT count(*) FROM documents) - (SELECT count(*) FROM cc) AS n_clusters
+        |  WHERE (SELECT count(*) FROM documents) - (SELECT count(*) FROM cc) > 0)
+        |SELECT CAST(csize AS BIGINT) AS csize, CAST(n_clusters AS BIGINT) AS n_clusters,
+        |  CAST(csize * n_clusters AS BIGINT) AS n_docs FROM uni""".stripMargin,
+    // q202: the q19 tokenizer, counts, frequency-of-frequencies
+    "q202_freq_spectrum" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+        |  FROM documents
+        |), freq AS (SELECT w, count(*) AS f FROM toks GROUP BY w)
+        |SELECT CAST(f AS BIGINT) AS f, CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(f * count(*) AS BIGINT) AS n_tokens
+        |FROM freq GROUP BY f""".stripMargin,
+    // q203: contingency cells once, marginals joined on the label,
+    // truncating ppm with the nested floor-div identity for the N²
+    // denominator; kappa sign-cased so // sees non-negatives (q164).
+    "q203_rater_kappa" ->
+      """WITH lab AS (
+        |  SELECT lang AS a,
+        |         CASE WHEN doc_id % 7 = 0
+        |              THEN CASE lang WHEN 'en' THEN 'fr' WHEN 'fr' THEN 'es' WHEN 'es' THEN 'de' WHEN 'de' THEN 'zh' ELSE 'en' END
+        |              ELSE lang END AS b
+        |  FROM documents),
+        |cells AS MATERIALIZED (SELECT a, b, count(*) AS n FROM lab GROUP BY a, b),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells),
+        |ag AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS agree FROM cells WHERE a = b),
+        |ma AS (SELECT a AS k, sum(n) AS na FROM cells GROUP BY a),
+        |mb AS (SELECT b AS k, sum(n) AS nb FROM cells GROUP BY b),
+        |pe AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS penum
+        |       FROM ma JOIN mb ON ma.k = mb.k),
+        |ppm AS (
+        |  SELECT total AS n_items,
+        |         agree * 1000000 // total AS po_ppm,
+        |         penum * 1000000 // total // total AS pe_ppm
+        |  FROM tot, ag, pe)
+        |SELECT CAST(n_items AS BIGINT) AS n_items, CAST(po_ppm AS BIGINT) AS po_ppm,
+        |  CAST(pe_ppm AS BIGINT) AS pe_ppm,
+        |  CAST(CASE WHEN 1000000 - pe_ppm <= 0 THEN 0
+        |       WHEN po_ppm >= pe_ppm THEN (po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm)
+        |       ELSE -((pe_ppm - po_ppm) * 1000000 // (1000000 - pe_ppm)) END AS BIGINT) AS kappa_ppm
+        |FROM ppm""".stripMargin,
     // q196: GROUP BY ROLLUP — subtotal NULL markers match Spark's
     // rollup; HUGEINT sum cast back to BIGINT (q70 rule).
     "q196_rollup_census" ->

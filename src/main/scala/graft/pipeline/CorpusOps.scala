@@ -16,6 +16,22 @@ object CorpusOps {
   private[pipeline] def wordsExpr: Column =
     filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "")
 
+  /** Vocabulary frequency-of-frequencies spectrum — the corpus-health
+    * census behind Zipf-law diagnostics and Good-Turing smoothing
+    * inputs: for each token frequency f, how many distinct types occur
+    * exactly f times (and how many tokens they carry). Two map-side-
+    * combinable shuffles (token counts, then the spectrum over the
+    * vocabulary-sized count table); all integers.
+    */
+  def freqSpectrum(documents: DataFrame): DataFrame = {
+    val freq = documents.select(explode(wordsExpr).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    freq.groupBy(col("f")).agg(count(lit(1)).as("n_types"))
+      .select(col("f").cast("bigint").as("f"),
+        col("n_types").cast("bigint").as("n_types"),
+        (col("f") * col("n_types")).cast("bigint").as("n_tokens"))
+  }
+
   /** Vocabulary-capped PMI co-occurrence — the collocation/association
     * statistic behind phrase mining and topic audits: for word pairs
     * (a, b) of the top-`vocabTop` vocabulary, the document-level

@@ -680,6 +680,44 @@ object Curation {
           .cast("bigint").as("drift_ppm"))
   }
 
+  /** Cohen's kappa inter-rater agreement in integer ppm — the
+    * eval-harness agreement metric (LLM-judge vs human labels, two
+    * classifier generations, annotation QA). Input: one row per item
+    * with label columns (a, b). ONE corpus-sized map-side-combinable
+    * groupBy builds the (a, b) contingency cells; every further
+    * aggregate runs on the k² cell table (checkpointed — multi-
+    * consumed). po/pe are truncating ppm (q62 rule); pe's N²
+    * denominator rides the nested floor-div identity
+    * `(x div N) div N == x div N²` so the BIGINT products never meet
+    * an N² literal (the 1e12-row path widens the cell products to
+    * decimal(38,0) — the q70 HUGEINT note); kappa's numerator is the
+    * single signed value, sign-cased so every division sees
+    * non-negative operands (the q164 discipline — Spark `div` ==
+    * DuckDB `//` only there).
+    */
+  def agreementKappa(labels: DataFrame): DataFrame = {
+    val cells = labels.select(col("a").cast("string").as("a"),
+        col("b").cast("string").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val n = cells.agg(sum(col("n")).as("total"))
+    val diag = cells.where(col("a") === col("b"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("agree"))
+    val margA = cells.groupBy(col("a").as("k")).agg(sum(col("n")).as("na"))
+    val margB = cells.groupBy(col("b").as("k")).agg(sum(col("n")).as("nb"))
+    val pe = margA.join(margB, Seq("k"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("penum"))
+    n.crossJoin(diag).crossJoin(pe)
+      .select(col("total").cast("bigint").as("n_items"),
+        expr("agree * 1000000 div total").cast("bigint").as("po_ppm"),
+        expr("penum * 1000000 div total div total").cast("bigint").as("pe_ppm"))
+      .select(col("n_items"), col("po_ppm"), col("pe_ppm"),
+        expr("""CASE WHEN 1000000 - pe_ppm <= 0 THEN 0
+                WHEN po_ppm >= pe_ppm THEN (po_ppm - pe_ppm) * 1000000 div (1000000 - pe_ppm)
+                ELSE -((pe_ppm - po_ppm) * 1000000 div (1000000 - pe_ppm)) END""")
+          .cast("bigint").as("kappa_ppm"))
+  }
+
   def robotsFilter(frontier: DataFrame, robots: DataFrame): DataFrame = {
     // --- parse robots.txt into (domain, applicable allow/disallow rules)
     val lines = robots.select(col("domain"),

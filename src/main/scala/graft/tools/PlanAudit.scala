@@ -61,6 +61,12 @@ object PlanAudit {
     "q199_mix_drift", // per-source counts × ONE-row broadcast
                       // corpus-total frame (the q47/q62 scalar
                       // shape) feeding the ppm share
+    "q201_cluster_census", // total × clustered ONE-row frames cross-
+                           // joined into the singleton row (q173
+                           // scalar shape)
+    "q203_rater_kappa", // three ONE-row aggregate frames (N, diag,
+                        // pe-numerator) cross-joined into the single
+                        // kappa row — the q173 scalar shape
     "q153_values_undef", // solutions × broadcast inline VALUES rows
                          // under the IS-NULL-or-equal compatibility
                          // condition — inherently non-equi (UNDEF is a

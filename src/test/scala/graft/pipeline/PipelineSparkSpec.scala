@@ -583,6 +583,37 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("s3", 0L, 0L, 200000L, -200000L)), got.toString)
   }
 
+  test("freqSpectrum: frequency-of-frequencies with token mass") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq("a a b", "b c", "d").toDF("text")
+    // freqs: a=2, b=2, c=1, d=1 -> spectrum (1,2,2), (2,2,4)
+    val spec = CorpusOps.freqSpectrum(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spec == Set((1L, 2L, 2L), (2L, 2L, 4L)), spec.toString)
+  }
+
+  test("agreementKappa: po/pe/kappa ppm, incl. the negative-kappa sign case") {
+    val s = spark
+    import s.implicits._
+    // perfect disagreement on a balanced binary label: po=0,
+    // pe=500000 -> kappa = -1000000 (the sign-cased lane)
+    val anti = Seq(("x", "y"), ("y", "x"), ("x", "y"), ("y", "x")).toDF("a", "b")
+    val g1 = Curation.agreementKappa(anti).collect().head
+    assert((g1.getLong(0), g1.getLong(1), g1.getLong(2), g1.getLong(3)) ==
+      (4L, 0L, 500000L, -1000000L), g1.toString)
+    // 3/4 agreement, unbalanced marginals: po=750000,
+    // pe = (3*4 + 1*0)/16 = 750000 -> kappa 0
+    val part = Seq(("x", "x"), ("x", "x"), ("x", "x"), ("y", "x")).toDF("a", "b")
+    val g2 = Curation.agreementKappa(part).collect().head
+    assert((g2.getLong(0), g2.getLong(1), g2.getLong(2), g2.getLong(3)) ==
+      (4L, 750000L, 750000L, 0L), g2.toString)
+    // perfect agreement: kappa 1000000
+    val same = Seq(("x", "x"), ("y", "y")).toDF("a", "b")
+    val g3 = Curation.agreementKappa(same).collect().head
+    assert((g3.getLong(1), g3.getLong(3)) == (1000000L, 1000000L), g3.toString)
+  }
+
   test("SparkEntry.entry (driver smoke contract) returns triples") {
     val df = graft.SparkEntry.entry(spark)
     assert(df.limit(5).count() > 0)
