@@ -115,4 +115,59 @@ class RdfCanonSpec extends AnyFunSuite {
     val chain = Seq[Q](("_:x", "p", "_:y"), ("_:y", "p", "_:z2"))
     assert(canonSet(cyc) != canonSet(chain))
   }
+
+  // ---- random-graph battery: RdfCanon cross-validated against the
+  // independent Isomorphism implementation (hash-refine + search).
+  // Two different algorithms must agree on every classification:
+  //   canonSet(a) == canonSet(b)  <=>  Isomorphism.isomorphic(a, b)
+
+  private def lcg(seed: Long): Iterator[Long] =
+    Iterator.iterate(seed * 2654435761L + 17)(s =>
+      s * 6364136223846793005L + 1442695040888963407L).drop(1)
+
+  /** Deterministic random bnode graph: n bnodes, ~n+3 bnode-bnode
+    * edges over 2 predicates, a few literal decorations. */
+  private def randomGraph(seed: Long): Seq[Q] = {
+    val r = lcg(seed)
+    val n = 3 + math.floorMod(r.next(), 4L).toInt
+    val edges = (0 until n + 3).map { _ =>
+      val a = math.floorMod(r.next(), n.toLong).toInt
+      val b = math.floorMod(r.next(), n.toLong).toInt
+      val p = if (math.floorMod(r.next(), 2L) == 0L) "p" else "q"
+      (s"_:n$a", p, s"_:n$b"): Q
+    }
+    val lits = (0 until n).flatMap { i =>
+      if (math.floorMod(r.next(), 3L) == 0L)
+        Seq((s"_:n$i", "tag", s"t${math.floorMod(r.next(), 2L)}"): Q)
+      else Nil
+    }
+    (edges ++ lits).distinct
+  }
+
+  private def toModel(quads: Seq[Q]): Set[Triple] = {
+    def term(t: String): Term =
+      if (t.startsWith("_:")) BNode(t.drop(2))
+      else if (t.length == 1 || t == "tag") Iri("http://ex/" + t)
+      else Lit.plain(t)
+    quads.map { case (s, p, o) => Triple(term(s), Iri("http://ex/" + p), term(o)) }.toSet
+  }
+
+  test("random battery: canonical equality iff isomorphic (vs independent checker)") {
+    var same = 0; var diff = 0
+    for (seed <- 1L to 24L) {
+      val g = randomGraph(seed)
+      // relabeled copy: MUST be canonically equal and isomorphic
+      val rl = relabel(g, s"s$seed")
+      assert(canonSet(g) == canonSet(rl), s"seed $seed relabel")
+      assert(Isomorphism.isomorphic(toModel(g), toModel(rl)), s"seed $seed iso")
+      // cross-pair vs the next seed: the two classifiers must agree
+      val h = randomGraph(seed + 100)
+      val canonEq = canonSet(g) == canonSet(h)
+      val isoEq = Isomorphism.isomorphic(toModel(g), toModel(h))
+      assert(canonEq == isoEq, s"seed $seed cross: canon=$canonEq iso=$isoEq")
+      if (isoEq) same += 1 else diff += 1
+    }
+    // the battery must actually exercise the negative lane
+    assert(diff > 10, s"same=$same diff=$diff")
+  }
 }
