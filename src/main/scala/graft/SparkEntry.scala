@@ -1429,6 +1429,41 @@ object SparkEntry {
     // census): for each token frequency f, the distinct-type count and
     // token mass at that frequency
     "q202_freq_spectrum" -> ((s, d) => CorpusOps.freqSpectrum(t(s, d, "documents"))),
+    // dedup threshold-calibration sweep: per-threshold precision /
+    // recall of the LSH candidate pairs against the exact-duplicate
+    // gold standard (md5(text) equality). Scored pairs are the
+    // StageCache-shared LSH stages WITHOUT the jaccard gate (integer
+    // ic/uc, q62 ppm); gold totals are per-group C(s,2) sums (q173 —
+    // gold pairs outside the candidate buckets still count against
+    // recall, so the sweep measures the LSH's own recall too); the
+    // 5-row threshold table is a bounded broadcast explode
+    "q204_threshold_sweep" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val scored = Dedup.scoredPairsMd5(docs)
+      val fps = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      val goldTotal = fps.groupBy(col("fp")).agg(count(lit(1)).as("sz"))
+        .agg(coalesce(sum(expr("sz * (sz - 1) div 2")), lit(0L)).as("gold"))
+      val withGold = scored
+        .join(fps.select(col("doc_id").as("a"), col("fp").as("fa")), Seq("a"))
+        .join(fps.select(col("doc_id").as("b"), col("fp").as("fb")), Seq("b"))
+        .select(expr("ic * 1000000 div uc").as("jppm"),
+          (col("fa") === col("fb")).cast("long").as("is_gold"))
+      val ts = Seq(300000L, 500000L, 700000L, 900000L, 1000000L).toDF("t_ppm")
+      val sweep = withGold.crossJoin(broadcast(ts))
+        .where(col("jppm") >= col("t_ppm"))
+        .groupBy(col("t_ppm"))
+        .agg(count(lit(1)).as("n_pred"), sum(col("is_gold")).as("n_tp"))
+      ts.join(sweep, Seq("t_ppm"), "left")
+        .crossJoin(broadcast(goldTotal))
+        .select(col("t_ppm").cast("bigint").as("t_ppm"),
+          coalesce(col("n_pred"), lit(0L)).cast("bigint").as("n_pred"),
+          coalesce(col("n_tp"), lit(0L)).cast("bigint").as("n_tp"),
+          expr("CASE WHEN coalesce(n_pred, 0) > 0 THEN coalesce(n_tp, 0) * 1000000 div n_pred ELSE 0 END")
+            .cast("bigint").as("precision_ppm"),
+          expr("CASE WHEN gold > 0 THEN coalesce(n_tp, 0) * 1000000 div gold ELSE 0 END")
+            .cast("bigint").as("recall_ppm"))
+    }),
     // Cohen's kappa between the metadata lang and a deterministically
     // corrupted copy (doc_id%7 rotates the label through a fixed lang
     // cycle) — the agreement metric with all four components exercised
@@ -2989,13 +3024,16 @@ object SparkEntry {
     * candidate pairs, exact shingle-set Jaccard verify — replays the
     * full LSH pipeline in ANSI SQL.
     */
-  private def minhashLshSql(width: Int, threshold: Double, src: String = "documents"): String = {
+  /** The shared minhash CTE chain (w0 → sig → banded → cand) — used by
+    * [[minhashLshSql]]'s thresholded pair output and q204's unthresholded
+    * integer score output. */
+  private def minhashCandCtes(width: Int, src: String): String = {
     val w1 = width - 1
     val sigs = (0 until 12).map(j =>
       s"list_min(list_transform(sh, s -> md5('$j|' || s))) AS m$j").mkString(", ")
     val buckets = (0 until 4).map(b =>
       s"md5(m${3 * b} || m${3 * b + 1} || m${3 * b + 2}) AS k$b").mkString(", ")
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
        |  FROM $src
        |), sh0 AS (
@@ -3016,11 +3054,14 @@ object SparkEntry {
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
        |  FROM b2 l JOIN b2 r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
-       |)
+       |)""".stripMargin
+  }
+
+  private def minhashLshSql(width: Int, threshold: Double, src: String = "documents"): String =
+    s"""WITH ${minhashCandCtes(width, src)}
        |SELECT a, b, round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
        |FROM cand JOIN sig sa ON sa.doc_id = a JOIN sig sb ON sb.doc_id = b
        |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= $threshold""".stripMargin
-  }
 
   /** DuckDB twin of q42: same rule thresholds (spliced from the shared
     * Curation.Qf* constants), same integer arithmetic, same stopword
@@ -7942,6 +7983,31 @@ object SparkEntry {
         |       WHEN po_ppm >= pe_ppm THEN (po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm)
         |       ELSE -((pe_ppm - po_ppm) * 1000000 // (1000000 - pe_ppm)) END AS BIGINT) AS kappa_ppm
         |FROM ppm""".stripMargin,
+    // q204: the shared minhash candidate chain scored as INTEGER
+    // ic/uc, swept against the unnested threshold list; gold is the
+    // q198-style C(s,2) census over md5(text) groups.
+    "q204_threshold_sweep" ->
+      s"""WITH ${minhashCandCtes(width = 3, src = "documents")},
+        |scored AS (
+        |  SELECT a, b, len(list_intersect(sa.sh, sb.sh)) AS ic,
+        |         len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS uc
+        |  FROM cand JOIN sig sa ON sa.doc_id = a JOIN sig sb ON sb.doc_id = b),
+        |fps AS MATERIALIZED (SELECT doc_id, md5(text) AS fp FROM documents),
+        |gold AS (SELECT coalesce(sum(sz * (sz - 1) // 2), 0) AS g
+        |         FROM (SELECT count(*) AS sz FROM fps GROUP BY fp) x),
+        |wg AS (
+        |  SELECT ic * 1000000 // uc AS jppm,
+        |         CASE WHEN fa.fp = fb.fp THEN 1 ELSE 0 END AS is_gold
+        |  FROM scored s JOIN fps fa ON fa.doc_id = s.a JOIN fps fb ON fb.doc_id = s.b),
+        |ts AS (SELECT unnest([300000, 500000, 700000, 900000, 1000000]) AS t_ppm),
+        |sw AS (SELECT t_ppm, count(*) AS n_pred, sum(is_gold) AS n_tp
+        |       FROM wg JOIN ts ON wg.jppm >= ts.t_ppm GROUP BY t_ppm)
+        |SELECT CAST(ts.t_ppm AS BIGINT) AS t_ppm,
+        |  CAST(coalesce(n_pred, 0) AS BIGINT) AS n_pred,
+        |  CAST(coalesce(n_tp, 0) AS BIGINT) AS n_tp,
+        |  CAST(CASE WHEN coalesce(n_pred, 0) > 0 THEN coalesce(n_tp, 0) * 1000000 // n_pred ELSE 0 END AS BIGINT) AS precision_ppm,
+        |  CAST(CASE WHEN g > 0 THEN coalesce(n_tp, 0) * 1000000 // g ELSE 0 END AS BIGINT) AS recall_ppm
+        |FROM ts LEFT JOIN sw ON sw.t_ppm = ts.t_ppm CROSS JOIN gold""".stripMargin,
     // q196: GROUP BY ROLLUP — subtotal NULL markers match Spark's
     // rollup; HUGEINT sum cast back to BIGINT (q70 rule).
     "q196_rollup_census" ->

@@ -262,6 +262,38 @@ object Dedup {
       md5JaccardVerify(candIds, expl, threshold).localCheckpoint(true)
     }
 
+  /** All LSH candidate pairs with INTEGER-exact intersection/union
+    * shingle counts and no threshold gate — the calibration input for
+    * dedup threshold sweeps (q204): downstream picks the operating
+    * point from per-threshold precision/recall instead of trusting a
+    * default. Same stages as [[minhashLshMd5]] (StageCache-shared
+    * expl/banded), so a sweep after a dedup run is nearly free; the
+    * pair set is bounded by banding + hot-bucket suppression exactly
+    * like the gated operator. Bucket-mates always share the argmin
+    * shingle of their band minima, so the intersection inner-join
+    * drops nothing real (an md5-collision pair with ic = 0 could not
+    * pass any positive threshold anyway).
+    */
+  def scoredPairsMd5(documents: DataFrame, maxBucket: Int = 200,
+                     shingleWidth: Int = 3): DataFrame = {
+    val expl = md5ShingleSet(documents, shingleWidth)
+    val banded = md5BandedSuppressed(expl, maxBucket)
+    val candIds = banded.select(col("band"), col("bucket"), col("doc_id").as("a"))
+      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("b")), Seq("band", "bucket"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+    val sizes = expl.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    candIds
+      .join(expl.select(col("doc_id").as("a"), col("s")), Seq("a"))
+      .join(expl.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ic"))
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+      .select(col("a"), col("b"), col("ic").cast("bigint").as("ic"),
+        (col("sza") + col("szb") - col("ic")).cast("bigint").as("uc"))
+  }
+
   /** Incremental near-dup — dedup a NEW batch against the EXISTING
     * corpus, the production crawl-refresh shape: candidate pairs come
     * only from old×new band-bucket collisions, never old×old or

@@ -67,6 +67,10 @@ object PlanAudit {
     "q203_rater_kappa", // three ONE-row aggregate frames (N, diag,
                         // pe-numerator) cross-joined into the single
                         // kappa row — the q173 scalar shape
+    "q204_threshold_sweep", // scored pairs × the 5-row broadcast
+                            // threshold table under a >= condition
+                            // (bounded explode, the q153 class) plus
+                            // the gold-total scalar frame
     "q153_values_undef", // solutions × broadcast inline VALUES rows
                          // under the IS-NULL-or-equal compatibility
                          // condition — inherently non-equi (UNDEF is a

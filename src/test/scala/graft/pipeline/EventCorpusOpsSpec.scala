@@ -765,6 +765,29 @@ class EventCorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!inc.exists(p => Set(p._1, p._2) == Set(2L, 6L)), "old-old pair must not surface")
   }
 
+  test("scoredPairsMd5: integer ic/uc, exact dups score 1:1, gate-free pairs surface") {
+    val d = docs(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "alpha beta gamma zzz"), (4L, "unrelated words entirely"))
+    val scored = Dedup.scoredPairsMd5(d, shingleWidth = 1).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("ic"), r.getAs[Long]("uc"))).toSet
+    // exact dup: identical 4-word sets -> ic = uc = 4
+    assert(scored.contains((1L, 2L, 4L, 4L)), scored.toString)
+    // near pair (3 of 5 distinct words shared) surfaces WITHOUT any
+    // jaccard gate when banding collides; if present its score is 3/5
+    scored.filter(p => Set(p._1, p._2) == Set(1L, 3L)).foreach { p =>
+      assert((p._3, p._4) == (3L, 5L), p.toString)
+    }
+    // scores agree with the gated operator's jaccard on shared pairs
+    val gated = Dedup.minhashLshMd5(d, threshold = 0.5, shingleWidth = 1).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Double]("jaccard")))
+    gated.foreach { case (a, b, j) =>
+      val s = scored.find(p => p._1 == a && p._2 == b).get
+      assert(math.abs(s._3.toDouble / s._4 - j) < 1e-3, s"($a,$b)")
+    }
+  }
+
   test("leakageSplit: cluster members never straddle the split; singletons self-cluster") {
     val d = docs(
       (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
