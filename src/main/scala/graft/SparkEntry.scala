@@ -1464,6 +1464,77 @@ object SparkEntry {
           expr("CASE WHEN gold > 0 THEN coalesce(n_tp, 0) * 1000000 div gold ELSE 0 END")
             .cast("bigint").as("recall_ppm"))
     }),
+    // triplet mining for contrastive embedding training: per anchor,
+    // the hardest POSITIVE (min integer dot among same-label) and
+    // hardest NEGATIVE (max dot among other labels) with the signed
+    // margin — the semi-hard mining report a metric-learning run
+    // feeds on. Bounded broadcast anchor slice (the q18 sanctioned
+    // shape), codegen int_vec_dot_norms kernel, (dot, cand_id)
+    // tiebreak (q103 rule); margin is one signed subtraction of two
+    // exact integers (q160 regime)
+    "q205_triplet_mining" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      def quant(c: org.apache.spark.sql.Column) =
+        transform(c, e => round(e.cast("double") * 1000).cast("bigint"))
+      val emb = t(s, d, "embeddings")
+      val q = emb.where(col("vec_id") < 16)
+        .select(col("vec_id").as("query_id"), col("label").as("ql"),
+          quant(col("embedding")).as("qv"))
+      val c = emb.select(col("vec_id").as("cand_id"), col("label").as("cl"),
+        quant(col("embedding")).as("cv"))
+      // consumed by BOTH mining lanes — eager checkpoint (the LSH-
+      // builder multi-consumer rule; anchor-bounded, 16 × corpus rows)
+      val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+        .select(col("query_id"), col("ql"), col("cand_id"), col("cl"),
+          expr("int_vec_dot_norms(qv, cv)").getItem(0).as("dot"))
+        .localCheckpoint(true)
+      val pos = scored.where(col("cl") === col("ql"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("dot").asc, col("cand_id").asc)))
+        .where(col("rk") === 1)
+        .select(col("query_id"), col("cand_id").as("pos_id"), col("dot").as("pos_dot"))
+      val neg = scored.where(col("cl") =!= col("ql"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("cand_id").asc)))
+        .where(col("rk") === 1)
+        .select(col("query_id"), col("cand_id").as("neg_id"), col("dot").as("neg_dot"))
+      pos.join(neg, Seq("query_id"))
+        .select(col("query_id"), col("pos_id"), col("pos_dot"),
+          col("neg_id"), col("neg_dot"),
+          (col("pos_dot") - col("neg_dot")).cast("bigint").as("margin"))
+    }),
+    // characteristic sets (Neumann & Moerkotte) — THE classic RDF
+    // cardinality-estimation statistic: subjects grouped by their
+    // DISTINCT-predicate set, with subject and triple counts per set.
+    // One subject-keyed shuffle (collect_set partial-aggregates
+    // map-side), then a set-keyed census; the cset key rides the q186
+    // discipline (sort_array(collect_set) == DuckDB ordered
+    // string_agg over a distinct subselect). The %10 second-topic
+    // lane makes n_triples exceed the predicate count for some sets
+    "q206_char_sets" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = concat(lit("d"), col("doc_id"))
+      val spo = docs.select(dId.as("s"), lit("lang").as("p"), col("lang").as("o"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select(dId.as("s"), lit("author").as("p"),
+            concat(lit("a"), pmod(col("doc_id"), lit(24))).as("o")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(3)) === 0)
+          .select(dId.as("s"), lit("topic").as("p"),
+            concat(lit("t"), pmod(col("doc_id"), lit(8))).as("o")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(10)) === 0)
+          .select(dId.as("s"), lit("topic").as("p"),
+            concat(lit("t"), pmod(col("doc_id"), lit(8)) + 1).as("o")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(5)) === 0)
+          .select(dId.as("s"), lit("cite").as("p"),
+            concat(lit("d"), pmod(col("doc_id") * 7, lit(1000))).as("o")))
+      val per = spo.groupBy(col("s")).agg(
+        concat_ws("|", sort_array(collect_set(col("p")))).as("cset"),
+        count(lit(1)).as("nt"))
+      per.groupBy(col("cset")).agg(
+        count(lit(1)).cast("bigint").as("n_subjects"),
+        sum(col("nt")).cast("bigint").as("n_triples"))
+    }),
     // Cohen's kappa between the metadata lang and a deterministically
     // corrupted copy (doc_id%7 rotates the label through a fixed lang
     // cycle) — the agreement metric with all four components exercised
@@ -8008,6 +8079,57 @@ object SparkEntry {
         |  CAST(CASE WHEN coalesce(n_pred, 0) > 0 THEN coalesce(n_tp, 0) * 1000000 // n_pred ELSE 0 END AS BIGINT) AS precision_ppm,
         |  CAST(CASE WHEN g > 0 THEN coalesce(n_tp, 0) * 1000000 // g ELSE 0 END AS BIGINT) AS recall_ppm
         |FROM ts LEFT JOIN sw ON sw.t_ppm = ts.t_ppm CROSS JOIN gold""".stripMargin,
+    // q205: the q18 quantized-dot formulation restricted per lane
+    // (same label = positives, min-dot rank; other labels =
+    // negatives, max-dot rank), (dot, cand_id) tiebreaks both sides.
+    "q205_triplet_mining" ->
+      """WITH qv AS (
+        |  SELECT vec_id AS query_id, label AS ql,
+        |         list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id < 16
+        |), cv AS (
+        |  SELECT vec_id AS cand_id, label AS cl,
+        |         list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS cv
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT query_id, ql, cand_id, cl,
+        |         CAST(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i] * cv[i])) AS BIGINT) AS dot
+        |  FROM cv, qv WHERE cand_id <> query_id
+        |),
+        |pos AS (SELECT query_id, cand_id AS pos_id, dot AS pos_dot FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot ASC, cand_id ASC) AS rk
+        |  FROM s WHERE cl = ql) x WHERE rk = 1),
+        |neg AS (SELECT query_id, cand_id AS neg_id, dot AS neg_dot FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, cand_id ASC) AS rk
+        |  FROM s WHERE cl <> ql) x WHERE rk = 1)
+        |SELECT p.query_id, pos_id, CAST(pos_dot AS BIGINT) AS pos_dot,
+        |  neg_id, CAST(neg_dot AS BIGINT) AS neg_dot,
+        |  CAST(pos_dot - neg_dot AS BIGINT) AS margin
+        |FROM pos p JOIN neg n ON n.query_id = p.query_id""".stripMargin,
+    // q206: the q186 set-key discipline — ordered string_agg over the
+    // (s, p) DISTINCT subselect, never string_agg(DISTINCT ...).
+    "q206_char_sets" ->
+      """WITH spo AS (
+        |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS s, 'lang' AS p, lang AS o FROM documents
+        |  UNION ALL
+        |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'author', 'a' || CAST(doc_id % 24 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'topic', 't' || CAST(doc_id % 8 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'topic', 't' || CAST(doc_id % 8 + 1 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT 'd' || CAST(doc_id AS VARCHAR), 'cite', 'd' || CAST((doc_id * 7) % 1000 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 5 = 0
+        |),
+        |ps AS (SELECT s, p FROM spo GROUP BY s, p),
+        |cs AS (SELECT s, string_agg(p, '|' ORDER BY p) AS cset FROM ps GROUP BY s),
+        |nt AS (SELECT s, count(*) AS nt FROM spo GROUP BY s)
+        |SELECT cset, CAST(count(*) AS BIGINT) AS n_subjects,
+        |  CAST(sum(nt) AS BIGINT) AS n_triples
+        |FROM cs JOIN nt ON nt.s = cs.s GROUP BY cset""".stripMargin,
     // q196: GROUP BY ROLLUP — subtotal NULL markers match Spark's
     // rollup; HUGEINT sum cast back to BIGINT (q70 rule).
     "q196_rollup_census" ->

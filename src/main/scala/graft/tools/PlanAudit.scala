@@ -71,6 +71,9 @@ object PlanAudit {
                             // threshold table under a >= condition
                             // (bounded explode, the q153 class) plus
                             // the gold-total scalar frame
+    "q205_triplet_mining", // corpus × bounded broadcast anchor slice
+                           // under a <> condition — the q18
+                           // sanctioned bounded nested-loop shape
     "q153_values_undef", // solutions × broadcast inline VALUES rows
                          // under the IS-NULL-or-equal compatibility
                          // condition — inherently non-equi (UNDEF is a
