@@ -2674,6 +2674,16 @@ object SparkEntry {
     // exploded to its trailing-window target days — sliding count
     // distinct without a window sort or per-day self-join
     "q80_rolling_actives" -> ((s, d) => EventOps.rollingActives(t(s, d, "events"))),
+    // first-order Markov transition census over per-user event
+    // sequences (behavioral modeling input): counts + row-normalized
+    // ppm per (prev, next) type pair; (user, ts) ordering is unique
+    // (the q49 rule), ppm is truncating (q62)
+    "q207_markov_transitions" -> ((s, d) => EventOps.markovTransitions(t(s, d, "events"))),
+    // burst detection: daily per-type volume vs the trailing 3-day
+    // total via a value-RANGE window (calendar gaps shrink the
+    // baseline, never widen the frame); ratio-to-trailing-mean in
+    // truncating ppm with the burst flag at 1.5x
+    "q208_burst_detect" -> ((s, d) => EventOps.burstDays(t(s, d, "events"))),
     // block-segmented posting lists: per (term, 128-doc block) the
     // delta-encoded doc gaps + tf payloads — the Lucene-style physical
     // index layout (no term ever holds its full posting list in a row)
@@ -8130,6 +8140,36 @@ object SparkEntry {
         |SELECT cset, CAST(count(*) AS BIGINT) AS n_subjects,
         |  CAST(sum(nt) AS BIGINT) AS n_triples
         |FROM cs JOIN nt ON nt.s = cs.s GROUP BY cset""".stripMargin,
+    // q207: lag over (user, ts) — unique ordering key (q49 rule);
+    // row-normalized ppm via the window sum, truncating // (q62).
+    "q207_markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev_type
+        |  FROM events),
+        |c AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+        |      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+        |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_ppm
+        |FROM c""".stripMargin,
+    // q208: the q80 NTZ-epoch day, value-RANGE trailing frame (both
+    // engines frame by DAY VALUE, so gaps behave identically),
+    // ratio-to-trailing-mean in truncating ppm.
+    "q208_burst_detect" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         epoch_us(ts) // 86400000000 AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT event_type, day, n,
+        |         sum(n) OVER (PARTITION BY event_type ORDER BY day
+        |                      RANGE BETWEEN 3 PRECEDING AND 1 PRECEDING) AS trail
+        |  FROM daily)
+        |SELECT event_type, CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n,
+        |  CAST(trail AS BIGINT) AS trail,
+        |  CAST(n * 3 * 1000000 // trail AS BIGINT) AS burst_ppm,
+        |  CAST(CASE WHEN n * 3 * 1000000 // trail >= 1500000 THEN 1 ELSE 0 END AS BIGINT) AS is_burst
+        |FROM tr WHERE trail IS NOT NULL AND trail > 0""".stripMargin,
     // q196: GROUP BY ROLLUP — subtotal NULL markers match Spark's
     // rollup; HUGEINT sum cast back to BIGINT (q70 rule).
     "q196_rollup_census" ->

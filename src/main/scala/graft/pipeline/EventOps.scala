@@ -272,6 +272,54 @@ object EventOps {
         coalesce(col("n_churned"), lit(0L)).cast("bigint").as("n_churned"))
   }
 
+  /** First-order Markov transition census over per-user event
+    * sequences — the behavioral-model input (next-action prediction,
+    * anomalous-flow detection): per (prev, next) event-type pair the
+    * transition count and the row-normalized probability in
+    * truncating ppm (q62 rule). Ordering is (user, ts) with ts unique
+    * per user in the synthetic table (the q49 determinism note); the
+    * lag window and the count aggregation both shuffle on user/pair
+    * keys only.
+    */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val pairs = events.select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+    pairs.groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+      .select(col("prev_type"), col("next_type"), col("n").cast("bigint").as("n"),
+        expr("n * 1000000 div tot").cast("bigint").as("p_ppm"))
+  }
+
+  /** Burst detection over daily per-type event volumes: each day's
+    * count against the trailing `trailDays`-day TOTAL via a RANGE
+    * window (value-based, so calendar gaps shorten the trailing mass
+    * instead of silently widening the frame — the reason this is not
+    * ROWS). burst_ppm is the ratio to the trailing MEAN in truncating
+    * ppm (`n · trailDays · 1e6 div trail`); days with an empty
+    * trailing frame are dropped (no defined baseline). All integer;
+    * day derivation is the q80 NTZ-epoch discipline.
+    */
+  def burstDays(events: DataFrame, trailDays: Int = 3,
+                burstThresholdPpm: Long = 1500000L): DataFrame = {
+    require(trailDays >= 1, "trailing window must be >= 1 day")
+    val dayE = expr(
+      "CAST(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400000000 AS BIGINT)")
+    val daily = events.select(col("event_type"), dayE.as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rangeBetween(-trailDays, -1)
+    daily.withColumn("trail", sum(col("n")).over(w))
+      .where(col("trail").isNotNull && col("trail") > 0)
+      .select(col("event_type"), col("day").cast("bigint").as("day"),
+        col("n").cast("bigint").as("n"), col("trail").cast("bigint").as("trail"),
+        expr(s"n * $trailDays * 1000000 div trail").cast("bigint").as("burst_ppm"))
+      .withColumn("is_burst",
+        (col("burst_ppm") >= burstThresholdPpm).cast("long"))
+  }
+
   def rollingActives(events: DataFrame, windowDays: Int = 7): DataFrame = {
     require(windowDays >= 1, "window must be >= 1 day")
     // integer div, not Column./ (which is FP division)

@@ -765,6 +765,36 @@ class EventCorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!inc.exists(p => Set(p._1, p._2) == Set(2L, 6L)), "old-old pair must not surface")
   }
 
+  test("markovTransitions: lag pairs per user, row-normalized ppm") {
+    val ev = events(
+      (1L, 10L, 1L, "A", 0.0), (2L, 20L, 1L, "B", 0.0), (3L, 30L, 1L, "A", 0.0),
+      (4L, 10L, 2L, "B", 0.0), (5L, 20L, 2L, "A", 0.0),
+      (6L, 10L, 3L, "A", 0.0), (7L, 20L, 3L, "C", 0.0))
+    val got = EventOps.markovTransitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // A->B 1, A->C 1 (tot A = 2), B->A 2 (tot B = 2)
+    assert(got == Set(
+      ("A", "B", 1L, 500000L), ("A", "C", 1L, 500000L),
+      ("B", "A", 2L, 1000000L)), got.toString)
+  }
+
+  test("burstDays: value-RANGE trailing baseline, gaps shrink the mass, flag at 1.5x") {
+    def atDay(d: Long, n: Int, idBase: Long) =
+      (0 until n).map(i => (idBase + i, d * 86400 + i, 1L, "X", 0.0))
+    // days 0..2 steady at 2/day, day 3 spikes to 9; day 5 (after a
+    // gap) sees only day 3+4 mass in its window
+    val ev = events(
+      (atDay(0, 2, 100) ++ atDay(1, 2, 200) ++ atDay(2, 2, 300) ++
+        atDay(3, 9, 400) ++ atDay(5, 2, 500)): _*)
+    val byDay = EventOps.burstDays(ev).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // day 3: n=9, trail=6 -> 4.5x, burst; day 5: trail = day3(9)+day4(0)... window days 2..4 -> d2=2,d3=9 -> 11
+    assert(byDay(3L) == ((9L, 6L, 4500000L, 1L)), byDay.toString)
+    assert(byDay(5L) == ((2L, 11L, 545454L, 0L)), byDay.toString)
+    assert(byDay(1L) == ((2L, 2L, 3000000L, 1L)), byDay.toString) // 1-day baseline: gap mass = 0
+    assert(!byDay.contains(0L), byDay.toString) // no trailing frame
+  }
+
   test("scoredPairsMd5: integer ic/uc, exact dups score 1:1, gate-free pairs surface") {
     val d = docs(
       (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
