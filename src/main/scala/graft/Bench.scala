@@ -101,6 +101,7 @@ object Bench {
     "q201_cluster_census", "q202_freq_spectrum", "q203_rater_kappa",
     "q204_threshold_sweep", "q205_triplet_mining", "q206_char_sets",
     "q207_markov_transitions", "q208_burst_detect",
+    "q209_shacl_qualified", "q210_modularity",
     "x_bpe_train", "x_bpe_encode",
     "x_minhash_lsh_dedup", "x_ngram_jaccard_lsh", "x_simhash_dedup",
     "x_embedding_neardup", "x_ann_brute", "x_ann_lsh", "x_ann_ivf",

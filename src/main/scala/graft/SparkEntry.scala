@@ -1314,6 +1314,34 @@ object SparkEntry {
         ("mentees", Seq(TripleOps.PredStep("mentor", inverse = true)), 0, 1)))
         .select("s", "shape", "violation", "n")
     }),
+    // SHACL sh:qualifiedValueShape (qualifiedMinCount=1 /
+    // qualifiedMaxCount=1 over the sh:class Expert inner shape): each
+    // doc knows m((d+7i)%20) on lanes i=0 (always), i=1 (d%2==0),
+    // i=2 (d%5==0); Expert membership is the residue%3==0 set, so the
+    // conforming count is pure residue arithmetic — qualifiedMin
+    // fires on 10 of 20 residues, qualifiedMax exactly on d%20==15
+    // (the only residue with two conforming lanes). The three lane
+    // values are distinct mod 20 (7i pairwise distinct), so the
+    // operator's distinct-value count equals the lane count
+    "q209_shacl_qualified" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dId = format_string("d%06d", col("doc_id"))
+      val r = pmod(col("doc_id"), lit(20))
+      val spo = docs.select(dId.as("s"), lit("knows").as("p"),
+          concat(lit("m"), r).as("o"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select(dId.as("s"), lit("knows").as("p"),
+            concat(lit("m"), pmod(col("doc_id") + 7, lit(20))).as("o")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(5)) === 0)
+          .select(dId.as("s"), lit("knows").as("p"),
+            concat(lit("m"), pmod(col("doc_id") + 14, lit(20))).as("o")))
+        .unionByName(docs.where(pmod(r, lit(3)) === 0)
+          .select(concat(lit("m"), r).as("s"), lit("rdf:type").as("p"),
+            lit("Expert").as("o")))
+      TripleOps.qualifiedShapeViolations(spo, docs.select(dId.as("s")),
+          prop = "knows", valueClass = "Expert", minCount = 1, maxCount = 1)
+        .select("s", "violation", "n")
+    }),
     // k-anonymity audit on (source, lang, 100-char size bucket): the
     // post-PII re-identification check — equivalence classes smaller
     // than k=10 would be suppressed before release; the size-bucket
@@ -2650,6 +2678,25 @@ object SparkEntry {
       val pages = docs.select(syntheticUrl.as("url"),
         concat(lit("<p>"), col("text"), lit("</p>"), linksHtml).as("html"))
       Curation.linkGraph(pages)
+    }),
+    // Newman modularity census of a node partition over the undirected
+    // q83 domain graph: per community the internal-edge count, degree
+    // mass and the EXACT integer modularity numerator 4·m·e_c − d_c²
+    // (Q = Σ num_c / 4m² — kept as the numerator, never a quotient:
+    // the engine-wide no-FP rule and the BIGINT bound both live on
+    // the numerator side). Partition = domain-length residue classes
+    // (deterministic, cross-engine: ASCII length both sides); the
+    // community-quality report q106's LPA labels lack
+    "q210_modularity" -> ((s, d) => {
+      val g = SparkEntry.queries("q83_link_graph")(s, d)
+      val e = g.where(col("src_domain") =!= col("dst_domain"))
+        .select(col("src_domain").as("a"), col("dst_domain").as("b"))
+      val labels = e.select(explode(array(col("a"), col("b"))).as("node"))
+        .distinct()
+        .select(col("node"),
+          pmod(length(col("node")), lit(4)).cast("bigint").as("community"))
+      GraphOps.modularityCensus(e, labels)
+        .select("community", "n_nodes", "n_internal", "degree_sum", "mod_num")
     }),
     // daily growth accounting: new / returning / resurrected actives
     // + churn attributed to the day after — all equi-joins over the
@@ -3999,6 +4046,47 @@ object SparkEntry {
        |  CAST(CASE WHEN src_domain = dst_domain THEN 1 ELSE 0 END AS BIGINT) AS is_internal
        |FROM pp GROUP BY 1, 2""".stripMargin
   }
+
+  /** DuckDB twin of q210 (modularity census): the symmetrized q83
+    * domain graph canonicalized to distinct least/greatest string
+    * pairs, degree census via the doubled endpoint list, internal
+    * edges by double label join — the exact numerator
+    * `4·m·e_c − d_c²` restated verbatim (all BIGINT; HUGEINT sums
+    * cast back before arithmetic, the q70 rule). `e` is
+    * multi-consumed (m scalar, degrees, internal join) →
+    * MATERIALIZED (the q71 rule); length() % 4 agrees across engines
+    * on the ASCII domain strings.
+    */
+  private def q210Sql: String =
+    s"""WITH g AS MATERIALIZED (${q83Sql}),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT least(src_domain, dst_domain) AS u,
+       |    greatest(src_domain, dst_domain) AS v
+       |  FROM g WHERE src_domain <> dst_domain
+       |), mm AS (SELECT count(*) AS m FROM e),
+       |deg AS (
+       |  SELECT node, count(*) AS d FROM (
+       |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+       |  GROUP BY node
+       |), lab AS (
+       |  SELECT node, length(node) % 4 AS community
+       |  FROM (SELECT DISTINCT node FROM deg)
+       |), ds AS (
+       |  SELECT l.community, count(*) AS n_nodes,
+       |    CAST(sum(d.d) AS BIGINT) AS degree_sum
+       |  FROM lab l JOIN deg d USING (node) GROUP BY 1
+       |), ei AS (
+       |  SELECT lu.community, count(*) AS n_internal
+       |  FROM e JOIN lab lu ON lu.node = e.u JOIN lab lv ON lv.node = e.v
+       |  WHERE lu.community = lv.community GROUP BY 1
+       |)
+       |SELECT CAST(ds.community AS BIGINT) AS community,
+       |  CAST(n_nodes AS BIGINT) AS n_nodes,
+       |  CAST(coalesce(n_internal, 0) AS BIGINT) AS n_internal,
+       |  degree_sum,
+       |  CAST((SELECT m FROM mm) * 4 * coalesce(n_internal, 0)
+       |    - degree_sum * degree_sum AS BIGINT) AS mod_num
+       |FROM ds LEFT JOIN ei ON ei.community = ds.community""".stripMargin
 
   /** DuckDB twin of q104 (HITS): the q83 directed domain graph, each
     * half-step unrolled as CTEs. Raw-sum CTEs are MATERIALIZED — each
@@ -5577,6 +5665,26 @@ object SparkEntry {
       |        GROUP BY p.d HAVING count(*) > 1)
       |SELECT * FROM mgr UNION ALL SELECT * FROM al
       |UNION ALL SELECT * FROM men""".stripMargin
+
+  /** DuckDB twin of q209 (sh:qualifiedValueShape): the conforming
+    * count collapses to closed residue form — lane i's value
+    * (r + 7i) % 20 conforms iff it lands in the %3==0 Expert set,
+    * lanes gate on d%2 / d%5. The three lane values are pairwise
+    * distinct mod 20, so lane arithmetic == the operator's
+    * distinct-value count (the fixture note on the Spark side).
+    */
+  private val q209Sql: String =
+    """WITH f AS (SELECT doc_id AS d, doc_id % 20 AS r FROM documents),
+      |c AS (SELECT printf('d%06d', d) AS s,
+      |  (CASE WHEN r % 3 = 0 THEN 1 ELSE 0 END)
+      |  + (CASE WHEN d % 2 = 0 AND ((r + 7) % 20) % 3 = 0 THEN 1 ELSE 0 END)
+      |  + (CASE WHEN d % 5 = 0 AND ((r + 14) % 20) % 3 = 0 THEN 1 ELSE 0 END) AS qn
+      |  FROM f)
+      |SELECT s, 'qualifiedMin' AS violation, CAST(qn AS BIGINT) AS n
+      |FROM c WHERE qn < 1
+      |UNION ALL
+      |SELECT s, 'qualifiedMax' AS violation, CAST(qn AS BIGINT) AS n
+      |FROM c WHERE qn > 1""".stripMargin
 
   /** DuckDB twin of q179 (Z-order layout): the Morton spread ladder
     * restated step by step in BIGINT shift/AND CTEs (identical
@@ -7891,6 +7999,8 @@ object SparkEntry {
     "q192_eccentricity" -> q192Sql,
     "q193_degree_census" -> q193Sql,
     "q194_shacl_path" -> q194Sql,
+    "q209_shacl_qualified" -> q209Sql,
+    "q210_modularity" -> q210Sql,
     // q195: k-anonymity equivalence classes under k=10, restated as a
     // plain HAVING; doc n_chars is never null so count(*) == count.
     "q195_k_anonymity" ->

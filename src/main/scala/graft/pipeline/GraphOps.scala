@@ -335,6 +335,61 @@ object GraphOps {
         sum(col("d")).cast("bigint").as("sum_deg"))
   }
 
+  /** Newman-Girvan modularity census of an externally supplied node
+    * partition — the community-QUALITY report the label-assignment
+    * operators (q106 LPA, q26 CC) don't produce: per community c,
+    * the internal edge count e_c, degree mass d_c, and the EXACT
+    * integer modularity numerator `4·m·e_c − d_c²` (modularity's
+    * per-community term e_c/m − (d_c/2m)² times the common
+    * denominator 4m²; Σ num_c / 4m² is Newman's Q). Kept as the
+    * exact numerator, never a quotient: a ppm division would need
+    * 4m²·10⁶ intermediates (BIGINT-unsafe beyond m ≈ 48k), while the
+    * numerator stays BIGINT-exact to m·e_c < 2⁶¹ — the q133-style
+    * widen-before-trusting bound, here ~10⁹ edges per run.
+    *
+    * Scale shape: canonical undirected distinct edges materialized
+    * once (consumed by the edge-count scalar, the degree explode and
+    * the internal-edge join), labels attach via two node-keyed
+    * equi-joins, every aggregate map-side-combinable on community
+    * keys, and the single global m rides the sanctioned 1-row
+    * broadcast scalar frame (the q47/q62 shape) — an unpartitioned
+    * window would funnel the census through one partition.
+    *
+    * Input: `pairs` (a, b) undirected; `labels` (node, community) —
+    * unlabeled endpoints drop from the census by the inner join (the
+    * caller owns label totality). Output: (community, n_nodes,
+    * n_internal, degree_sum, mod_num).
+    */
+  def modularityCensus(pairs: DataFrame, labels: DataFrame): DataFrame = {
+    val e = pairs.select(
+        least(col("a").cast("string"), col("b").cast("string")).as("u"),
+        greatest(col("a").cast("string"), col("b").cast("string")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true) // consumed by m, degrees, internal join
+    val lab = labels.select(col("node").cast("string").as("node"),
+      col("community").cast("bigint").as("community")).distinct()
+    val m = e.select(count(lit(1)).cast("bigint").as("m"))
+    val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val dsum = deg.join(lab, Seq("node"))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).cast("bigint").as("n_nodes"),
+        sum(col("d")).cast("bigint").as("degree_sum"))
+    val lu = lab.select(col("node").as("u"), col("community").as("cu"))
+    val lv = lab.select(col("node").as("v"), col("community").as("cv"))
+    val ein = e.join(lu, Seq("u")).join(lv, Seq("v"))
+      .where(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community"))
+      .agg(count(lit(1)).cast("bigint").as("n_internal"))
+    dsum.join(ein, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("n_internal"), lit(0L)).as("n_internal"),
+        col("degree_sum"),
+        (col("m") * 4L * coalesce(col("n_internal"), lit(0L))
+          - col("degree_sum") * col("degree_sum")).cast("bigint").as("mod_num"))
+  }
+
   /** k-core: the maximal subgraph in which every node keeps degree
     * ≥ k — the density floor that separates "real" near-dup clusters
     * from incidental chains and stars (a k-core survives losing any

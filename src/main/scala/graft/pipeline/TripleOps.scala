@@ -496,6 +496,47 @@ object TripleOps {
     lanes.reduceLeft(_ unionByName _)
   }
 
+  /** SHACL sh:qualifiedValueShape with sh:qualifiedMinCount /
+    * sh:qualifiedMaxCount — the last core constraint-component family
+    * after the value (q158), pair (q180), logical/closed (q182) and
+    * path-cardinality (q194) lanes: a focus node needs BETWEEN min
+    * and max values of `prop` that CONFORM to the inner shape, here
+    * the sh:class atom "value is an instance of `valueClass`"
+    * (reference spec: SHACL core §4.7.1-2). Unlike plain
+    * minCount/maxCount (q94/q194), only the conforming SUBSET of the
+    * value set is counted — non-conforming values neither help nor
+    * hurt.
+    *
+    * Relational shape: the conforming value set is the rdf:type slice
+    * filtered to `valueClass` (both filters push to the scan),
+    * semi-joined into the `prop` value slice on the VALUE — one
+    * equi-join keyed on the object, then one map-side-combinable
+    * count per focus node and a LEFT join from the focus set so
+    * zero-conforming nodes surface for the min lane. No windows, no
+    * shuffle wider than (s). Violations: (s, violation, n) with
+    * violation ∈ qualifiedMin | qualifiedMax and n = the conforming
+    * count.
+    */
+  def qualifiedShapeViolations(triples: DataFrame, focus: DataFrame,
+      prop: String, valueClass: String, minCount: Int, maxCount: Int): DataFrame = {
+    require(minCount >= 0 && maxCount >= minCount,
+      "qualified cardinality bounds need 0 <= min <= max")
+    val f = focus.select(col("s").cast("string").as("s")).distinct()
+    val spo = spoCols(triples)
+    val conforming = spo
+      .where(col("p") === "rdf:type" && col("o") === valueClass)
+      .select(col("s").as("v")).distinct()
+    val vals = spo.where(col("p") === prop)
+      .select(col("s"), col("o").as("v")).distinct()
+    val counts = f
+      .join(vals.join(conforming, Seq("v")), Seq("s"), "left")
+      .groupBy(col("s")).agg(count(col("v")).cast("bigint").as("n"))
+    counts.where(col("n") < minCount)
+      .select(col("s"), lit("qualifiedMin").as("violation"), col("n"))
+      .unionByName(counts.where(col("n") > maxCount)
+        .select(col("s"), lit("qualifiedMax").as("violation"), col("n")))
+  }
+
   /** SPARQL ORDER BY total term ordering (spec §15.1 extended to a
     * deterministic total order): unbound < blank nodes < IRIs <
     * literals, numeric literals before other literals ordered by

@@ -74,6 +74,9 @@ object PlanAudit {
     "q205_triplet_mining", // corpus × bounded broadcast anchor slice
                            // under a <> condition — the q18
                            // sanctioned bounded nested-loop shape
+    "q210_modularity", // per-community census × ONE-row broadcast
+                       // edge-count frame (the q47/q62 scalar shape)
+                       // feeding the modularity numerator
     "q153_values_undef", // solutions × broadcast inline VALUES rows
                          // under the IS-NULL-or-equal compatibility
                          // condition — inherently non-equi (UNDEF is a

@@ -547,6 +547,26 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       got.toString)
   }
 
+  test("modularityCensus: exact numerator 4me_c - d_c^2; reversed dups canonicalize; self-loops and unlabeled-only labels drop") {
+    val s = spark
+    import s.implicits._
+    // two triangles bridged by one edge: m = 7, each side d_sum = 7,
+    // e_in = 3 -> mod_num = 4*7*3 - 49 = 35 per community
+    val edges = Seq(
+      ("a1", "a2"), ("a2", "a1"), // reversed duplicate canonicalizes away
+      ("a2", "a3"), ("a1", "a3"), ("a3", "a3"), // self-loop drops
+      ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+      ("a1", "b1")).toDF("a", "b")
+    val labels = Seq(
+      ("a1", 0L), ("a2", 0L), ("a3", 0L),
+      ("b1", 1L), ("b2", 1L), ("b3", 1L),
+      ("z9", 2L)).toDF("node", "community") // label without edges: no census row
+    val got = GraphOps.modularityCensus(edges, labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set((0L, 3L, 3L, 7L, 35L), (1L, 3L, 3L, 7L, 35L)), got.toString)
+  }
+
   test("kAnonymityViolations: only groups below k report, with their sizes") {
     val s = spark
     import s.implicits._

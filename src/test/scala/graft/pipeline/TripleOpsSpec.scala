@@ -1355,6 +1355,31 @@ class TripleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("d2", "closed", "spam", 2L)), got.toString)
   }
 
+  test("qualifiedShapeViolations: only class-conforming values count; duplicates collapse; out-of-focus silent") {
+    val s = spark
+    import s.implicits._
+    val spo = Seq(
+      // d1 conforms: exactly one Expert value (x1 is Novice — neither helps nor hurts)
+      ("d1", "knows", "e1"), ("d1", "knows", "x1"),
+      // d2: two Expert values (e1 duplicated — distinct collapses it) -> qualifiedMax n=2
+      ("d2", "knows", "e1"), ("d2", "knows", "e1"), ("d2", "knows", "e2"),
+      // d3: only a non-conforming value -> qualifiedMin n=0
+      ("d3", "knows", "x1"),
+      // d5 out of focus: nothing may report
+      ("d5", "knows", "e1"),
+      ("e1", "rdf:type", "Expert"), ("e2", "rdf:type", "Expert"),
+      ("x1", "rdf:type", "Novice")).toDF("s", "p", "o")
+    // d4 in focus with no knows edge at all -> qualifiedMin n=0
+    val focus = Seq("d1", "d2", "d3", "d4").toDF("s")
+    val got = TripleOps.qualifiedShapeViolations(spo, focus,
+        prop = "knows", valueClass = "Expert", minCount = 1, maxCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n"))).toSet
+    assert(got == Set(
+      ("d2", "qualifiedMax", 2L),
+      ("d3", "qualifiedMin", 0L),
+      ("d4", "qualifiedMin", 0L)), got.toString)
+  }
+
   test("hasKeySameAs: composite key links to min; missing prop or type excluded; multi-valued fans out") {
     val s = spark
     import s.implicits._
