@@ -101,7 +101,8 @@ object Bench {
     "q201_cluster_census", "q202_freq_spectrum", "q203_rater_kappa",
     "q204_threshold_sweep", "q205_triplet_mining", "q206_char_sets",
     "q207_markov_transitions", "q208_burst_detect",
-    "q209_shacl_qualified", "q210_modularity",
+    "q209_shacl_qualified", "q210_modularity", "q211_viterbi_segment",
+    "q212_int8_quant", "q213_greedy_gap",
     "x_bpe_train", "x_bpe_encode",
     "x_minhash_lsh_dedup", "x_ngram_jaccard_lsh", "x_simhash_dedup",
     "x_embedding_neardup", "x_ann_brute", "x_ann_lsh", "x_ann_ivf",

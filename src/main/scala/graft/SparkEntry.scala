@@ -171,6 +171,13 @@ object SparkEntry {
           col("dnn").getItem(1).as("n2a"),
           col("dnn").getItem(2).as("n2b"))
     }),
+    // symmetric int8 quantization census per embedding vector: max-abs
+    // scale, total/worst reconstruction error and underflow count in
+    // the micro-unit integer regime — the 4x-compression pre-flight
+    // report; row-local (no shuffle), sanctioned once-per-row lambdas
+    "q212_int8_quant" -> ((s, d) =>
+      Similarity.int8QuantCensus(t(s, d, "embeddings"))
+        .select("vec_id", "dim", "scale_us", "sum_err_us", "max_err_us", "n_underflow")),
     // corpus-curation primitives (Gopher-style repetition filter stats;
     // deterministic md5-bucket stratified source downsampling) — both
     // integer/md5-exact, DuckDB-oracle-checked
@@ -1209,6 +1216,41 @@ object SparkEntry {
       val words = docs.select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("word"))
         .where(col("word") =!= "")
       Bpe.wordpieceSegment(words).select("word", "tokens", "ntok")
+    }),
+    // unigram-LM Viterbi segmentation census: the OPTIMAL min-cost
+    // segmentation per word type over the q189 unit inventory with
+    // length-derived integer costs (singles 100, bigrams 150,
+    // trigrams 220) plus the optimal-path tie count — the subword
+    // triad's third tokenizer (BPE merge replay / WordPiece greedy /
+    // unigram Viterbi); occurrence weights join back per type
+    "q211_viterbi_segment" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tok = docs.select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("word"))
+        .where(col("word") =!= "")
+      val occ = tok.groupBy(col("word"))
+        .agg(count(lit(1)).cast("bigint").as("n_occ"))
+      Bpe.viterbiSegmentCensus(occ.select(col("word")))
+        .join(occ, Seq("word"))
+        .select("word", "n_occ", "len", "min_cost", "n_best")
+    }),
+    // greedy-vs-optimal tokenizer gap: q189's WordPiece segmentation
+    // costed under the q211 unit-cost model (a once-per-row lambda
+    // over the token list — greedy emits ONE segmentation, so its
+    // cost is just that path's sum) joined against the Viterbi
+    // optimum; excess >= 0 by construction (the optimum ranges over
+    // all segmentations incl. greedy's) — the report that tells a
+    // tokenizer owner where longest-match loses and by how much
+    "q213_greedy_gap" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val words = docs.select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("word"))
+        .where(col("word") =!= "")
+      val greedy = Bpe.wordpieceSegment(words)
+        .select(col("word"),
+          expr("aggregate(split(tokens, ','), 0L, (s, t) -> s + IF(length(t) = 1, 100L, 70L * length(t) + 10L))").as("greedy_cost"))
+      Bpe.viterbiSegmentCensus(words)
+        .join(greedy, Seq("word"))
+        .select(col("word"), col("greedy_cost"), col("min_cost"),
+          (col("greedy_cost") - col("min_cost")).as("excess"))
     }),
     // SPARQL total term ordering: a five-kind residue ladder (unbound,
     // bnode, IRI, signed xsd:integer literal, plain literal) ranked
@@ -5539,6 +5581,84 @@ object SparkEntry {
        |FROM walk WHERE pos = length(word)""".stripMargin
   }
 
+  /** DuckDB twin of q211 (Viterbi segmentation): the DP unrolled as
+    * j-indexed CTE rounds (the q56/q68 discipline — round counts are
+    * FIXED by the maxWordLen cap of 16; rounds past the data's max
+    * length are empty identities, so cap >= data-max keeps both
+    * engines value-identical; words longer than the cap are FILTERED
+    * on both sides, never truncated). Each round: single-char lane +
+    * one branch per unit length with literal (j−L) layer references,
+    * then min + argmin ways-sum. cand/dp CTEs are multi-consumed
+    * (min + argmin; the next maxUnitLen rounds + final) →
+    * MATERIALIZED (the q71 rule); ways sums cast back to BIGINT per
+    * layer (the q70 HUGEINT rule). Unit costs are literal
+    * 70·L + 10 per branch — a pure length function, so the shared
+    * [[graft.pipeline.Bpe.WordpieceUnits]] VALUES list needs no cost
+    * column (the q36 shared-constant rule).
+    */
+  private def q211Sql(maxLen: Int = 16): String = {
+    val unitVals = graft.pipeline.Bpe.WordpieceUnits.map(u => s"('$u')").mkString(", ")
+    val unitLens = graft.pipeline.Bpe.WordpieceUnits.map(_.length).distinct.sorted
+    val rounds = (1 to maxLen).map { j =>
+      val lanes = Seq(
+        s"""  SELECT word, cost + ${graft.pipeline.Bpe.ViterbiCharCost} AS cost, ways
+           |  FROM dp${j - 1} WHERE length(word) >= $j""".stripMargin) ++
+        unitLens.filter(_ <= j).map { l =>
+          s"""  SELECT d.word, d.cost + ${graft.pipeline.Bpe.viterbiUnitCost(l)} AS cost, d.ways
+             |  FROM dp${j - l} d JOIN units u ON length(u.u) = $l
+             |    AND u.u = substring(d.word, ${j - l + 1}, $l)
+             |  WHERE length(d.word) >= $j""".stripMargin
+        }
+      s"""cand$j AS MATERIALIZED (
+         |${lanes.mkString("\n  UNION ALL\n")}
+         |), dpm$j AS (SELECT word, min(cost) AS cost FROM cand$j GROUP BY word),
+         |dp$j AS MATERIALIZED (
+         |  SELECT c.word, m.cost, CAST(sum(c.ways) AS BIGINT) AS ways
+         |  FROM cand$j c JOIN dpm$j m ON m.word = c.word AND m.cost = c.cost
+         |  GROUP BY c.word, m.cost
+         |)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to maxLen).map(j =>
+      s"  SELECT word, cost, ways FROM dp$j WHERE length(word) = $j")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS n_occ
+       |  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       |    x -> x <> '')) AS word FROM documents) t0
+       |  WHERE length(word) BETWEEN 1 AND $maxLen
+       |  GROUP BY word),
+       |units(u) AS (VALUES $unitVals),
+       |dp0 AS MATERIALIZED (
+       |  SELECT word, CAST(0 AS BIGINT) AS cost, CAST(1 AS BIGINT) AS ways FROM words),
+       |$rounds,
+       |fin AS (
+       |$finals
+       |)
+       |SELECT w.word, w.n_occ, CAST(length(w.word) AS BIGINT) AS len,
+       |  f.cost AS min_cost, f.ways AS n_best
+       |FROM words w JOIN fin f ON f.word = w.word""".stripMargin
+  }
+
+  /** DuckDB twin of q213 (greedy-vs-optimal gap): both tokenizer
+    * chains nested as full-statement subqueries (their WITHs scope
+    * inside the parens), the greedy path costed token-by-token under
+    * the identical length-cost CASE, then one word-keyed join. Both
+    * subquery results are multi-referenced conceptually — mark them
+    * MATERIALIZED (the q71 rule) so DuckDB never inlines the
+    * recursive walk or the 16-round DP twice.
+    */
+  private def q213Sql: String =
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT word, CAST(list_sum(list_transform(string_split(tokens, ','),
+       |    t -> CASE WHEN length(t) = 1 THEN 100 ELSE 70 * length(t) + 10 END)) AS BIGINT) AS greedy_cost
+       |  FROM ( $q189Sql ) t189
+       |), o AS MATERIALIZED (
+       |  SELECT word, min_cost FROM ( ${q211Sql()} ) t211
+       |)
+       |SELECT g.word, g.greedy_cost, o.min_cost,
+       |  g.greedy_cost - o.min_cost AS excess
+       |FROM g JOIN o ON o.word = g.word""".stripMargin
+
   /** DuckDB twin of q190 (term ordering): the same five-key ladder —
     * kind rank, numeric-literal flag, guarded BIGINT decode, lexical
     * form, doc_id tiebreak — with substring tests instead of LIKE
@@ -7994,6 +8114,8 @@ object SparkEntry {
     "q187_link_coherence" -> q187Sql,
     "q188_interval_coalesce" -> q188Sql,
     "q189_wordpiece" -> q189Sql,
+    "q211_viterbi_segment" -> q211Sql(),
+    "q213_greedy_gap" -> q213Sql,
     "q190_term_order" -> q190Sql,
     "q191_rule_mining" -> q191Sql,
     "q192_eccentricity" -> q192Sql,
@@ -8332,6 +8454,25 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(l.v, x -> x * x)) AS BIGINT) AS n2a,
         |  CAST(list_sum(list_transform(r.v, x -> x * x)) AS BIGINT) AS n2b
         |FROM qv l, qv r WHERE l.vec_id < r.vec_id""".stripMargin,
+    // independent relational formulation (unnest + two aggregates) of
+    // the Spark side's row-local lambda census; the error expression
+    // carries IDENTICAL parenthesization both sides (the q47
+    // left-to-right div rule) and every operand is non-negative (the
+    // q62 // == div regime)
+    "q212_int8_quant" ->
+      """WITH x AS (
+        |  SELECT vec_id, abs(CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS a
+        |  FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings) t0
+        |), s AS (
+        |  SELECT vec_id, CAST(count(*) AS BIGINT) AS dim,
+        |    greatest(max(a), 1) AS scale FROM x GROUP BY vec_id
+        |)
+        |SELECT x.vec_id, s.dim, CAST(s.scale AS BIGINT) AS scale_us,
+        |  CAST(sum(x.a - ((x.a * 127) // s.scale) * s.scale // 127) AS BIGINT) AS sum_err_us,
+        |  CAST(max(x.a - ((x.a * 127) // s.scale) * s.scale // 127) AS BIGINT) AS max_err_us,
+        |  CAST(sum(CASE WHEN x.a > 0 AND (x.a * 127) // s.scale = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_underflow
+        |FROM x JOIN s ON s.vec_id = x.vec_id
+        |GROUP BY x.vec_id, s.dim, s.scale""".stripMargin,
     "q21_simhash_pairs_md5" -> q21Sql,
     "q22_wordset_lsh_md5" -> minhashLshSql(width = 1, threshold = 0.5),
     "q23_ntriples_sink_docs" -> q23Sql,

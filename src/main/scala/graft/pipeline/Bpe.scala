@@ -271,4 +271,95 @@ object Bpe {
       .where(col("i") === 0 && col("j") === length(col("word")))
       .select(col("word"), col("toks").as("tokens"), col("ntok"))
   }
+
+  /** Integer unit costs for [[viterbiSegmentCensus]] — a pure
+    * function of unit LENGTH (70·len + 10: bigrams 150, trigrams
+    * 220) so the oracle needs no per-unit cost table, just the
+    * shared [[WordpieceUnits]] VALUES list and literal per-length
+    * costs; single characters (the implicit universal fallback) cost
+    * [[ViterbiCharCost]]. Two singles (200) beat nothing a bigram
+    * (150) covers, three singles (300) lose to any trigram (220) or
+    * bigram+single (250) — real min-cost structure with reachable
+    * ties (two unit tilings at equal cost), which is what `n_best`
+    * counts.
+    */
+  val ViterbiCharCost = 100L
+  def viterbiUnitCost(len: Int): Long = 70L * len + 10L
+
+  /** Unigram-LM Viterbi segmentation census — the OPTIMAL min-cost
+    * segmentation per word type under an additive unit-cost model
+    * (what SentencePiece's unigram tokenizer computes at inference
+    * with costs = −log p), completing the subword triad: q25 BPE
+    * (merge replay), q189 WordPiece (greedy longest-match), q211
+    * Viterbi (global optimum — greedy is suboptimal exactly where
+    * these two reports disagree). Output per word type: (word, len,
+    * min_cost, n_best) where n_best counts the distinct optimal
+    * segmentations (the tie census — a training-data tokenizer wants
+    * to know where its segmentation is non-unique).
+    *
+    * Relational DP, one round per position j = 1..maxLen (bounded by
+    * the LONGEST word, not the corpus): layer j's candidates are the
+    * single-char fallback from layer j−1 (pure projection, no join)
+    * plus one broadcast EQUI-join per distinct unit length — the
+    * substring key has CONSTANT start and length per (j, L) lane, so
+    * every lane is a hash join (the q189 lesson: a variable-length
+    * key degrades to a nested-loop compare). Then one min groupBy
+    * and one argmin ways-sum per round, both map-side-combinable on
+    * the word key; each layer is checkpointed (the q26 lineage
+    * lesson) and later rounds touch only layers j−maxUnitLen..j−1.
+    * Words are DISTINCT'd first (tokenize each type once — the
+    * production trick); per-word work is corpus-independent.
+    * Words longer than maxWordLen are excluded from the census on
+    * BOTH engine sides (a documented filter, not a truncation); the
+    * round count derives from the DATA's max length via one scalar
+    * aggregate (the capped-reduce discipline, Bpe.scala BPE-merge
+    * precedent).
+    */
+  def viterbiSegmentCensus(wordsDf: DataFrame, units: Seq[String] = WordpieceUnits,
+      maxWordLen: Int = 16): DataFrame = {
+    require(units.nonEmpty && units.forall(u => u.length >= 2 && u.length <= 8),
+      "units must be multi-character (single chars are implicit), len <= 8")
+    require(maxWordLen >= 1 && maxWordLen <= 32, "maxWordLen in [1,32]")
+    val spark = wordsDf.sparkSession
+    import spark.implicits._
+    val words = wordsDf.select(col("word").cast("string").as("word")).distinct()
+      .where(length(col("word")).between(1, maxWordLen))
+      .localCheckpoint(true) // consumed every round + the final join
+    val dataMax = words.agg(max(length(col("word"))).as("m")).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Int]))
+      .getOrElse(0)
+    val unitLens = units.map(_.length).distinct.sorted
+    val unitsByLen = unitLens.map(l =>
+      l -> broadcast(units.filter(_.length == l).toDF("unit"))).toMap
+    // layers(j) = (word, cost, ways): min cost to cover positions
+    // 1..j and the optimal-path count; layer 0 is the empty prefix
+    var layers = Vector(words.select(col("word"),
+      lit(0L).as("cost"), lit(1L).as("ways")))
+    for (j <- 1 to dataMax) {
+      val single = layers(j - 1).where(length(col("word")) >= j)
+        .select(col("word"), (col("cost") + ViterbiCharCost).as("cost"),
+          col("ways"))
+      val lanes = unitLens.filter(_ <= j).map { l =>
+        layers(j - l).where(length(col("word")) >= j)
+          .join(unitsByLen(l),
+            expr(s"substring(word, ${j - l + 1}, $l)") === col("unit"))
+          .select(col("word"),
+            (col("cost") + lit(viterbiUnitCost(l))).as("cost"), col("ways"))
+      }
+      val cand = (single +: lanes).reduceLeft(_ unionByName _)
+      val best = cand.groupBy(col("word")).agg(min(col("cost")).as("cost"))
+      layers = layers :+ cand.join(best, Seq("word", "cost"))
+        .groupBy(col("word"), col("cost"))
+        .agg(sum(col("ways")).cast("bigint").as("ways"))
+        .localCheckpoint(true)
+    }
+    val finals = (1 to dataMax).map(j =>
+      layers(j).where(length(col("word")) === j))
+    if (finals.isEmpty)
+      words.select(col("word"), length(col("word")).cast("bigint").as("len"),
+        lit(0L).as("min_cost"), lit(0L).as("n_best")).where(lit(false))
+    else finals.reduceLeft(_ unionByName _)
+      .select(col("word"), length(col("word")).cast("bigint").as("len"),
+        col("cost").as("min_cost"), col("ways").as("n_best"))
+  }
 }

@@ -517,6 +517,63 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("ingestion", "ing,es,tio,n", 4L)), got.toString)
   }
 
+  test("greedy-vs-viterbi gap: greedy cost >= optimum, excess exact where longest-match loses") {
+    val s = spark
+    import s.implicits._
+    val words = Seq("ingestion", "thing", "x").toDF("word")
+    val greedy = Bpe.wordpieceSegment(words)
+      .select(col("word"),
+        expr("aggregate(split(tokens, ','), 0L, (s, t) -> s + IF(length(t) = 1, 100L, 70L * length(t) + 10L))").as("greedy_cost"))
+    val got = Bpe.viterbiSegmentCensus(words).join(greedy, Seq("word"))
+      .select(col("word"), col("greedy_cost"), col("min_cost"),
+        (col("greedy_cost") - col("min_cost")).as("excess"))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("greedy_cost"),
+        r.getAs[Long]("min_cost"), r.getAs[Long]("excess"))).toSet
+    assert(got == Set(
+      // greedy ing|es|tio|n = 690 (tio strands the final n); optimal
+      // ing|es|ti|on = 220+150+150+150 = 670
+      ("ingestion", 690L, 670L, 20L),
+      // greedy th|ing = 370 IS the optimum (t|hi ties midway but loses by the end)
+      ("thing", 370L, 370L, 0L),
+      ("x", 100L, 100L, 0L)), got.toString)
+  }
+
+  test("int8QuantCensus: exact micro-unit errors, underflow count, zero-vector scale guard") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (1L, Seq(0.001f, -0.0005f, 0.0f)), // a=[1000,500,0]: 500->q63->recon496, err 4
+      (2L, Seq(1.0f, 0.000001f)),        // a=[1000000,1]: 1 quantizes to 0 -> underflow
+      (3L, Seq(0.0f, 0.0f))              // zero vector: scale clamps to 1, all zero
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.int8QuantCensus(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == Set(
+      (1L, 3L, 1000L, 4L, 4L, 0L),
+      (2L, 2L, 1000000L, 1L, 1L, 1L),
+      (3L, 2L, 1L, 0L, 0L, 0L)), got.toString)
+  }
+
+  test("viterbiSegmentCensus: global min cost beats greedy; ties counted; duplicates collapse") {
+    val s = spark
+    import s.implicits._
+    val words = Seq("ter", "ingo", "xq", "a", "ation", "ter").toDF("word")
+    val got = Bpe.viterbiSegmentCensus(words).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("len"),
+        r.getAs[Long]("min_cost"), r.getAs[Long]("n_best"))).toSet
+    assert(got == Set(
+      // te+r == t+er tie at 250 (three singles would be 300)
+      ("ter", 3L, 250L, 2L),
+      // ing(220)+o(100): the trigram lane reaching back 3 positions
+      ("ingo", 4L, 320L, 1L),
+      // no unit covers anything: pure single-char fallback
+      ("xq", 2L, 200L, 1L),
+      ("a", 1L, 100L, 1L),
+      // ati|on (220+150) ties at|ion (150+220); at+io+n is 400
+      ("ation", 5L, 370L, 2L)), got.toString)
+  }
+
   test("eccentricity: per-seed exact BFS depth; cap-equals-ecc legal; truncation throws") {
     val s = spark
     import s.implicits._
