@@ -178,6 +178,15 @@ object SparkEntry {
     "q212_int8_quant" -> ((s, d) =>
       Similarity.int8QuantCensus(t(s, d, "embeddings"))
         .select("vec_id", "dim", "scale_us", "sum_err_us", "max_err_us", "n_underflow")),
+    // content-defined chunking dedup census (the FastCDC/LBFS storage
+    // primitive): boundaries where the trailing 8-char window's
+    // Buzhash clears the 5-bit mask — the codegen'd rolling kernel
+    // (the fourth Catalyst expression), chunks by gaps between
+    // boundaries (+ the tail), corpus-wide duplicated-chunk census
+    // with saved-char accounting
+    "q214_cdc_chunks" -> ((s, d) =>
+      Dedup.cdcChunkCensus(t(s, d, "documents"))
+        .select("chunk_key", "chunk_len", "n_copies", "n_docs", "saved_chars")),
     // corpus-curation primitives (Gopher-style repetition filter stats;
     // deterministic md5-bucket stratified source downsampling) — both
     // integer/md5-exact, DuckDB-oracle-checked
@@ -5659,6 +5668,63 @@ object SparkEntry {
        |  g.greedy_cost - o.min_cost AS excess
        |FROM g JOIN o ON o.word = g.word""".stripMargin
 
+  /** DuckDB twin of q214 (CDC census): the Buzhash window hash
+    * restated PER POSITION in closed form — h(i) = XOR of
+    * rotl32(T[char], k) over the trailing window, with T the shared
+    * [[graft.functions.CdcHasher.Table]] spliced as unsigned VALUES
+    * (the q36 shared-constant rule) and indexed through a one-row
+    * cross-joined list (1-based, ascii() codepoints — the ASCII
+    * corpus contract the Spark kernel's byte positions also rest
+    * on). rotl is shift/or/mask on non-negative BIGINTs < 2^32 —
+    * identical operators both engines; the power-of-two mask test is
+    * sound because rotate-XOR mixes low bits (a polynomial hash
+    * would not). Ends = boundaries UNION {len} (set UNION mirrors
+    * the Spark side's array_union dedup of a boundary at len), chunk
+    * spans by lag window on the unique per-doc end ordering, census
+    * by (12-hex md5 prefix, len) — the q45 prefix-as-string rule;
+    * range(w, len+1) == sequence(w, len) (half-open vs inclusive,
+    * the q82 note).
+    */
+  private def q214Sql(width: Int = 8, maskBits: Int = 5): String = {
+    val tVals = graft.functions.CdcHasher.Table.zipWithIndex
+      .map { case (v, b) => s"($b, ${v.toLong & 0xFFFFFFFFL})" }.mkString(", ")
+    def term(k: Int): String = {
+      val t = s"tv[ascii(substring(text, i - $k, 1)) + 1]"
+      if (k == 0) t else s"((($t << $k) | ($t >> ${32 - k})) & 4294967295)"
+    }
+    val hashExpr = (1 until width).foldLeft(term(0))((acc, k) => s"xor($acc, ${term(k)})")
+    val mask = (1 << maskBits) - 1
+    s"""WITH d AS (
+       |  SELECT doc_id, text FROM documents WHERE length(text) >= 1
+       |), tvals(b, v) AS (VALUES $tVals),
+       |tl AS (SELECT list(v ORDER BY b) AS tv FROM tvals),
+       |b AS (
+       |  SELECT doc_id, i FROM (
+       |    SELECT doc_id, text, unnest(range($width, length(text) + 1)) AS i
+       |    FROM d WHERE length(text) >= $width) t0, tl
+       |  WHERE (($hashExpr) & $mask) = 0
+       |), e AS (
+       |  SELECT doc_id, i AS e FROM b
+       |  UNION
+       |  SELECT doc_id, length(text) FROM d
+       |), c AS (
+       |  SELECT doc_id,
+       |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS s, e
+       |  FROM e
+       |), ch AS (
+       |  SELECT c.doc_id,
+       |    substring(md5(substring(d.text, c.s + 1, c.e - c.s)), 1, 12) AS chunk_key,
+       |    CAST(c.e - c.s AS BIGINT) AS chunk_len
+       |  FROM c JOIN d USING (doc_id)
+       |)
+       |SELECT chunk_key, chunk_len,
+       |  CAST(count(*) AS BIGINT) AS n_copies,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST((count(*) - 1) * chunk_len AS BIGINT) AS saved_chars
+       |FROM ch GROUP BY chunk_key, chunk_len
+       |HAVING count(*) >= 2""".stripMargin
+  }
+
   /** DuckDB twin of q190 (term ordering): the same five-key ladder —
     * kind rank, numeric-literal flag, guarded BIGINT decode, lexical
     * form, doc_id tiebreak — with substring tests instead of LIKE
@@ -8454,6 +8520,7 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(l.v, x -> x * x)) AS BIGINT) AS n2a,
         |  CAST(list_sum(list_transform(r.v, x -> x * x)) AS BIGINT) AS n2b
         |FROM qv l, qv r WHERE l.vec_id < r.vec_id""".stripMargin,
+    "q214_cdc_chunks" -> q214Sql(),
     // independent relational formulation (unnest + two aggregates) of
     // the Spark side's row-local lambda census; the error expression
     // carries IDENTICAL parenthesization both sides (the q47

@@ -130,6 +130,24 @@ object GraftFunctions {
     MultiFindCount(children.head, pats)
   }
 
+  val cdcIdent: FunctionIdentifier = FunctionIdentifier("cdc_boundary_ends")
+  private val cdcInfo =
+    new ExpressionInfo(classOf[CdcBoundaryEnds].getName, "cdc_boundary_ends")
+  private val cdcBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 3,
+      s"cdc_boundary_ends expects (text, width, maskBits), got ${children.size}")
+    def intLit(e: Expression, what: String): Int = {
+      require(e.foldable, s"cdc_boundary_ends $what must be an integer literal")
+      e.eval() match {
+        case i: Int => i
+        case other =>
+          throw new IllegalArgumentException(s"$what integer literal expected, got $other")
+      }
+    }
+    CdcBoundaryEnds(children.head, intLit(children(1), "width"),
+      intLit(children(2), "maskBits"))
+  }
+
   def register(spark: SparkSession): Unit = {
     val fr = spark.sessionState.functionRegistry
     if (!fr.functionExists(dotNormsIdent))
@@ -138,6 +156,8 @@ object GraftFunctions {
       fr.registerFunction(nfcIdent, nfcInfo, nfcBuilder)
     if (!fr.functionExists(mfcIdent))
       fr.registerFunction(mfcIdent, mfcInfo, mfcBuilder)
+    if (!fr.functionExists(cdcIdent))
+      fr.registerFunction(cdcIdent, cdcInfo, cdcBuilder)
   }
 
   private[functions] def description =
@@ -148,6 +168,9 @@ object GraftFunctions {
 
   private[functions] def mfcDescription =
     (mfcIdent, mfcInfo, mfcBuilder)
+
+  private[functions] def cdcDescription =
+    (cdcIdent, cdcInfo, cdcBuilder)
 }
 
 /** `SparkSessionExtensions` installer — the deployment-grade hook:
@@ -161,5 +184,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.description)
     ext.injectFunction(GraftFunctions.nfcDescription)
     ext.injectFunction(GraftFunctions.mfcDescription)
+    ext.injectFunction(GraftFunctions.cdcDescription)
   }
 }

@@ -561,4 +561,55 @@ object Dedup {
         col("szb").cast("bigint").as("szb"),
         expr("CAST(ic * 10000 div least(sza, szb) AS BIGINT)").as("contain_bp"))
   }
+
+  /** Content-defined chunking dedup census — the storage-layer dedup
+    * primitive (the FastCDC/LBFS family): chunk boundaries are set by
+    * the CONTENT (positions whose trailing `width`-char window hash
+    * clears a bit mask), not by fixed offsets, so a one-char insert
+    * shifts only the chunk it lands in — fixed-width chunking (q57)
+    * re-aligns everything downstream and loses every duplicate after
+    * the edit point. maskBits = 5 ⇒ boundary probability 1/32 ⇒
+    * mean chunk ≈ 32 chars on top of the window. No min/max clamp:
+    * the clamped variants are greedy-sequential (boundary suppression
+    * depends on the previous accepted boundary) and don't fit a
+    * relational plan; the unclamped rule is the classic LBFS form.
+    *
+    * Shape: boundary positions come from the codegen'd Buzhash
+    * rolling kernel [[graft.functions.CdcBoundaryEnds]] — O(1) per
+    * position inside the whole-stage span (the md5-per-position
+    * lambda formulation of the identical rule measured 10.4s at
+    * sf0.1; the kernel replaces 8-char digests with a table lookup +
+    * rotate + two XORs). Ends = boundaries ∪ {len} (array_union
+    * dedups the boundary-at-len case — mirrored by the oracle's
+    * UNION), chunks by zip_with over the shifted ends, then ONE
+    * corpus-wide map-side-combinable census groupBy on the chunk
+    * hash. Docs shorter than the window emit their whole text as one
+    * chunk. Output: duplicated chunks only —
+    * (chunk_key, chunk_len, n_copies, n_docs, saved_chars).
+    */
+  def cdcChunkCensus(documents: DataFrame, width: Int = 8,
+      maskBits: Int = 5): DataFrame = {
+    require(width >= 2 && width <= 31, "width in [2,31]")
+    require(maskBits >= 1 && maskBits <= 24, "maskBits in [1,24]")
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val docs = documents.select(col("doc_id").cast("bigint").as("doc_id"),
+        coalesce(col("text").cast("string"), lit("")).as("text"))
+      .where(length(col("text")) >= 1)
+    val ends = docs.select(col("doc_id"), col("text"), expr(
+      s"""array_union(cdc_boundary_ends(text, $width, $maskBits),
+         |  array(length(text)))""".stripMargin).as("ends"))
+    val chunks = ends.select(col("doc_id"), expr(
+      """zip_with(concat(array(0), slice(ends, 1, size(ends) - 1)), ends,
+        |  (s, e) -> substring(text, s + 1, e - s))""".stripMargin).as("chunks"))
+    chunks.select(col("doc_id"), explode(col("chunks")).as("chunk"))
+      .select(col("doc_id"),
+        substring(md5(col("chunk")), 1, 12).as("chunk_key"),
+        length(col("chunk")).cast("bigint").as("chunk_len"))
+      .groupBy(col("chunk_key"), col("chunk_len"))
+      .agg(count(lit(1)).cast("bigint").as("n_copies"),
+        countDistinct(col("doc_id")).cast("bigint").as("n_docs"))
+      .where(col("n_copies") >= 2)
+      .select(col("chunk_key"), col("chunk_len"), col("n_copies"), col("n_docs"),
+        ((col("n_copies") - 1) * col("chunk_len")).cast("bigint").as("saved_chars"))
+  }
 }

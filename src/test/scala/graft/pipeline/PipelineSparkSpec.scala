@@ -517,6 +517,34 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("ingestion", "ing,es,tio,n", 4L)), got.toString)
   }
 
+  test("cdcChunkCensus: short-doc whole-text chunk exact; content-defined boundaries re-sync after a prepend shift") {
+    val s = spark
+    import s.implicits._
+    // varied text (no repeated windows): with maskBits=3 the ~300
+    // distinct windows make a zero-boundary draw astronomically
+    // unlikely (0.88^292), unlike a repeated motif whose ~45 distinct
+    // windows can all miss the mask
+    val t = (0 until 300).map(i => ('a' + (i * 7 + i / 3) % 26).toChar).mkString
+    val docs = Seq(
+      (1L, t),
+      (2L, "x" + t),     // one-char prepend: CDC re-syncs after the first
+                         // content boundary — fixed-width chunking would
+                         // share nothing with doc 1
+      (3L, "abc"), (4L, "abc") // below window width: whole-text chunks
+    ).toDF("doc_id", "text")
+    val got = Dedup.cdcChunkCensus(docs, width = 8, maskBits = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // md5("abc") = 900150983cd24fb0... — the short-doc pair, exact
+    val abc = got.filter(_._1 == "900150983cd2")
+    assert(abc.toSeq == Seq(("900150983cd2", 3L, 2L, 2L, 3L)), got.mkString(";"))
+    // every duplicated chunk reports >= 2 copies and positive savings
+    assert(got.forall(r => r._3 >= 2 && r._5 == (r._3 - 1) * r._2), got.mkString(";"))
+    // the CDC property: despite the 1-char shift, docs 1 and 2 share
+    // at least one content-aligned chunk (n_docs == 2 beyond the abc pair)
+    assert(got.exists(r => r._1 != "900150983cd2" && r._4 == 2L), got.mkString(";"))
+  }
+
   test("greedy-vs-viterbi gap: greedy cost >= optimum, excess exact where longest-match loses") {
     val s = spark
     import s.implicits._
