@@ -178,6 +178,20 @@ object SparkEntry {
     "q212_int8_quant" -> ((s, d) =>
       Similarity.int8QuantCensus(t(s, d, "embeddings"))
         .select("vec_id", "dim", "scale_us", "sum_err_us", "max_err_us", "n_underflow")),
+    // edit-distance-1 pairs via deletion-neighborhood (FastSS)
+    // blocking — typo-tolerant ER matching; the corpus vocabulary has
+    // no natural distance-1 pairs, so the input is augmented with the
+    // deterministic last-char truncation of every >= 5-char word type
+    // (each truncation pairs with its original at distance exactly 1,
+    // both engines build the identical augmented set)
+    "q215_edit1_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val w = docs.select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("word"))
+        .where(col("word") =!= "").distinct()
+      val aug = w.unionByName(w.where(length(col("word")) >= 5)
+        .select(expr("substring(word, 1, length(word) - 1)").as("word")))
+      Dedup.editDistance1Pairs(aug).select("a", "b", "dist")
+    }),
     // content-defined chunking dedup census (the FastCDC/LBFS storage
     // primitive): boundaries where the trailing 8-char window's
     // Buzhash clears the 5-bit mask — the codegen'd rolling kernel
@@ -8521,6 +8535,24 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(r.v, x -> x * x)) AS BIGINT) AS n2b
         |FROM qv l, qv r WHERE l.vec_id < r.vec_id""".stripMargin,
     "q214_cdc_chunks" -> q214Sql(),
+    // independent ALL-PAIRS formulation over the identically augmented
+    // word set (vocabulary-sized — fine oracle-side; the Spark side's
+    // deletion blocking is the scale path): both engines' levenshtein
+    // is the classic unweighted DP, integer-equal
+    "q215_edit1_pairs" ->
+      """WITH w0 AS (
+        |  SELECT DISTINCT word FROM (
+        |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS word FROM documents) t0
+        |), aug AS (
+        |  SELECT word FROM w0
+        |  UNION
+        |  SELECT substring(word, 1, length(word) - 1) FROM w0 WHERE length(word) >= 5
+        |)
+        |SELECT a.word AS a, b.word AS b,
+        |  CAST(levenshtein(a.word, b.word) AS BIGINT) AS dist
+        |FROM aug a JOIN aug b ON a.word < b.word
+        |WHERE levenshtein(a.word, b.word) <= 1""".stripMargin,
     // independent relational formulation (unnest + two aggregates) of
     // the Spark side's row-local lambda census; the error expression
     // carries IDENTICAL parenthesization both sides (the q47

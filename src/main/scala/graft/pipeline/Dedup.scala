@@ -562,6 +562,53 @@ object Dedup {
         expr("CAST(ic * 10000 div least(sza, szb) AS BIGINT)").as("contain_bp"))
   }
 
+  /** Edit-distance-1 word pairs via deletion-neighborhood blocking
+    * (the FastSS technique) — the typo-tolerant matching primitive
+    * entity resolution wants where exact/hash blocking (q8) can't see
+    * a one-character variant. Two distinct words are within
+    * Levenshtein distance 1 IFF their deletion neighborhoods
+    * intersect, where the neighborhood is the word itself plus every
+    * single-character deletion: a substitution at i shares both
+    * words' delete-at-i variant; an insertion/deletion shares the
+    * shorter word itself — so blocking on the exploded neighborhood
+    * is LOSSLESS for distance ≤ 1, never a recall gamble like LSH.
+    * The levenshtein verify on candidates is belt-and-braces (it
+    * also drops distance-2 pairs that collide on a variant, e.g.
+    * "ab"/"ba" sharing "a" — deletion-BLOCKING overshoots, the
+    * verify is the contract).
+    *
+    * Scale shape: neighborhoods are built once per DISTINCT word
+    * type (a once-per-row transform over ≤ len+1 short strings — the
+    * sanctioned small-array lambda), one variant-keyed equi-join,
+    * distinct (a, b) candidates, then the codegen levenshtein
+    * verify. Variant keys are skew-light (a variant has at most
+    * alphabet+1 preimages of each length). Both engines implement
+    * classic unweighted Levenshtein — integer-equal (the oracle is
+    * the independent all-pairs formulation).
+    *
+    * Input: a (word) frame. Output: (a, b, dist) with a < b,
+    * dist ∈ {0 is impossible on distinct types, so 1}.
+    */
+  def editDistance1Pairs(wordsDf: DataFrame, maxWordLen: Int = 24): DataFrame = {
+    val words = wordsDf.select(col("word").cast("string").as("word")).distinct()
+      .where(length(col("word")).between(1, maxWordLen))
+    val nbr = words.select(col("word"), explode(expr(
+      """array_union(
+        |  array(word),
+        |  transform(sequence(1, length(word)),
+        |    i -> concat(substring(word, 1, i - 1), substring(word, i + 1, length(word)))))"""
+        .stripMargin)).as("v"))
+      .localCheckpoint(true) // consumed by BOTH self-join legs — one
+                             // distinct-words shuffle, not two
+    val cand = nbr.select(col("word").as("a"), col("v"))
+      .join(nbr.select(col("word").as("b"), col("v")), Seq("v"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    cand.select(col("a"), col("b"),
+        levenshtein(col("a"), col("b")).cast("bigint").as("dist"))
+      .where(col("dist") <= 1)
+  }
+
   /** Content-defined chunking dedup census — the storage-layer dedup
     * primitive (the FastCDC/LBFS family): chunk boundaries are set by
     * the CONTENT (positions whose trailing `width`-char window hash

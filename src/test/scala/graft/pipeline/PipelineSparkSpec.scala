@@ -517,6 +517,23 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("ingestion", "ing,es,tio,n", 4L)), got.toString)
   }
 
+  test("editDistance1Pairs: sub/ins/del all found via deletion blocking; transposition collides but verify drops it") {
+    val s = spark
+    import s.implicits._
+    val words = Seq("cat", "cut", "cats", "at", "dog", "ab", "ba", "cat").toDF("word")
+    val got = Dedup.editDistance1Pairs(words).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("dist"))).toSet
+    assert(got == Set(
+      ("cat", "cut", 1L),   // substitution: shared delete-at-2 variant "ct"
+      ("cat", "cats", 1L),  // insertion: "cat" is in "cats"'s neighborhood
+      ("at", "cat", 1L),    // deletion
+      ("ab", "at", 1L)),    // substitution at 2 via shared "a"
+      got.toString)
+    // "ab"/"ba" (distance 2, a transposition) shares variant "a" — a
+    // candidate the blocking overshoots and the verify must drop
+    assert(!got.exists(p => p._1 == "ab" && p._2 == "ba"), got.toString)
+  }
+
   test("cdcChunkCensus: short-doc whole-text chunk exact; content-defined boundaries re-sync after a prepend shift") {
     val s = spark
     import s.implicits._
