@@ -2763,6 +2763,17 @@ object SparkEntry {
       GraphOps.modularityCensus(e, labels)
         .select("community", "n_nodes", "n_internal", "degree_sum", "mod_num")
     }),
+    // degree-assortativity sufficient statistics over the undirected
+    // q83 domain graph: the exact integer sums behind Newman's r
+    // (hub-mixing diagnostic) — raw sums, never a quotient (the q210
+    // discipline); one row
+    "q216_assortativity" -> ((s, d) => {
+      val g = SparkEntry.queries("q83_link_graph")(s, d)
+      GraphOps.assortativityStats(
+          g.where(col("src_domain") =!= col("dst_domain"))
+            .select(col("src_domain").as("a"), col("dst_domain").as("b")))
+        .select("m", "s_prod", "s_sum", "s_sq")
+    }),
     // daily growth accounting: new / returning / resurrected actives
     // + churn attributed to the day after — all equi-joins over the
     // distinct (user, day) grid, full calendar spine
@@ -4152,6 +4163,29 @@ object SparkEntry {
        |  CAST((SELECT m FROM mm) * 4 * coalesce(n_internal, 0)
        |    - degree_sum * degree_sum AS BIGINT) AS mod_num
        |FROM ds LEFT JOIN ei ON ei.community = ds.community""".stripMargin
+
+  /** DuckDB twin of q216 (assortativity stats): the q210 canonical
+    * edge set (e MATERIALIZED — degrees + stats join, the q71 rule),
+    * degree census via the doubled endpoint list, one global
+    * aggregate of the exact sums (HUGEINT cast back to BIGINT, the
+    * q70 rule).
+    */
+  private def q216Sql: String =
+    s"""WITH g AS MATERIALIZED (${q83Sql}),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT least(src_domain, dst_domain) AS u,
+       |    greatest(src_domain, dst_domain) AS v
+       |  FROM g WHERE src_domain <> dst_domain
+       |), deg AS (
+       |  SELECT node, count(*) AS d FROM (
+       |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+       |  GROUP BY node
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS m,
+       |  CAST(sum(du.d * dv.d) AS BIGINT) AS s_prod,
+       |  CAST(sum(du.d + dv.d) AS BIGINT) AS s_sum,
+       |  CAST(sum(du.d * du.d + dv.d * dv.d) AS BIGINT) AS s_sq
+       |FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v""".stripMargin
 
   /** DuckDB twin of q104 (HITS): the q83 directed domain graph, each
     * half-step unrolled as CTEs. Raw-sum CTEs are MATERIALIZED — each
@@ -8203,6 +8237,7 @@ object SparkEntry {
     "q194_shacl_path" -> q194Sql,
     "q209_shacl_qualified" -> q209Sql,
     "q210_modularity" -> q210Sql,
+    "q216_assortativity" -> q216Sql,
     // q195: k-anonymity equivalence classes under k=10, restated as a
     // plain HAVING; doc n_chars is never null so count(*) == count.
     "q195_k_anonymity" ->

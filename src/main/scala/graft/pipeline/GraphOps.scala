@@ -335,6 +335,35 @@ object GraphOps {
         sum(col("d")).cast("bigint").as("sum_deg"))
   }
 
+  /** Degree-assortativity sufficient statistics — the EXACT integer
+    * sums behind Newman's degree-correlation coefficient r (the
+    * hub-connects-to-hub vs hub-connects-to-leaf diagnostic that
+    * decides whether hub-capping strategies compound or cancel):
+    * over the canonical undirected edge set, m plus
+    * Σ dᵤ·dᵥ, Σ (dᵤ+dᵥ), Σ (dᵤ²+dᵥ²) — r is then
+    * [S₁/m − (S₂/2m)²] / [S₃/2m − (S₂/2m)²], a quotient of exact
+    * integers the CONSUMER forms (kept as raw sums, the q210
+    * no-FP-no-quotient discipline; every sum is BIGINT-safe while
+    * m·d² < 2⁶³). One degree shuffle, two node-keyed equi-joins,
+    * one global aggregate — no windows, no quadratic anything.
+    * Output: one row (m, s_prod, s_sum, s_sq).
+    */
+  def assortativityStats(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(
+        least(col("a").cast("string"), col("b").cast("string")).as("u"),
+        greatest(col("a").cast("string"), col("b").cast("string")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true) // consumed by degrees AND the stats join
+    val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    e.join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+      .agg(count(lit(1)).cast("bigint").as("m"),
+        sum(col("du") * col("dv")).cast("bigint").as("s_prod"),
+        sum(col("du") + col("dv")).cast("bigint").as("s_sum"),
+        sum(col("du") * col("du") + col("dv") * col("dv")).cast("bigint").as("s_sq"))
+  }
+
   /** Newman-Girvan modularity census of an externally supplied node
     * partition — the community-QUALITY report the label-assignment
     * operators (q106 LPA, q26 CC) don't produce: per community c,

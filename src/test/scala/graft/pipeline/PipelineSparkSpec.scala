@@ -669,6 +669,20 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set((0L, 3L, 3L, 7L, 35L), (1L, 3L, 3L, 7L, 35L)), got.toString)
   }
 
+  test("assortativityStats: exact sums on the bridged-triangles graph; dups/self-loops canonicalize away") {
+    val s = spark
+    import s.implicits._
+    // two triangles bridged by a1-b1 (the modularity fixture): degrees
+    // a1=b1=3, rest 2; per-edge (du*dv, du+dv, du^2+dv^2) sum to
+    // (41, 34, 86) over the 7 canonical edges
+    val edges = Seq(
+      ("a1", "a2"), ("a2", "a1"), ("a2", "a3"), ("a1", "a3"), ("a3", "a3"),
+      ("b1", "b2"), ("b2", "b3"), ("b1", "b3"), ("a1", "b1")).toDF("a", "b")
+    val got = GraphOps.assortativityStats(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((7L, 41L, 34L, 86L)), got.toString)
+  }
+
   test("kAnonymityViolations: only groups below k report, with their sizes") {
     val s = spark
     import s.implicits._
