@@ -103,7 +103,7 @@ object Bench {
     "q207_markov_transitions", "q208_burst_detect",
     "q209_shacl_qualified", "q210_modularity", "q211_viterbi_segment",
     "q212_int8_quant", "q213_greedy_gap", "q214_cdc_chunks",
-    "q215_edit1_pairs", "q216_assortativity",
+    "q215_edit1_pairs", "q216_assortativity", "q217_cdc_summary",
     "x_bpe_train", "x_bpe_encode",
     "x_minhash_lsh_dedup", "x_ngram_jaccard_lsh", "x_simhash_dedup",
     "x_embedding_neardup", "x_ann_brute", "x_ann_lsh", "x_ann_ivf",

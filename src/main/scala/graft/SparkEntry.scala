@@ -201,6 +201,12 @@ object SparkEntry {
     "q214_cdc_chunks" -> ((s, d) =>
       Dedup.cdcChunkCensus(t(s, d, "documents"))
         .select("chunk_key", "chunk_len", "n_copies", "n_docs", "saved_chars")),
+    // one-row CDC storage-savings summary over the same chunking: the
+    // dedup go/no-go number (chunks, distinct, chars, saved, ppm)
+    "q217_cdc_summary" -> ((s, d) =>
+      Dedup.cdcSummary(t(s, d, "documents"))
+        .select("n_chunks", "n_distinct_chunks", "total_chars",
+          "saved_chars", "dedup_ppm")),
     // corpus-curation primitives (Gopher-style repetition filter stats;
     // deterministic md5-bucket stratified source downsampling) — both
     // integer/md5-exact, DuckDB-oracle-checked
@@ -5733,7 +5739,7 @@ object SparkEntry {
     * range(w, len+1) == sequence(w, len) (half-open vs inclusive,
     * the q82 note).
     */
-  private def q214Sql(width: Int = 8, maskBits: Int = 5): String = {
+  private def cdcCtes(width: Int = 8, maskBits: Int = 5): String = {
     val tVals = graft.functions.CdcHasher.Table.zipWithIndex
       .map { case (v, b) => s"($b, ${v.toLong & 0xFFFFFFFFL})" }.mkString(", ")
     def term(k: Int): String = {
@@ -5764,14 +5770,35 @@ object SparkEntry {
        |    substring(md5(substring(d.text, c.s + 1, c.e - c.s)), 1, 12) AS chunk_key,
        |    CAST(c.e - c.s AS BIGINT) AS chunk_len
        |  FROM c JOIN d USING (doc_id)
-       |)
+       |)""".stripMargin
+  }
+
+  private def q214Sql(width: Int = 8, maskBits: Int = 5): String =
+    s"""${cdcCtes(width, maskBits)}
        |SELECT chunk_key, chunk_len,
        |  CAST(count(*) AS BIGINT) AS n_copies,
        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
        |  CAST((count(*) - 1) * chunk_len AS BIGINT) AS saved_chars
        |FROM ch GROUP BY chunk_key, chunk_len
        |HAVING count(*) >= 2""".stripMargin
-  }
+
+  /** DuckDB twin of q217 (CDC summary): the q214 chunking CTEs, then
+    * the two-level aggregate — per-distinct-chunk copy counts, one
+    * summary row; ppm is truncating on non-negatives (q62), HUGEINT
+    * sums divided before the BIGINT cast (q70).
+    */
+  private def q217Sql: String =
+    s"""${cdcCtes()},
+       |grp AS (
+       |  SELECT chunk_key, chunk_len, count(*) AS nc
+       |  FROM ch GROUP BY chunk_key, chunk_len
+       |)
+       |SELECT CAST(sum(nc) AS BIGINT) AS n_chunks,
+       |  CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+       |  CAST(sum(nc * chunk_len) AS BIGINT) AS total_chars,
+       |  CAST(sum((nc - 1) * chunk_len) AS BIGINT) AS saved_chars,
+       |  CAST(sum((nc - 1) * chunk_len) * 1000000 // sum(nc * chunk_len) AS BIGINT) AS dedup_ppm
+       |FROM grp""".stripMargin
 
   /** DuckDB twin of q190 (term ordering): the same five-key ladder —
     * kind rank, numeric-literal flag, guarded BIGINT decode, lexical
@@ -8570,6 +8597,7 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(r.v, x -> x * x)) AS BIGINT) AS n2b
         |FROM qv l, qv r WHERE l.vec_id < r.vec_id""".stripMargin,
     "q214_cdc_chunks" -> q214Sql(),
+    "q217_cdc_summary" -> q217Sql,
     // independent ALL-PAIRS formulation over the identically augmented
     // word set (vocabulary-sized — fine oracle-side; the Spark side's
     // deletion blocking is the scale path): both engines' levenshtein

@@ -635,7 +635,42 @@ object Dedup {
     * (chunk_key, chunk_len, n_copies, n_docs, saved_chars).
     */
   def cdcChunkCensus(documents: DataFrame, width: Int = 8,
-      maskBits: Int = 5): DataFrame = {
+      maskBits: Int = 5): DataFrame =
+    cdcChunks(documents, width, maskBits)
+      .groupBy(col("chunk_key"), col("chunk_len"))
+      .agg(count(lit(1)).cast("bigint").as("n_copies"),
+        countDistinct(col("doc_id")).cast("bigint").as("n_docs"))
+      .where(col("n_copies") >= 2)
+      .select(col("chunk_key"), col("chunk_len"), col("n_copies"), col("n_docs"),
+        ((col("n_copies") - 1) * col("chunk_len")).cast("bigint").as("saved_chars"))
+
+  /** One-row corpus storage-savings summary over the SAME chunking —
+    * the go/no-go number a storage-dedup rollout reads first: total
+    * chunk count, distinct chunks, total chars, chars saved by
+    * keeping one copy per distinct chunk (singletons save 0), and
+    * the dedup ratio in truncating ppm (non-negative operands — the
+    * q62 div regime). Two map-side-combinable aggregations, nothing
+    * else.
+    */
+  def cdcSummary(documents: DataFrame, width: Int = 8,
+      maskBits: Int = 5): DataFrame =
+    cdcChunks(documents, width, maskBits)
+      .groupBy(col("chunk_key"), col("chunk_len"))
+      .agg(count(lit(1)).as("nc"))
+      .agg(sum(col("nc")).cast("bigint").as("n_chunks"),
+        count(lit(1)).cast("bigint").as("n_distinct_chunks"),
+        sum(col("nc") * col("chunk_len")).cast("bigint").as("total_chars"),
+        sum((col("nc") - 1) * col("chunk_len")).cast("bigint").as("saved_chars"))
+      .select(col("n_chunks"), col("n_distinct_chunks"), col("total_chars"),
+        col("saved_chars"),
+        expr("saved_chars * 1000000 div total_chars").as("dedup_ppm"))
+
+  /** (doc_id, chunk_key, chunk_len) rows of the Buzhash CDC chunking
+    * documented on [[cdcChunkCensus]] — shared by the census and the
+    * summary.
+    */
+  private def cdcChunks(documents: DataFrame, width: Int,
+      maskBits: Int): DataFrame = {
     require(width >= 2 && width <= 31, "width in [2,31]")
     require(maskBits >= 1 && maskBits <= 24, "maskBits in [1,24]")
     graft.functions.GraftFunctions.register(documents.sparkSession)
@@ -652,11 +687,5 @@ object Dedup {
       .select(col("doc_id"),
         substring(md5(col("chunk")), 1, 12).as("chunk_key"),
         length(col("chunk")).cast("bigint").as("chunk_len"))
-      .groupBy(col("chunk_key"), col("chunk_len"))
-      .agg(count(lit(1)).cast("bigint").as("n_copies"),
-        countDistinct(col("doc_id")).cast("bigint").as("n_docs"))
-      .where(col("n_copies") >= 2)
-      .select(col("chunk_key"), col("chunk_len"), col("n_copies"), col("n_docs"),
-        ((col("n_copies") - 1) * col("chunk_len")).cast("bigint").as("saved_chars"))
   }
 }

@@ -517,6 +517,24 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("ingestion", "ing,es,tio,n", 4L)), got.toString)
   }
 
+  test("cdcSummary: totals reconcile with the census and the corpus; identical docs halve to ~50% saved") {
+    val s = spark
+    import s.implicits._
+    val t = (0 until 300).map(i => ('a' + (i * 7 + i / 3) % 26).toChar).mkString
+    val docs = Seq((1L, t), (2L, t), (3L, "abc")).toDF("doc_id", "text")
+    val row = Dedup.cdcSummary(docs, width = 8, maskBits = 3).collect().head
+    val (nCh, nDist, total, saved, ppm) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4))
+    // chunk chars tile the corpus exactly (300 + 300 + 3)
+    assert(total == 603L, row.toString)
+    // identical docs 1/2: at least one full copy of t is redundant
+    // (within-t chunk collisions can only add savings)
+    assert(saved >= 300L && saved < 603L, row.toString)
+    // the ppm is the truncating quotient of the row's own sums
+    assert(ppm == saved * 1000000L / total, row.toString)
+    assert(nCh > nDist && nDist >= 1, row.toString)
+  }
+
   test("editDistance1Pairs: sub/ins/del all found via deletion blocking; transposition collides but verify drops it") {
     val s = spark
     import s.implicits._
