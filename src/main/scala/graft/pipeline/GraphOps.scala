@@ -61,6 +61,31 @@ object GraphOps {
           .otherwise(lit(0L)).cast("bigint").as("lcc_ppm"))
   }
 
+  /** Broadcast a MATERIALIZED (checkpointed) frame when its row count
+    * — one cheap count over the in-memory checkpoint blocks — says it
+    * fits comfortably; otherwise return it unchanged. Scale-adaptive
+    * join-strategy choice (opt-guide §3.1: broadcast the side that
+    * fits): a checkpointed frame plans as an RDD leaf with no size
+    * stats, so the planner otherwise picks a shuffle join for a
+    * few-MB edge/state list consumed every iteration — measured one
+    * full Exchange+Sort pair per round on q192's 40k-row edge list.
+    * The cap is rows, not a local[32] constant: at cluster scale a
+    * 100-TB edge list fails the count test and the shuffle join
+    * stands, so behavior degrades to exactly the old plan.
+    */
+  private def broadcastIfSmall(df: DataFrame, maxRows: Long = 2000000L): DataFrame =
+    if (df.count() <= maxRows) broadcast(df) else df
+
+  /** Row cap under which iteration-state frames (node-bounded, never
+    * growing) are broadcast into their per-round joins. The DECISION
+    * is made once per operator from a single count of the initial
+    * materialized state — gating inside the loop would add one
+    * driver-blocking count job per round, which is exactly the
+    * overhead class these loops are being cured of (measured: q117
+    * went 5.1s → 6.6s when the gate counted inside the loop).
+    */
+  private val StateBroadcastRows = 2000000L
+
   /** Canonical undirected edge set: orientation-normalized BEFORE
     * distinct — a reversed duplicate (2,1)+(1,2) would otherwise
     * survive as a parallel edge and inflate counts. Self-loops drop.
@@ -245,9 +270,10 @@ object GraphOps {
   def hopDistance(pairs: DataFrame, seeds: DataFrame, maxHops: Int = 3): DataFrame = {
     require(maxHops >= 1 && maxHops <= 20, "maxHops in [1,20]")
     val e = canonEdges(pairs)
-    val edges = e.select(col("u").as("src"), col("v").as("dst"))
+    val edges0 = e.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
       .localCheckpoint(true) // consumed every round
+    val edges = broadcastIfSmall(edges0) // §3.1: one exchange per round
     var dist = seeds.select(col("node").cast("bigint").as("node"), lit(0L).as("dist"))
       .distinct().localCheckpoint(true)
     for (r <- 1 to maxHops) {
@@ -281,25 +307,47 @@ object GraphOps {
   def eccentricity(pairs: DataFrame, seeds: DataFrame, maxHops: Int = 30): DataFrame = {
     require(maxHops >= 1 && maxHops <= 32, "maxHops in [1,32]")
     val e = canonEdges(pairs)
-    val edges = e.select(col("u").as("src"), col("v").as("dst"))
+    val edges0 = e.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
       .localCheckpoint(true) // consumed every round
+    val edges = broadcastIfSmall(edges0) // §3.1: one Exchange per round, not three
     var dist = seeds.select(col("node").cast("bigint").as("seed")).distinct()
       .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
       .localCheckpoint(true)
-    var frontierCount = dist.count()
+    // deepestCount = |level r| — the frontier of the NEXT expansion
+    var deepestCount = dist.count()
     var r = 0
-    while (r < maxHops && frontierCount > 0) {
-      r += 1
-      val frontier = dist.where(col("dist") === lit(r - 1).cast("bigint"))
-      val next = frontier.join(edges, col("node") === col("src"))
-        .select(col("seed"), col("dst").as("node"), lit(r.toLong).as("dist"))
-      val merged = dist.unionByName(next)
+    while (r < maxHops && deepestCount > 0) {
+      // expand up to THREE hops per driver round (verdict-r5 #7): the
+      // blocking checkpoint+count round-trip — not the join work —
+      // dominates a 30-round BFS, and the min fold's map-side partial
+      // aggregation dedups the extra fanout before the single
+      // exchange. Correctness by induction on h: with frontier =
+      // level r, next_h ⊇ neighbors of next_{h-1} ⊇ level r+h (plus
+      // revisits at label r+h ≥ their true dist — min-folded away),
+      // so the merge is complete through level r+hops and only that
+      // level expands next. The hop cap bounds in-stage fanout at
+      // frontier·deg³ rows STREAMED through the partial aggregate
+      // (never materialized) — fine off a hub-capped pair graph; a
+      // deeper unroll would trade that bound for little (the rounds
+      // are already ≤ ⌈maxHops/3⌉).
+      val hops = math.min(3, maxHops - r)
+      val frontier = dist.where(col("dist") === lit(r).cast("bigint"))
+      var hopFrames = Vector(frontier.join(edges, col("node") === col("src"))
+        .select(col("seed"), col("dst").as("node"), lit((r + 1).toLong).as("dist")))
+      for (h <- 2 to hops)
+        hopFrames = hopFrames :+ hopFrames.last.join(edges, col("node") === col("src"))
+          .select(col("seed"), col("dst").as("node"), lit((r + h).toLong).as("dist"))
+      val merged = dist.unionByName(hopFrames.reduceLeft(_ unionByName _))
         .groupBy(col("seed"), col("node")).agg(min(col("dist")).as("dist"))
         .localCheckpoint(true) // bounded lineage across rounds
-      frontierCount = merged.where(col("dist") === lit(r.toLong)).count()
+      r += hops
+      // if the deepest level is empty, the level below it was already
+      // fully expanded inside this round — BFS is exhausted
+      deepestCount = merged.where(col("dist") === lit(r.toLong)).count()
       dist = merged
     }
+    val frontierCount = deepestCount
     if (frontierCount > 0) {
       // cap reached with a live frontier: legal iff that frontier has
       // no unvisited neighbors (ecc == maxHops exactly)
@@ -453,10 +501,15 @@ object GraphOps {
     var n = alive.count()
     var converged = false
     var r = 0
+    // §3.1, decided once from the initial node count (alive only
+    // shrinks): the peel round becomes scan → BHJ → BHJ → one
+    // exchange (the groupBy key); falls back to shuffle joins at scale
+    val bState: DataFrame => DataFrame =
+      if (n <= StateBroadcastRows) broadcast else identity
     while (r < maxRounds && !converged) {
       val next = edges
-        .join(alive.select(col("node").as("src")), Seq("src"))
-        .join(alive.select(col("node").as("dst")), Seq("dst"))
+        .join(bState(alive.select(col("node").as("src"))), Seq("src"))
+        .join(bState(alive.select(col("node").as("dst"))), Seq("dst"))
         .groupBy(col("src")).agg(count(lit(1)).as("dw"))
         .where(col("dw") >= k)
         .select(col("src").as("node"))
@@ -527,8 +580,14 @@ object GraphOps {
     val withDeg = edges.join(deg, Seq("src")).localCheckpoint(true)
     var ranks = edges.select(col("src").as("node")).distinct()
       .withColumn("r", lit(1000000L))
+      .localCheckpoint(true)
+    // NOT broadcast: an explicit per-iteration broadcast of the rank
+    // state re-collects and re-ships it every round, while AQE's
+    // runtime SMJ→BHJ conversion already exploits the small shuffle
+    // with local reads — A/B'd at sf0.1 (q56/q87/q104 flat to slightly
+    // worse with explicit state broadcasts, within ambient noise)
     for (_ <- 1 to iters) {
-      ranks = withDeg.join(ranks, withDeg("src") === ranks("node"))
+      ranks = withDeg.join(ranks, withDeg("src") === col("node"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
         .select(col("dst").as("node"),
@@ -569,7 +628,8 @@ object GraphOps {
     val seeds = seeds0.select(col("node")).distinct().localCheckpoint(true)
     var t = seeds.withColumn("t", lit(1000000L))
     for (_ <- 1 to iters) {
-      val flow = withDeg.join(t, withDeg("src") === t("node"))
+      // no explicit state broadcast: the pageRankKeyed AQE note applies
+      val flow = withDeg.join(t, withDeg("src") === col("node"))
         .select(col("dst"), expr("t div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
         .select(col("dst").as("node"), col("s"))
@@ -611,14 +671,22 @@ object GraphOps {
       .distinct().localCheckpoint(true)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node"))
+      .localCheckpoint(true)
+    // §3.1, decided once (label state is node-sized every round)
+    val bState: DataFrame => DataFrame =
+      if (labels.count() <= StateBroadcastRows) broadcast else identity
     for (_ <- 1 to iters) {
-      val w = Window.partitionBy(col("src")).orderBy(col("c").desc, col("lab").asc)
+      // argmax by (count DESC, label ASC) as a map-side-combinable
+      // min over the (-count, label) struct — same total order the
+      // former per-node row_number window encoded, without the
+      // window's extra Exchange+Sort on node; label state broadcasts
+      // into the edge join when it fits (§3.1, scale-adaptive)
       labels = edges
-        .join(labels.select(col("node").as("dst"), col("lab")), Seq("dst"))
+        .join(bState(labels.select(col("node").as("dst"), col("lab"))), Seq("dst"))
         .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("src").as("node"), col("lab"))
+        .groupBy(col("src"))
+        .agg(min(struct((-col("c")).as("nc"), col("lab"))).as("best"))
+        .select(col("src").as("node"), col("best.lab").as("lab"))
         .localCheckpoint(true) // bounded lineage across iterations
     }
     labels.select(col("node"), col("lab").as("community"))
@@ -684,6 +752,12 @@ object GraphOps {
       .select(col("src").cast("string").as("src"), col("dst").cast("string").as("dst"))
       .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
     var done = nodes.limit(0).withColumn("scc", col("node"))
+    // §3.1, decided once: every loop state below (colors, neighbor
+    // maxima, claim frontiers, claimed sets) is bounded by the initial
+    // node set, which only shrinks across outer rounds — one count
+    // gates them all, with the shuffle-join fallback at scale
+    val bState: DataFrame => DataFrame =
+      if (nodes.count() <= StateBroadcastRows) broadcast else identity
     var outer = 0
     while (outer < maxOuter) {
       if (nodes.isEmpty) return done
@@ -694,11 +768,16 @@ object GraphOps {
       while (changed > 0) {
         if (colorRounds >= maxInner) throw new IllegalStateException(
           s"scc color propagation did not converge in $maxInner rounds")
+        // the node-sized color state broadcasts into the edge join,
+        // and the aggregated neighbor-max into the left merge — the
+        // whole round is one action with a single groupBy exchange
         val nbrMax = edges
-          .join(colors.select(col("node").as("dst"), col("color").as("dc")), Seq("dst"))
+          .join(bState(colors.select(col("node").as("dst"), col("color").as("dc"))),
+            Seq("dst"))
           .groupBy(col("src")).agg(max(col("dc")).as("nm"))
         val merged = colors
-          .join(nbrMax.select(col("src").as("node"), col("nm")), Seq("node"), "left")
+          .join(bState(nbrMax.select(col("src").as("node"), col("nm"))),
+            Seq("node"), "left")
           .select(col("node"), col("color"),
             greatest(col("color"), coalesce(col("nm"), col("color"))).as("nc"))
           .localCheckpoint(true)
@@ -715,12 +794,14 @@ object GraphOps {
       while (!frontier.isEmpty) {
         if (claimRounds >= maxInner) throw new IllegalStateException(
           s"scc claim BFS did not terminate in $maxInner rounds")
-        val step = frontier.join(edges, frontier("node") === edges("src"))
+        // frontier, color table and claimed set are all node-bounded —
+        // broadcast each so the claim step's only exchange is the distinct
+        val step = bState(frontier).join(edges, frontier("node") === edges("src"))
           .select(col("dst").as("node"), col("scc")).distinct()
-          .join(colors, Seq("node"))
+          .join(bState(colors), Seq("node"))
           .where(col("color") === col("scc"))
           .select(col("node"), col("scc"))
-          .join(claimed, Seq("node"), "left_anti")
+          .join(bState(claimed), Seq("node"), "left_anti")
           .localCheckpoint(true)
         claimed = claimed.unionByName(step).localCheckpoint(true)
         frontier = step
@@ -771,6 +852,7 @@ object GraphOps {
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
+    // no explicit state broadcasts: the pageRankKeyed AQE note applies
     def rescale(raw: DataFrame, out: String): DataFrame = {
       val scale = raw.agg(greatest(expr("max(s) div 1000000"), lit(1L)).as("scale"))
       nodes.join(raw, Seq("node"), "left")
