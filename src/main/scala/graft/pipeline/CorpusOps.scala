@@ -425,11 +425,18 @@ object CorpusOps {
       """(2 * (n_docs - df) + 1) * 10000 div (2 * df + 1)
         | * tf * 22 * total_tokens
         | div (10 * total_tokens * tf + 3 * total_tokens + 9 * dl * n_docs)""".stripMargin)
-    val scored = withStats
-      .join(broadcast(qterms), Seq("term"))
+    // contrib is a pure function of the (doc, term) row + the corpus
+    // scalars — compute it ONCE per tf row BEFORE the query fan-out
+    // join (r6): the joined stream is ~|queries matching term| times
+    // larger than tf on a dense vocabulary, and re-deriving the same
+    // integer expression per matched query was the stream's hot cost
+    val perDocTerm = withStats
       .crossJoin(broadcast(scalars))
+      .select(col("term"), col("doc_id"), contrib.as("contrib"))
+    val scored = perDocTerm
+      .join(broadcast(qterms), Seq("term"))
       .groupBy(col("qid"), col("doc_id"))
-      .agg(count(lit(1)).as("n_terms"), sum(contrib).as("score"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib")).as("score"))
     val byQ = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id").asc)
     scored.withColumn("rank", row_number().over(byQ))
       .where(col("rank") <= k)

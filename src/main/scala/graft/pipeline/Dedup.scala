@@ -283,10 +283,12 @@ object Dedup {
       .where(col("a") < col("b"))
       .select(col("a"), col("b"))
       .distinct()
+      .localCheckpoint(true) // feeds the verify a-leg; gates its broadcast
     val sizes = expl.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    candIds
+    // verify joins in the md5JaccardVerify r6 shape (§3.1)
+    broadcastIfSmall(candIds)
       .join(expl.select(col("doc_id").as("a"), col("s")), Seq("a"))
-      .join(expl.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
+      .join(broadcastIfSmall(expl).select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ic"))
       .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
       .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
@@ -372,15 +374,38 @@ object Dedup {
       banded0.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
     }
 
+  /** §3.1 scale-adaptive broadcast: wrap a MATERIALIZED (checkpointed)
+    * frame in a broadcast hint when its row count — one cheap count
+    * over the in-memory checkpoint blocks — says it fits; identity
+    * otherwise, so every consumer degrades to the pre-r6 shuffle-join
+    * plan at cluster scale. Checkpointed frames plan as RDD leaves
+    * with no size statistics, so neither the static planner nor AQE's
+    * SMJ→BHJ rewrite can make this call on its own for the FIRST
+    * exchange of the verify joins (AQE only converts after a shuffle
+    * has already been written).
+    */
+  private def broadcastIfSmall(df: DataFrame, maxRows: Long = 2000000L): DataFrame =
+    if (df.count() <= maxRows) broadcast(df) else df
+
   /** Exact set-Jaccard verify over candidate id pairs: relational
     * intersection counts against the materialized shingle rows, sizes
     * from the same frame — verify-once-per-pair, id-only transport.
+    *
+    * Join shape (r6, opt-guide §3.1): the candidate pair set is
+    * materialized and broadcast when it fits, and the b-side shingle
+    * leg likewise — the fat (cand × shingles-of-a) intermediate then
+    * STREAMS through two broadcast hash joins and the map-side partial
+    * count without ever crossing an exchange (it was previously
+    * shuffled whole by (b, s) — the dominant cost of the family:
+    * q59's verify measured 4.7s of its 4.7s total). Both decisions
+    * are row-count-gated with the sort-merge fallback at scale.
     */
   private def md5JaccardVerify(candIds: DataFrame, expl: DataFrame, threshold: Double): DataFrame = {
+    val cand = candIds.localCheckpoint(true)
     val sizes = expl.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = candIds
+    val inter = broadcastIfSmall(cand)
       .join(expl.select(col("doc_id").as("a"), col("s")), Seq("a"))
-      .join(expl.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
+      .join(broadcastIfSmall(expl).select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("ic"))
     val jaccard = col("ic").cast("double") / (col("sza") + col("szb") - col("ic"))
@@ -453,28 +478,39 @@ object Dedup {
     val expl = shingleRows(documents, shingleWidth)
       .distinct() // shingle SET semantics
       .localCheckpoint(true)
-    val dfreq = expl.groupBy(col("s")).agg(count(lit(1)).as("c"))
     val byDoc = Window.partitionBy(col("doc_id"))
-    val ranked = expl.join(dfreq, Seq("s"))
+    // document frequency as a count window over the shingle partition
+    // (r6): same value as the former groupBy(s)+join, one expl scan
+    // and one exchange fewer — the frequency window needs no ordering
+    val ranked = expl
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("s"))))
       .select(col("doc_id"), col("s"),
         row_number().over(byDoc.orderBy(col("c"), col("s"))).as("pos"),
         count(lit(1)).over(byDoc).as("sz"))
     // minimum overlap ceil(t*sz) = (tNum*sz + tDen - 1) div tDen, all integer
     val minOv = (lit(tNum) * col("sz") + lit(tDen - 1)).divide(lit(tDen)).cast("long")
+    // materialized (r6): feeds both legs of the candidate self-join —
+    // and the cheap count gates broadcasting the build leg (§3.1)
     val prefix = ranked
       .where(col("pos") <= col("sz") - minOv + lit(1))
       .select(col("doc_id"), col("s"), col("sz"))
-    val candIds = prefix.select(col("s"), col("doc_id").as("a"), col("sz").as("sza"))
+      .localCheckpoint(true)
+    val candIds = broadcastIfSmall(prefix.select(col("s"), col("doc_id").as("a"), col("sz").as("sza")))
       .join(prefix.select(col("s"), col("doc_id").as("b"), col("sz").as("szb")), Seq("s"))
       .where(col("a") < col("b") &&
         lit(tDen) * col("szb") >= lit(tNum) * col("sza") &&
         lit(tDen) * col("sza") >= lit(tNum) * col("szb"))
       .select(col("a"), col("b"))
       .distinct()
+      .localCheckpoint(true) // feeds the verify a-leg; gates its broadcast
     val sizes = expl.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = candIds
+    // verify joins in the md5JaccardVerify r6 shape: candidate set and
+    // b-side shingle leg broadcast when they fit, so the fat
+    // (cand × shingles-of-a) intermediate streams through both hash
+    // joins and the partial count without crossing an exchange
+    val inter = broadcastIfSmall(candIds)
       .join(expl.select(col("doc_id").as("a"), col("s")), Seq("a"))
-      .join(expl.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
+      .join(broadcastIfSmall(expl).select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("ic"))
     // exact rational threshold: ic/(sza+szb-ic) >= tNum/tDen
@@ -529,26 +565,35 @@ object Dedup {
     val expl = shingleRows(documents, shingleWidth)
       .distinct() // shingle SET semantics
       .localCheckpoint(true) // df census + ranked window + both verify legs
-    val dfreq = expl.groupBy(col("s")).agg(count(lit(1)).as("c"))
     val byDoc = Window.partitionBy(col("doc_id"))
-    val ranked = expl.join(dfreq, Seq("s"))
+    // document frequency as a count window over the shingle partition
+    // (r6, the jaccardPrefixJoin note): one expl scan/exchange fewer
+    val ranked = expl
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("s"))))
       .select(col("doc_id"), col("s"),
         row_number().over(byDoc.orderBy(col("c"), col("s"))).as("pos"),
         count(lit(1)).over(byDoc).as("sz"))
       .localCheckpoint(true) // feeds the prefix AND the full index side
     val minOv = (lit(tNum) * col("sz") + lit(tDen - 1)).divide(lit(tDen)).cast("long")
+    // the contained-side prefix is the SMALL leg of the asymmetric
+    // probe join — materialize it and broadcast when it fits (§3.1),
+    // so the full-index side is never shuffled for candidates
     val prefix = ranked
       .where(col("pos") <= col("sz") - minOv + lit(1))
       .select(col("doc_id").as("x"), col("s"))
+      .localCheckpoint(true)
     val full = ranked.select(col("doc_id").as("y"), col("s"))
-    val candIds = prefix.join(full, Seq("s"))
+    val candIds = broadcastIfSmall(prefix).join(full, Seq("s"))
       .where(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
       .distinct()
+      .localCheckpoint(true) // feeds the verify a-leg; gates its broadcast
     val sizes = expl.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = candIds
+    // verify joins in the md5JaccardVerify r6 shape (broadcast the
+    // candidate set and the b-side leg when they fit)
+    val inter = broadcastIfSmall(candIds)
       .join(expl.select(col("doc_id").as("a"), col("s")), Seq("a"))
-      .join(expl.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
+      .join(broadcastIfSmall(expl).select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("ic"))
     inter

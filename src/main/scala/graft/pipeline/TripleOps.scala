@@ -57,7 +57,13 @@ object TripleOps {
         .join(closure, Seq("sub", "sup"), "left_anti")
         .localCheckpoint(true)
       if (next.isEmpty) return closure
-      closure = closure.unionByName(next).localCheckpoint(true)
+      // lazy union of checkpoint LEAVES (r6): the accumulated closure
+      // was previously re-materialized whole every round — one extra
+      // blocking action plus a full rewrite of all pairs per round.
+      // The union of ≤ maxIters checkpointed deltas keeps the plan a
+      // flat leaf list (no lineage growth), and each round's three
+      // closure consumers read the in-memory blocks directly.
+      closure = closure.unionByName(next)
       round += 1
     }
     throw new IllegalStateException(
@@ -1973,7 +1979,9 @@ object TripleOps {
         .join(reach, Seq("a", "b"), "left_anti")
         .localCheckpoint(true)
       if (next.isEmpty) converged = true
-      else { reach = reach.unionByName(next).localCheckpoint(true); round += 1 }
+      // lazy union of checkpoint leaves (the transitiveClosure r6
+      // note): no per-round re-materialization of the full reach set
+      else { reach = reach.unionByName(next); round += 1 }
     }
     if (!converged) throw new IllegalStateException(
       s"rdfListUnroll did not converge in $maxIters doubling rounds — " +
@@ -2151,7 +2159,6 @@ object TripleOps {
       chains: Seq[(String, String, String)], maxIters: Int = 16): DataFrame = {
     require(chains.nonEmpty, "no chain axioms declared")
     var t = spoCols(triples).distinct().localCheckpoint(true)
-    var n = t.count()
     var rounds = 0
     var stable = false
     while (!stable) {
@@ -2162,11 +2169,17 @@ object TripleOps {
           .join(t.where(col("p") === q).select(col("s").as("m"), col("o")), Seq("m"))
           .select(col("s"), lit(r).as("p"), col("o"))
       }.reduceLeft(_ unionByName _)
-      val next = t.unionByName(derived).distinct().localCheckpoint(true)
-      val n2 = next.count()
-      stable = n2 == n
-      t = next
-      n = n2
+      // delta-only materialization (r6): t ∪ distinct(derived∖t) is
+      // set-equal to distinct(t ∪ derived), but only the (small)
+      // fresh delta is shuffled and checkpointed per round — the
+      // accumulated set stays a lazy union of checkpoint leaves (the
+      // transitiveClosure r6 note), and count-stability becomes
+      // "no fresh rows"
+      val fresh = derived
+        .join(t, Seq("s", "p", "o"), "left_anti").distinct()
+        .localCheckpoint(true)
+      stable = fresh.isEmpty
+      if (!stable) t = t.unionByName(fresh)
       rounds += 1
     }
     t
