@@ -402,8 +402,11 @@ object SparkEntry {
         .unionByName(docs.select(dId.as("s"), lit("name").as("p"),
           concat(lit("n"), pmod(col("doc_id"), lit(100))).as("o")))
       val inv = Seq(("partOf", "hasPart")).toDF("p", "q")
-      val mirrored = TripleOps.inverseOfEntail(spo, inv)
-      val closed = TripleOps.transitivePropEntail(mirrored, Seq("partOf"))
+      // intermediate stages defer the graph-set dedup to the final
+      // inverse pass (r6): one full-graph distinct instead of three —
+      // set-equal because dups only re-derive collapsed rows
+      val mirrored = TripleOps.inverseOfEntail(spo, inv, dedup = false)
+      val closed = TripleOps.transitivePropEntail(mirrored, Seq("partOf"), dedup = false)
       TripleOps.inverseOfEntail(closed, inv).select("s", "p", "o")
     }),
     // SPARQL UPDATE (DELETE/INSERT WHERE): migrate labeled-org
@@ -1275,7 +1278,13 @@ object SparkEntry {
         .where(col("word") =!= "")
       val greedy = Bpe.wordpieceSegment(words)
         .select(col("word"),
-          expr("aggregate(split(tokens, ','), 0L, (s, t) -> s + IF(length(t) = 1, 100L, 70L * length(t) + 10L))").as("greedy_cost"))
+          // cost literals spliced from the shared Bpe model (ADVICE-r5
+          // #4) — generates the identical expression text; a cost-model
+          // change now flows to both tokenizer legs from one place
+          // (q213Sql repeats the literals — change them only together)
+          expr(s"aggregate(split(tokens, ','), 0L, (s, t) -> s + IF(length(t) = 1, " +
+            s"${Bpe.ViterbiCharCost}L, ${Bpe.ViterbiUnitSlope}L * length(t) + " +
+            s"${Bpe.ViterbiUnitIntercept}L))").as("greedy_cost"))
       Bpe.viterbiSegmentCensus(words)
         .join(greedy, Seq("word"))
         .select(col("word"), col("greedy_cost"), col("min_cost"),

@@ -289,7 +289,12 @@ object Bpe {
     * counts.
     */
   val ViterbiCharCost = 100L
-  def viterbiUnitCost(len: Int): Long = 70L * len + 10L
+  // the linear form's coefficients, exposed so SQL-expression callers
+  // (q213's greedy-cost lambda) can splice the SAME cost model instead
+  // of repeating literals that could silently desync (ADVICE-r5 #4)
+  val ViterbiUnitSlope = 70L
+  val ViterbiUnitIntercept = 10L
+  def viterbiUnitCost(len: Int): Long = ViterbiUnitSlope * len + ViterbiUnitIntercept
 
   /** Unigram-LM Viterbi segmentation census — the OPTIMAL min-cost
     * segmentation per word type under an additive unit-cost model

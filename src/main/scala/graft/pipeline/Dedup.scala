@@ -634,7 +634,13 @@ object Dedup {
     * Input: a (word) frame. Output: (a, b, dist) with a < b,
     * dist ∈ {0 is impossible on distinct types, so 1}.
     */
-  def editDistance1Pairs(wordsDf: DataFrame, maxWordLen: Int = 24): DataFrame = {
+  def editDistance1Pairs(wordsDf: DataFrame, maxWordLen: Int = Int.MaxValue): DataFrame = {
+    // maxWordLen defaults to UNBOUNDED (r6, ADVICE-r5 #1): the former
+    // default cap of 24 silently dropped longer word types while the
+    // q215 oracle's all-pairs formulation kept them — latent
+    // value-divergence the short synthetic vocabulary masked. A caller
+    // that wants the cap (adversarial megabyte "words" cost O(len²)
+    // neighborhood bytes) must apply it on BOTH comparison sides.
     val words = wordsDf.select(col("word").cast("string").as("word")).distinct()
       .where(length(col("word")).between(1, maxWordLen))
     val nbr = words.select(col("word"), explode(expr(

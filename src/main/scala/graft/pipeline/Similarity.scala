@@ -643,7 +643,13 @@ object Similarity {
     * max_err_us, n_underflow).
     */
   def int8QuantCensus(embeddings: DataFrame): DataFrame =
-    embeddings.select(col("vec_id"),
+    // size >= 1 filter (r6, ADVICE-r5 #2): an empty embedding array
+    // previously emitted a (dim=0, scale=1) row the q212 oracle's
+    // unnest formulation cannot produce — align by dropping the lane
+    // on the Spark side too (components are non-null by generator
+    // contract; a NULL component would diverge the same way)
+    embeddings.where(size(col("embedding")) >= 1)
+      .select(col("vec_id"),
         expr("transform(embedding, e -> abs(CAST(round(CAST(e AS double) * 1000000) AS bigint)))").as("a"))
       .select(col("vec_id"),
         expr("CAST(size(a) AS bigint)").as("dim"),

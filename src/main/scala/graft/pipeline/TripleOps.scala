@@ -1592,14 +1592,21 @@ object TripleOps {
     * pass an object-property slice when the corpus mixes datatype
     * properties under the same predicates.
     */
-  def inverseOfEntail(triples: DataFrame, inverses: DataFrame): DataFrame = {
+  def inverseOfEntail(triples: DataFrame, inverses: DataFrame,
+      dedup: Boolean = true): DataFrame = {
     val t = triples.select(col("s").cast("string").as("s"),
       col("p").cast("string").as("p"), col("o").cast("string").as("o"))
     val inv = inverses.select(col("p").cast("string").as("p"), col("q").cast("string").as("q"))
     val both = inv.unionByName(inv.select(col("q").as("p"), col("p").as("q"))).distinct()
     val derived = t.join(broadcast(both), Seq("p"))
       .select(col("o").as("s"), col("q").as("p"), col("s").as("o"))
-    t.unionByName(derived).distinct()
+    val out = t.unionByName(derived)
+    // dedup=false (r6): entailment compositions (q112's inverse →
+    // transitive → inverse chain) can defer the graph-set dedup to the
+    // LAST stage — each intermediate full-graph distinct is a shuffle
+    // of the whole triple set, and the set semantics compose (dups
+    // only re-derive what the final distinct collapses)
+    if (dedup) out.distinct() else out
   }
 
   /** Literal term-structure patterns, shared verbatim with the oracle
@@ -2236,7 +2243,7 @@ object TripleOps {
     * before the fixpoint throws rather than shipping an unsound graph.
     */
   def transitivePropEntail(triples: DataFrame, transPreds: Seq[String],
-      maxIters: Int = 64): DataFrame = {
+      maxIters: Int = 64, dedup: Boolean = true): DataFrame = {
     require(transPreds.nonEmpty, "no transitive predicates declared")
     val t = triples.select(col("s").cast("string").as("s"),
       col("p").cast("string").as("p"), col("o").cast("string").as("o"))
@@ -2246,7 +2253,10 @@ object TripleOps {
         maxIters)
         .select(col("sub").as("s"), lit(p).as("p"), col("sup").as("o"))
     }
-    (t +: closed).reduceLeft(_ unionByName _).distinct()
+    val out = (t +: closed).reduceLeft(_ unionByName _)
+    // dedup=false: the inverseOfEntail composition note applies (the
+    // per-predicate closure still dedups its own slice internally)
+    if (dedup) out.distinct() else out
   }
 
   /** SPARQL UPDATE `DELETE { … } INSERT { … } WHERE { … }` as one
