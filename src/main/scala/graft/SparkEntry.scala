@@ -3087,14 +3087,20 @@ object SparkEntry {
     // ---------------- scale-path operators (rows-only check) ----------
     "x_extract_triples" -> ((s, _) => {
       import s.implicits._
-      Extract.run(SyntheticPages.pages(s, copies = 2, numPartitions = 8)).flatMap(_.triple).toDF()
+      Extract.run(SyntheticPages.pages(s, copies = 2)).flatMap(_.triple).toDF()
     }),
     "x_extract_lineage" -> ((s, _) => {
       import s.implicits._
-      Extract.run(SyntheticPages.pages(s, copies = 2, numPartitions = 8)).flatMap(_.lineage).toDF()
+      Extract.run(SyntheticPages.pages(s, copies = 2)).flatMap(_.lineage).toDF()
     }),
     "x_kg_pipeline" -> ((s, _) => {
       val out = java.nio.file.Files.createTempDirectory("graft_kg").toString
+      // 8-way on purpose (A/B'd r6): the pipeline is dominated by its
+      // many small parquet stage WRITES, and 32 partitions means 4x
+      // the files and tasks per tiny stage — measured ~7.4s (8-way)
+      // vs ~9.6s (32-way) back-to-back in the same session. The
+      // pure-compute extract twins below use the generator default
+      // instead (x_entity_link 1.4s → 0.6s).
       val pages = SyntheticPages.pages(s, copies = 2, numPartitions = 8)
       KgPipeline.run(s, pages, out)("edges")
     }),
@@ -3180,7 +3186,7 @@ object SparkEntry {
     "x_bpe_encode" -> ((s, d) => Bpe.tokenCounts(t(s, d, "documents"), Bpe.shippedMerges)),
     "x_entity_link" -> ((s, _) => {
       import s.implicits._
-      val pages = SyntheticPages.pages(s, copies = 2, numPartitions = 8)
+      val pages = SyntheticPages.pages(s, copies = 2)
       val triples = Extract.run(pages).flatMap(_.triple).toDF()
       KgPipeline.linkMentions(pages.toDF(), KgPipeline.entityAliases(triples))
     }),
@@ -3208,14 +3214,14 @@ object SparkEntry {
     }),
     "x_export_rdfxml" -> ((s, _) => {
       import s.implicits._
-      val triples = Extract.run(SyntheticPages.pages(s, copies = 2, numPartitions = 8)).flatMap(_.triple).toDF()
+      val triples = Extract.run(SyntheticPages.pages(s, copies = 2)).flatMap(_.triple).toDF()
       KgPipeline.exportRdfXml(triples).toDF("xml").where(length(col("xml")) > 0)
     }),
     "x_text_identity" -> ((s, _) => {
       // byte-identical text-extraction invariant as a counting query:
       // rows where extractText(html) != text must be zero
       import s.implicits._
-      val pages = SyntheticPages.pages(s, copies = 2, numPartitions = 8)
+      val pages = SyntheticPages.pages(s, copies = 2)
       val n = pages.map(p => if (Extract.extractText(new String(p.html, "UTF-8")) == p.text) 0 else 1)
         .toDF("mismatch").agg(sum(col("mismatch")).as("mismatches"), count(lit(1)).as("pages"))
       n.where(col("mismatches") === 0)

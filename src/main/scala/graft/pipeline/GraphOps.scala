@@ -861,7 +861,11 @@ object GraphOps {
       .unionByName(edges.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
     // no explicit state broadcasts: the pageRankKeyed AQE note applies
-    def rescale(raw: DataFrame, out: String): DataFrame = {
+    def rescale(raw0: DataFrame, out: String): DataFrame = {
+      // one materialization per half-step (r6): the sum feeds BOTH the
+      // scalar max subquery and the outer join — unmaterialized, the
+      // edge join + aggregation ran twice per half-step
+      val raw = raw0.localCheckpoint(true)
       val scale = raw.agg(greatest(expr("max(s) div 1000000"), lit(1L)).as("scale"))
       nodes.join(raw, Seq("node"), "left")
         .crossJoin(broadcast(scale))

@@ -129,8 +129,16 @@ object Similarity {
     */
   private def relationalCosine(pairs: DataFrame, corpus: DataFrame, l: String, r: String): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val packed = corpus.select(col("vec_id"),
+    val packed0 = corpus.select(col("vec_id"),
       transform(col("embedding"), e => round(e.cast("double") * 1000000L).cast("bigint")).as("qv"))
+    // §3.1 scale-adaptive: the packed-vector table broadcasts into
+    // both verify legs when the corpus row count (a metadata-cheap
+    // parquet count) says it fits — the candidate pair stream then
+    // flows through two hash joins and the codegen kernel without an
+    // exchange. The cap is conservative because rows carry the packed
+    // array payload; above it both joins fall back to the r5 shuffle
+    // plan. (The same shape as Dedup.md5JaccardVerify's r6 note.)
+    val packed = if (corpus.count() <= 200000L) broadcast(packed0) else packed0
     pairs
       .join(packed.select(col("vec_id").as(l), col("qv").as("ql")), Seq(l))
       .join(packed.select(col("vec_id").as(r), col("qv").as("qr")), Seq(r))
