@@ -360,9 +360,14 @@ object KgPipeline {
         .select(col("u"), least(col("u"), col("mn")).as("m"))
       both.join(m, Seq("u"))
         .where(col("v") > col("u"))
-        // v > u >= m, so no self-loops; direction child > parent holds
+        // v > u >= m, so no self-loops; direction child > parent holds.
+        // NO distinct here (r6): largeStar is only ever composed into
+        // smallStar, whose final distinct restores set semantics —
+        // smallStar's min-groupBy and join are duplicate-insensitive,
+        // so dropping the intermediate dedup removes one exchange per
+        // round without changing the per-round edge SET (the signature
+        // is computed on the distinct'd composed output).
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
     }
 
     def smallStar(e: DataFrame): DataFrame = {
