@@ -283,10 +283,9 @@ object Dedup {
       .where(col("a") < col("b"))
       .select(col("a"), col("b"))
       .distinct()
-      .localCheckpoint(true) // feeds the verify a-leg; gates its broadcast
     val sizes = expl.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    // verify joins in the md5JaccardVerify r6 shape (§3.1)
-    broadcastIfSmall(candIds)
+    // verify joins in the md5JaccardVerify r6 shape (b-leg broadcast only)
+    candIds
       .join(expl.select(col("doc_id").as("a"), col("s")), Seq("a"))
       .join(broadcastIfSmall(expl).select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ic"))
@@ -391,19 +390,22 @@ object Dedup {
     * intersection counts against the materialized shingle rows, sizes
     * from the same frame — verify-once-per-pair, id-only transport.
     *
-    * Join shape (r6, opt-guide §3.1): the candidate pair set is
-    * materialized and broadcast when it fits, and the b-side shingle
-    * leg likewise — the fat (cand × shingles-of-a) intermediate then
-    * STREAMS through two broadcast hash joins and the map-side partial
-    * count without ever crossing an exchange (it was previously
-    * shuffled whole by (b, s) — the dominant cost of the family:
-    * q59's verify measured 4.7s of its 4.7s total). Both decisions
-    * are row-count-gated with the sort-merge fallback at scale.
+    * Join shape (r6, opt-guide §3.1): the b-side shingle leg
+    * broadcasts when the (already materialized) shingle frame's cheap
+    * row count says it fits — the fat (cand × shingles-of-a)
+    * intermediate then STREAMS through the second join and the
+    * map-side partial count instead of being shuffled whole by
+    * (b, s). That single hint is the whole change: a first attempt
+    * that ALSO checkpointed + broadcast the candidate set regressed
+    * the family in clean-window captures (q59 +2.4s, q17 +0.9s) —
+    * the extra blocking actions and broadcast builds serialized a
+    * previously one-action pipeline, while the a-leg join's inputs
+    * are small either way. Row-count-gated with the sort-merge
+    * fallback at scale.
     */
   private def md5JaccardVerify(candIds: DataFrame, expl: DataFrame, threshold: Double): DataFrame = {
-    val cand = candIds.localCheckpoint(true)
     val sizes = expl.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = broadcastIfSmall(cand)
+    val inter = candIds
       .join(expl.select(col("doc_id").as("a"), col("s")), Seq("a"))
       .join(broadcastIfSmall(expl).select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
       .groupBy(col("a"), col("b"))
@@ -489,26 +491,27 @@ object Dedup {
         count(lit(1)).over(byDoc).as("sz"))
     // minimum overlap ceil(t*sz) = (tNum*sz + tDen - 1) div tDen, all integer
     val minOv = (lit(tNum) * col("sz") + lit(tDen - 1)).divide(lit(tDen)).cast("long")
-    // materialized (r6): feeds both legs of the candidate self-join —
-    // and the cheap count gates broadcasting the build leg (§3.1)
+    // NOT materialized: the self-join legs are canonically identical,
+    // so ReuseExchange already computes the ranked window once — an
+    // eager checkpoint here only serializes the pipeline (the
+    // md5JaccardVerify r6 note: measured q59 +2.4s from the
+    // extra-actions variant in a clean-window capture)
     val prefix = ranked
       .where(col("pos") <= col("sz") - minOv + lit(1))
       .select(col("doc_id"), col("s"), col("sz"))
-      .localCheckpoint(true)
-    val candIds = broadcastIfSmall(prefix.select(col("s"), col("doc_id").as("a"), col("sz").as("sza")))
+    val candIds = prefix.select(col("s"), col("doc_id").as("a"), col("sz").as("sza"))
       .join(prefix.select(col("s"), col("doc_id").as("b"), col("sz").as("szb")), Seq("s"))
       .where(col("a") < col("b") &&
         lit(tDen) * col("szb") >= lit(tNum) * col("sza") &&
         lit(tDen) * col("sza") >= lit(tNum) * col("szb"))
       .select(col("a"), col("b"))
       .distinct()
-      .localCheckpoint(true) // feeds the verify a-leg; gates its broadcast
     val sizes = expl.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    // verify joins in the md5JaccardVerify r6 shape: candidate set and
-    // b-side shingle leg broadcast when they fit, so the fat
-    // (cand × shingles-of-a) intermediate streams through both hash
-    // joins and the partial count without crossing an exchange
-    val inter = broadcastIfSmall(candIds)
+    // verify joins in the md5JaccardVerify r6 shape: only the b-side
+    // shingle leg broadcasts (cheap gate on the materialized expl), so
+    // the fat (cand × shingles-of-a) intermediate streams through the
+    // second join and the partial count without the big exchange
+    val inter = candIds
       .join(expl.select(col("doc_id").as("a"), col("s")), Seq("a"))
       .join(broadcastIfSmall(expl).select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
       .groupBy(col("a"), col("b"))
@@ -587,11 +590,9 @@ object Dedup {
       .where(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
       .distinct()
-      .localCheckpoint(true) // feeds the verify a-leg; gates its broadcast
     val sizes = expl.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    // verify joins in the md5JaccardVerify r6 shape (broadcast the
-    // candidate set and the b-side leg when they fit)
-    val inter = broadcastIfSmall(candIds)
+    // verify joins in the md5JaccardVerify r6 shape (b-leg broadcast only)
+    val inter = candIds
       .join(expl.select(col("doc_id").as("a"), col("s")), Seq("a"))
       .join(broadcastIfSmall(expl).select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
       .groupBy(col("a"), col("b"))
