@@ -83,3 +83,92 @@ object PrefixJoinProbe {
     spark.stop()
   }
 }
+
+/** In-session alternating A/B for the prefix-join document-frequency
+  * shape: (A) count window over the shingle partition vs (B)
+  * groupBy(s)+join — both feeding the same doc-partition rank window.
+  * Alternation inside one JVM cancels session-level ambient drift;
+  * report = min per variant.
+  */
+object PrefixDfAb {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.files.maxPartitionBytes", (2 * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val expl = Dedup.shingleRows(docs, 3).distinct().localCheckpoint(true)
+    val byDoc = Window.partitionBy(col("doc_id"))
+    def rankedA = expl
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .select(col("doc_id"), col("s"),
+        row_number().over(byDoc.orderBy(col("c"), col("s"))).as("pos"),
+        count(lit(1)).over(byDoc).as("sz"))
+    def rankedB = {
+      val dfreq = expl.groupBy(col("s")).agg(count(lit(1)).as("c"))
+      expl.join(dfreq, Seq("s"))
+        .select(col("doc_id"), col("s"),
+          row_number().over(byDoc.orderBy(col("c"), col("s"))).as("pos"),
+          count(lit(1)).over(byDoc).as("sz"))
+    }
+    def sink(df: org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sink(rankedA); sink(rankedB) // warm both plan shapes
+    var as = List.empty[Double]; var bs = List.empty[Double]
+    (1 to 5).foreach { _ =>
+      as = sink(rankedA) :: as
+      bs = sink(rankedB) :: bs
+    }
+    println(f"AB window_df min=${as.min}%.2f all=${as.reverse.map(x => f"$x%.2f").mkString(",")}")
+    println(f"AB groupby_df min=${bs.min}%.2f all=${bs.reverse.map(x => f"$x%.2f").mkString(",")}")
+    spark.stop()
+  }
+}
+
+/** Same alternating-A/B discipline for the pageRank/trustRank
+  * out-degree shape: (A) count window over the src partition vs
+  * (B) groupBy(src)+join, both checkpoint-materialized like the
+  * operators do.
+  */
+object DegreeAb {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.files.maxPartitionBytes", (2 * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val pairs = orders.join(li, orders("o_orderkey") === li("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct().localCheckpoint(true)
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    def wA = edges.withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src"))))
+    def wB = edges.join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
+    def t(f: => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime(); f.localCheckpoint(true).count(); (System.nanoTime() - t0) / 1e9
+    }
+    t(wA); t(wB)
+    var as = List.empty[Double]; var bs = List.empty[Double]
+    (1 to 5).foreach { _ => as = t(wA) :: as; bs = t(wB) :: bs }
+    println(f"AB window_deg min=${as.min}%.2f all=${as.reverse.map(x => f"$x%.2f").mkString(",")}")
+    println(f"AB groupby_deg min=${bs.min}%.2f all=${bs.reverse.map(x => f"$x%.2f").mkString(",")}")
+    spark.stop()
+  }
+}
