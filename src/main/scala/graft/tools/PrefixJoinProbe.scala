@@ -172,3 +172,55 @@ object DegreeAb {
     spark.stop()
   }
 }
+
+/** Alternating A/B for the verify-join shape over the REAL q59
+  * candidate set: (A) b-side shingle leg broadcast vs (B) plain
+  * shuffle joins (the r5 shape). Candidates and shingles are
+  * checkpointed once so only the verify differs.
+  */
+object VerifyAb {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.files.maxPartitionBytes", (2 * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val expl = Dedup.shingleRows(docs, 3).distinct().localCheckpoint(true)
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val ranked = expl
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .select(col("doc_id"), col("s"),
+        row_number().over(byDoc.orderBy(col("c"), col("s"))).as("pos"),
+        count(lit(1)).over(byDoc).as("sz"))
+    val minOv = (lit(1) * col("sz") + lit(1)).divide(lit(2)).cast("long")
+    val prefix = ranked.where(col("pos") <= col("sz") - minOv + lit(1))
+      .select(col("doc_id"), col("s"), col("sz"))
+    val cand = prefix.select(col("s"), col("doc_id").as("a"), col("sz").as("sza"))
+      .join(prefix.select(col("s"), col("doc_id").as("b"), col("sz").as("szb")), Seq("s"))
+      .where(col("a") < col("b") && lit(2) * col("szb") >= col("sza") &&
+        lit(2) * col("sza") >= col("szb"))
+      .select(col("a"), col("b")).distinct().localCheckpoint(true)
+    println(s"cand=${cand.count()} expl=${expl.count()}")
+    def inter(bleg: org.apache.spark.sql.DataFrame) = cand
+      .join(expl.select(col("doc_id").as("a"), col("s")), Seq("a"))
+      .join(bleg.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ic"))
+    def t(f: => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f.write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    t(inter(broadcast(expl))); t(inter(expl))
+    var as = List.empty[Double]; var bs = List.empty[Double]
+    (1 to 5).foreach { _ => as = t(inter(broadcast(expl))) :: as; bs = t(inter(expl)) :: bs }
+    println(f"AB bleg_broadcast min=${as.min}%.2f all=${as.reverse.map(x => f"$x%.2f").mkString(",")}")
+    println(f"AB shuffle_joins  min=${bs.min}%.2f all=${bs.reverse.map(x => f"$x%.2f").mkString(",")}")
+    spark.stop()
+  }
+}
